@@ -1,0 +1,58 @@
+"""Benchmark harness (driver contract): runs every registered query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced end-to-end with a noop-format write (full execution,
+no driver collect — the honest way to time a distributed plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+    QUERIES,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not session startup
+    QUERIES["q01_avg_price_by_dow"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    t_suite = time.time()
+    for name, fn in sorted(QUERIES.items()):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "n_queries": len(per_query),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

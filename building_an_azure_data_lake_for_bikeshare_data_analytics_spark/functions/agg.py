@@ -1,0 +1,43 @@
+"""Aggregate helpers with cross-engine-deterministic numerics.
+
+Floating-point ``sum``/``avg`` over doubles is order-dependent: a Spark
+partial+final aggregation tree and a DuckDB aggregation will disagree in the
+last ulps, which breaks value-hash comparison against the oracle and — more
+importantly at 100 TB — makes results nondeterministic run-to-run as
+partitioning shifts.
+
+``exact_sum``/``exact_avg`` aggregate through an exact decimal: values are
+cast to DECIMAL(18,2) (our money/measure columns carry 2-decimal data),
+summed exactly (associative, order-independent), and only then cast back to
+double. For avg we divide the exact double sum by the count ourselves so both
+engines perform the identical single IEEE division. Spark's decimal sum is
+still a JVM hash-aggregate with partial aggregation — no performance cliff.
+
+The reference's decimal widening behavior (sum(decimal(10,0)) ->
+decimal(20,0), avg -> decimal(14,4); SURVEY.md §2.4 A7) comes free from
+Spark's promotion rules when callers aggregate true decimal columns directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+_DEC = DecimalType(18, 2)
+
+
+def exact_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent sum of a 2-decimal measure, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+def exact_avg(col: Column | str, alias: str) -> Column:
+    """Order-independent mean of a 2-decimal measure, returned as double.
+
+    exact decimal sum -> double, divided by count of non-null values: one
+    deterministic IEEE division, identical in any engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(_DEC)).cast("double") / F.count(c)).alias(alias)

@@ -1,0 +1,117 @@
+"""Fuzzy-deduplication operators: MinHash+LSH and SimHash.
+
+Not in the reference (SURVEY.md §2.6 — no UDFs, no fuzzy ops anywhere);
+built for the 100 TB training-data north star (BASELINE.json).
+
+Scale design:
+* MinHash signatures are computed with ``xxhash64`` Column expressions —
+  pure JVM, partial-aggregatable ``min()`` per hash seed, so the signature
+  build is one hash-aggregate over the exploded (doc, shingle) relation.
+* LSH banding turns O(n²) near-dup search into an equi-join on
+  (band_index, band_signature) — Spark's hash join does the bucketing;
+  band buckets are the only shuffle key. Hot buckets (boilerplate docs)
+  are the skew risk; AQE skew-join splitting handles moderate cases.
+* SimHash is an Arrow-batched pandas UDF (the documented Python escape
+  hatch) — one 64-bit signature per doc, near-dups found by signature
+  equality or small Hamming distance.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def minhash_signature(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, shingle) -> one row per doc with ``h0..h{k-1}`` minhash cols.
+
+    Each permutation j is simulated by ``xxhash64(j, shingle)``; the min over
+    a doc's shingles approximates the permutation-min. Partial+final hash
+    aggregation — no sort, no driver state.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs_tokens: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing >= 1 LSH band.
+
+    docs_tokens: (doc_id, ts: array<string> tokens).
+    Returns (doc_a, doc_b, n_bands) where n_bands counts agreeing bands.
+    """
+    rows_per_band = num_hashes // bands
+    sh = docs_tokens.select(
+        "doc_id", F.explode(word_shingles(F.col("ts"), shingle_n)).alias("shingle")
+    ).distinct()
+    sigs = minhash_signature(sh, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + k}") for k in range(rows_per_band)]).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty(len(texts), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = set((t or "").strip().lower().split())
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                for tok in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tok, 64)
+        votes = bits.astype(np.int64) * 2 - 1
+        sig_bits = (votes.sum(axis=0) > 0).astype(np.uint64)
+        out[i] = (sig_bits << shifts).sum(dtype=np.uint64).astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of whitespace-tokenized text (md5-derived token bits).
+
+    Arrow-batched pandas UDF; ~10-100x a row-at-a-time Python UDF.
+    Deterministic: md5 is stable across platforms/runs (unlike Python
+    ``hash``). Built lazily so importing this module doesn't require an
+    active SparkSession.
+    """
+    return F.pandas_udf(_simhash_batch, "long")(col)

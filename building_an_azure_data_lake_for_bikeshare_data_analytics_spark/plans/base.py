@@ -1,0 +1,48 @@
+"""Query-registry plumbing shared by the plan modules.
+
+Each named query is a ``(spark, sf_dir) -> DataFrame`` callable plus an
+optional DuckDB oracle SQL string (the driver's correctness gate — see
+``/root/repo/__spark_entry__.py``). Registration happens at import via the
+``@query`` decorator; ``plans.registry`` aggregates all modules.
+
+Determinism rules every query follows (SURVEY.md §7.4):
+* aggregate doubles through ``exact_sum``/``exact_avg`` (order-independent);
+* every top-k sort carries a total tie-break over the group columns;
+* oracle SQL casts date-part/bigint outputs to match Spark's types;
+* DuckDB ``dayofweek`` is 0=Sun — oracle adds +1 to match Spark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import read_parquet_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)

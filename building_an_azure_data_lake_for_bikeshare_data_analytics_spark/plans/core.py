@@ -1,0 +1,548 @@
+"""Reference-parity queries (SURVEY.md §5.2 G1-G22) ported onto the driver
+testdata star schema per the FIXTURES.md §B mapping:
+
+    trips    -> orders   (timestamps + money)  /  lineitem (wide fact)
+    payments -> orders (o_totalprice via date spine)
+    riders   -> customer (is_member := c_mktsegment = 'BUILDING';
+                          age bands := floor(c_acctbal/100))
+    stations -> supplier / part keys on lineitem
+    trips-as-events (fan-out queries) -> events (user_id ≈ rider_id)
+
+Every query reproduces the reference's operator shape (template functions of
+SURVEY.md §2.7) with the engine's determinism rules; oracle strings are the
+DuckDB-ANSI equivalent. 100 TB posture: dims broadcast, orderBy+limit stays
+adjacent (TakeOrderedAndProject), aggregates are partial+final hash aggs over
+the fact's natural partitioning — no extra shuffles beyond the one per
+groupBy key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.agg import exact_avg, exact_sum
+from ..functions.schema import format_columns
+from ..operators.analytics import analyze_fact, analyze_fact_with_dim, grouped_metric
+from ..operators.dates import payment_dates_dim, trip_dates_dim
+from .base import _t, query
+
+# shared oracle fragment: order-independent aggregates (see functions/agg.py)
+_SUM = "CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+_AVG = f"{_SUM}/count({{c}})"
+
+_MEMBER = "c_mktsegment = 'BUILDING'"
+
+
+# --------------------------------------------------------------------------
+# G1-G4: single-fact grouped aggregates (analyze_trip_data, ipynb:L1828-1848)
+# --------------------------------------------------------------------------
+
+@query(
+    "q01_avg_price_by_dow",
+    f"""SELECT CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               {_AVG.format(c='o_totalprice')} AS avg_price
+        FROM orders GROUP BY 1
+        ORDER BY avg_price DESC, dow LIMIT 10""",
+    tags=("parity", "A1", "F5", "O1", "O3", "P4"),
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """G1: avg fact measure by day-of-week (ipynb cell 23)."""
+    orders = _t(spark, sf, "orders").withColumn("dow", F.dayofweek("o_orderdate"))
+    return analyze_fact(orders, "dow", exact_avg("o_totalprice", "avg_price"), "avg_price", 10)
+
+
+@query(
+    "q02_sum_price_by_dow",
+    f"""SELECT CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               {_SUM.format(c='o_totalprice')} AS sum_price
+        FROM orders GROUP BY 1
+        ORDER BY sum_price DESC, dow LIMIT 10""",
+    tags=("parity", "A2"),
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """G2: sum fact measure by day-of-week (ipynb cell 24)."""
+    orders = _t(spark, sf, "orders").withColumn("dow", F.dayofweek("o_orderdate"))
+    return analyze_fact(orders, "dow", exact_sum("o_totalprice", "sum_price"), "sum_price", 10)
+
+
+@query(
+    "q03_avg_price_by_orderdate",
+    f"""SELECT o_orderdate, {_AVG.format(c='o_totalprice')} AS avg_price
+        FROM orders GROUP BY 1
+        ORDER BY avg_price DESC, o_orderdate LIMIT 10""",
+    tags=("parity", "A1"),
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """G3: avg by raw start-timestamp group (ipynb cell 25)."""
+    orders = _t(spark, sf, "orders")
+    return analyze_fact(orders, "o_orderdate", exact_avg("o_totalprice", "avg_price"), "avg_price", 10)
+
+
+@query(
+    "q04_sum_price_by_orderdate",
+    f"""SELECT o_orderdate, {_SUM.format(c='o_totalprice')} AS sum_price
+        FROM orders GROUP BY 1
+        ORDER BY sum_price DESC, o_orderdate LIMIT 10""",
+    tags=("parity", "A2"),
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """G4: sum by raw start-timestamp group (ipynb cell 26)."""
+    orders = _t(spark, sf, "orders")
+    return analyze_fact(orders, "o_orderdate", exact_sum("o_totalprice", "sum_price"), "sum_price", 10)
+
+
+# --------------------------------------------------------------------------
+# G5-G8: station-style groupings on the wide fact (analyze_duration, cell 27)
+# --------------------------------------------------------------------------
+
+@query(
+    "q05_avg_extprice_by_supp",
+    f"""SELECT l_suppkey, {_AVG.format(c='l_extendedprice')} AS avg_ext
+        FROM lineitem GROUP BY 1 ORDER BY avg_ext DESC, l_suppkey LIMIT 20""",
+    tags=("parity", "A1"),
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """G5: avg by start-station equivalent (supplier key; ipynb cell 28)."""
+    li = _t(spark, sf, "lineitem")
+    return analyze_fact(li, "l_suppkey", exact_avg("l_extendedprice", "avg_ext"), "avg_ext", 20)
+
+
+@query(
+    "q06_sum_extprice_by_supp",
+    f"""SELECT l_suppkey, {_SUM.format(c='l_extendedprice')} AS sum_ext
+        FROM lineitem GROUP BY 1 ORDER BY sum_ext DESC, l_suppkey LIMIT 20""",
+    tags=("parity", "A2"),
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """G6: sum by start-station equivalent (ipynb cell 29)."""
+    li = _t(spark, sf, "lineitem")
+    return analyze_fact(li, "l_suppkey", exact_sum("l_extendedprice", "sum_ext"), "sum_ext", 20)
+
+
+@query(
+    "q07_avg_extprice_by_part",
+    f"""SELECT l_partkey, {_AVG.format(c='l_extendedprice')} AS avg_ext
+        FROM lineitem GROUP BY 1 ORDER BY avg_ext DESC, l_partkey LIMIT 20""",
+    tags=("parity", "A1"),
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """G7: avg by end-station equivalent (part key; ipynb cell 30)."""
+    li = _t(spark, sf, "lineitem")
+    return analyze_fact(li, "l_partkey", exact_avg("l_extendedprice", "avg_ext"), "avg_ext", 20)
+
+
+@query(
+    "q08_sum_extprice_by_part",
+    f"""SELECT l_partkey, {_SUM.format(c='l_extendedprice')} AS sum_ext
+        FROM lineitem GROUP BY 1 ORDER BY sum_ext DESC, l_partkey LIMIT 20""",
+    tags=("parity", "A2"),
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """G8: sum by end-station equivalent (ipynb cell 31)."""
+    li = _t(spark, sf, "lineitem")
+    return analyze_fact(li, "l_partkey", exact_sum("l_extendedprice", "sum_ext"), "sum_ext", 20)
+
+
+# --------------------------------------------------------------------------
+# G9-G12: fact ⋈ person-dim groupings (cells 32-35, J1/J2 joins)
+# --------------------------------------------------------------------------
+
+def _orders_with_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """J2-style explicit-condition join (ipynb:L3330, cell 32): keeps both key
+    columns like the reference; grouping columns disambiguate."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").withColumn(
+        "acct_band", F.floor(F.col("c_acctbal") / 100).cast("int")
+    )
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+
+
+_BAND = "CAST(floor(c_acctbal / 100) AS INTEGER)"
+
+@query(
+    "q09_sum_price_by_acct_band",
+    f"""SELECT {_BAND} AS acct_band, {_SUM.format(c='o_totalprice')} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY sum_price DESC, acct_band LIMIT 10""",
+    tags=("parity", "J2", "A2"),
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """G9: sum by rider-age equivalent (acctbal band; ipynb cell 33)."""
+    j = _orders_with_customer(spark, sf)
+    return grouped_metric(j, "acct_band", [exact_sum("o_totalprice", "sum_price")], "sum_price", limit=10)
+
+
+@query(
+    "q10_avg_price_by_acct_band",
+    f"""SELECT {_BAND} AS acct_band, {_AVG.format(c='o_totalprice')} AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY avg_price DESC, acct_band LIMIT 10""",
+    tags=("parity", "J2", "A1"),
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """G10: avg by rider-age equivalent (ipynb cell 34)."""
+    j = _orders_with_customer(spark, sf)
+    return grouped_metric(j, "acct_band", [exact_avg("o_totalprice", "avg_price")], "avg_price", limit=10)
+
+
+@query(
+    "q11_avg_price_by_membership",
+    f"""SELECT ({_MEMBER}) AS is_member, {_AVG.format(c='o_totalprice')} AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY avg_price DESC, is_member LIMIT 10""",
+    tags=("parity", "J1", "A1"),
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """G11: avg by membership flag (ipynb cell 35) — USING-join J1."""
+    orders = _t(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = _t(spark, sf, "customer").withColumn("is_member", F.col("c_mktsegment") == "BUILDING")
+    return analyze_fact_with_dim(
+        orders, cust, "c_custkey", "is_member", exact_avg("o_totalprice", "avg_price"), "avg_price", 10
+    )
+
+
+@query(
+    "q12_sum_price_by_membership",
+    f"""SELECT ({_MEMBER}) AS is_member, {_SUM.format(c='o_totalprice')} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY sum_price DESC, is_member LIMIT 10""",
+    tags=("parity", "J1", "A2"),
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """G12: sum by membership flag (ipynb cell 35)."""
+    orders = _t(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = _t(spark, sf, "customer").withColumn("is_member", F.col("c_mktsegment") == "BUILDING")
+    return analyze_fact_with_dim(
+        orders, cust, "c_custkey", "is_member", exact_sum("o_totalprice", "sum_price"), "sum_price", 10
+    )
+
+
+# --------------------------------------------------------------------------
+# G13-G18: payments ⋈ generated date-dim (analyze_payment_data, cell 37)
+# --------------------------------------------------------------------------
+
+def _payments_with_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """payments-fact equivalent joined to the *generated* daily date dim
+    (J4 + F8/F9 + A6; ipynb:L4626-4657 over the dim built in cells 12/18).
+
+    The spine join is semantically a no-op enrichment (every order date is in
+    the spine) — exactly like the reference, where the dim exists to carry
+    month/quarter/year attributes. Dim is broadcast."""
+    payments = _t(spark, sf, "orders").select(
+        F.to_date("o_orderdate").alias("date_id"), F.col("o_totalprice").alias("amount")
+    )
+    dim = payment_dates_dim(spark, payments, "date_id")
+    return payments.join(F.broadcast(dim), "date_id")
+
+
+def _payment_oracle(group: str, agg: str, alias: str) -> str:
+    return f"""SELECT CAST({group}(o_orderdate) AS INTEGER) AS {group},
+                      {agg} AS {alias}
+               FROM orders GROUP BY 1 ORDER BY {alias} DESC, {group} LIMIT 10"""
+
+
+def _payment_q(spark: SparkSession, sf: str, group: str, agg_col, alias: str) -> DataFrame:
+    j = _payments_with_dates(spark, sf)
+    return grouped_metric(j, group, [agg_col], order_by=alias, limit=10)
+
+
+@query("q13_sum_amount_by_month", _payment_oracle("month", _SUM.format(c="o_totalprice"), "amount_sum"),
+       tags=("parity", "J4", "A2", "F8", "F9"))
+def q13(spark, sf):
+    """G13: payment sum by month via generated date dim (ipynb cell 37)."""
+    return _payment_q(spark, sf, "month", exact_sum("amount", "amount_sum"), "amount_sum")
+
+
+@query("q14_avg_amount_by_month", _payment_oracle("month", _AVG.format(c="o_totalprice"), "amount_avg"),
+       tags=("parity", "J4", "A1"))
+def q14(spark, sf):
+    """G14: payment avg by month (ipynb cell 37)."""
+    return _payment_q(spark, sf, "month", exact_avg("amount", "amount_avg"), "amount_avg")
+
+
+@query("q15_sum_amount_by_quarter", _payment_oracle("quarter", _SUM.format(c="o_totalprice"), "amount_sum"),
+       tags=("parity", "J4", "A2"))
+def q15(spark, sf):
+    """G15: payment sum by quarter (ipynb cell 37)."""
+    return _payment_q(spark, sf, "quarter", exact_sum("amount", "amount_sum"), "amount_sum")
+
+
+@query("q16_avg_amount_by_quarter", _payment_oracle("quarter", _AVG.format(c="o_totalprice"), "amount_avg"),
+       tags=("parity", "J4", "A1"))
+def q16(spark, sf):
+    """G16: payment avg by quarter (ipynb cell 37)."""
+    return _payment_q(spark, sf, "quarter", exact_avg("amount", "amount_avg"), "amount_avg")
+
+
+@query("q17_sum_amount_by_year", _payment_oracle("year", _SUM.format(c="o_totalprice"), "amount_sum"),
+       tags=("parity", "J4", "A2"))
+def q17(spark, sf):
+    """G17: payment sum by year (ipynb cell 37)."""
+    return _payment_q(spark, sf, "year", exact_sum("amount", "amount_sum"), "amount_sum")
+
+
+@query("q18_avg_amount_by_year", _payment_oracle("year", _AVG.format(c="o_totalprice"), "amount_avg"),
+       tags=("parity", "J4", "A1"))
+def q18(spark, sf):
+    """G18: payment avg by year (ipynb cell 37)."""
+    return _payment_q(spark, sf, "year", exact_avg("amount", "amount_avg"), "amount_avg")
+
+
+# --------------------------------------------------------------------------
+# G19-G20: member-filtered payment aggregates (cell 38, P5 filter)
+# --------------------------------------------------------------------------
+
+def _member_payments(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")  # P5 (ipynb:L4949)
+        .withColumn("acct_band", F.floor(F.col("c_acctbal") / 100).cast("int"))
+    )
+    return orders.join(F.broadcast(cust), "c_custkey")
+
+
+_MEMBER_ORACLE = f"""FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE {_MEMBER} GROUP BY 1"""
+
+@query(
+    "q19_member_avg_by_acct_band",
+    f"""SELECT {_BAND} AS acct_band, {_AVG.format(c='o_totalprice')} AS amount_avg
+        {_MEMBER_ORACLE} ORDER BY amount_avg DESC, acct_band LIMIT 10""",
+    tags=("parity", "P5", "A1"),
+)
+def q19(spark, sf):
+    """G19: member payment avg by age-band equivalent (ipynb cell 38)."""
+    return grouped_metric(_member_payments(spark, sf), "acct_band",
+                          [exact_avg("o_totalprice", "amount_avg")], "amount_avg", limit=10)
+
+
+@query(
+    "q20_member_sum_by_acct_band",
+    f"""SELECT {_BAND} AS acct_band, {_SUM.format(c='o_totalprice')} AS amount_sum
+        {_MEMBER_ORACLE} ORDER BY amount_sum DESC, acct_band LIMIT 10""",
+    tags=("parity", "P5", "A2"),
+)
+def q20(spark, sf):
+    """G20: member payment sum by age-band equivalent (ipynb cell 38)."""
+    return grouped_metric(_member_payments(spark, sf), "acct_band",
+                          [exact_sum("o_totalprice", "amount_sum")], "amount_sum", limit=10)
+
+
+# --------------------------------------------------------------------------
+# G21-G22: extra-credit 3-way fan-out joins (J5, cells 40/41) — the
+# many-to-many row multiplication is reproduced verbatim (SURVEY.md §7.4.3)
+# --------------------------------------------------------------------------
+
+@query(
+    "q21_member_spend_rides",
+    f"""SELECT user_id, CAST(month(e_ts) AS INTEGER) AS month,
+               {_AVG.format(c='o_totalprice')} AS avg_amount,
+               count(event_id) AS num_rides
+        FROM (SELECT event_id, user_id, ts AS e_ts FROM events) e
+        JOIN orders ON user_id = o_custkey
+        JOIN customer ON user_id = c_custkey
+        WHERE {_MEMBER}
+        GROUP BY 1, 2 ORDER BY num_rides DESC, user_id, month LIMIT 10""",
+    tags=("parity", "J5", "A3", "A4", "A5"),
+)
+def q21(spark, sf):
+    """G21 (ipynb cell 40, L5160-5171): trips ⋈ payments on rider ⋈ member
+    dim, per rider-month [avg spend, ride count]. events×orders fan out per
+    user exactly like the reference's trips×payments per rider."""
+    ev = _t(spark, sf, "events").select("event_id", "user_id", F.month("ts").alias("month"))  # P3/P4
+    pay = _t(spark, sf, "orders").select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+    member = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")  # P7: filter-before-join (ipynb:L5163)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    j = ev.join(pay, "user_id").join(F.broadcast(member), "user_id")
+    return grouped_metric(
+        j, ["user_id", "month"],
+        [exact_avg("o_totalprice", "avg_amount"), F.count("event_id").alias("num_rides")],
+        order_by="num_rides", limit=10,
+    )
+
+
+@query(
+    "q22_member_spend_duration",
+    f"""SELECT user_id, CAST(floor(value / 60) AS INTEGER) AS minutes,
+               CAST(month(e_ts) AS INTEGER) AS month,
+               {_AVG.format(c='o_totalprice')} AS avg_amount,
+               {_AVG.format(c='value')} AS avg_duration
+        FROM (SELECT event_id, user_id, value, ts AS e_ts FROM events) e
+        JOIN customer ON user_id = c_custkey
+        JOIN orders ON user_id = o_custkey
+        WHERE {_MEMBER}
+        GROUP BY 1, 2, 3 ORDER BY avg_duration DESC, user_id, minutes, month LIMIT 10""",
+    tags=("parity", "J5", "A3", "A5", "P6", "F12"),
+)
+def q22(spark, sf):
+    """G22 (ipynb cell 41, L5365-5381): member avg spend + duration per
+    rider-minutes-month over the fan-out join; `minutes` = duration/60."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "value",
+        F.floor(F.col("value") / 60).cast("int").alias("minutes"),
+        F.month("ts").alias("month"),
+    )
+    member = _t(spark, sf, "customer").withColumn("is_member", F.col("c_mktsegment") == "BUILDING")
+    member = member.filter(member.is_member).select(F.col("c_custkey").alias("user_id"))  # P6 (ipynb:L5368)
+    pay = _t(spark, sf, "orders").select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+    j = ev.join(F.broadcast(member), "user_id").join(pay, "user_id")
+    return grouped_metric(
+        j, ["user_id", "minutes", "month"],
+        [exact_avg("o_totalprice", "avg_amount"), exact_avg("value", "avg_duration")],
+        order_by="avg_duration", limit=10,
+    )
+
+
+# --------------------------------------------------------------------------
+# Operator-level queries: schema formatting, date dims, probes (cells 8/12/17/18)
+# --------------------------------------------------------------------------
+
+@query(
+    "q23_format_orders",
+    """SELECT o_orderkey AS order_id, o_custkey AS cust_id,
+              o_orderstatus AS status,
+              CAST(o_totalprice AS DECIMAL(12,2)) AS amount,
+              CAST(o_orderdate AS DATE) AS order_date,
+              o_orderpriority AS priority
+       FROM orders""",
+    tags=("parity", "P1", "P2", "F13"),
+)
+def q23(spark, sf):
+    """format_columns parity (ipynb:L960-997, cell 8): bulk rename + cast in
+    one projection, incl. the money-to-decimal cast."""
+    return format_columns(
+        _t(spark, sf, "orders"),
+        renames={
+            "o_orderkey": "order_id", "o_custkey": "cust_id", "o_orderstatus": "status",
+            "o_totalprice": "amount", "o_orderdate": "order_date", "o_orderpriority": "priority",
+        },
+        casts={"amount": T.DecimalType(12, 2), "order_date": "date"},
+    )
+
+
+@query(
+    "q24_payment_dates_dim",
+    """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                         CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+            s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM b)
+       SELECT CAST(d AS DATE) AS date_id,
+              CAST(month(d) AS INTEGER) AS month,
+              CAST(quarter(d) AS INTEGER) AS quarter,
+              CAST(year(d) AS INTEGER) AS year
+       FROM s ORDER BY date_id""",
+    tags=("parity", "F8", "F9", "A6", "O2", "S6"),
+)
+def q24(spark, sf):
+    """Generated daily date dimension (cells 12+18, ipynb:L1194/L1649-1661):
+    min/max probe -> explode(sequence(...)) spine -> attribute projection."""
+    payments = _t(spark, sf, "orders").select(F.to_date("o_orderdate").alias("date_id"))
+    return payment_dates_dim(spark, payments, "date_id")
+
+
+@query(
+    "q25_trip_dates_dim",
+    """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                         date_trunc('hour', max(ts)) AS hi FROM events),
+            s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS d FROM b)
+       SELECT d AS time_id,
+              CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week,
+              CASE WHEN hour(d) BETWEEN 5 AND 11 THEN 'morning'
+                   WHEN hour(d) BETWEEN 12 AND 16 THEN 'afternoon'
+                   WHEN hour(d) BETWEEN 17 AND 21 THEN 'evening'
+                   ELSE 'night' END AS time_of_day
+       FROM s ORDER BY time_id""",
+    tags=("parity", "F8", "F9", "F11", "F6", "F5", "P8"),
+)
+def q25(spark, sf):
+    """Generated hourly date dimension with time-of-day CASE buckets
+    (cells 12+17, ipynb:L1195/L1578-1593)."""
+    trips = _t(spark, sf, "events").select(F.col("ts").alias("time_id"))
+    return trip_dates_dim(spark, trips, "time_id")
+
+
+@query(
+    "q26_date_range_probe",
+    """SELECT CAST(min(o_orderdate) AS DATE) AS min_date,
+              CAST(max(o_orderdate) AS DATE) AS max_date FROM orders""",
+    tags=("parity", "A6", "F4"),
+)
+def q26(spark, sf):
+    """Global min/max probe (A6, ipynb:L1185-1186, cell 12)."""
+    return _t(spark, sf, "orders").select(
+        F.min(F.to_date("o_orderdate")).alias("min_date"),
+        F.max(F.to_date("o_orderdate")).alias("max_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Extension surface: window / distinct / set-op / rollup (SURVEY.md §2.6
+# lists these as absent from the reference — added for engine completeness)
+# --------------------------------------------------------------------------
+
+@query(
+    "q27_top_orders_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders)
+       WHERE rn <= 3""",
+    tags=("extension", "window"),
+)
+def q27(spark, sf):
+    """Top-3 orders per customer via row_number window — per-group top-k
+    without a global sort; at scale this is one hash-partitioned shuffle on
+    the window key, no driver involvement."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q28_distinct_segments",
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
+    tags=("extension", "distinct"),
+)
+def q28(spark, sf):
+    """DISTINCT (absent in reference): partial-agg dedup, one shuffle."""
+    return _t(spark, sf, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@query(
+    "q29_customers_without_events",
+    "SELECT c_custkey FROM customer EXCEPT SELECT user_id FROM events",
+    tags=("extension", "setop"),
+)
+def q29(spark, sf):
+    """Set difference (EXCEPT) — customers with no event activity; Catalyst
+    plans a left-anti hash join after dedup."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    ev = _t(spark, sf, "events").select(F.col("user_id").alias("c_custkey"))
+    return cust.subtract(ev)
+
+
+@query(
+    "q30_status_priority_rollup",
+    f"""SELECT o_orderstatus, o_orderpriority,
+               {_SUM.format(c='o_totalprice')} AS sum_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    tags=("extension", "rollup"),
+)
+def q30(spark, sf):
+    """ROLLUP grouping sets (absent in reference): hierarchical totals in one
+    pass — Spark expands grouping sets before the shuffle, still partial+final."""
+    return _t(spark, sf, "orders").rollup("o_orderstatus", "o_orderpriority").agg(
+        exact_sum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n_orders")
+    )

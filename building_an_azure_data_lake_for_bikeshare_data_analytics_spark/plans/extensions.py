@@ -1,0 +1,254 @@
+"""Training-data pipeline queries (BASELINE.json north star): text analysis,
+deduplication, similarity search, multimodal plumbing — over the driver's
+``documents`` / ``embeddings`` tables.
+
+None of these exist in the reference (SURVEY.md §2.6 "not present"); they are
+the engine's scale-oriented extension surface. Where semantics are expressible
+in ANSI SQL both engines share an oracle; MinHash/SimHash use engine-specific
+hashing and get rows-only checks (the driver records the weaker gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_guess,
+    marker_count,
+    normalized_text,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from ..functions.vectors import dot, norm
+from ..operators.dedup import minhash_lsh_candidates, simhash64
+from .base import _t, query
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "q31_doc_token_count",
+    f"SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens FROM documents",
+    tags=("text",),
+)
+def q31(spark, sf):
+    """Whitespace token counting — pure JVM split/size, no UDF."""
+    return _t(spark, sf, "documents").select("doc_id", token_count("text").alias("n_tokens"))
+
+
+_STOPS_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+@query(
+    "q32_doc_quality",
+    f"""SELECT doc_id,
+               CAST(len(ts) AS INTEGER) AS n_tokens,
+               round(length(replace(text, ' ', '')) / len(ts), 4) AS avg_token_len,
+               round(len(list_filter(ts, t -> t IN ({_STOPS_IN}))) / len(ts), 4) AS stopword_ratio
+        FROM (SELECT doc_id, text, {_TOKS} AS ts FROM documents)""",
+    tags=("text", "quality"),
+)
+def q32(spark, sf):
+    """Quality scoring: token count, mean token length, stopword ratio —
+    the standard cheap pre-filters for LLM corpus cleaning, all codegen'd."""
+    d = _t(spark, sf, "documents").select("doc_id", "text", tokens("text").alias("ts"))
+    n = F.size("ts")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.length(F.regexp_replace("text", " ", "")) / n, 4).alias("avg_token_len"),
+        F.round(marker_count(F.col("ts"), STOPWORDS) / n, 4).alias("stopword_ratio"),
+    )
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    vals = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(ts, t -> t IN ({vals})))"
+
+
+@query(
+    "q33_lang_guess",
+    f"""WITH s AS (
+          SELECT doc_id, lang,
+                 {_marker_sql(LANG_MARKERS['en'])} AS en,
+                 {_marker_sql(LANG_MARKERS['fr'])} AS fr,
+                 {_marker_sql(LANG_MARKERS['de'])} AS de,
+                 {_marker_sql(LANG_MARKERS['es'])} AS es
+          FROM (SELECT doc_id, lang, {_TOKS} AS ts FROM documents))
+        SELECT doc_id,
+               CASE WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+                    WHEN fr >= de AND fr >= es THEN 'fr'
+                    WHEN de >= es THEN 'de'
+                    ELSE 'es' END AS lang_guess,
+               (CASE WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+                     WHEN fr >= de AND fr >= es THEN 'fr'
+                     WHEN de >= es THEN 'de'
+                     ELSE 'es' END = lang) AS matches_label
+        FROM s""",
+    tags=("text", "langid"),
+)
+def q33(spark, sf):
+    """Heuristic n-gram/stopword language ID with deterministic argmax."""
+    d = _t(spark, sf, "documents").select("doc_id", "lang", tokens("text").alias("ts"))
+    guess = lang_guess(F.col("ts"))
+    return d.select(
+        "doc_id", guess.alias("lang_guess"), (guess == F.col("lang")).alias("matches_label")
+    )
+
+
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+@query(
+    "q34_doc_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+    tags=("text", "fingerprint"),
+)
+def q34(spark, sf):
+    """Content fingerprint: md5 over whitespace-normalized lowercased text."""
+    return _t(spark, sf, "documents").select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@query(
+    "q35_dedup_exact",
+    f"""SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY 1""",
+    tags=("dedup", "exact"),
+)
+def q35(spark, sf):
+    """Exact dedup by content hash: keep lowest doc_id per fingerprint.
+    One hash-shuffle on a 32-byte key — the 100 TB-safe exact-dedup plan
+    (never a sort, never a driver collect)."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy(fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+_SHINGLES_SQL = f"""
+    tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok),
+    sh  AS (SELECT DISTINCT doc_id,
+                   ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+            FROM sh0)"""
+
+@query(
+    "q36_ngram_jaccard_pairs",
+    f"""WITH {_SHINGLES_SQL},
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter / (sa.n + sb.n - inter) >= 0.5""",
+    tags=("dedup", "ngram", "jaccard"),
+)
+def q36(spark, sf):
+    """Near-dup detection: word-3-gram shingle sets, candidate pairs via
+    shingle equi-join (inverted index), exact Jaccard >= 0.5.
+
+    Scale shape: explode to (doc, shingle), self-equi-join on shingle —
+    a hash join on the shingle key, no cross product; Jaccard from
+    |A∩B| and precomputed set sizes. Hot shingles (stopword-only grams)
+    are the skew risk at 100 TB — MinHash (q37) is the scale path."""
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("ts"), 3)).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query("q37_minhash_lsh_pairs", None, tags=("dedup", "minhash", "lsh", "rows-only"))
+def q37(spark, sf):
+    """MinHash+LSH candidate pairs (shingle -> 16 minhashes -> 4 bands ->
+    band-bucket equi-join). Engine-specific xxhash64 => rows-only check."""
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+
+
+@query("q38_simhash", None, tags=("dedup", "simhash", "rows-only", "pandas-udf"))
+def q38(spark, sf):
+    """64-bit SimHash per document via an Arrow-batched pandas UDF
+    (md5-based token hashes; deterministic across runs/engines, but not
+    expressible in DuckDB SQL => rows-only check)."""
+    return _t(spark, sf, "documents").select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_Q_FILTER = "vec_id % 50 = 0"
+_DOT = "list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+
+@query(
+    "q39_embedding_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE {_Q_FILTER}),
+         p AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      round({_DOT.format(a='qe', b='e.embedding')}
+                            / (sqrt({_DOT.format(a='qe', b='qe')})
+                               * sqrt({_DOT.format(a='e.embedding', b='e.embedding')})),
+                            4) AS cos
+               FROM embeddings e, q WHERE e.vec_id <> query_id)
+        SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM p)
+        WHERE rnk <= 5""",
+    tags=("similarity", "knn", "window"),
+)
+def q39(spark, sf):
+    """Brute-force cosine top-k: broadcast the query set against the corpus,
+    sequential-fold dot products in double, rank per query via window.
+
+    Scale shape: queries broadcast (small side), corpus never shuffles for
+    the join; per-query top-k is one window shuffle keyed by query_id. The
+    LSH-bucketed variant (q40) is the 100 TB path."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+    )

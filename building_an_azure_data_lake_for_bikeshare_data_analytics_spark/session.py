@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference creates a bare ``SparkSession.builder.appName("bikeshare")``
+(ipynb:L116, cell 1) and leaves every knob at Databricks-runtime defaults.
+This engine pins the settings that matter for both local testing and a
+1000-executor / 100 TB deployment:
+
+* AQE on (runtime shuffle-partition coalescing, skew-join splitting) —
+  at 100 TB static shuffle partition counts are always wrong.
+* Arrow for every Python<->JVM data exchange (pandas UDFs, toPandas).
+* shuffle partitions default to the local core count; on a real cluster
+  AQE re-coalesces from a deliberately-high initial number.
+* broadcast threshold left at default 10 MB: star-schema dims (stations,
+  riders, date dims / nation, customer at test scale) broadcast, facts never.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bikeshare-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local mode defaults mirror the driver contract: ``local[$SPARK_GRAFT_CPUS]``
+    with ``spark.sql.shuffle.partitions`` sized to the core count so a
+    single-node run doesn't pay 200-partition scheduling overhead, while AQE
+    keeps the plan right when data outgrows that.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # driver testdata writes INT64 TIMESTAMP(NANOS) parquet (events.ts),
+        # which Spark has no native type for: read as long, convert at scan
+        # (sources/readers.py nanos handling)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

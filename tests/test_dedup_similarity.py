@@ -1,0 +1,92 @@
+"""Tests for dedup + similarity operators on synthetic fixtures with known
+duplicate structure (the sf0.01 documents table has no exact dups, so we
+construct our own)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import tokens
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    simhash64,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
+
+from conftest import SF_SMOKE
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),  # exact dup of 1
+        Row(doc_id=3, text=BASE.replace("lazy", "sleepy")),  # near dup of 1
+        Row(doc_id=4, text="completely different words about spark query engines and shuffles here"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_groups_identical_docs(spark):
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import fingerprint
+
+    d = _docs(spark)
+    grouped = (
+        d.groupBy(fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .collect()
+    )
+    by_keep = {r["keep_id"]: r["dup_count"] for r in grouped}
+    assert by_keep[1] == 2  # docs 1+2 collapse
+    assert by_keep[3] == 1 and by_keep[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups_not_distant_docs(spark):
+    d = _docs(spark).select("doc_id", tokens("text").alias("ts"))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(d).collect()}
+    assert (1, 2) in pairs  # exact dups always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup likely banded together
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_identical_docs_equal_and_near_docs_close(spark):
+    d = _docs(spark).select("doc_id", simhash64(F.col("text")).alias("sh"))
+    got = {r["doc_id"]: r["sh"] for r in d.collect()}
+    assert got[1] == got[2]
+    ham_near = bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((got[1] ^ got[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_embedding_topk_shape_and_selfexclusion(spark):
+    df = QUERIES["q39_embedding_topk"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert [r["rnk"] for r in sorted(rs, key=lambda r: r["rnk"])] == list(range(1, len(rs) + 1))
+        coss = [r["cos"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert coss == sorted(coss, reverse=True)
+
+
+def test_ngram_jaccard_flags_near_dup_pair(spark):
+    d = _docs(spark)
+    d.createOrReplaceTempView("tmp_docs")
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+        word_shingles,
+    )
+
+    sh = d.select("doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("shingle"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .count()
+        .collect()
+    )
+    pairs = {(r["da"], r["db"]): r["count"] for r in inter}
+    assert pairs[(1, 2)] >= 10  # exact dup shares all shingles
+    assert (1, 4) not in pairs

@@ -1,0 +1,63 @@
+"""IO-layer tests: headerless CSV scan (S1), format pipeline, safe
+parquet self-overwrite (S2/S3 semantics without Delta)."""
+
+import os
+
+from pyspark.sql import Row
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.schema import (
+    format_bikeshare_table,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+    load_star,
+    read_csv_raw,
+    read_parquet_table,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.writers import (
+    overwrite_parquet_table,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_read_csv_raw_headerless(spark, tmp_path):
+    p = str(tmp_path / "stations.csv")
+    with open(p, "w") as f:
+        f.write("525,Glenwood Ave & Touhy Ave,42.012701,-87.666058\n")
+        f.write("KA1503000012,Clark St & Im Ave,41.8,-87.6\n")
+    df = read_csv_raw(spark, p)
+    # reference behavior: _c* names, all strings (ipynb:L250-253)
+    assert df.columns == ["_c0", "_c1", "_c2", "_c3"]
+    assert all(t == "string" for _, t in df.dtypes)
+    formatted = format_bikeshare_table(df, "stations")
+    assert formatted.columns == ["station_id", "name", "latitude", "longitude"]
+    assert dict(formatted.dtypes)["latitude"] == "float"
+    assert formatted.count() == 2
+
+
+def test_read_parquet_table_and_load_star(spark):
+    orders = read_parquet_table(spark, SF_SMOKE, "orders")
+    assert orders.count() == 1500
+    star = load_star(spark, SF_SMOKE, tables=("region", "nation"), register_views=True)
+    assert set(star) == {"region", "nation"}
+    assert spark.sql("SELECT count(*) c FROM region").first()["c"] == 5
+
+
+def test_events_nanos_ts_converted(spark):
+    ev = read_parquet_table(spark, SF_SMOKE, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.where(ev.ts.isNull()).count() == 0
+
+
+def test_overwrite_parquet_table_safe_self_overwrite(spark, tmp_path):
+    """The reference reads a Delta table and overwrites it in one job
+    (trips -> trips, ipynb:L1074->L1098), relying on snapshots; our parquet
+    stage-and-swap must survive the same pattern."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([Row(a=1), Row(a=2)]).write.parquet(path)
+    df = spark.read.parquet(path)
+    df2 = df.selectExpr("a", "a * 10 AS b")
+    overwrite_parquet_table(df2, path)
+    out = spark.read.parquet(path).orderBy("a").collect()
+    assert [(r["a"], r["b"]) for r in out] == [(1, 10), (2, 20)]
+    assert not os.path.exists(path + ".__stage__")
