@@ -1,0 +1,75 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata
+structs, processed by Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs (PIL/ffmpeg absent by design), so
+the *decode* step is stubbed: if a real codec were importable we'd raise
+``NotImplementedError`` to force an explicit integration; without one we
+compute deterministic byte-level features. Everything Spark-side — schema,
+binary encoding, batch iteration, output struct — is real and tested; a
+production deployment swaps ``_decode_one`` only.
+
+Scale notes: mapInPandas streams Arrow record batches (no driver collect,
+no per-row Python); binary payloads stay opaque to the JVM so there is no
+serialization amplification; partition count follows the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output schema of the feature extractor (stable contract for downstream)
+FEATURE_SCHEMA = "doc_id bigint, byte_len int, first_byte int, checksum bigint, decode_status string"
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents -> (doc_id, blob: binary, meta: struct) — the canonical
+    multimodal layout: payload opaque, metadata typed and prunable."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("blob"),
+        F.struct(
+            F.col("source"), F.col("n_chars"), F.lit("text/plain").alias("mime")
+        ).alias("meta"),
+    )
+
+
+def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
+    """STUB decoder. A real deployment implements image/audio decode here
+    (e.g. PIL.Image.open(io.BytesIO(blob))); this container ships no codecs,
+    so we emit deterministic byte-level features instead."""
+    try:  # pragma: no cover - codec not present in this environment
+        import PIL  # noqa: F401
+
+        raise NotImplementedError(
+            "real decode path not wired: plug codec into multimodal._decode_one"
+        )
+    except ImportError:
+        pass
+    if not blob:
+        return 0, -1, 0, "empty"
+    checksum = sum(blob) % 997
+    return len(blob), blob[0], checksum, "stub"
+
+
+def extract_features(with_blob: DataFrame) -> DataFrame:
+    """(doc_id, blob, ...) -> FEATURE_SCHEMA rows via mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_decode_one(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "byte_len": [f[0] for f in feats],
+                    "first_byte": [f[1] for f in feats],
+                    "checksum": [f[2] for f in feats],
+                    "decode_status": [f[3] for f in feats],
+                }
+            )
+
+    return with_blob.mapInPandas(batches, FEATURE_SCHEMA)

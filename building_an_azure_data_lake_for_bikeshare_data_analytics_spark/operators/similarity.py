@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and a
+random-hyperplane LSH (SimHash-for-vectors) approximate variant.
+
+Scale design (the reason both exist):
+* brute force is exact and embarrassingly parallel but O(|corpus|x|queries|);
+  right when the query set is small enough to broadcast;
+* LSH bucketing replaces the cross product with equi-joins on band
+  signatures: corpus shuffles once by bucket key, each query probes only
+  its buckets — the 100 TB path. Recall is tunable via bands/bits.
+
+Hyperplanes are deterministic (seeded numpy, rounded to 6 decimals) and
+embedded as literals into BOTH the Spark plan and the DuckDB oracle SQL, so
+even the approximate variant is value-checkable across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import dot, norm
+
+
+def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 0) -> list[list[float]]:
+    """Deterministic LSH hyperplanes, 6-decimal rounded for stable literals."""
+    rs = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in row] for row in rs.standard_normal((n_planes, dim))]
+
+
+def _plane_dot(emb: Column, plane: list[float]) -> Column:
+    return dot(emb, F.array(*[F.lit(x) for x in plane]))
+
+
+def lsh_bands(emb: Column, planes: list[list[float]], bands: int, prefix: str = "band") -> list[Column]:
+    """Pack sign-bits of plane dots into ``bands`` integer bucket ids."""
+    bits_per = len(planes) // bands
+    cols = []
+    for b in range(bands):
+        acc = F.lit(0)
+        for j in range(bits_per):
+            bit = (_plane_dot(emb, planes[b * bits_per + j]) > 0).cast("int")
+            acc = acc + bit * F.lit(1 << j)
+        cols.append(acc.alias(f"{prefix}{b}"))
+    return cols
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine top-k. ``corpus``: (vec_id, embedding); ``queries``:
+    (query_id, qe). Queries broadcast; corpus never shuffles for the join;
+    one window shuffle on query_id for ranking."""
+    c = corpus.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    q = queries.select("query_id", "qe", norm(F.col("qe")).alias("qnrm"))
+    cos = F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: list[list[float]] | None = None,
+    bands: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows sharing >= 1 LSH band with
+    the query, ranked by exact cosine. Join keys are (band index, bucket id)
+    — pure equi-joins, no cross product anywhere in the plan."""
+    planes = planes or hyperplanes()
+    c = corpus.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm"),
+        *lsh_bands(F.col("embedding"), planes, bands),
+    )
+    q = queries.select(
+        "query_id", "qe", norm(F.col("qe")).alias("qnrm"),
+        *lsh_bands(F.col("qe"), planes, bands, prefix="qband"),
+    )
+    # stack bands to rows so one equi-join covers "any band matches"
+    c_b = c.select(
+        "vec_id", "embedding", "nrm",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("sig")) for b in range(bands)
+        ])).alias("bk"),
+    ).select("vec_id", "embedding", "nrm", F.col("bk.b").alias("b"), F.col("bk.sig").alias("sig"))
+    q_b = q.select(
+        "query_id", "qe", "qnrm",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"), F.col(f"qband{b}").alias("sig")) for b in range(bands)
+        ])).alias("bk"),
+    ).select("query_id", "qe", "qnrm", F.col("bk.b").alias("b"), F.col("bk.sig").alias("sig"))
+    cand = (
+        c_b.join(F.broadcast(q_b), on=["b", "sig"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qe", "embedding", "qnrm", "nrm")
+        .distinct()
+    )
+    cos = F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

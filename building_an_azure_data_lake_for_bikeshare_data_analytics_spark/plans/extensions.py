@@ -27,6 +27,8 @@ from ..functions.text import (
 )
 from ..functions.vectors import dot, norm
 from ..operators.dedup import minhash_lsh_candidates, simhash64
+from ..operators.multimodal import attach_binary, extract_features
+from ..operators.similarity import hyperplanes, lsh_topk
 from .base import _t, query
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
@@ -252,3 +254,83 @@ def q39(spark, sf):
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate nearest neighbors (LSH) + multimodal plumbing
+# --------------------------------------------------------------------------
+
+_PLANES = hyperplanes(n_planes=8, dim=64, seed=0)  # 2 bands x 4 bits
+
+
+def _lsh_oracle() -> str:
+    """DuckDB oracle for q40: the same deterministic hyperplanes embedded as
+    list literals, same band packing, same candidate join + cosine ranking."""
+    plane_rows = ",\n            ".join(
+        f"({j}, [{', '.join(repr(x) for x in p)}])" for j, p in enumerate(_PLANES)
+    )
+    return f"""
+    WITH planes AS (SELECT * FROM (VALUES
+            {plane_rows}) AS t(pid, p)),
+    dots AS (
+      SELECT e.vec_id, e.embedding, p.pid,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * p.p[i])) AS d
+      FROM embeddings e CROSS JOIN planes p),
+    sig AS (
+      SELECT vec_id, embedding,
+             CAST(sum(CASE WHEN pid < 4 AND d > 0 THEN power(2, pid) ELSE 0 END) AS INTEGER) AS band0,
+             CAST(sum(CASE WHEN pid >= 4 AND d > 0 THEN power(2, pid - 4) ELSE 0 END) AS INTEGER) AS band1
+      FROM dots GROUP BY 1, 2),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, band0 AS qb0, band1 AS qb1
+          FROM sig WHERE vec_id % 50 = 0),
+    cand AS (
+      SELECT DISTINCT q.query_id, s.vec_id, q.qe, s.embedding
+      FROM sig s JOIN q ON (s.band0 = q.qb0 OR s.band1 = q.qb1)
+      WHERE s.vec_id <> q.query_id),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             round({_DOT.format(a='qe', b='embedding')}
+                   / (sqrt({_DOT.format(a='qe', b='qe')})
+                      * sqrt({_DOT.format(a='embedding', b='embedding')})), 4) AS cos
+      FROM cand)
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5"""
+
+
+@query("q40_embedding_lsh_ann", _lsh_oracle(), tags=("similarity", "lsh", "ann"))
+def q40(spark, sf):
+    """Approximate top-k via random-hyperplane LSH: 2 bands x 4 sign-bits,
+    candidates from band-bucket equi-joins, exact cosine re-rank.
+
+    The 100 TB ANN path: the corpus shuffles once by (band, bucket); no
+    cross product. Deterministic planes make even this approximate operator
+    oracle-checkable value-for-value."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return lsh_topk(emb, qs, k=5, planes=_PLANES, bands=2)
+
+
+@query(
+    "q41_multimodal_features",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+              ascii(text[1]) AS first_byte,
+              CAST(list_sum(list_transform(range(1, length(text) + 1),
+                            i -> ascii(text[i]))) AS BIGINT) % 997 AS checksum,
+              'stub' AS decode_status
+       FROM documents""",
+    tags=("multimodal", "mapInPandas", "binary"),
+)
+def q41(spark, sf):
+    """Multimodal pipeline plumbing: text -> binary payload + typed metadata
+    struct -> Arrow-batched mapInPandas feature extraction (decode stubbed;
+    see operators/multimodal.py). Oracle replicates the byte-level features
+    in SQL (valid because the synthetic corpus is ASCII)."""
+    docs = _t(spark, sf, "documents")
+    return extract_features(attach_binary(docs))

@@ -1,0 +1,124 @@
+"""Structured Streaming pipelines over the events stream.
+
+The reference has zero streaming (SURVEY.md §2.6: no watermarks, windows, or
+stateful ops); this module is the engine's streaming extension surface,
+mirroring the batch analytics shapes (windowed aggregates over event time)
+plus a custom stateful operator via ``applyInPandasWithState``.
+
+Scale notes:
+* event-time windows + watermark bound state: without the watermark the
+  window state grows forever at 100 TB/day ingest;
+* the stateful session operator keys state by user_id — state is
+  hash-partitioned across executors, no driver state;
+* file source used in tests; swap ``readStream.format(...)`` for kafka in
+  production — the transformations are source-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: schema of the events stream (matches testdata events.parquet, with ts
+#: already converted to a microsecond timestamp)
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events (schema-on-read; one file per microbatch
+    in tests via maxFilesPerTrigger)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def windowed_type_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling-window counts + value sums per event_type.
+
+    Watermark bounds state and admits late data up to ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+SESSION_STATE = StructType(
+    [StructField("n_events", LongType()), StructField("value_sum", DoubleType())]
+)
+
+
+def _accumulate_user(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user totals across microbatches (custom stateful op)."""
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [s]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running (count, sum)
+    via applyInPandasWithState — the engine's template for operators the
+    built-in windowed aggs can't express."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _accumulate_user,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
+    """Test helper: drain a stream into an in-memory table synchronously."""
+    q = df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,64 @@
+"""Multimodal plumbing + LSH ANN tests."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.multimodal import (
+    attach_binary,
+    extract_features,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    lsh_topk,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+    read_parquet_table,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_attach_binary_schema(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="abc", source="s", n_chars=3)])
+    out = attach_binary(docs)
+    types = dict(out.dtypes)
+    assert types["blob"] == "binary"
+    assert types["meta"].startswith("struct<")
+    r = out.first()
+    assert bytes(r["blob"]) == b"abc"
+    assert r["meta"]["mime"] == "text/plain"
+
+
+def test_extract_features_deterministic(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abc", source="s", n_chars=3), Row(doc_id=2, text="", source="s", n_chars=0)]
+    )
+    rows = {r["doc_id"]: r for r in extract_features(attach_binary(docs)).collect()}
+    assert rows[1]["byte_len"] == 3
+    assert rows[1]["first_byte"] == ord("a")
+    assert rows[1]["checksum"] == (ord("a") + ord("b") + ord("c")) % 997
+    assert rows[1]["decode_status"] == "stub"
+    assert rows[2]["decode_status"] == "empty"
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    """LSH top-k is approximate; sanity: candidates only from matching
+    buckets, ranks well-formed, and recall@5 vs brute force is non-trivial."""
+    emb = read_parquet_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = brute_force_topk(emb, qs, k=5).collect()
+    approx = lsh_topk(emb, qs, k=5, planes=hyperplanes(8, 64, 0), bands=2).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        assert r["query_id"] != r["neighbor_id"]
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx_sets) <= set(exact_sets)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total > 0.15  # random-chance would be ~5/500 = 1%

@@ -1,0 +1,105 @@
+"""Structured Streaming tests: windowed event-time aggregation must agree
+with the equivalent batch query; the custom stateful operator must
+accumulate across microbatches."""
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+    read_parquet_table,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+    read_events_stream,
+    run_to_memory,
+    running_user_totals,
+    windowed_type_counts,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Split the events table into 3 *time-ordered* parquet files (written in
+    chronological order so the file-source microbatches replay history the
+    way a real stream arrives — interleaved files would make older events
+    late beyond the watermark and get dropped)."""
+    import time
+
+    import duckdb
+
+    d = tmp_path_factory.mktemp("events_stream")
+    out = d / "events"
+    out.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE TABLE ev AS
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+            FROM read_parquet('{SF_SMOKE}/events.parquet') ORDER BY ts"""
+    )
+    n = con.execute("SELECT count(*) FROM ev").fetchone()[0]
+    step = (n + 2) // 3
+    for i in range(3):
+        con.execute(
+            f"COPY (SELECT * FROM ev ORDER BY ts LIMIT {step} OFFSET {i * step}) "
+            f"TO '{out}/part{i}.parquet' (FORMAT PARQUET)"
+        )
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    yield str(out)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = windowed_type_counts(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "win_counts", "append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        spark.read.schema(spark.read.parquet(events_dir).schema)
+        .parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {(r["win"]["start"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    # append mode only emits windows the watermark has closed: window_end
+    # <= max(ts) - 2h at end-of-stream
+    import datetime as dt
+
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).first()[0]
+    cutoff = max_ts - dt.timedelta(hours=2)
+    closed = {k for k in want if k[0] + dt.timedelta(hours=1) <= cutoff}
+    assert set(got) == closed
+    assert len(closed) > 10
+    for k in closed:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_running_user_totals_accumulate(spark, events_dir):
+    stream = running_user_totals(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "user_totals", "update")
+    # memory sink in update mode appends every emission; the last emission
+    # per user must equal the full batch totals
+    rows = spark.sql(
+        """SELECT user_id, n_events, value_sum FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+               FROM user_totals) WHERE rn = 1"""
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], r["value_sum"]) for r in rows}
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["s"]) for r in batch}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
