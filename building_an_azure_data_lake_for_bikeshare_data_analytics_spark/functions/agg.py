@@ -24,20 +24,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-_DEC = DecimalType(18, 2)
+def exact_sum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent sum of a fixed-decimal measure, returned as double.
 
-
-def exact_sum(col: Column | str, alias: str) -> Column:
-    """Order-independent sum of a 2-decimal measure, returned as double."""
+    ``scale`` must cover the value's true decimal digits (2 for raw money
+    columns; 4 for products of two 2-decimal columns) — then the double ->
+    decimal conversion never lands on a rounding boundary and Spark's
+    HALF_UP vs DuckDB's HALF_EVEN can't disagree.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+    return F.sum(c.cast(DecimalType(18, scale))).cast("double").alias(alias)
 
 
-def exact_avg(col: Column | str, alias: str) -> Column:
-    """Order-independent mean of a 2-decimal measure, returned as double.
+def exact_avg(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent mean of a fixed-decimal measure, returned as double.
 
     exact decimal sum -> double, divided by count of non-null values: one
     deterministic IEEE division, identical in any engine.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(_DEC)).cast("double") / F.count(c)).alias(alias)
+    return (F.sum(c.cast(DecimalType(18, scale))).cast("double") / F.count(c)).alias(alias)

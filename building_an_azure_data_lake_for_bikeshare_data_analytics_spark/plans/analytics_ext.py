@@ -1,0 +1,307 @@
+"""Extended analytics surface: event-stream analytics (window functions,
+sessionization, pivot, JSON), distinct/approx-distinct, semantic dedup over
+embeddings, and TPC-H-style multi-aggregate showpieces.
+
+These widen the engine beyond the reference's operator set (SURVEY.md §2.6
+lists windows/set-ops/distinct/JSON as absent) into the standard analytics
+vocabulary a replacement engine needs, each with a DuckDB oracle unless the
+semantics are engine-hash-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.agg import exact_avg, exact_sum
+from .base import _t, query
+
+_SUM = "CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+_AVG = f"{_SUM}/count({{c}})"
+
+
+@query(
+    "q42_hourly_event_stats",
+    f"""SELECT date_trunc('hour', ts) AS hour_id,
+               count(*) AS n_events,
+               {_SUM.format(c='value')} AS value_sum
+        FROM events GROUP BY 1 ORDER BY n_events DESC, hour_id LIMIT 20""",
+    tags=("extension", "F2", "A3"),
+)
+def q42(spark, sf):
+    """Hourly event rollup — date_trunc FK pattern (F2, ipynb:L1081) over the
+    stream table; the batch twin of streaming.windowed_type_counts."""
+    ev = _t(spark, sf, "events").withColumn("hour_id", F.date_trunc("hour", "ts"))
+    return (
+        ev.groupBy("hour_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value", "value_sum"))
+        .orderBy(F.desc("n_events"), F.asc("hour_id"))
+        .limit(20)
+    )
+
+
+_DOT_D = "list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+
+@query(
+    "q43_embedding_dup_pairs",
+    f"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      round({_DOT_D.format(a='a.embedding', b='b.embedding')}
+                            / (sqrt({_DOT_D.format(a='a.embedding', b='a.embedding')})
+                               * sqrt({_DOT_D.format(a='b.embedding', b='b.embedding')})), 4) AS cos
+               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
+    tags=("dedup", "embedding", "semantic"),
+)
+def q43(spark, sf):
+    """Semantic (embedding-cosine) near-dup pairs, blocked by label.
+
+    Blocking on the cluster label turns the O(n²) all-pairs scan into
+    per-block pair enumeration — the standard scale pattern (block via
+    KMeans/LSH, verify within block). Join is a label equi-join; cosine in
+    sequential-fold double, threshold 0.45."""
+    from ..functions.vectors import dot, norm
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, on="label").where(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
+    return pairs.select("vec_a", "vec_b", cos.alias("cos")).where(F.col("cos") >= 0.45)
+
+
+@query(
+    "q44_top_tokens",
+    r"""SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        GROUP BY 1 ORDER BY n DESC, tok LIMIT 50""",
+    tags=("text", "F9", "vocab"),
+)
+def q44(spark, sf):
+    """Corpus vocabulary: explode tokens -> count -> top 50. The map-side
+    partial agg absorbs the token explosion before the shuffle."""
+    from ..functions.text import tokens
+
+    d = _t(spark, sf, "documents").select(F.explode(tokens("text")).alias("tok"))
+    return d.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).orderBy(F.desc("n"), F.asc("tok")).limit(50)
+
+
+@query(
+    "q45_distinct_users_by_type",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+       FROM events GROUP BY 1 ORDER BY event_type""",
+    tags=("extension", "distinct-agg"),
+)
+def q45(spark, sf):
+    """Exact distinct aggregation (Spark plans expand+two-phase agg)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("q46_approx_distinct_users", None, tags=("extension", "approx", "rows-only"))
+def q46(spark, sf):
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    distinct's expand-shuffle is unaffordable. Sketch values are
+    engine-specific => rows-only check (exact twin is q45)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q47_user_running_value",
+    """SELECT user_id, event_id,
+              sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+       FROM events WHERE user_id < 8""",
+    tags=("extension", "window", "running"),
+)
+def q47(spark, sf):
+    """Running per-user totals — ordered window frame; deterministic because
+    both engines fold the identical prefix sequentially."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("user_id") < 8)
+        .select("user_id", "event_id", F.sum("value").over(w).alias("running_value"))
+    )
+
+
+@query(
+    "q48_sessionize",
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE OR
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events),
+       s AS (
+         SELECT user_id, ts, event_id,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM g)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              count(*) AS n_events,
+              min(ts) AS session_start, max(ts) AS session_end
+       FROM s GROUP BY 1, 2""",
+    tags=("extension", "window", "session"),
+)
+def q48(spark, sf):
+    """Gap-based sessionization (30-min inactivity): lag -> new-session flag
+    -> running sum as session id -> per-session rollup. The batch equivalent
+    of the streaming stateful operator; two window passes + one hash agg,
+    all partitioned by user_id (one shuffle key throughout — the partitioning
+    is reused across both windows and the final groupBy)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(wrun))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+_TYPES = ("click", "error", "purchase", "signup", "view")
+
+@query(
+    "q49_event_type_pivot",
+    f"""SELECT user_id,
+               {', '.join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _TYPES)}
+        FROM events GROUP BY 1""",
+    tags=("extension", "pivot"),
+)
+def q49(spark, sf):
+    """Pivot event counts to one column per type. Spark's pivot needs the
+    value list up front at scale (skipping the distinct-discovery job)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_TYPES))
+    )
+
+
+@query(
+    "q50_props_json_extract",
+    f"""SELECT event_type,
+               {_AVG.format(c="CAST(json_extract_string(props, '$.k') AS INTEGER)")} AS k_avg,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+        FROM events GROUP BY 1 ORDER BY event_type""",
+    tags=("extension", "json"),
+)
+def q50(spark, sf):
+    """Semi-structured extraction: JSON props column -> typed field -> agg.
+    get_json_object is JVM-side (Jackson), no Python in the path."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        _t(spark, sf, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(exact_avg("k", "k_avg"), F.max("k").alias("k_max"))
+        .orderBy("event_type")
+    )
+
+
+_SUM4 = "CAST(sum(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"
+
+@query(
+    "q51_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+               {_SUM.format(c='l_quantity')} AS sum_qty,
+               {_SUM.format(c='l_extendedprice')} AS sum_base_price,
+               {_SUM4.format(c='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {_AVG.format(c='l_quantity')} AS avg_qty,
+               {_AVG.format(c='l_discount')} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+        GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    tags=("extension", "tpch", "multi-agg"),
+)
+def q51(spark, sf):
+    """TPC-H Q1-shaped pricing summary: the classic wide multi-aggregate
+    scan — predicate pushed to parquet, 6 aggregates in one partial+final
+    hash agg pass, no joins."""
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_sum(disc_price, "sum_disc_price", scale=4),
+            exact_avg("l_quantity", "avg_qty"),
+            exact_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q52_segment_shipping",
+    f"""SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               o_orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    tags=("extension", "tpch", "3way-join"),
+)
+def q52(spark, sf):
+    """TPC-H Q3-shaped: selective dim filter -> 3-way star join -> grouped
+    revenue -> top-k. Customer/orders broadcast against the lineitem fact;
+    TakeOrderedAndProject for the top 10."""
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey"), (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), "c_custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(exact_sum("rev", "revenue", scale=4))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
