@@ -334,3 +334,139 @@ def q41(spark, sf):
     in SQL (valid because the synthetic corpus is ASCII)."""
     docs = _t(spark, sf, "documents")
     return extract_features(attach_binary(docs))
+
+
+@query("q53_simhash_near_pairs", None, tags=("dedup", "simhash", "rows-only", "hamming"))
+def q53(spark, sf):
+    """SimHash near-dup pairs: Hamming distance <= 12 over 64-bit signatures.
+
+    Scale shape (pigeonhole blocking): split each signature into 4 x 16-bit
+    chunks; any pair within Hamming 12 of the FULL signature is not
+    guaranteed to share a chunk, but pairs within 3 per chunk-region are —
+    we use chunk-equality blocking as the candidate generator (standard
+    SimHash table rotation) then verify exact Hamming on candidates.
+    Engine-specific signature bits => rows-only check."""
+    docs = _t(spark, sf, "documents").select("doc_id", simhash64(F.col("text")).alias("sig"))
+    chunks = docs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("part"),
+                     F.shiftrightunsigned(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for i in range(4)
+        ])).alias("pc"),
+    ).select("doc_id", "sig", F.col("pc.part").alias("part"), F.col("pc.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= 12)
+    )
+
+
+@query(
+    "q54_dedup_keep_rows",
+    f"""WITH fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+         keep AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY 1)
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN keep ON d.doc_id = keep.keep_id""",
+    tags=("dedup", "exact", "materialize"),
+)
+def q54(spark, sf):
+    """Exact-dedup materialization: the surviving rows themselves (lowest
+    doc_id per content fingerprint) — what a corpus-cleaning pipeline
+    actually writes out. Self-join on the keeper set; at scale keepers are
+    written once and the join is a broadcast of keep_ids per partition
+    range (here: hash join on doc_id)."""
+    d = _t(spark, sf, "documents")
+    keep = (
+        d.groupBy(fingerprint("text").alias("f"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return d.join(keep, "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+# cosine(query embedding, centroid double-list) for the q56 oracle
+_COS_QC = (
+    "list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE) * cent.c[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> cent.c[i] * cent.c[i]))))"
+)
+
+@query(
+    "q56_ivf_ann",
+    f"""WITH cent AS (
+          SELECT label,
+                 list_transform(range(1, 65),
+                     i -> list_sum(list_transform(list(embedding), e -> CAST(e[i] AS DOUBLE)))
+                          / count(*)) AS c
+          FROM embeddings GROUP BY label),
+        q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+        probe AS (
+          SELECT query_id, qe, label FROM (
+            SELECT q.query_id, q.qe, cent.label,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     round({_COS_QC}, 4) DESC, cent.label) AS rn
+            FROM q CROSS JOIN cent)
+          WHERE rn = 1),
+        cand AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id, p.qe, e.embedding
+          FROM probe p JOIN embeddings e ON e.label = p.label
+          WHERE e.vec_id <> p.query_id),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 round({_DOT.format(a='qe', b='embedding')}
+                       / (sqrt({_DOT.format(a='qe', b='qe')})
+                          * sqrt({_DOT.format(a='embedding', b='embedding')})), 4) AS cos
+          FROM cand)
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5""",
+    tags=("similarity", "ivf", "ann"),
+)
+def q56(spark, sf):
+    """IVF-style ANN: per-label centroids (the 'inverted file' coarse
+    quantizer — labels stand in for KMeans cells), assign each query to its
+    nearest centroid by cosine, then exact top-k within that cell only.
+
+    Scale shape: centroids are a tiny broadcastable table (one avg pass over
+    the corpus, partial+final agg); the probe touches 1/n_cells of the
+    corpus per query instead of all of it. Complement to q40's LSH path."""
+    from ..functions.vectors import dot, norm
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    # centroid = element-wise mean per label; aggregate each dim separately
+    dims = 64
+    cent = emb.groupBy("label").agg(
+        *[F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"c{i}") for i in range(dims)]
+    ).select("label", F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("c"))
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qc = q.crossJoin(F.broadcast(cent))
+    sim_c = F.round(dot(F.col("qe"), F.col("c")) / (norm(F.col("qe")) * norm(F.col("c"))), 4)
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("simc"), F.asc("label"))
+    probe = (
+        qc.select("query_id", "qe", "label", sim_c.alias("simc"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") == 1)
+        .select("query_id", "qe", "label")
+    )
+    cand = probe.join(emb, "label").where(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        dot(F.col("qe"), F.col("embedding")) / (norm(F.col("qe")) * norm(F.col("embedding"))), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+    )
