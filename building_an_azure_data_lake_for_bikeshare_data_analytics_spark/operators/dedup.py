@@ -79,9 +79,25 @@ def minhash_lsh_candidates(
     )
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
+#: per-executor token-hash memo — natural-language vocabularies are heavily
+#: repeated across documents, so caching md5(token) turns the per-doc cost
+#: into a dict lookup (bounded: cleared if it ever exceeds ~1M entries)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hash(tok: str) -> int:
     import hashlib
 
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        if len(_TOKEN_HASH_CACHE) > 1_000_000:
+            _TOKEN_HASH_CACHE.clear()
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
     import numpy as np
 
     out = np.empty(len(texts), dtype=np.int64)
@@ -91,14 +107,7 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
         if not toks:
             out[i] = 0
             continue
-        hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-                for tok in toks
-            ),
-            dtype=np.uint64,
-            count=len(toks),
-        )
+        hs = np.fromiter((_token_hash(tok) for tok in toks), dtype=np.uint64, count=len(toks))
         bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tok, 64)
         votes = bits.astype(np.int64) * 2 - 1
         sig_bits = (votes.sum(axis=0) > 0).astype(np.uint64)
