@@ -7,6 +7,7 @@ from .base import REGISTRY, QuerySpec, QueryFn  # noqa: F401
 from . import core  # noqa: F401  (registers q01-q30)
 from . import extensions  # noqa: F401  (registers q31-q41)
 from . import analytics_ext  # noqa: F401  (registers q42-q52)
+from . import sql_entry  # noqa: F401  (registers q57-q58)
 
 #: name -> (spark, sf_dir) -> DataFrame
 QUERIES: dict[str, QueryFn] = {name: spec.fn for name, spec in REGISTRY.items()}
