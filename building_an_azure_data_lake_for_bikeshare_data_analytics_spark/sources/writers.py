@@ -59,3 +59,24 @@ def overwrite_parquet_table(
 def drop_table_if_exists(spark: SparkSession, name: str) -> None:
     """Idempotent re-run hygiene (S5, ipynb:L191-194, cell 3)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def overwrite_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles rows into ``n_buckets`` by hash
+    of ``bucket_cols`` at write time so joins/aggregations on those columns
+    need NO runtime exchange (SortMergeJoin over co-located buckets).
+
+    The 100 TB pattern for repeatedly-joined fact pairs (e.g. trips and
+    payments bucketed by rider_id): pay the shuffle once at ingest, never
+    again per query. The reference writes unpartitioned, unbucketed Delta —
+    SURVEY.md §4 lists this as the first scale gap."""
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)

@@ -42,3 +42,28 @@ def test_decimal_aggregate_widening_matches_reference(spark):
     row = agg.first()
     assert row["s"] == decimal.Decimal(19)
     assert row["a"] == decimal.Decimal("9.5000")
+
+
+def test_bucketed_join_needs_no_exchange(spark):
+    """Two tables bucketed on the join key must join without a runtime
+    shuffle: the plan may sort within buckets but contains no Exchange."""
+    from pyspark.sql import Row
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.writers import (
+        overwrite_bucketed_table,
+    )
+
+    a = spark.createDataFrame([Row(k=i, va=i * 2) for i in range(1000)])
+    b = spark.createDataFrame([Row(k=i % 100, vb=i) for i in range(2000)])
+    overwrite_bucketed_table(a, "t_bkt_a", ["k"], n_buckets=4, sort_cols=["k"])
+    overwrite_bucketed_table(b, "t_bkt_b", ["k"], n_buckets=4, sort_cols=["k"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        joined = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: no shuffle at query time
+        assert joined.count() == 2000  # every b row matches one a row
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
