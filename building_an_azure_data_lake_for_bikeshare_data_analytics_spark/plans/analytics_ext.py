@@ -305,3 +305,52 @@ def q52(spark, sf):
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+@query(
+    "q59_member_users_with_events",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT SELECT user_id FROM events""",
+    tags=("extension", "setop", "intersect"),
+)
+def q59(spark, sf):
+    """INTERSECT (set-op family): member customers that also have event
+    activity; Catalyst plans a left-semi hash join after dedup."""
+    cust = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ev = _t(spark, sf, "events").select(F.col("user_id").alias("c_custkey"))
+    return cust.intersect(ev)
+
+
+@query(
+    "q60_order_counts_left_outer",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY 1""",
+    tags=("extension", "outer-join"),
+)
+def q60(spark, sf):
+    """LEFT OUTER join (absent from the reference): customers keep a row
+    even with zero orders — count(o_orderkey) skips the null, yielding 0."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    orders = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    return cust.join(orders, "c_custkey", "left").groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+
+
+@query(
+    "q61_customers_with_events_semi",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""",
+    tags=("extension", "semi-join"),
+)
+def q61(spark, sf):
+    """LEFT SEMI join: existence filter without row multiplication — the
+    right-side build is just the distinct key set (EXISTS subquery oracle)."""
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    ev = _t(spark, sf, "events").select(F.col("user_id").alias("c_custkey"))
+    return cust.join(ev, "c_custkey", "left_semi")
