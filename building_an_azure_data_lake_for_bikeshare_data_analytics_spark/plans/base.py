@@ -44,5 +44,18 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
     return deco
 
 
+#: per-session scan-handle memo: a DataFrame is just an analyzed plan, and
+#: the testdata directories are immutable, so re-listing files + re-reading
+#: parquet footers for every query in a 60-query suite is pure overhead
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_parquet_table(spark, sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        if len(_SCAN_CACHE) > 256:
+            _SCAN_CACHE.clear()
+        df = read_parquet_table(spark, sf_dir, name)
+        _SCAN_CACHE[key] = df
+    return df

@@ -470,3 +470,57 @@ def q56(spark, sf):
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
     )
+
+
+@query(
+    "q62_bpe_token_count",
+    r"""SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_bpe_tokens,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens
+        FROM documents""",
+    tags=("text", "tokenize", "bpe"),
+)
+def q62(spark, sf):
+    """BPE-ish tokenization count: word-or-punctuation regex (the GPT-2-style
+    pre-tokenizer shape) alongside the whitespace count. Both JVM regex —
+    the cheap token-budget estimator for corpus planning."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n_bpe_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+@query("q63_winnow_fingerprints", None, tags=("text", "fingerprint", "rolling-hash", "rows-only"))
+def q63(spark, sf):
+    """Winnowing document fingerprints (Schleimer et al.): hash every k-char
+    gram (k=8), slide a window of w=4 and keep each window's minimum hash —
+    the standard near-dup/plagiarism sketch whose selected fingerprints are
+    stable under insertions. Pure Column expressions: substring k-grams via
+    transform(sequence), crc32 per gram, window-min via another transform.
+    Engine-specific hash => rows-only check."""
+    k, w = 8, 4
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.lower(F.regexp_replace("text", r"\s+", " ")).alias("s")
+    )
+    d2 = d.where(F.length("s") >= k).withColumn(
+        "hashes",
+        F.expr(
+            f"transform(sequence(1, length(s) - {k} + 1), "
+            f"i -> crc32(CAST(substr(s, CAST(i AS INT), {k}) AS BINARY)))"
+        ),
+    )
+    winnowed = d2.withColumn(
+        "fps",
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size(hashes) - {w} + 1, 1)), "
+            f"j -> array_min(slice(hashes, CAST(j AS INT), {w}))))"
+        ),
+    )
+    return winnowed.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )

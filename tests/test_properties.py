@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis): operator implementations against
+independent reference formulations on randomized inputs."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.skew import (
+    salted_sum_count,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+    tokens,
+    word_shingles,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.asof import asof_join
+
+_SETTINGS = dict(
+    max_examples=8,  # each example spins Spark jobs; keep the loop tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=3)
+
+
+@given(docs=st.lists(st.lists(_word, min_size=0, max_size=12), min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_shingle_count_property(spark, docs):
+    """|shingles(d)| == |{distinct 3-grams}| and == 0 iff len(d) < 3."""
+    df = spark.createDataFrame([Row(i=i, text=" ".join(d)) for i, d in enumerate(docs)])
+    got = {
+        r["i"]: sorted(r["sh"])
+        for r in df.select("i", word_shingles(tokens("text"), 3).alias("sh")).collect()
+    }
+    for i, d in enumerate(docs):
+        toks = " ".join(d).split()  # engine tokenizes the joined text
+        want = sorted({" ".join(toks[j : j + 3]) for j in range(max(0, len(toks) - 2))})
+        assert got[i] == want, (i, d)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)), min_size=1, max_size=40
+    ),
+    n_salts=st.integers(2, 9),
+)
+@settings(**_SETTINGS)
+def test_salted_agg_equals_direct_property(spark, rows, n_salts):
+    df = spark.createDataFrame([Row(k=k, v=v) for k, v in rows])
+    direct = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("n")).collect()
+    }
+    salted = {
+        r["k"]: (r["sum_value"], r["n"])
+        for r in salted_sum_count(df, ["k"], "v", n_salts=n_salts).collect()
+    }
+    assert direct == salted
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=15),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=0, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce_property(spark, lefts, rights):
+    base = dt.datetime(2021, 1, 1)
+    ldf = spark.createDataFrame(
+        [Row(k=k, t=base + dt.timedelta(hours=h), lid=i) for i, (k, h) in enumerate(lefts)]
+    )
+    rdf = spark.createDataFrame(
+        [Row(k=k, rt=base + dt.timedelta(hours=h)) for k, h in rights]
+    ) if rights else spark.createDataFrame([], "k int, rt timestamp")
+    got = {
+        r["lid"]: r["asof_value"]
+        for r in asof_join(ldf, rdf, on="k", left_ts="t", right_ts="rt").collect()
+    }
+    for i, (k, h) in enumerate(lefts):
+        t = base + dt.timedelta(hours=h)
+        cands = [base + dt.timedelta(hours=rh) for rk, rh in rights if rk == k and base + dt.timedelta(hours=rh) <= t]
+        assert got[i] == (max(cands) if cands else None), (i, k, h)
