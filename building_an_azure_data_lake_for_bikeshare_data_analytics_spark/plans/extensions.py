@@ -10,7 +10,6 @@ hashing and get rows-only checks (the driver records the weaker gate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -20,7 +19,6 @@ from ..functions.text import (
     fingerprint,
     lang_guess,
     marker_count,
-    normalized_text,
     token_count,
     tokens,
     word_shingles,
