@@ -108,3 +108,68 @@ def lsh_topk(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def brute_force_topk_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine top-k with a BLAS matmul kernel (Arrow-batched
+    mapInPandas) — the measured-fast path for dense linear algebra.
+
+    The Column-expression fold (brute_force_topk) evaluates one multiply-add
+    per expression-tree node; at 40k-corpus x 800-query stress scale that is
+    ~330s. A numpy matmul does the same 32M cosines in well under a second
+    of BLAS time. Structure:
+
+      * the (small) query matrix is collected once, L2-normalized, and
+        broadcast to executors;
+      * each Arrow batch of the corpus is normalized and multiplied against
+        the query matrix (batch x dim @ dim x nq);
+      * each partition emits only its local top-k rows per query (partial
+        top-k), so the final global ranking window sees at most
+        k x n_partitions x n_queries rows — never the full product.
+
+    Exactly the partial-aggregate shape Spark uses for TakeOrderedAndProject,
+    applied to ANN. Results match brute_force_topk (same round-4 cosines,
+    same id tie-breaks).
+    """
+    import numpy as np
+
+    q_rows = queries.select("query_id", "qe").collect()
+    if not q_rows:
+        return brute_force_topk(corpus, queries, k)
+    Q = np.array([list(r["qe"]) for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, Q))
+
+    def part(batches):
+        import pandas as pd
+
+        ids, Qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            E /= np.linalg.norm(E, axis=1, keepdims=True)
+            S = np.round(E @ Qn.T, 4)  # (batch, nq)
+            vecids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_c = [], [], []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                mask = vecids != ids[j]  # exclude self
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                # local top-k by (cos desc, vec_id asc)
+                order = np.lexsort((vecids[cand_idx], -col[cand_idx]))[:k]
+                sel = cand_idx[order]
+                out_q.extend([ids[j]] * len(sel))
+                out_n.extend(vecids[sel])
+                out_c.extend(col[sel])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
+
+    cands = corpus.select("vec_id", "embedding").mapInPandas(
+        part, "query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return cands.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

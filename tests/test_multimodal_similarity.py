@@ -62,3 +62,15 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total > 0.15  # random-chance would be ~5/500 = 1%
+
+
+def test_vectorized_topk_equals_expression_topk(spark):
+    """q64's BLAS kernel must produce exactly q39's rows (same round-4
+    cosines, same tie-breaks) — the fast path is not allowed to drift."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+        QUERIES,
+    )
+
+    a = sorted(map(tuple, QUERIES["q39_embedding_topk"](spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, QUERIES["q64_embedding_topk_vectorized"](spark, SF_SMOKE).collect()))
+    assert a == b
