@@ -173,3 +173,40 @@ def brute_force_topk_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return cands.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def blocked_dup_pairs_vectorized(
+    emb: DataFrame, threshold: float = 0.45, block_col: str = "label"
+) -> DataFrame:
+    """Within-block all-pairs cosine >= threshold via per-block BLAS matmul
+    (applyInPandas) — the vectorized twin of the label-blocked equi-join
+    formulation (q43), same results.
+
+    Each block's rows arrive as one pandas group; S = En @ En.T scores all
+    pairs in one BLAS call and only the above-threshold (i < j) pairs are
+    emitted. Scale: blocks are hash-partitioned across executors; block size
+    bounds memory (a 50k-row block is a 2.5e9-cell S — split oversized
+    blocks with a salt on the block key before calling this)."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+            )
+        E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        S = np.round(E @ E.T, 4)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        swap = a > b  # normalize pair order to vec_a < vec_b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"vec_a": a2, "vec_b": b2, "cos": S[iu, ju][keep]})
+
+    return emb.select("vec_id", block_col, "embedding").groupBy(block_col).applyInPandas(
+        pairs, "vec_a bigint, vec_b bigint, cos double"
+    )

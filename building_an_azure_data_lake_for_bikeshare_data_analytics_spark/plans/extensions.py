@@ -538,3 +538,14 @@ def q64(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return brute_force_topk_vectorized(emb, qs, k=5)
+
+
+@query("q65_embedding_dup_pairs_vectorized", None, tags=("dedup", "embedding", "vectorized", "rows-only"))
+def q65(spark, sf):
+    """Label-blocked semantic dup pairs via per-block BLAS (applyInPandas) —
+    asserted row-identical to q43's equi-join formulation in tests; the
+    measured-fast path for big blocks."""
+    from ..operators.similarity import blocked_dup_pairs_vectorized
+
+    emb = _t(spark, sf, "embeddings")
+    return blocked_dup_pairs_vectorized(emb, threshold=0.45, block_col="label")

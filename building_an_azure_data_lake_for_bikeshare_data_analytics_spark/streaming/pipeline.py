@@ -122,3 +122,16 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     q = df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
     q.processAllAvailable()
     q.stop()
+
+
+def enriched_event_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (batch) user
+    dimension — the streaming twin of the batch star join. The static side
+    is re-read per micro-batch (picking up dim updates) and broadcast; no
+    stream-side state is kept, so this scales to any stream rate."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(user_dim), events.user_id == user_dim.c_custkey, "left").select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.col("c_mktsegment").alias("segment"),
+    )

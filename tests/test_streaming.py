@@ -103,3 +103,19 @@ def test_running_user_totals_accumulate(spark, events_dir):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_stream_static_join_enriches(spark, events_dir):
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        enriched_event_stream,
+    )
+
+    cust = read_parquet_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    stream = enriched_event_stream(read_events_stream(spark, events_dir), cust)
+    run_to_memory(stream, "enriched", "append")
+    out = spark.sql("SELECT * FROM enriched")
+    n = out.count()
+    assert n == spark.read.parquet(events_dir).count()  # left join: no row loss
+    # every user_id < 150 resolves to a segment (customer table covers them)
+    assert out.where("user_id < 150 AND segment IS NULL").count() == 0
+    assert out.where("segment IS NOT NULL").count() > 0
