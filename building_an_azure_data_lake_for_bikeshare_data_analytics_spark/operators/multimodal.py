@@ -73,3 +73,70 @@ def extract_features(with_blob: DataFrame) -> DataFrame:
             )
 
     return with_blob.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, resized_blob binary, decode_status string"
+)
+
+
+def resize_images(with_blob: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image-resize stage over binary payloads (mapInPandas).
+
+    STUB decode (no codecs in this container): a real deployment replaces
+    the body with ``PIL.Image.open(...).resize((width, height))``; here the
+    "resized" payload is a deterministic truncation/padding of the source
+    bytes to width*height so the Spark-side contract — binary in, binary +
+    typed dims out, Arrow batching, partition preservation — is real and
+    testable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            out_blob, status = [], []
+            for b in pdf["blob"]:
+                raw = bytes(b) if b is not None else b""
+                if not raw:
+                    out_blob.append(b"")
+                    status.append("empty")
+                    continue
+                resized = (raw * (target // len(raw) + 1))[:target]
+                out_blob.append(resized)
+                status.append("stub")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "resized_blob": out_blob,
+                    "decode_status": status,
+                }
+            )
+
+    return with_blob.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_blob binary"
+
+
+def sample_frames(with_blob: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling stage: one input payload -> n_frames rows
+    (mapInPandas fan-out — the row-multiplying shape real frame extraction
+    has). STUB: frames are deterministic equal-length slices of the payload;
+    a real deployment decodes with pyav/ffmpeg and samples timestamps."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, blobs = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(b) if b is not None else b""
+                if not raw:
+                    continue
+                step = max(len(raw) // n_frames, 1)
+                for i in range(min(n_frames, len(raw))):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    blobs.append(raw[i * step : i * step + step])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_blob": blobs})
+
+    return with_blob.mapInPandas(batches, FRAME_SCHEMA)

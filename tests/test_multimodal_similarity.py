@@ -74,3 +74,31 @@ def test_vectorized_topk_equals_expression_topk(spark):
     a = sorted(map(tuple, QUERIES["q39_embedding_topk"](spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, QUERIES["q64_embedding_topk_vectorized"](spark, SF_SMOKE).collect()))
     assert a == b
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from pyspark.sql import Row
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abcdefgh" * 10, source="s", n_chars=80),
+         Row(doc_id=2, text="xy", source="s", n_chars=2)]
+    )
+    blobs = attach_binary(docs)
+
+    resized = {r["doc_id"]: r for r in resize_images(blobs, 8, 8).collect()}
+    assert len(bytes(resized[1]["resized_blob"])) == 64  # exact target size
+    assert len(bytes(resized[2]["resized_blob"])) == 64  # short input padded
+    assert resized[1]["width"] == 8 and resized[1]["height"] == 8
+
+    frames = sample_frames(blobs, n_frames=4).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(per_doc[1]) == [0, 1, 2, 3]  # fan-out: 1 row -> 4 frames
+    assert sorted(per_doc[2]) == [0, 1]  # payload shorter than n_frames
