@@ -549,3 +549,37 @@ def q65(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     return blocked_dup_pairs_vectorized(emb, threshold=0.45, block_col="label")
+
+
+_CHUNK, _OVERLAP = 32, 8
+_STEP = _CHUNK - _OVERLAP
+
+@query(
+    "q66_doc_chunks",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+         st AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, {_STEP})) AS start FROM tok)
+        SELECT doc_id,
+               CAST((start - 1) // {_STEP} AS INTEGER) AS chunk_idx,
+               array_to_string(ts[start:start + {_CHUNK} - 1], ' ') AS chunk,
+               CAST(len(ts[start:start + {_CHUNK} - 1]) AS INTEGER) AS n_chunk_tokens
+        FROM st""",
+    tags=("text", "chunking"),
+)
+def q66(spark, sf):
+    """Overlapping token-window chunking ({_CHUNK} tokens, {_OVERLAP}
+    overlap) — the canonical context-window prep for LLM training/RAG.
+    Pure Column expressions: token array -> arithmetic start sequence ->
+    posexplode -> slice+concat per chunk; one generator, no shuffle at all
+    (verified NO Exchange in the plan — chunking is map-side)."""
+    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    ch = d.select(
+        "doc_id", "ts",
+        F.posexplode(F.expr(f"sequence(1, size(ts), {_STEP})")).alias("chunk_idx", "start"),
+    )
+    sl = F.expr(f"slice(ts, start, {_CHUNK})")
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", sl).alias("chunk"),
+        F.size(sl).alias("n_chunk_tokens"),
+    )
