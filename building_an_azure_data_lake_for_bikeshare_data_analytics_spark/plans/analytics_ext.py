@@ -353,3 +353,29 @@ def q61(spark, sf):
     cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     ev = _t(spark, sf, "events").select(F.col("user_id").alias("c_custkey"))
     return cust.join(ev, "c_custkey", "left_semi")
+
+
+@query(
+    "q67_value_percentiles",
+    """SELECT event_type,
+              quantile_cont(value, 0.5) AS p50,
+              quantile_cont(value, 0.9) AS p90,
+              quantile_cont(value, 0.99) AS p99
+       FROM events GROUP BY 1 ORDER BY event_type""",
+    tags=("extension", "percentile"),
+)
+def q67(spark, sf):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    PERCENTILE_CONT semantics; DuckDB quantile_cont oracle). The exact
+    variant sorts per group — at 100 TB use approx_percentile (t-digest)
+    instead; this is the correctness anchor for it."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -82,3 +82,13 @@ def test_date_dims_are_contiguous(spark, name):
     n = df.count()
     assert n == df.select(df.columns[0]).distinct().count()  # spine keys unique
     assert n > 1
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """q46's HLL estimate must sit within a loose band of q45's exact count
+    (rsd=0.02 configured; allow 10% at tiny scale)."""
+    exact = {r["event_type"]: r["n_users"] for r in QUERIES["q45_distinct_users_by_type"](spark, SF_SMOKE).collect()}
+    approx = {r["event_type"]: r["n_users_approx"] for r in QUERIES["q46_approx_distinct_users"](spark, SF_SMOKE).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.1 * exact[k])

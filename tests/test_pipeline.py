@@ -109,3 +109,16 @@ def test_trips_partitioned_by_month(spark, csv_dir, tmp_path):
     pipeline.run(spark, csv_dir, lake)
     parts = [p for p in os.listdir(os.path.join(lake, "trips")) if p.startswith("started_month=")]
     assert len(parts) > 5  # hive-partitioned fact -> partition pruning at scale
+
+
+def test_partition_pruning_on_lake(spark, csv_dir, tmp_path):
+    """The partitioned fact write must enable partition pruning: a month
+    filter on trips should show PartitionFilters and scan fewer files."""
+    lake = str(tmp_path / "lake_prune")
+    pipeline.run(spark, csv_dir, lake)
+    df = spark.read.parquet(f"{lake}/trips").where("started_month = '2021-03'")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(started_month" in plan
+    assert df.count() > 0
