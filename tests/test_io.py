@@ -61,3 +61,14 @@ def test_overwrite_parquet_table_safe_self_overwrite(spark, tmp_path):
     out = spark.read.parquet(path).orderBy("a").collect()
     assert [(r["a"], r["b"]) for r in out] == [(1, 10), (2, 20)]
     assert not os.path.exists(path + ".__stage__")
+
+
+def test_load_star_cache_facts(spark):
+    """S9 (ipynb:L1182): cache_facts pins fact tables; is_cached observable."""
+    star = load_star(spark, SF_SMOKE, tables=("orders", "nation"), cache_facts=True)
+    try:
+        assert star["orders"].is_cached
+        assert not star["nation"].is_cached
+        assert star["orders"].count() == 1500  # materializes the cache
+    finally:
+        star["orders"].unpersist()
