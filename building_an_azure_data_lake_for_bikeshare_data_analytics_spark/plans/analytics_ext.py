@@ -379,3 +379,19 @@ def q67(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q68_status_priority_cube",
+    f"""SELECT o_orderstatus, o_orderpriority,
+               {_SUM.format(c='o_totalprice')} AS sum_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    tags=("extension", "cube"),
+)
+def q68(spark, sf):
+    """CUBE grouping sets (all 4 combinations) — completes the grouping-set
+    family next to q30's ROLLUP; same expand-then-aggregate plan."""
+    return _t(spark, sf, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        exact_sum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n_orders")
+    )
