@@ -583,3 +583,37 @@ def q66(spark, sf):
         F.concat_ws(" ", sl).alias("chunk"),
         F.size(sl).alias("n_chunk_tokens"),
     )
+
+
+@query(
+    "q69_source_stats",
+    r"""SELECT regexp_extract(source, '([a-z]+)', 1) AS source_kind,
+               CAST(CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4 AS INTEGER) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY 1, 2 ORDER BY source_kind, shard""",
+    tags=("text", "string-fns", "regex"),
+)
+def q69(spark, sf):
+    """String-function family: regexp_extract parsing of the source tag into
+    (kind, shard) plus per-group char stats — the string ops the reference
+    never touches (SURVEY.md §2.6: zero string functions), exercised with a
+    shared-semantics oracle (Java and RE2 regex agree on this pattern)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            F.regexp_extract("source", r"([a-z]+)", 1).alias("source_kind"),
+            (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4).cast("int").alias("shard"),
+            "n_chars",
+        )
+        .groupBy("source_kind", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source_kind", "shard")
+    )

@@ -119,3 +119,46 @@ def test_stream_static_join_enriches(spark, events_dir):
     # every user_id < 150 resolves to a segment (customer table covers them)
     assert out.where("user_id < 150 AND segment IS NULL").count() == 0
     assert out.where("segment IS NOT NULL").count() > 0
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Watermark semantics: events older than (max seen ts - watermark) that
+    arrive in a later microbatch must NOT reopen closed windows."""
+    import time as _time
+
+    import duckdb
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    con = duckdb.connect()
+    # batch 1: hours 00-10 of day 1; batch 2: hour 23 (advances watermark);
+    # batch 3: a LATE event back at hour 01 (far beyond the 2h watermark)
+    con.execute(
+        """CREATE TABLE ev(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                           event_type VARCHAR, value DOUBLE, props VARCHAR)"""
+    )
+    con.execute(
+        """INSERT INTO ev
+           SELECT i, TIMESTAMP '2024-01-01 00:30:00' + INTERVAL (i) HOUR, i % 5,
+                  'click', 1.0, '{}' FROM range(10) t(i)"""
+    )
+    con.execute(f"COPY ev TO '{d}/part0.parquet' (FORMAT PARQUET)")
+    _time.sleep(1.1)
+    con.execute(
+        """COPY (SELECT 100::BIGINT, TIMESTAMP '2024-01-01 23:30:00', 1::BIGINT,
+                        'click', 1.0, '{}') TO '%s/part1.parquet' (FORMAT PARQUET)""" % d
+    )
+    _time.sleep(1.1)
+    con.execute(
+        """COPY (SELECT 200::BIGINT, TIMESTAMP '2024-01-01 01:40:00', 1::BIGINT,
+                        'click', 1.0, '{}') TO '%s/part2.parquet' (FORMAT PARQUET)""" % d
+    )
+    stream = windowed_type_counts(read_events_stream(spark, str(d)))
+    run_to_memory(stream, "late_counts", "append")
+    rows = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.sql("SELECT * FROM late_counts").collect()
+    }
+    # hour-01 window was closed by the watermark before the late event
+    # arrived: its count must still be 1 (not 2)
+    assert rows[1] == 1
