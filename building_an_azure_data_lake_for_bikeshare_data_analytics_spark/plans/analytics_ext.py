@@ -395,3 +395,34 @@ def q68(spark, sf):
     return _t(spark, sf, "orders").cube("o_orderstatus", "o_orderpriority").agg(
         exact_sum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "q70_event_neighbors",
+    """SELECT user_id, event_id,
+              lag(event_id)  OVER w AS prev_event,
+              lead(event_id) OVER w AS next_event,
+              first_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS first_event,
+              CAST(round(value - lag(value) OVER w, 4) AS DOUBLE) AS value_delta
+       FROM events WHERE user_id < 5
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    tags=("extension", "window", "lag-lead"),
+)
+def q70(spark, sf):
+    """Navigation window functions (lag/lead/first_value + delta) — the
+    remaining analytic-function family. One shuffle on user_id shared by
+    every window (same partitioning + ordering)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("user_id") < 5)
+        .select(
+            "user_id", "event_id",
+            F.lag("event_id").over(w).alias("prev_event"),
+            F.lead("event_id").over(w).alias("next_event"),
+            F.first("event_id").over(wrun).alias("first_event"),
+            F.round(F.col("value") - F.lag("value").over(w), 4).cast("double").alias("value_delta"),
+        )
+    )
