@@ -87,10 +87,19 @@ def date_dims(spark: SparkSession, gold_tables: dict[str, DataFrame]) -> dict[st
     }
 
 
-def run(spark: SparkSession, csv_dir: str, out_dir: str) -> dict[str, DataFrame]:
+def run(
+    spark: SparkSession, csv_dir: str, out_dir: str, versioned: bool = False
+) -> dict[str, DataFrame]:
     """Full pipeline: ingest -> format -> enrich -> dims -> partitioned
     parquet star schema under ``out_dir``. Returns the written frames
-    (re-read from storage, like the reference's reload cell 20)."""
+    (re-read from storage, like the reference's reload cell 20).
+
+    ``versioned=True`` writes each table through the snapshot store
+    (sources/versioned.py): re-runs create new versions instead of
+    replacing files in place — the Delta-equivalent posture for pipelines
+    that re-derive tables from themselves."""
+    from ..sources import versioned as V
+
     g = gold(silver(bronze(spark, csv_dir)))
     dims = date_dims(spark, g)
     partitioning = {
@@ -103,10 +112,16 @@ def run(spark: SparkSession, csv_dir: str, out_dir: str) -> dict[str, DataFrame]
             df = df.withColumn("started_month", F.date_format("started_at", "yyyy-MM"))
         elif name == "payments":
             df = df.withColumn("pay_year", F.year("date_id"))
-        overwrite_parquet_table(df, os.path.join(out_dir, name), partition_by=part)
+        if versioned:
+            V.write_version(df, os.path.join(out_dir, name), partition_by=part)
+        else:
+            overwrite_parquet_table(df, os.path.join(out_dir, name), partition_by=part)
     out = {}
     for name in list(g) + list(dims):
-        df = spark.read.parquet(os.path.join(out_dir, name))
+        if versioned:
+            df = V.read_current(spark, os.path.join(out_dir, name))
+        else:
+            df = spark.read.parquet(os.path.join(out_dir, name))
         drop = {"trips": "started_month", "payments": "pay_year"}.get(name)
         out[name] = df.drop(drop) if drop else df
     return out

@@ -43,3 +43,26 @@ def test_vacuum_retention(spark, tmp_path):
     assert V.read_current(spark, p).first()["a"] == 4
     with pytest.raises(FileNotFoundError):
         V.read_version(spark, p, 1)
+
+
+def test_pipeline_versioned_mode(spark, tmp_path):
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators import pipeline
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "stations.csv").write_text("S1,One St,41.9,-87.6\n")
+    (d / "riders.csv").write_text("1000,F,L,1 St,1990-01-01,2020-01-01,,True\n")
+    (d / "trips.csv").write_text(
+        "0000000000000001,classic_bike,2021-02-01 10:00:00,2021-02-01 10:30:00,S1,S1,1000\n"
+    )
+    (d / "payments.csv").write_text("1,2021-02-01,9.5,1000\n")
+    lake = str(tmp_path / "lake")
+    a = pipeline.run(spark, str(d), lake, versioned=True)
+    assert a["trips"].count() == 1
+    b = pipeline.run(spark, str(d), lake, versioned=True)  # re-run -> v2
+    assert b["trips"].count() == 1
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources import versioned as V
+    import os
+
+    assert V.current_version(os.path.join(lake, "trips")) == 2
+    assert V.read_version(spark, os.path.join(lake, "trips"), 1).count() == 1
