@@ -63,6 +63,23 @@ def fingerprint(text: str | Column = "text") -> Column:
     return F.md5(normalized_text(text))
 
 
+#: PII patterns (email, then phone-like digit runs). Kept intentionally
+#: simple and shared verbatim with the DuckDB oracle SQL — both engines use
+#: RE2-ish syntax where these constructs agree.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+def redact_pii(text: str | Column = "text") -> Column:
+    """Replace email addresses and phone-number-shaped digit runs with
+    fixed placeholder tokens. Pure JVM ``regexp_replace`` chain — the scan
+    stays codegen'd; no Python in the path."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string>.
 

@@ -1,0 +1,406 @@
+"""Training-data pipeline surface: deterministic splits, stratified
+sampling, duplicate-group resolution, sequence packing, PII redaction,
+benchmark contamination, moment statistics, range joins, set algebra.
+
+None of this exists in the reference (SURVEY.md §2.6 "not present" — its
+surface stops at star-join aggregates); these are the operations a
+100 TB-scale LLM-training corpus pipeline layers on top, built as first-
+class registry queries with DuckDB oracles wherever the semantics are
+SQL-expressible.
+
+Determinism notes specific to this module:
+* every "random" choice (split, sample) is a pure arithmetic hash of the
+  row key — identical in any engine, stable under re-partitioning, and
+  reproducible run-to-run, which is exactly what a training pipeline needs
+  (at real scale swap the toy multiplicative hash for ``xxhash64``; the
+  modular structure is the same);
+* moment statistics (stddev/corr) are derived from *exact decimal* power
+  sums, then finished with an identical double-precision expression tree in
+  both engines — order-independent, so partial aggregation can't flake the
+  value hash (see functions/agg.py for the general rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+from pyspark.sql.window import Window
+
+from ..functions.agg import exact_sum
+from ..functions.text import EMAIL_RE, PHONE_RE, redact_pii, token_count, tokens, word_shingles
+from ..operators.graph import connected_components
+from .base import _t, query
+from .extensions import _SHINGLES_SQL, q36 as _jaccard_pairs
+
+# toy multiplicative hash (Knuth 2654435761), mod-reduced first so the
+# product stays far inside int64 under Spark 4's ANSI overflow checking
+_HASH_SQL = "((doc_id % 100003) * 2654435761) % 1000"
+
+
+def _doc_hash() -> F.Column:
+    return ((F.col("doc_id") % 100003) * F.lit(2654435761)) % 1000
+
+
+@query(
+    "q71_hash_split",
+    f"""SELECT CASE WHEN {_HASH_SQL} < 800 THEN 'train'
+                    WHEN {_HASH_SQL} < 900 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY split""",
+    tags=("training", "split", "hash"),
+)
+def q71(spark, sf):
+    """Deterministic train/val/test split (80/10/10) by key hash.
+
+    The assignment is a pure function of doc_id — re-running the pipeline,
+    adding executors, or changing partitioning never moves a document
+    across splits (unlike ``df.randomSplit``, which is seed- and
+    partitioning-dependent). Scale shape: a map-only projection + one
+    3-group aggregate."""
+    h = _doc_hash()
+    split = (
+        F.when(h < 800, F.lit("train")).when(h < 900, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "q72_stratified_sample",
+    f"""SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE {_HASH_SQL} < CASE WHEN lang = 'en' THEN 200 ELSE 600 END
+        GROUP BY 1 ORDER BY lang""",
+    tags=("training", "sample", "stratified"),
+)
+def q72(spark, sf):
+    """Deterministic stratified sampling: per-language keep rates (en is
+    dominant → 20%, the rest 60%) applied via the same key hash as q71 —
+    a rebalancing pass a multilingual corpus pipeline runs before
+    training. Pure filter: predicate pushes to the scan, no shuffle
+    before the final small aggregate."""
+    rate = F.when(F.col("lang") == "en", 200).otherwise(600)
+    return (
+        _t(spark, sf, "documents")
+        .where(_doc_hash() < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q73_dup_components",
+    f"""WITH RECURSIVE {_SHINGLES_SQL},
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         je AS (SELECT doc_a, doc_b FROM pairs
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM je
+               UNION SELECT doc_b, doc_a FROM je),
+         reach AS (SELECT a, b FROM e
+                   UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+                  FROM reach GROUP BY a)
+        SELECT component_id, count(*) AS n_docs
+        FROM comp GROUP BY 1 ORDER BY n_docs DESC, component_id""",
+    tags=("training", "dedup", "graph", "iterative"),
+)
+def q73(spark, sf):
+    """Near-duplicate *groups*: connected components over the q36 Jaccard
+    pair graph (iterative min-label propagation, operators/graph.py), so a
+    dedup pass can keep exactly one representative per group even when
+    A~B and B~C but A!~C. The DuckDB oracle walks the same edges with a
+    recursive CTE — an independent algorithm converging on the same
+    fixpoint."""
+    pairs = _jaccard_pairs(spark, sf).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comps.groupBy(F.col("comp").alias("component_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("component_id"))
+    )
+
+
+@query(
+    "q74_pack_sequences",
+    r"""WITH t AS (SELECT doc_id, source,
+                          len(string_split_regex(trim(text), '\s+')) AS n_tok
+                   FROM documents),
+         c AS (SELECT source, doc_id, n_tok,
+                      sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+               FROM t)
+        SELECT source, CAST(floor((cum - n_tok) / 512) AS INT) AS bin_id,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY 1, 2 ORDER BY source, bin_id""",
+    tags=("training", "packing", "window"),
+)
+def q74(spark, sf):
+    """Sequence packing: assign documents to fixed token-budget bins (512)
+    by contiguous cumulative token count — the batch-shaping step before
+    training. Deterministic greedy-contiguous semantics: bin id = floor of
+    the tokens *preceding* the doc / budget.
+
+    Scale shape: the running sum is windowed PARTITION BY source, so each
+    shard packs independently — no global single-partition sort (the
+    classic packing-at-scale mistake)."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = _t(spark, sf, "documents").select("doc_id", "source", token_count("text").alias("n_tok"))
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    bin_id = F.floor((F.col("cum") - F.col("n_tok")) / 512).cast("int")
+    return (
+        c.groupBy("source", bin_id.alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
+        .orderBy("source", "bin_id")
+    )
+
+
+@query(
+    "q75_pii_scan",
+    f"""SELECT source,
+               count(*) FILTER (WHERE regexp_replace(regexp_replace(text,
+                   '{EMAIL_RE}', '[EMAIL]', 'g'), '{PHONE_RE}', '[PHONE]', 'g')
+                   <> text) AS n_redacted,
+               CAST(sum(length(text) - length(regexp_replace(regexp_replace(text,
+                   '{EMAIL_RE}', '[EMAIL]', 'g'), '{PHONE_RE}', '[PHONE]', 'g')))
+                   AS BIGINT) AS chars_removed
+        FROM documents GROUP BY 1 ORDER BY source""",
+    tags=("training", "pii", "regex"),
+)
+def q75(spark, sf):
+    """PII redaction audit: per source, how many documents change under
+    email/phone redaction and how many characters the redaction removes.
+    (This corpus is synthetic word soup, so the expected answer is zero —
+    the point is the operator: a codegen'd double regexp_replace scan;
+    unit tests in tests/test_training.py prove the patterns fire on real
+    PII shapes.)"""
+    red = redact_pii("text")
+    return (
+        _t(spark, sf, "documents")
+        .select("source", "text", red.alias("red"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("red") != F.col("text"), 1).otherwise(0)).alias("n_redacted"),
+            F.sum(F.length("text") - F.length("red")).cast("bigint").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q76_benchmark_contamination",
+    r"""WITH tok AS (SELECT doc_id, source,
+                            string_split_regex(trim(text), '\s+') AS ts
+                     FROM documents),
+         s0 AS (SELECT doc_id, source, ts,
+                       unnest(range(1, len(ts) - 3)) AS i FROM tok),
+         s5 AS (SELECT DISTINCT doc_id, source,
+                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                             || ts[i+3] || ' ' || ts[i+4] AS sh
+                FROM s0),
+         bench AS (SELECT DISTINCT sh FROM s5 WHERE source = 'src0'),
+         cont AS (SELECT DISTINCT s5.doc_id, s5.source
+                  FROM s5 JOIN bench USING (sh) WHERE s5.source <> 'src0')
+        SELECT source, count(*) AS n_contaminated
+        FROM cont GROUP BY 1 ORDER BY source""",
+    tags=("training", "contamination", "ngram"),
+)
+def q76(spark, sf):
+    """Benchmark contamination scan: treat source src0 as the held-out
+    benchmark; a document from any other source is contaminated if it
+    shares a 5-token shingle with any benchmark doc. The benchmark's
+    distinct shingle set is small → broadcast, so the corpus-side scan is
+    a map-only probe (no shuffle of the big side) — the shape that holds
+    at 100 TB with a fixed benchmark suite."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", tokens("text").alias("ts"))
+    sh = d.select("doc_id", "source", F.explode(word_shingles(F.col("ts"), 5)).alias("sh"))
+    bench = sh.where(F.col("source") == "src0").select("sh").distinct()
+    cont = (
+        sh.where(F.col("source") != "src0")
+        .join(F.broadcast(bench), "sh")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    return cont.groupBy("source").agg(F.count(F.lit(1)).alias("n_contaminated")).orderBy("source")
+
+
+_MOM_SUMS_SQL = """
+    SELECT event_type,
+           CAST(count(value) AS DOUBLE) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(hour(ts) AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(hour(ts) AS DECIMAL(9,0)) * CAST(hour(ts) AS DECIMAL(9,0))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(value AS DECIMAL(10,2)) * CAST(hour(ts) AS DECIMAL(9,0))) AS DOUBLE) AS sxy
+    FROM events GROUP BY 1"""
+
+@query(
+    "q77_moment_stats",
+    f"""WITH s AS ({_MOM_SUMS_SQL})
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_events,
+               round(sx / n, 6) AS avg_value,
+               round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_value,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                   AS corr_value_hour
+        FROM s ORDER BY event_type""",
+    tags=("training", "stats", "stddev", "corr"),
+)
+def q77(spark, sf):
+    """Per-type moment statistics — stddev of value and its correlation
+    with hour-of-day — computed from exact decimal power sums (n, Σx, Σx²,
+    Σy, Σy², Σxy) finished by one identical double expression tree in both
+    engines. Built-in stddev/corr stream doubles in partition order and
+    can't hash-match across engines; the power-sum form is
+    order-independent and still a single partial+final hash aggregate."""
+    v = F.col("value").cast(DecimalType(10, 2))
+    h = F.hour("ts").cast(DecimalType(9, 0))
+    s = (
+        _t(spark, sf, "events")
+        .select("event_type", v.alias("v"), h.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count("v").cast("double").alias("n"),
+            F.sum(F.col("v").cast(DecimalType(18, 2))).cast("double").alias("sx"),
+            F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
+            F.sum(F.col("h").cast(DecimalType(18, 0))).cast("double").alias("sy"),
+            F.sum(F.col("h") * F.col("h")).cast("double").alias("syy"),
+            F.sum(F.col("v") * F.col("h")).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_events"),
+        F.round(sx / n, 6).alias("avg_value"),
+        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6).alias("stddev_value"),
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        ).alias("corr_value_hour"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q78_value_range_join",
+    """SELECT lo AS bucket_lo, count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       FROM events
+       JOIN (SELECT i * 50 AS lo, i * 50 + 50 AS hi FROM range(0, 10) t(i)) b
+         ON value >= lo AND value < hi
+       GROUP BY 1 ORDER BY bucket_lo""",
+    tags=("training", "range-join", "non-equi"),
+)
+def q78(spark, sf):
+    """Non-equi range join: events against a generated bucket dimension on
+    value ∈ [lo, hi). The bucket side is tiny and broadcast, so Spark
+    plans a broadcast nested-loop join — the general pattern for interval
+    dims (rate cards, SLA windows) where no equi-key exists. (For fixed-
+    width buckets specifically, floor(value/width) is the shuffle-free
+    scale path — q78 exists to exercise the general non-equi plan.)"""
+    buckets = spark.range(0, 10).select(
+        (F.col("id") * 50).alias("lo"), (F.col("id") * 50 + 50).alias("hi")
+    )
+    ev = _t(spark, sf, "events")
+    j = ev.join(
+        F.broadcast(buckets), (ev.value >= F.col("lo")) & (ev.value < F.col("hi"))
+    )
+    return (
+        j.groupBy(F.col("lo").alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value", "value_sum"))
+        .orderBy("bucket_lo")
+    )
+
+
+@query(
+    "q79_purchasers_clean_union",
+    """SELECT * FROM (
+         (SELECT user_id FROM events WHERE event_type = 'purchase'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'error')
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'signup')""",
+    tags=("training", "setop", "except", "union"),
+)
+def q79(spark, sf):
+    """Set algebra completing the set-op family next to q59's INTERSECT:
+    (purchasers EXCEPT error-users) UNION signup-users, all with DISTINCT
+    set semantics. Catalyst plans EXCEPT as a left-anti join after
+    aggregation-dedup, UNION-distinct as union + hash dedup."""
+    ev = _t(spark, sf, "events")
+    t = lambda typ: ev.where(F.col("event_type") == typ).select("user_id")  # noqa: E731
+    return t("purchase").subtract(t("error")).union(t("signup")).distinct()
+
+
+@query(
+    "q80_activity_full_outer",
+    """SELECT COALESCE(o.k, e.k) AS entity_id,
+              COALESCE(n_orders, 0) AS n_orders,
+              COALESCE(n_events, 0) AS n_events
+       FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1) o
+       FULL JOIN (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1) e
+         ON o.k = e.k""",
+    tags=("training", "outer-join", "full"),
+)
+def q80(spark, sf):
+    """FULL OUTER join (the last join family missing from the surface):
+    per-entity order and event activity, keeping entities present on
+    either side only. Aggregate-then-join keeps both join inputs small
+    (one row per key) — at scale this is two partial-agg shuffles plus a
+    key-colocated join instead of a fact×fact row explosion."""
+    o = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        _t(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = o.alias("o").join(e.alias("e"), F.col("o.k") == F.col("e.k"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("o.k"), F.col("e.k")).alias("entity_id"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
+@query("q81_approx_value_percentiles", None, tags=("training", "approx", "rows-only"))
+def q81(spark, sf):
+    """Approximate per-group percentiles (Greenwald-Khanna sketch,
+    ``percentile_approx``) — the 100 TB path where q67's exact per-group
+    sort is unaffordable; mergeable sketches keep it one partial+final
+    aggregate. Sketch results are engine-specific => rows-only check
+    (exact anchor is q67)."""
+    ev = _t(spark, sf, "events")
+    pct = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50_approx"),
+            F.col("p")[1].alias("p90_approx"),
+            F.col("p")[2].alias("p99_approx"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,87 @@
+"""Unit tests for the training-data pipeline surface (plans/training.py,
+operators/graph.py, functions/text.redact_pii)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import redact_pii
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.graph import connected_components
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_connected_components_chain_and_island(spark):
+    # 1-2-3 chain (transitive), 5-6 island, 9-9 self-loop
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6), (9, 9)], ["src", "dst"]
+    )
+    got = {
+        r["id"]: r["comp"] for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_deep_chain_converges(spark):
+    # path graph 0-1-2-...-9: worst-case diameter for min-label propagation
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], ["src", "dst"])
+    got = connected_components(edges, "src", "dst").collect()
+    assert {r["comp"] for r in got} == {0}
+    assert len(got) == 10
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            ("write bob.smith+x@mail.example.org today",),
+            ("call +1 (555) 123-4567 now",),
+            ("no pii here",),
+        ],
+        ["text"],
+    )
+    out = [r["red"] for r in df.select(redact_pii("text").alias("red")).collect()]
+    assert out[0] == "write [EMAIL] today"
+    assert out[1] == "call [PHONE] now"
+    assert out[2] == "no pii here"
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    q = registry.QUERIES["q71_hash_split"]
+    a = {r["split"]: (r["n_docs"], r["sum_chars"]) for r in q(spark, SF).collect()}
+    b = {r["split"]: (r["n_docs"], r["sum_chars"]) for r in q(spark, SF).collect()}
+    assert a == b  # pure function of doc_id: identical across runs
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(n for n, _ in a.values()) == n_docs  # partition, no drops
+    assert set(a) <= {"train", "val", "test"} and "train" in a
+
+
+def test_pack_sequences_bins_respect_budget(spark):
+    q = registry.QUERIES["q74_pack_sequences"]
+    rows = q(spark, SF).collect()
+    assert rows, "packing produced no bins"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+    ).first()["t"]
+    assert sum(r["bin_tokens"] for r in rows) == total_tokens
+    # bin ids are dense from 0 within each source
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["bin_id"])
+    for src, bins in by_src.items():
+        assert sorted(bins) == list(range(min(bins), max(bins) + 1))
+        assert min(bins) == 0
+
+
+def test_stratified_sample_subset_of_corpus(spark):
+    q = registry.QUERIES["q72_stratified_sample"]
+    sampled = {r["lang"]: r["n_sampled"] for r in q(spark, SF).collect()}
+    totals = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sampled and all(0 < sampled[l] <= totals[l] for l in sampled)
