@@ -384,6 +384,153 @@ def q80(spark, sf):
     )
 
 
+@query(
+    "q82_gap_fill_forward",
+    """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                         date_trunc('hour', max(ts)) AS hi FROM events),
+        spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_id FROM b),
+        u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 3),
+        h AS (SELECT user_id, date_trunc('hour', ts) AS hour_id,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vs
+              FROM events WHERE user_id < 3 GROUP BY 1, 2),
+        g AS (SELECT u.user_id, s.hour_id, h.vs
+              FROM u CROSS JOIN spine s
+              LEFT JOIN h ON h.user_id = u.user_id AND h.hour_id = s.hour_id)
+       SELECT user_id, hour_id,
+              COALESCE(last_value(vs IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY hour_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       0.0) AS value_filled
+       FROM g""",
+    tags=("training", "timeseries", "gap-fill", "window"),
+)
+def q82(spark, sf):
+    """Time-series gap filling: dense hourly spine per user (explode-
+    sequence, the reference's date-dimension pattern F8/F9) left-joined to
+    hourly sums, missing hours forward-filled with the last observation
+    (``last(ignorenulls)`` over an ordered frame), leading gaps → 0.
+
+    The hypertable-rollup shape: the spine bounds come from a 1-row
+    aggregate *joined in plan* (no driver round-trip, unlike the
+    reference's execute-then-plan f-string at ipynb:L1185-L1195), and the
+    fill window partitions by user — shuffle on user_id only."""
+    ev = _t(spark, sf, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_id")
+    )
+    small = ev.where(F.col("user_id") < 3)
+    users = small.select("user_id").distinct()
+    hourly = (
+        small.withColumn("hour_id", F.date_trunc("hour", "ts"))
+        .groupBy("user_id", "hour_id")
+        .agg(exact_sum("value", "vs"))
+    )
+    grid = users.crossJoin(F.broadcast(spine)).join(hourly, ["user_id", "hour_id"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill = F.coalesce(F.last("vs", ignorenulls=True).over(w), F.lit(0.0))
+    return grid.select("user_id", "hour_id", fill.alias("value_filled"))
+
+
+@query(
+    "q83_tfidf_top_terms",
+    r"""WITH tk AS (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        dfreq AS (SELECT tok, count(DISTINCT doc_id) AS d FROM tk GROUP BY 1),
+        n AS (SELECT count(*) AS nd FROM documents),
+        sc AS (SELECT doc_id, tok, c * ln(CAST(nd AS DOUBLE) / d) AS score
+               FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        r AS (SELECT doc_id, tok, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, tok) AS rn
+              FROM sc)
+       SELECT doc_id, tok AS top_term, round(score, 6) AS tfidf
+       FROM r WHERE rn = 1 AND doc_id < 100 ORDER BY doc_id""",
+    tags=("training", "text", "tfidf", "window"),
+)
+def q83(spark, sf):
+    """Most characteristic term per document by TF-IDF (tf × ln(N/df)),
+    rank-1 via row_number with a term tie-break. Corpus stats (df, N) are
+    tiny aggregates broadcast back over the term-frequency table; the
+    double expression tree is identical in both engines so ordering and
+    rounding agree exactly."""
+    tk = _t(spark, sf, "documents").select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tk.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    n = _t(spark, sf, "documents").agg(F.count(F.lit(1)).alias("nd"))
+    sc = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("c") * F.log(F.col("nd").cast("double") / F.col("d"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("doc_id") < 100))
+        .select("doc_id", F.col("tok").alias("top_term"), F.round("score", 6).alias("tfidf"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q84_value_outliers",
+    f"""WITH s AS ({_MOM_SUMS_SQL}),
+        st AS (SELECT event_type, sx / n AS mean,
+                      sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS std
+               FROM s)
+       SELECT e.event_type, count(*) AS n_outliers
+       FROM events e JOIN st ON e.event_type = st.event_type
+       WHERE value > mean + 2 * std
+       GROUP BY 1 ORDER BY 1""",
+    tags=("training", "quality", "outlier"),
+)
+def q84(spark, sf):
+    """Z-score outlier detection (value > μ + 2σ per event type) — the
+    data-quality filtering step of a corpus pipeline. Per-type moments
+    from exact power sums (same machinery as q77) broadcast back over the
+    fact: one aggregate pass + one map-side filtered pass, no fact
+    shuffle. The μ+2σ threshold is the same double in both engines, so
+    the boundary comparison can't disagree."""
+    v = F.col("value").cast(DecimalType(10, 2))
+    s = (
+        _t(spark, sf, "events")
+        .select("event_type", v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("v").cast("double").alias("n"),
+            F.sum(F.col("v").cast(DecimalType(18, 2))).cast("double").alias("sx"),
+            F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
+        )
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    st = s.select(
+        "event_type",
+        (sx / n).alias("mean"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - 1))).alias("std"),
+    )
+    ev = _t(spark, sf, "events")
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .where(F.col("value") > F.col("mean") + 2 * F.col("std"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .orderBy("event_type")
+    )
+
+
 @query("q81_approx_value_percentiles", None, tags=("training", "approx", "rows-only"))
 def q81(spark, sf):
     """Approximate per-group percentiles (Greenwald-Khanna sketch,

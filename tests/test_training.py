@@ -74,6 +74,27 @@ def test_pack_sequences_bins_respect_budget(spark):
         assert min(bins) == 0
 
 
+def test_gap_fill_grid_complete_and_nonnull(spark):
+    q = registry.QUERIES["q82_gap_fill_forward"]
+    rows = q(spark, SF).collect()
+    users = {r["user_id"] for r in rows}
+    hours = {r["hour_id"] for r in rows}
+    assert len(rows) == len(users) * len(hours)  # dense grid, no gaps
+    assert all(r["value_filled"] is not None for r in rows)
+
+
+def test_outliers_bounded_by_group_sizes(spark):
+    rows = registry.QUERIES["q84_value_outliers"](spark, SF).collect()
+    totals = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows and all(0 < r["n_outliers"] < totals[r["event_type"]] for r in rows)
+
+
 def test_stratified_sample_subset_of_corpus(spark):
     q = registry.QUERIES["q72_stratified_sample"]
     sampled = {r["lang"]: r["n_sampled"] for r in q(spark, SF).collect()}
