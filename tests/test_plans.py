@@ -59,3 +59,31 @@ def test_whole_stage_codegen_covers_agg(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
     )
     assert "Found 2 WholeStageCodegen subtrees" in codegen or "WholeStageCodegen" in codegen
+
+
+def test_training_broadcast_probes(spark):
+    """The training surface's stats/benchmark sides must broadcast — the
+    fact/corpus side never shuffles for these probe joins (q76's benchmark
+    shingles, q84's per-type moments, q83's corpus stats)."""
+    for q in ("q76_benchmark_contamination", "q84_value_outliers", "q83_tfidf_top_terms"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_range_join_plans_broadcast_nested_loop(spark):
+    """q78's non-equi join against the 10-row bucket dim must be a
+    broadcast nested-loop, not a cartesian shuffle."""
+    plan = _plan(spark, "q78_value_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_split_is_map_only_before_agg(spark):
+    """q71: split assignment is a pure projection — the only shuffles are
+    the 3-group aggregate and the 3-row final sort; exactly one
+    partial+final agg pair, no join, no window."""
+    tree = _plan(spark, "q71_hash_split").split("\n\n")[0]
+    assert tree.count("Exchange") <= 2
+    assert tree.count("HashAggregate") == 2
+    assert "Join" not in tree and "Window" not in tree
