@@ -82,6 +82,39 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     return spark.read.parquet(vdir)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str | list[str],
+    partition_by: list[str] | None = None,
+    allow_new_columns: bool = False,
+) -> int:
+    """Delta-style MERGE (upsert): rows of ``updates`` replace current rows
+    with the same key; unmatched keys are inserted. Writes the result as
+    the next snapshot and flips the pointer.
+
+    Implementation is a left-anti join (current rows whose key does NOT
+    appear in updates) unioned with the updates — the matched/not-matched
+    split of MERGE without row-level file rewrites. Scale shape: updates
+    are usually a small delta, so the anti join broadcasts the update keys
+    and the big side streams map-only; no fact shuffle.
+
+    ``allow_new_columns=True`` adds schema evolution: columns present in
+    only one side are null-filled in the other (``unionByName``)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    current = read_current(spark, path)
+    from pyspark.sql import functions as F
+
+    key_set = F.broadcast(updates.select(*keys).distinct())
+    untouched = current.join(key_set, on=keys, how="left_anti")
+    if allow_new_columns:
+        merged = untouched.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = untouched.unionByName(updates)
+    return write_version(merged, path, partition_by=partition_by)
+
+
 def vacuum(path: str, keep: int = 2) -> list[int]:
     """Drop all but the newest ``keep`` versions (never the current one).
     Returns the removed version numbers."""

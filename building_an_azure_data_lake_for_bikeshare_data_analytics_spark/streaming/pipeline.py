@@ -117,6 +117,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def deduped_event_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication by event_id within the watermark horizon —
+    turns an at-least-once source (kafka redelivery, file re-uploads) into
+    effectively-once rows for everything downstream.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key seen
+    inside the watermark window and evicts it as event time advances —
+    bounded state, unlike plain ``dropDuplicates`` on a stream, whose key
+    state grows forever at 100 TB/day ingest."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     """Test helper: drain a stream into an in-memory table synchronously."""
     q = df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()

@@ -162,3 +162,37 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     # hour-01 window was closed by the watermark before the late event
     # arrived: its count must still be 1 (not 2)
     assert rows[1] == 1
+
+
+def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: rows redelivered in a later microbatch
+    (same event_id, within the watermark horizon) appear exactly once."""
+    import duckdb
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        deduped_event_stream,
+    )
+
+    out = tmp_path / "dup_events"
+    out.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE TABLE ev AS
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+            FROM read_parquet('{SF_SMOKE}/events.parquet') ORDER BY ts LIMIT 150"""
+    )
+    import time
+
+    con.execute(
+        f"COPY (SELECT * FROM ev ORDER BY ts LIMIT 100) TO '{out}/f0.parquet' (FORMAT PARQUET)"
+    )
+    time.sleep(1.1)
+    # second delivery: rows 51-150 — 50 redelivered + 50 new
+    con.execute(
+        f"COPY (SELECT * FROM ev ORDER BY ts LIMIT 100 OFFSET 50) TO '{out}/f1.parquet' (FORMAT PARQUET)"
+    )
+    stream = deduped_event_stream(read_events_stream(spark, str(out)), watermark="10 hours")
+    run_to_memory(stream, "deduped", "append")
+    rows = spark.sql("SELECT event_id FROM deduped").collect()
+    assert len(rows) == 150
+    assert len({r["event_id"] for r in rows}) == 150

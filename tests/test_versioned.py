@@ -66,3 +66,26 @@ def test_pipeline_versioned_mode(spark, tmp_path):
 
     assert V.current_version(os.path.join(lake, "trips")) == 2
     assert V.read_version(spark, os.path.join(lake, "trips"), 1).count() == 1
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "tag", "x"])
+    V.write_version(base, p)
+    updates = spark.createDataFrame([(2, "B", 99), (4, "d", 40)], ["id", "tag", "x"])
+    v = V.merge_upsert(spark, p, updates, key="id")
+    assert v == 2
+    got = {r["id"]: (r["tag"], r["x"]) for r in V.read_current(spark, p).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+    # time travel: v1 still has the pre-merge row
+    old = {r["id"]: r["tag"] for r in V.read_version(spark, p, 1).collect()}
+    assert old[2] == "b" and 4 not in old
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1, "a")], ["id", "tag"]), p)
+    updates = spark.createDataFrame([(2, "b", 7)], ["id", "tag", "extra"])
+    V.merge_upsert(spark, p, updates, key="id", allow_new_columns=True)
+    got = {r["id"]: r["extra"] for r in V.read_current(spark, p).collect()}
+    assert got == {1: None, 2: 7}
