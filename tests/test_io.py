@@ -72,3 +72,28 @@ def test_load_star_cache_facts(spark):
         assert star["orders"].count() == 1500  # materializes the cache
     finally:
         star["orders"].unpersist()
+
+
+def test_read_jsonl_with_schema_and_corrupt_line(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "second"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema=schema).cache()
+    good = df.where(df._corrupt_record.isNull())
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    assert df.where(df._corrupt_record.isNotNull()).count() == 1
+    df.unpersist()

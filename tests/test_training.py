@@ -106,3 +106,36 @@ def test_stratified_sample_subset_of_corpus(spark):
         .collect()
     }
     assert sampled and all(0 < sampled[l] <= totals[l] for l in sampled)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property-style check: Spark CC vs an independent driver-side
+    union-find on a pseudo-random (seeded, deterministic) edge list."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
+
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    expected = {}
+    for n in nodes:
+        expected.setdefault(find(n), set()).add(n)
+    want = {min(g): g for g in expected.values()}
+
+    got_rows = connected_components(
+        spark.createDataFrame(edges, ["src", "dst"]), "src", "dst"
+    ).collect()
+    got: dict[int, set[int]] = {}
+    for r in got_rows:
+        got.setdefault(r["comp"], set()).add(r["id"])
+    assert got == want
