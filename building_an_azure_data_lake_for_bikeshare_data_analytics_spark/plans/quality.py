@@ -1,0 +1,271 @@
+"""Distribution/quality analytics beyond the reference surface: histograms,
+decile binning, grouping sets, set-valued profiles, corpus repetition
+scoring, edit-distance near-dup, and shuffle-light argmax.
+
+The reference's aggregate surface stops at plain groupBy+avg/sum
+(SURVEY.md §2.4; "not present" list §2.6 has zero set ops, zero analytic
+binning); these queries add the distribution-analysis family a corpus/
+training pipeline needs, each with a DuckDB oracle.
+
+Determinism rules (see plans/base.py): money/measure sums go through the
+exact-decimal path; every ratio is a single IEEE division of two exact
+numbers; every output carries a total order or is order-insensitive
+(hash compare).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.agg import exact_sum
+from ..functions.text import normalized_text, tokens
+from .base import _t, query
+
+# shared with extensions.py oracles: whitespace-collapsed lowercase text
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+@query(
+    "q85_value_histogram",
+    """SELECT CAST(floor(value / 25.0) AS BIGINT) * 25 AS bucket_lo,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       FROM events GROUP BY 1 ORDER BY bucket_lo""",
+    tags=("quality", "histogram"),
+)
+def q85(spark, sf):
+    """Fixed-width value histogram — map-only bucketing + one small
+    aggregate, the shape a 100 TB profiler wants (vs q78's range-join
+    formulation of the same buckets: no join, no bucket dimension,
+    bucket id computed in the scan projection so only (bucket, partial
+    agg) rows ever shuffle). floor(value/25) is one IEEE division both
+    engines perform identically."""
+    bucket = (F.floor(F.col("value") / 25.0) * 25).alias("bucket_lo")
+    return (
+        _t(spark, sf, "events")
+        .select(bucket, "value")
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value", "value_sum"))
+        .orderBy("bucket_lo")
+    )
+
+
+@query(
+    "q86_price_deciles",
+    """SELECT decile, count(*) AS n_orders,
+              min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM (SELECT o_totalprice,
+                    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+                        AS decile
+             FROM orders)
+       GROUP BY 1 ORDER BY decile""",
+    tags=("quality", "ntile", "window"),
+)
+def q86(spark, sf):
+    """Equi-depth decile binning via ntile — the quantile-bucket operator
+    (data-profiling / outlier-capping primitive). The ORDER BY carries
+    o_orderkey as total tie-break so both engines assign identical
+    buckets. Scale note: a global ntile is a single-partition sort; at
+    100 TB compute cut points with approx_percentile (t-digest) and
+    assign buckets map-side instead — q67/q81 hold that path."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf, "orders")
+        .select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            exact_sum("o_totalprice", "sum_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q87_user_type_profile",
+    """SELECT user_id,
+              count(*) AS n_events,
+              count(DISTINCT event_type) AS n_types,
+              array_to_string(list_sort(list(DISTINCT event_type)), '|') AS profile
+       FROM events GROUP BY 1 ORDER BY user_id""",
+    tags=("quality", "collect-set", "set-valued"),
+)
+def q87(spark, sf):
+    """Set-valued aggregation: per-user sorted distinct event-type profile
+    (collect_set → array_sort → join) — the segmentation fingerprint op.
+    collect_set is a hash-set partial aggregate (map-side combine like any
+    sum); sorting the tiny per-user array canonicalizes the nondeterministic
+    collection order so the output is engine-independent."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias("profile"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q88_repetition_ratio",
+    f"""SELECT lang, count(*) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+               CAST(sum(len(list_distinct({_TOKS}))) AS BIGINT) AS distinct_tokens,
+               round(1.0 - sum(len(list_distinct({_TOKS}))) * 1.0
+                         / sum(len({_TOKS})), 6) AS dup_ratio
+        FROM documents GROUP BY 1 ORDER BY lang""",
+    tags=("quality", "text", "repetition"),
+)
+def q88(spark, sf):
+    """Gopher-style repetition quality signal: per-language duplicate-token
+    fraction. Per-doc token/distinct-token counts are exact ints computed
+    in the scan projection (JVM split/array_distinct, no UDF); the ratio
+    is formed from the *summed* ints with one final division — order-
+    independent, unlike averaging per-doc double ratios."""
+    t = tokens("text")
+    return (
+        _t(spark, sf, "documents")
+        .select(
+            "lang",
+            F.size(t).cast("bigint").alias("nt"),
+            F.size(F.array_distinct(t)).cast("bigint").alias("nd"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nd").alias("distinct_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "distinct_tokens",
+            F.round(
+                1.0 - F.col("distinct_tokens") * 1.0 / F.col("total_tokens"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q89_status_priority_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    tags=("quality", "grouping-sets"),
+)
+def q89(spark, sf):
+    """Explicit GROUPING SETS (two one-column sets + grand total) with
+    grouping_id — the irregular-set sibling of q30's ROLLUP and q68's
+    CUBE; gid disambiguates a NULL-from-rollup row from a NULL data
+    value. One Expand node feeding a single hash aggregate — the three
+    groupings share one pass over the fact."""
+    return (
+        _t(spark, sf, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+    )
+
+
+@query(
+    "q90_edit_distance_pairs",
+    f"""WITH d AS (SELECT doc_id, lang,
+                         substr({_NORM}, 1, 40) AS prefix,
+                         substr({_NORM}, 1, 12) AS block
+                  FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""",
+    tags=("quality", "dedup", "edit-distance"),
+)
+def q90(spark, sf):
+    """Edit-distance near-dup detection with prefix blocking: candidate
+    pairs share (lang, 12-char normalized prefix) — the same block-then-
+    verify shape as MinHash-LSH (q37) but with Levenshtein as the verify
+    metric. Blocking keeps the join linear-ish in corpus size (only
+    same-prefix docs pair) instead of the O(n²) cross join; the 40-char
+    cap bounds each distance computation."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring(normalized_text("text"), 1, 40).alias("prefix"),
+        F.substring(normalized_text("text"), 1, 12).alias("block"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q91_top_user_by_type",
+    """WITH totals AS (
+         SELECT event_type, user_id,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2),
+       maxes AS (SELECT event_type, max(total) AS max_total
+                 FROM totals GROUP BY 1)
+       SELECT t.event_type, min(t.user_id) AS top_user, max_total
+       FROM totals t JOIN maxes m
+         ON t.event_type = m.event_type AND t.total = m.max_total
+       GROUP BY t.event_type, max_total ORDER BY t.event_type""",
+    tags=("quality", "argmax", "join-back"),
+)
+def q91(spark, sf):
+    """Argmax without a window: per-type top user by exact total value via
+    aggregate → tiny-max join-back. A row_number window would shuffle the
+    whole totals relation into per-type sorted partitions; here the fact
+    aggregates once and the per-type maxima (|event_type| rows) broadcast
+    back — no second large shuffle. Ties break to the smallest user_id;
+    equality on the exact-decimal-derived double is engine-safe."""
+    totals = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", "user_id")
+        .agg(exact_sum("value", "total"))
+    )
+    maxes = totals.groupBy("event_type").agg(F.max("total").alias("max_total"))
+    return (
+        totals.join(
+            F.broadcast(maxes),
+            (totals.event_type == maxes.event_type) & (totals.total == maxes.max_total),
+        )
+        .drop(maxes.event_type)
+        .groupBy("event_type", "max_total")
+        .agg(F.min("user_id").alias("top_user"))
+        .select("event_type", "top_user", "max_total")
+        .orderBy("event_type")
+    )

@@ -1,0 +1,86 @@
+"""Invariant tests for the distribution/quality query family (q85-q91).
+
+Value-for-value parity is the DuckDB oracle gate; these pin the semantic
+invariants that would survive a data refresh.
+"""
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
+
+from conftest import SF_SMOKE
+
+
+def test_histogram_partitions_the_table(spark):
+    rows = QUERIES["q85_value_histogram"](spark, SF_SMOKE).collect()
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == total
+    los = [r["bucket_lo"] for r in rows]
+    assert los == sorted(los) and all(lo % 25 == 0 for lo in los)
+
+
+def test_deciles_balanced_and_monotonic(spark):
+    rows = QUERIES["q86_price_deciles"](spark, SF_SMOKE).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_orders"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # ntile equi-depth contract
+    # bucket ranges tile the value axis in order
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_price"] <= hi["min_price"]
+
+
+def test_profile_is_sorted_and_consistent(spark):
+    rows = QUERIES["q87_user_type_profile"](spark, SF_SMOKE).collect()
+    for r in rows:
+        parts = r["profile"].split("|")
+        assert parts == sorted(parts)
+        assert len(parts) == r["n_types"] <= r["n_events"]
+
+
+def test_repetition_ratio_bounds(spark):
+    for r in QUERIES["q88_repetition_ratio"](spark, SF_SMOKE).collect():
+        assert 0 <= r["distinct_tokens"] <= r["total_tokens"]
+        assert 0.0 <= r["dup_ratio"] < 1.0
+
+
+def test_grouping_sets_shape(spark):
+    rows = QUERIES["q89_status_priority_sets"](spark, SF_SMOKE).collect()
+    # gid 1 = priority-only rows, 2 = status-only rows, 3 = grand total
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {1, 2, 3}
+    assert len(by_gid[3]) == 1
+    grand = by_gid[3][0]["n_orders"]
+    assert sum(r["n_orders"] for r in by_gid[1]) == grand
+    assert sum(r["n_orders"] for r in by_gid[2]) == grand
+
+
+def test_edit_distance_pairs_blocked(spark):
+    rows = QUERIES["q90_edit_distance_pairs"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        # 12-char shared block bounds the distance of 40-char prefixes
+        assert 0 <= r["dist"] <= 28
+
+
+def test_argmax_matches_window_formulation(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.agg import exact_sum
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.base import _t
+
+    got = {
+        (r["event_type"], r["top_user"], r["max_total"])
+        for r in QUERIES["q91_top_user_by_type"](spark, SF_SMOKE).collect()
+    }
+    totals = (
+        _t(spark, SF_SMOKE, "events")
+        .groupBy("event_type", "user_id")
+        .agg(exact_sum("value", "total"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
+    want = {
+        (r["event_type"], r["user_id"], r["total"])
+        for r in totals.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    }
+    assert got == want
