@@ -87,3 +87,22 @@ def test_hash_split_is_map_only_before_agg(spark):
     assert tree.count("Exchange") <= 2
     assert tree.count("HashAggregate") == 2
     assert "Join" not in tree and "Window" not in tree
+
+
+def test_quality_family_plan_shapes(spark):
+    """q85 must be a pure scan→partial/final agg (no join for the bucket
+    id); q90's blocked self-join stays an equi hash join (the blocking
+    key is the equi condition — never a cartesian); q91's join-back
+    broadcasts the per-type maxima."""
+    plan85 = _plan(spark, "q85_value_histogram")
+    tree85 = plan85.split("\n\n")[0]
+    assert "Join" not in tree85
+    assert tree85.count("HashAggregate") == 2
+
+    plan90 = _plan(spark, "q90_edit_distance_pairs")
+    assert "CartesianProduct" not in plan90 and "BroadcastNestedLoopJoin" not in plan90
+    assert "Join" in plan90
+
+    plan91 = _plan(spark, "q91_top_user_by_type")
+    assert "BroadcastHashJoin" in plan91
+    assert "SortMergeJoin" not in plan91
