@@ -42,6 +42,11 @@ def connected_components(
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.localCheckpoint()
     labels = e.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    # Convergence probe: Σcomp strictly decreases while any label improves
+    # (labels only ever move down to a smaller reachable id), so one scalar
+    # aggregate over the new labels replaces a join-against-previous +
+    # count action per round — half the per-iteration shuffles.
+    prev_total: int | None = None
     for _ in range(max_iter):
         neighbor_labels = e.join(labels, e.a == labels.id).select(
             F.col("b").alias("id"), F.col("comp")
@@ -52,14 +57,9 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        improved = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "id")
-            .where(F.col("n.comp") < F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        total = new_labels.agg(F.sum("comp")).first()[0]
         labels = new_labels
-        if improved == 0:
+        if total == prev_total:
             break
+        prev_total = total
     return labels

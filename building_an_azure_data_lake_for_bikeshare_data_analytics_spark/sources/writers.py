@@ -56,6 +56,40 @@ def overwrite_parquet_table(
     os.rename(stage, path)
 
 
+def compact_parquet_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files (the OPTIMIZE maintenance
+    op Delta users run; the reference never compacts — SURVEY.md §4).
+
+    Streaming sinks and incremental appends accrete kilobyte files; at
+    100 TB the scan's file-listing and per-file open overhead then dominate
+    the query. One ``repartition(n)`` rewrite restores ~target-size files.
+    ``sort_within_by`` optionally clusters rows inside each output file
+    (``sortWithinPartitions`` — a local sort, no extra shuffle) so min/max
+    footer stats give data-skipping on those columns.
+
+    Returns ``{"files_before": ..., "files_after": ..., "bytes": ...}``.
+    """
+    before = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil div
+    df = spark.read.parquet(path).repartition(n_out)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    overwrite_parquet_table(df, path)
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    return {"files_before": len(before), "files_after": len(after), "bytes": total}
+
+
 def drop_table_if_exists(spark: SparkSession, name: str) -> None:
     """Idempotent re-run hygiene (S5, ipynb:L191-194, cell 3)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -97,3 +97,21 @@ def test_read_jsonl_with_schema_and_corrupt_line(spark, tmp_path):
     assert {r["doc_id"] for r in good.collect()} == {1, 2}
     assert df.where(df._corrupt_record.isNotNull()).count() == 1
     df.unpersist()
+
+
+def test_compact_parquet_table(spark, tmp_path):
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.writers import (
+        compact_parquet_table,
+    )
+
+    path = str(tmp_path / "shards")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(path)  # simulate small-file accretion
+
+    stats = compact_parquet_table(spark, path, target_file_bytes=10**9, sort_within_by=["k"])
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg({"k": "max"}).first()[0] == 9_999
