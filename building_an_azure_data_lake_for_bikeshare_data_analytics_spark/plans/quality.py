@@ -269,3 +269,106 @@ def q91(spark, sf):
         .select("event_type", "top_user", "max_total")
         .orderBy("event_type")
     )
+
+
+@query(
+    "q92_first_stopword_position",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+         p AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM tok),
+         f AS (SELECT doc_id, CAST(min(i - 1) AS INTEGER) AS first_stop_pos
+               FROM p WHERE ts[i] IN ('the', 'a', 'of', 'and') GROUP BY 1)
+        SELECT first_stop_pos, count(*) AS n_docs
+        FROM f GROUP BY 1 ORDER BY first_stop_pos""",
+    tags=("quality", "posexplode", "generator"),
+)
+def q92(spark, sf):
+    """Positional token analysis via posexplode (the ordinality-carrying
+    generator): distribution of the first stopword's 0-based position per
+    document. Generate stays pipelined with the scan (no shuffle until the
+    per-doc min), so the token blow-up never materializes."""
+    from ..functions.text import STOPWORDS
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    first = (
+        d.where(F.col("tok").isin(*STOPWORDS))
+        .groupBy("doc_id")
+        .agg(F.min("pos").alias("first_stop_pos"))
+    )
+    return (
+        first.groupBy("first_stop_pos")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("first_stop_pos")
+    )
+
+
+@query(
+    "q93_union_by_name",
+    """SELECT src, count(*) AS n_rows,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       FROM (SELECT user_id, value, 'purchase' AS src FROM events
+             WHERE event_type = 'purchase'
+             UNION ALL BY NAME
+             SELECT 'view' AS src, user_id FROM events
+             WHERE event_type = 'view')
+       GROUP BY 1 ORDER BY src""",
+    tags=("quality", "union-by-name", "schema-evolution"),
+)
+def q93(spark, sf):
+    """Schema-evolving union: two shards with different column orders and a
+    missing column, aligned by NAME with null fill (unionByName +
+    allowMissingColumns) — how a corpus pipeline unions heterogeneous
+    ingest batches without positional-union silent corruption. The union
+    is a zero-shuffle plan node; only the final small aggregate moves."""
+    ev = _t(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "value", F.lit("purchase").alias("src")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.lit("view").alias("src"), "user_id"
+    )
+    return (
+        purchases.unionByName(views, allowMissingColumns=True)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_rows"), exact_sum("value", "value_sum"))
+        .orderBy("src")
+    )
+
+
+@query(
+    "q94_measure_unpivot",
+    """WITH m AS (
+         SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+         UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+       SELECT measure, count(*) AS n_vals,
+              CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+              min(val) AS val_min, max(val) AS val_max
+       FROM m GROUP BY 1 ORDER BY measure""",
+    tags=("quality", "unpivot", "reshape"),
+)
+def q94(spark, sf):
+    """Wide→long reshape (unpivot/melt, the inverse of q49's pivot) over
+    the four lineitem measures, then per-measure profile stats. Spark
+    plans unpivot as an Expand node — one scan pass emits all four
+    (measure, val) streams; the oracle's UNION ALL reads the table four
+    times, which is exactly the rewrite unpivot exists to avoid."""
+    return (
+        _t(spark, sf, "lineitem")
+        .unpivot(
+            [],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            exact_sum("val", "val_sum"),
+            F.min("val").alias("val_min"),
+            F.max("val").alias("val_max"),
+        )
+        .orderBy("measure")
+    )

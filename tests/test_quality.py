@@ -84,3 +84,28 @@ def test_argmax_matches_window_formulation(spark):
         for r in totals.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
     }
     assert got == want
+
+
+def test_first_stopword_positions_nonnegative(spark):
+    rows = QUERIES["q92_first_stopword_position"](spark, SF_SMOKE).collect()
+    assert rows
+    total_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) <= total_docs
+    assert all(r["first_stop_pos"] >= 0 for r in rows)
+
+
+def test_union_by_name_null_fills_missing_measure(spark):
+    rows = {r["src"]: r for r in QUERIES["q93_union_by_name"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"purchase", "view"}
+    assert rows["view"]["value_sum"] is None  # missing column null-filled
+    assert rows["purchase"]["value_sum"] is not None
+
+
+def test_unpivot_multiplies_rows_by_measures(spark):
+    rows = QUERIES["q94_measure_unpivot"](spark, SF_SMOKE).collect()
+    n_lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    assert [r["measure"] for r in rows] == sorted(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    assert all(r["n_vals"] == n_lineitem for r in rows)
+    assert all(r["val_min"] <= r["val_max"] for r in rows)
