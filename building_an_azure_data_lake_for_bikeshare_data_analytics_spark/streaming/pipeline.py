@@ -147,3 +147,30 @@ def enriched_event_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value",
         F.col("c_mktsegment").alias("segment"),
     )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time sessionization via ``session_window`` — dynamic windows
+    that extend while events keep arriving within ``gap`` and close after a
+    quiet period (the streaming twin of the batch q48 sessionize, which
+    derives sessions from lag() gaps).
+
+    Unlike tumbling windows, session windows MERGE as late events bridge
+    two open sessions; Spark keeps per-key open-session state and the
+    watermark both bounds that state and decides when a session is final
+    (append mode emits only closed sessions). Works identically on a batch
+    DataFrame (no watermark needed), which is what the parity test uses."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -196,3 +196,32 @@ def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
     rows = spark.sql("SELECT event_id FROM deduped").collect()
     assert len(rows) == 150
     assert len({r["event_id"] for r in rows}) == 150
+
+
+def test_session_windows_match_batch(spark, events_dir):
+    """Streaming session_window (append mode: closed sessions only) must
+    agree with the same session_window aggregation run in batch over the
+    full table — merging of gap-bridged sessions included."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        sessionized_stream,
+    )
+
+    stream = sessionized_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "sessions_stream", "append")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+
+    batch = spark.read.parquet(events_dir)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in sessionized_stream(batch).collect()
+    }
+    # the stream's final watermark may hold back the very last open sessions;
+    # everything it DID emit must match batch exactly, and it must have
+    # emitted the overwhelming majority
+    assert got, "stream emitted no closed sessions"
+    for k, n in got.items():
+        assert want.get(k) == n, k
+    assert len(got) >= 0.8 * len(want)
