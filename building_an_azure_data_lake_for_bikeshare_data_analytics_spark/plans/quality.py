@@ -372,3 +372,85 @@ def q94(spark, sf):
         )
         .orderBy("measure")
     )
+
+
+@query(
+    "q95_supplier_revenue_rank",
+    """WITH t AS (
+         SELECT l_suppkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM lineitem GROUP BY 1)
+       SELECT s_suppkey, s_nationkey, total,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cum_dist
+       FROM t JOIN supplier ON l_suppkey = s_suppkey
+       WINDOW w AS (PARTITION BY s_nationkey ORDER BY total)
+       ORDER BY s_suppkey""",
+    tags=("quality", "window", "percent-rank"),
+)
+def q95(spark, sf):
+    """Relative-standing analytics: per-nation percent_rank and cume_dist
+    of each supplier's exact revenue total — rank normalization for
+    cross-group comparison. Both functions depend only on the ORDER BY
+    *values* (ties share a rank), so no tie-break column is needed for
+    determinism; the totals come off the exact-decimal path first. One
+    aggregate shuffle on l_suppkey, a broadcast dim join, then one window
+    shuffle on s_nationkey."""
+    t = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(exact_sum("l_extendedprice", "total"))
+    )
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    w = Window.partitionBy("s_nationkey").orderBy("total")
+    return (
+        t.join(F.broadcast(sup), t.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            "total",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q96_trailing_hour_stats",
+    """SELECT event_id, user_id,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                  AS trailing_sum,
+              CAST(count(*) OVER w AS BIGINT) AS trailing_n
+       FROM events WHERE user_id < 5
+       WINDOW w AS (PARTITION BY user_id
+                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       ORDER BY event_id""",
+    tags=("quality", "window", "range-frame"),
+)
+def q96(spark, sf):
+    """Trailing-hour sliding aggregate via a RANGE window frame — the
+    time-based frame (value-distance bounds), distinct from q47's
+    ROWS-based running total. Frame membership is decided by event-time
+    seconds, so rows with equal timestamps share identical frames in any
+    engine; the framed sum stays on the exact-decimal path. One shuffle
+    on user_id + a per-partition sort, shared by both framed aggregates."""
+    from pyspark.sql.types import DecimalType
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("user_id") < 5)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast(DecimalType(18, 2))).over(w).cast("double").alias("trailing_sum"),
+            F.count(F.lit(1)).over(w).alias("trailing_n"),
+        )
+        .orderBy("event_id")
+    )

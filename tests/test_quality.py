@@ -109,3 +109,23 @@ def test_unpivot_multiplies_rows_by_measures(spark):
     )
     assert all(r["n_vals"] == n_lineitem for r in rows)
     assert all(r["val_min"] <= r["val_max"] for r in rows)
+
+
+def test_percent_rank_bounds_per_nation(spark):
+    rows = QUERIES["q95_supplier_revenue_rank"](spark, SF_SMOKE).collect()
+    assert rows
+    by_nation = {}
+    for r in rows:
+        assert 0.0 <= r["pct_rank"] <= 1.0
+        assert 0.0 < r["cum_dist"] <= 1.0
+        by_nation.setdefault(r["s_nationkey"], []).append(r)
+    for grp in by_nation.values():
+        assert min(r["pct_rank"] for r in grp) == 0.0  # lowest total ranks 0
+        assert max(r["cum_dist"] for r in grp) == 1.0
+
+
+def test_trailing_window_contains_current_row(spark):
+    rows = QUERIES["q96_trailing_hour_stats"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["trailing_n"] >= 1
