@@ -454,3 +454,40 @@ def q96(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q97_salted_flag_totals",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price,
+              count(*) AS n_items
+       FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    tags=("quality", "skew", "salted-agg"),
+)
+def q97(spark, sf):
+    """Skew-resistant two-phase aggregation in the correctness gate: sum
+    and count per (returnflag, linestatus) via 16-way salting
+    (functions/skew.salted_sum_count) — a hot key's rows split across 16
+    reduce partitions, then ≤16 partial rows merge per key. The oracle is
+    the PLAIN group-by: over the exact-decimal path the salted plan is
+    value-identical to the direct one, which is exactly the property that
+    makes salting safe to deploy on a skewed 100 TB fact."""
+    from pyspark.sql.types import DecimalType
+
+    from ..functions.skew import salted_sum_count
+
+    out = salted_sum_count(
+        _t(spark, sf, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        F.col("l_extendedprice").cast(DecimalType(18, 2)),
+        n_salts=16,
+        sum_alias="sum_dec",
+        count_alias="n_items",
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_dec").cast("double").alias("sum_price"),
+        "n_items",
+    ).orderBy("l_returnflag", "l_linestatus")

@@ -9,7 +9,7 @@ from . import extensions  # noqa: F401  (registers q31-q41)
 from . import analytics_ext  # noqa: F401  (registers q42-q52)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84)
-from . import quality  # noqa: F401  (registers q85-q96)
+from . import quality  # noqa: F401  (registers q85-q97)
 
 #: name -> (spark, sf_dir) -> DataFrame
 QUERIES: dict[str, QueryFn] = {name: spec.fn for name, spec in REGISTRY.items()}

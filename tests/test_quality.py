@@ -129,3 +129,24 @@ def test_trailing_window_contains_current_row(spark):
     assert rows
     for r in rows:
         assert r["trailing_n"] >= 1
+
+
+def test_salted_totals_match_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.base import _t
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["sum_price"], r["n_items"])
+        for r in QUERIES["q97_salted_flag_totals"](spark, SF_SMOKE).collect()
+    }
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.agg import exact_sum
+
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["sum_price"], r["n_items"])
+        for r in _t(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(exact_sum("l_extendedprice", "sum_price"), F.count(F.lit(1)).alias("n_items"))
+        .collect()
+    }
+    assert got == want  # salting is value-invisible
