@@ -43,7 +43,10 @@ def salted_sum_count(
     partial = (
         df.select(*group_cols, v.alias("__v"), salt)
         .groupBy(*group_cols, "__salt")
-        .agg(F.sum("__v").alias("__ps"), F.count("__v").alias("__pc"))
+        # count(lit(1)) = row count, matching the count(*) of the plain
+        # groupBy twin even when the measure column contains nulls
+        # (count('__v') would skip null measures and silently diverge)
+        .agg(F.sum("__v").alias("__ps"), F.count(F.lit(1)).alias("__pc"))
     )
     return partial.groupBy(*group_cols).agg(
         F.sum("__ps").alias(sum_alias), F.sum("__pc").alias(count_alias)

@@ -89,14 +89,26 @@ def read_parquet_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     pushdown free via the vectorized parquet reader."""
     file_path = os.path.join(root, f"{name}.parquet")
     dir_path = os.path.join(root, name)
+    prev_nanos_conf: str | None = None
     if name in _NANOS_TS_COLS:
         # defensive: caller-owned sessions (e.g. the grading driver's) may
-        # not carry this conf; it is runtime-settable and idempotent
+        # not carry this conf; it is runtime-settable. Scoped to this scan:
+        # the prior value is restored below so unrelated reads of
+        # nanos-timestamp parquet in the same session are not silently
+        # turned into bigint columns.
+        prev_nanos_conf = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(file_path if os.path.exists(file_path) else dir_path)
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    try:
+        df = spark.read.parquet(file_path if os.path.exists(file_path) else dir_path)
+        for c in _NANOS_TS_COLS.get(name, ()):
+            if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    finally:
+        if name in _NANOS_TS_COLS:
+            if prev_nanos_conf is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos_conf)
     return df
 
 

@@ -101,11 +101,27 @@ def merge_upsert(
     and the big side streams map-only; no fact shuffle.
 
     ``allow_new_columns=True`` adds schema evolution: columns present in
-    only one side are null-filled in the other (``unionByName``)."""
+    only one side are null-filled in the other (``unionByName``).
+
+    Like Delta MERGE, ``updates`` must be key-unique: with duplicate update
+    keys the anti-join would drop the current row once and then insert every
+    duplicate, silently multiplying rows per key (Delta raises
+    ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE``); we raise
+    ``ValueError`` instead. Dedupe (e.g. last-write-wins by a version
+    column) before calling."""
     keys = [key] if isinstance(key, str) else list(key)
     current = read_current(spark, path)
     from pyspark.sql import functions as F
 
+    dup = (
+        updates.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert: updates contain duplicate key {tuple(dup[0][k] for k in keys)!r}; "
+            "MERGE requires key-unique updates (dedupe before calling)"
+        )
     key_set = F.broadcast(updates.select(*keys).distinct())
     untouched = current.join(key_set, on=keys, how="left_anti")
     if allow_new_columns:

@@ -115,3 +115,20 @@ def test_compact_parquet_table(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg({"k": "max"}).first()[0] == 9_999
+
+
+def test_nanos_conf_restored_after_events_read(spark):
+    """read_parquet_table scopes the nanosAsLong legacy conf to its own scan
+    (ADVICE r1: it used to leak the setting into caller-owned sessions)."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        df = read_parquet_table(spark, SF_SMOKE, "events")
+        assert spark.conf.get(key) == "false"  # restored, not leaked
+        assert dict(df.dtypes)["ts"] == "timestamp"  # scan still converts
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -38,3 +38,22 @@ def test_salted_agg_spreads_hot_key(spark):
         .count()
     )
     assert partial.count() == 8  # 8 partial groups for the single hot key
+
+
+def test_salted_count_is_row_count_with_null_measures(spark):
+    """count must be count(*) row semantics, not count(col): null measure
+    values still count toward n (ADVICE r1 — salted count silently diverged
+    from the plain-groupBy twin on null measures)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3), ("b", None)], ["k", "v"]
+    )
+    got = {
+        r["k"]: (r["sum_value"], r["n"])
+        for r in salted_sum_count(df, ["k"], "v", n_salts=4).collect()
+    }
+    direct = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == direct
+    assert got["a"][1] == 3 and got["b"][1] == 1  # rows, not non-null values

@@ -89,3 +89,17 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     V.merge_upsert(spark, p, updates, key="id", allow_new_columns=True)
     got = {r["id"]: r["extra"] for r in V.read_current(spark, p).collect()}
     assert got == {1: None, 2: 7}
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    """Delta MERGE errors when multiple source rows match one target row;
+    merge_upsert mirrors that instead of silently multiplying rows."""
+    import pytest
+
+    p = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1, "a")], ["id", "tag"]), p)
+    dup_updates = spark.createDataFrame([(1, "x"), (1, "y")], ["id", "tag"])
+    with pytest.raises(ValueError, match="duplicate key"):
+        V.merge_upsert(spark, p, dup_updates, key="id")
+    # table unchanged (no new version was written)
+    assert V.current_version(p) == 1
