@@ -4,9 +4,14 @@ Not in the reference (SURVEY.md §2.6 — no UDFs, no fuzzy ops anywhere);
 built for the 100 TB training-data north star (BASELINE.json).
 
 Scale design:
-* MinHash signatures are computed with ``xxhash64`` Column expressions —
-  pure JVM, partial-aggregatable ``min()`` per hash seed, so the signature
-  build is one hash-aggregate over the exploded (doc, shingle) relation.
+* MinHash signatures are computed with Column expressions only — pure JVM,
+  partial-aggregatable ``min()`` per hash seed, so the signature build is
+  one hash-aggregate over the exploded (doc, shingle) relation. The hash
+  family is md5-derived (one md5 per shingle, k hashes by Carter-Wegman
+  mixing mod a Mersenne prime), which is deterministic ACROSS ENGINES —
+  DuckDB computes the identical signatures, so even this "approximate"
+  operator is value-for-value oracle-checkable (same trick as q40's
+  deterministic hyperplanes).
 * LSH banding turns O(n²) near-dup search into an equi-join on
   (band_index, band_signature) — Spark's hash join does the bucketing;
   band buckets are the only shuffle key. Hot buckets (boilerplate docs)
@@ -26,30 +31,66 @@ from pyspark.sql import functions as F
 from ..functions.text import word_shingles
 
 
-def minhash_signature(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+#: Carter-Wegman-style family: h_j(s) = (b1(s) + j * b2(s)) mod (2^31 - 1),
+#: with b1 = 60 bits and b2 = 55 bits of md5(s). The modulus must be FAR
+#: smaller than j*b2 so the reduction actually wraps (~2^29 times even at
+#: j=1): with a modulus near the magnitude of the sum nothing wraps, h_j is
+#: linear in j, and the same small-base shingle wins the min for EVERY j —
+#: 32 perfectly correlated "permutations" (the bug this comment guards).
+#: Every intermediate stays far inside int64 under Spark 4's ANSI overflow
+#: checking (j*b2 <= 63 * 2^55 ~ 2.3e18 needs j < 64; enforced below).
+MINHASH_P = (1 << 31) - 1
+_B2_MOD = 1 << 55
+
+
+def _hash_bases(shingle: Column) -> tuple[Column, Column]:
+    """Two independent md5-derived integer bases per shingle (cross-engine:
+    DuckDB reproduces them with CAST('0x' || substr(md5(s), ...) AS BIGINT))."""
+    m = F.md5(shingle)
+    b1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    b2 = F.conv(F.substring(m, 17, 15), 16, 10).cast("long") % F.lit(_B2_MOD)
+    return b1, b2
+
+
+def minhash_signature(shingled: DataFrame, num_hashes: int = 32) -> DataFrame:
     """(doc_id, shingle) -> one row per doc with ``h0..h{k-1}`` minhash cols.
 
-    Each permutation j is simulated by ``xxhash64(j, shingle)``; the min over
-    a doc's shingles approximates the permutation-min. Partial+final hash
-    aggregation — no sort, no driver state.
+    Each permutation j is simulated by the family ``(b1 + j*b2) mod P31``
+    over md5-derived bases (two distinct shingles collide at probability
+    ~1/P31 per j, and at most one j in [0, P31) can make a given pair
+    collide); the min over a doc's shingles approximates the
+    permutation-min. Partial+final hash aggregation — no sort, no driver
+    state. One md5 per shingle row total (the k hashes are integer
+    arithmetic on its two halves), so widening num_hashes is nearly free at
+    scan time.
     """
+    if num_hashes > 63:
+        raise ValueError("num_hashes > 63 would overflow int64 in j*b2")
+    b1, b2 = _hash_bases(F.col("shingle"))
+    with_bases = shingled.select("doc_id", b1.alias("__b1"), b2.alias("__b2"))
     aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+        F.min((F.col("__b1") + F.lit(j) * F.col("__b2")) % F.lit(MINHASH_P)).alias(f"h{j}")
         for j in range(num_hashes)
     ]
-    return shingled.groupBy("doc_id").agg(*aggs)
+    return with_bases.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
     docs_tokens: DataFrame,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = 32,
+    bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing >= 1 LSH band.
 
     docs_tokens: (doc_id, ts: array<string> tokens).
     Returns (doc_a, doc_b, n_bands) where n_bands counts agreeing bands.
+
+    Default 32 hashes / 16 bands of 2 rows: a pair at Jaccard s collides per
+    band with prob s^2, so P(candidate) = 1-(1-s^2)^16 — ~0.99 at s=0.5 and
+    ~1-1e-12 at s=0.9, while random pairs (s~0) almost never collide. The
+    steeper 4-rows-per-band curve trades recall at the 0.5 threshold for
+    fewer false candidates; tune per corpus.
     """
     rows_per_band = num_hashes // bands
     sh = docs_tokens.select(
@@ -59,7 +100,9 @@ def minhash_lsh_candidates(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows_per_band + k}") for k in range(rows_per_band)]).alias("sig"),
+            F.concat_ws(
+                ":", *[F.col(f"h{b * rows_per_band + k}") for k in range(rows_per_band)]
+            ).alias("sig"),
         )
         for b in range(bands)
     ]

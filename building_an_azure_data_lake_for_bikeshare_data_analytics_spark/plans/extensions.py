@@ -189,12 +189,47 @@ def q36(spark, sf):
     )
 
 
-@query("q37_minhash_lsh_pairs", None, tags=("dedup", "minhash", "lsh", "rows-only"))
+def _minhash_oracle(num_hashes: int = 32, bands: int = 16) -> str:
+    """DuckDB oracle for q37: the identical md5-derived Carter-Wegman hash
+    family, minhash aggregation, banding, and bucket join — MinHash is
+    'approximate' w.r.t. Jaccard but fully deterministic given the hash
+    family, so the candidate set is value-for-value checkable."""
+    r = num_hashes // bands
+    mins = ",\n                 ".join(
+        f"min((b1 + {j} * b2) % 2147483647) AS h{j}" for j in range(num_hashes)
+    )
+    band_selects = "\n           UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat({sig}) AS sig FROM sigs".format(
+            b=b,
+            sig=", ':', ".join(f"h{b * r + k}" for k in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL},
+         bases AS (SELECT doc_id,
+                          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS b1,
+                          CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT)
+                              % 36028797018963968 AS b2
+                   FROM sh),
+         sigs AS (SELECT doc_id,
+                 {mins}
+                  FROM bases GROUP BY doc_id),
+         banded AS ({band_selects})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2"""
+
+
+@query("q37_minhash_lsh_pairs", _minhash_oracle(), tags=("dedup", "minhash", "lsh"))
 def q37(spark, sf):
-    """MinHash+LSH candidate pairs (shingle -> 16 minhashes -> 4 bands ->
-    band-bucket equi-join). Engine-specific xxhash64 => rows-only check."""
+    """MinHash+LSH candidate pairs (shingle -> 32 md5-derived minhashes ->
+    16 bands of 2 -> band-bucket equi-join). The md5 hash family is
+    reproducible in DuckDB, so this gained a full value oracle in r2
+    (previously rows-only under xxhash64)."""
     docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
-    return minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    return minhash_lsh_candidates(docs, num_hashes=32, bands=16)
 
 
 @query("q38_simhash", None, tags=("dedup", "simhash", "rows-only", "pandas-udf"))

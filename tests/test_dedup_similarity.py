@@ -90,3 +90,21 @@ def test_ngram_jaccard_flags_near_dup_pair(spark):
     pairs = {(r["da"], r["db"]): r["count"] for r in inter}
     assert pairs[(1, 2)] >= 10  # exact dup shares all shingles
     assert (1, 4) not in pairs
+
+
+def test_lsh_candidates_superset_exact_jaccard_pairs(spark):
+    """q37's LSH candidates must contain every exact >=0.5-Jaccard pair that
+    q36 finds on the real corpus — the recall contract that lets q73 source
+    its dup-graph edges from LSH instead of the quadratic shingle self-join.
+    At 32 hashes / 16 bands of 2, a pair at Jaccard s is missed with prob
+    (1-s^2)^16 — ~1e-12 at the s>=0.89 this corpus's dups sit at."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q36_ngram_jaccard_pairs"](spark, SF_SMOKE).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q37_minhash_lsh_pairs"](spark, SF_SMOKE).collect()
+    }
+    assert exact, "fixture corpus lost its near-dup pairs"
+    assert exact <= cand, f"LSH missed exact pairs: {sorted(exact - cand)[:5]}"
