@@ -92,10 +92,21 @@ def minhash_lsh_candidates(
     steeper 4-rows-per-band curve trades recall at the 0.5 threshold for
     fewer false candidates; tune per corpus.
     """
-    rows_per_band = num_hashes // bands
-    sh = docs_tokens.select(
+    sh = shingle_sets(docs_tokens, shingle_n)
+    return _lsh_candidates_from_shingles(sh, num_hashes, bands)
+
+
+def shingle_sets(docs_tokens: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, ts: array<string>) -> distinct (doc_id, shingle) rows."""
+    return docs_tokens.select(
         "doc_id", F.explode(word_shingles(F.col("ts"), shingle_n)).alias("shingle")
     ).distinct()
+
+
+def _lsh_candidates_from_shingles(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    rows_per_band = num_hashes // bands
     sigs = minhash_signature(sh, num_hashes)
     band_structs = [
         F.struct(
@@ -119,6 +130,52 @@ def minhash_lsh_candidates(
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def lsh_verified_jaccard_pairs(
+    docs_tokens: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact >=threshold Jaccard pairs, found the 100 TB way: LSH band
+    candidates first, exact Jaccard computed ONLY on candidates.
+
+    The quadratic alternative (shingle inverted-index self-join, q36) blows
+    up on hot shingles; here the only self-join is on (band, signature)
+    buckets, and the exact verification joins each candidate pair against
+    its two shingle sets — linear in candidates x shingles-per-doc. Returns
+    (doc_a, doc_b, jaccard) with jaccard rounded to 4, the same contract as
+    the exact operator, minus any true pair whose 16 bands all miss
+    (probability (1-s^2)^16, ~1e-12 at the s>=0.89 real dups sit at).
+    """
+    # the (doc, shingle) relation feeds three consumers (signature build +
+    # both sides of the verify join); localCheckpoint materializes the
+    # explode+distinct once instead of re-running its shuffle three times
+    sh = shingle_sets(docs_tokens, shingle_n).localCheckpoint()
+    cand = _lsh_candidates_from_shingles(sh, num_hashes, bands).select("doc_a", "doc_b")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # no broadcast hint on sizes: it is one row per DOCUMENT (fact-sized at
+    # 100 TB); the small side here is the candidate-pair relation, which AQE
+    # picks as the build side at runtime
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -30,7 +30,7 @@ from ..functions.agg import exact_sum
 from ..functions.text import EMAIL_RE, PHONE_RE, redact_pii, token_count, tokens, word_shingles
 from ..operators.graph import connected_components
 from .base import _t, query
-from .extensions import _SHINGLES_SQL, q36 as _jaccard_pairs
+from .extensions import _SHINGLES_SQL
 
 # toy multiplicative hash (Knuth 2654435761), mod-reduced first so the
 # product stays far inside int64 under Spark 4's ANSI overflow checking
@@ -119,13 +119,24 @@ def q72(spark, sf):
     tags=("training", "dedup", "graph", "iterative"),
 )
 def q73(spark, sf):
-    """Near-duplicate *groups*: connected components over the q36 Jaccard
+    """Near-duplicate *groups*: connected components over the >=0.5-Jaccard
     pair graph (iterative min-label propagation, operators/graph.py), so a
     dedup pass can keep exactly one representative per group even when
     A~B and B~C but A!~C. The DuckDB oracle walks the same edges with a
     recursive CTE — an independent algorithm converging on the same
-    fixpoint."""
-    pairs = _jaccard_pairs(spark, sf).select("doc_a", "doc_b")
+    fixpoint.
+
+    r2: edges come from LSH candidates + exact-Jaccard verification on
+    candidates only (operators/dedup.lsh_verified_jaccard_pairs) — the
+    100 TB-safe composition. The oracle still derives edges from the
+    exhaustive quadratic join, so a green row additionally certifies the
+    LSH stage captured every >=threshold pair on this corpus (the superset
+    property tests/test_dedup_similarity.py pins on the fixture)."""
+    from ..operators.dedup import lsh_verified_jaccard_pairs
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    pairs = lsh_verified_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     comps = connected_components(pairs, "doc_a", "doc_b")
     return (
         comps.groupBy(F.col("comp").alias("component_id"))

@@ -106,3 +106,39 @@ def test_quality_family_plan_shapes(spark):
     plan91 = _plan(spark, "q91_top_user_by_type")
     assert "BroadcastHashJoin" in plan91
     assert "SortMergeJoin" not in plan91
+
+
+def test_dup_components_edges_avoid_quadratic_shingle_join(spark):
+    """q73's edge source must be LSH band-bucketed (r2 rewire): no join
+    keyed on the bare shingle column — that's the quadratic inverted-index
+    self-join that blows up on hot shingles at 100 TB. The only
+    shingle-keyed join allowed is the candidate VERIFY join, which is
+    additionally keyed by doc id. (q73's own returned plan is truncated by
+    the connected-components localCheckpoints, so we pin the edge-source
+    DataFrame q73 builds internally.)"""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import tokens
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        lsh_verified_jaccard_pairs,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    df = lsh_verified_jaccard_pairs(docs, threshold=0.5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    key_lines = [
+        ln for ln in plan.splitlines() if ln.lstrip().startswith(("Left keys", "Right keys"))
+    ]
+    assert key_lines, "expected join key details in formatted plan"
+    for ln in key_lines:
+        if "shingle" in ln:
+            assert "doc_" in ln, f"bare-shingle quadratic join in q73 edge plan: {ln}"
+    # and the minhash stage is actually present (md5-derived hash family)
+    assert "md5" in plan
