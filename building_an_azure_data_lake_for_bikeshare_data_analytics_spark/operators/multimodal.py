@@ -38,20 +38,72 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
-    """STUB decoder. A real deployment implements image/audio decode here
-    (e.g. PIL.Image.open(io.BytesIO(blob))); this container ships no codecs,
-    so we emit deterministic byte-level features instead."""
-    try:  # pragma: no cover - codec not present in this environment
-        import PIL  # noqa: F401
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-        raise NotImplementedError(
-            "real decode path not wired: plug codec into multimodal._decode_one"
-        )
-    except ImportError:
-        pass
+
+def _decode_png(blob: bytes) -> tuple[int, int, int, str] | None:
+    """Real PNG decode with the stdlib only: IHDR header parse + zlib
+    inflate of the IDAT stream. Features come from the DECODED pixel bytes
+    (scanline-filtered, but real image data), not the container bytes."""
+    import struct
+    import zlib
+
+    if not blob.startswith(_PNG_MAGIC):
+        return None
+    try:
+        pos, idat = len(_PNG_MAGIC), []
+        width = height = None
+        while pos + 8 <= len(blob):
+            (length,), ctype = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
+            chunk = blob[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                width, height = struct.unpack(">II", chunk[:8])
+            elif ctype == b"IDAT":
+                idat.append(chunk)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if width is None or not idat:
+            return None
+        pixels = zlib.decompress(b"".join(idat))
+        return len(pixels), pixels[0], sum(pixels) % 997, f"png:{width}x{height}"
+    except Exception:
+        return None  # corrupt container -> byte-level fallback below
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, int, str] | None:
+    """Real WAV decode via the stdlib ``wave`` module: features from the
+    decoded PCM frames."""
+    import io
+    import wave
+
+    if not blob.startswith(b"RIFF") or blob[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(blob)) as w:
+            frames = w.readframes(w.getnframes())
+            rate = w.getframerate()
+        if not frames:
+            return None
+        return len(frames), frames[0], sum(frames) % 997, f"wav:{rate}hz"
+    except Exception:
+        return None
+
+
+def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
+    """Decode a binary payload into (byte_len, first_byte, checksum, status).
+
+    PNG and WAV payloads are REALLY decoded (stdlib struct/zlib/wave — no
+    third-party codecs in this container): features come from decompressed
+    pixel / PCM bytes and the status carries decoded metadata
+    (``png:WxH`` / ``wav:RATEhz``). Any other payload falls back to
+    deterministic byte-level features with status ``stub`` — the seam where
+    a production deployment plugs PIL / pyav for JPEG/MP4 and friends."""
     if not blob:
         return 0, -1, 0, "empty"
+    decoded = _decode_png(blob) or _decode_wav(blob)
+    if decoded is not None:
+        return decoded
     checksum = sum(blob) % 997
     return len(blob), blob[0], checksum, "stub"
 

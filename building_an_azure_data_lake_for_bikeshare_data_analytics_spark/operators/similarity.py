@@ -110,6 +110,11 @@ def lsh_topk(
     )
 
 
+#: hard cap on the collected query matrix (rows). 100k x 64-d doubles is
+#: ~50 MB broadcast — the sensible ceiling for a driver-side matrix.
+_MAX_DRIVER_QUERIES = 100_000
+
+
 def brute_force_topk_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact cosine top-k with a BLAS matmul kernel (Arrow-batched
     mapInPandas) — the measured-fast path for dense linear algebra.
@@ -133,7 +138,17 @@ def brute_force_topk_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 
     """
     import numpy as np
 
-    q_rows = queries.select("query_id", "qe").collect()
+    # the query matrix is the ONLY thing collected to the driver; fail
+    # loudly if someone points a fact-sized table at it (a 10M-row "query
+    # set" would OOM the driver long before the limit+1 rows do)
+    probe = queries.select("query_id", "qe").limit(_MAX_DRIVER_QUERIES + 1).collect()
+    if len(probe) > _MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"brute_force_topk_vectorized: query set exceeds {_MAX_DRIVER_QUERIES} rows; "
+            "it must fit on the driver (broadcast side). Shard the query table "
+            "or use lsh_topk/ivf_topk for fact-sized query sets."
+        )
+    q_rows = probe
     if not q_rows:
         return brute_force_topk(corpus, queries, k)
     Q = np.array([list(r["qe"]) for r in q_rows], dtype=np.float64)

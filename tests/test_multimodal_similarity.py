@@ -156,3 +156,74 @@ def test_kmeans_fit_deterministic_across_partitionings(spark):
     c1 = kmeans_fit(emb, k=3, max_iter=4)
     c2 = kmeans_fit(emb.repartition(13), k=3, max_iter=4)
     assert c1 == c2
+
+
+def test_vectorized_topk_rejects_oversized_query_set(spark, monkeypatch):
+    """The collected query matrix is capped — a fact-sized query table must
+    raise instead of OOMing the driver."""
+    import pytest
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators import similarity as S
+
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=1) for _ in range(4)]).alias("embedding"),
+    )
+    qs = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    monkeypatch.setattr(S, "_MAX_DRIVER_QUERIES", 10)
+    with pytest.raises(ValueError, match="query set exceeds"):
+        S.brute_force_topk_vectorized(emb, qs, k=3)
+
+
+def test_multimodal_real_codec_decode_end_to_end(spark):
+    """PNG and WAV payloads must be REALLY decoded (stdlib codecs) through
+    the Spark mapInPandas path; other payloads keep the byte-level stub."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    # hand-rolled 2x2 grayscale PNG (bit depth 8): 2 scanlines, filter byte 0
+    pixels = b"\x00\x10\x20\x00\x30\x40"
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(pixels))
+        + chunk(b"IEND", b"")
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 3, -7, 100, 0))
+    wav = buf.getvalue()
+
+    rows = [(1, png), (2, wav), (3, b"plain text payload")]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in extract_features(df).collect()}
+
+    assert got[1]["decode_status"] == "png:2x2"
+    assert got[1]["byte_len"] == len(pixels)          # decoded, not container
+    assert got[1]["checksum"] == sum(pixels) % 997
+    assert got[2]["decode_status"] == "wav:8000hz"
+    assert got[2]["byte_len"] == 8                    # 4 frames x 2 bytes
+    assert got[3]["decode_status"] == "stub"
+    assert got[3]["byte_len"] == len(b"plain text payload")
+
+
+def test_q41_text_corpus_features_unchanged_by_codecs(spark):
+    """The documents corpus is text/plain — wiring real codecs must not
+    perturb q41's gate output (every row stays on the stub path)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
+
+    out = QUERIES["q41_multimodal_features"](spark, SF_SMOKE)
+    statuses = {r["decode_status"] for r in out.select("decode_status").distinct().collect()}
+    assert statuses == {"stub"}
