@@ -15,6 +15,14 @@ snapshot dirs), not a Delta reimplementation: no transaction log, no
 concurrent multi-writer protocol. At 100 TB each version directory is a
 normal (optionally partitioned) parquet dataset; the pointer flip is O(1)
 regardless of data size.
+
+When the ``delta-spark`` package is present (``session.delta_available``),
+every entry point routes through REAL Delta instead: ``format('delta')``
+writes with ``overwriteSchema`` (the reference's exact write shape,
+ipynb:L263-264/L982), ``versionAsOf`` time travel, ``DeltaTable.merge``
+upserts. Backend is auto-detected per path (``_delta_log/`` vs the
+``_CURRENT`` pointer), so mixed lakes read correctly; the parquet manifest
+remains the fallback in codec-less environments like this container.
 """
 
 from __future__ import annotations
@@ -23,8 +31,38 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import delta_available
+
 _POINTER = "_CURRENT"
 _PREFIX = "_v"
+
+
+def _is_delta_path(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "_delta_log"))
+
+
+def resolve_backend(path: str, backend: str = "auto") -> str:
+    """'delta' | 'parquet'. Auto: whatever the path already is; for new
+    tables, delta when the package is importable."""
+    if backend != "auto":
+        if backend == "delta" and not delta_available():
+            raise RuntimeError("backend='delta' requested but delta-spark is not installed")
+        return backend
+    if _is_delta_path(path):
+        return "delta"
+    if os.path.exists(os.path.join(path, _POINTER)):
+        return "parquet"
+    return "delta" if delta_available() else "parquet"
+
+
+def _delta_log_versions(path: str) -> list[int]:
+    log = os.path.join(path, "_delta_log")
+    out = []
+    for name in os.listdir(log):
+        stem, dot, ext = name.partition(".")
+        if ext == "json" and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
 
 
 def _versions(path: str) -> list[int]:
@@ -38,6 +76,9 @@ def _versions(path: str) -> list[int]:
 
 
 def current_version(path: str) -> int | None:
+    if _is_delta_path(path):
+        vs = _delta_log_versions(path)
+        return vs[-1] if vs else None
     ptr = os.path.join(path, _POINTER)
     if not os.path.exists(ptr):
         return None
@@ -46,13 +87,21 @@ def current_version(path: str) -> int | None:
 
 
 def write_version(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame, path: str, partition_by: list[str] | None = None, backend: str = "auto"
 ) -> int:
     """Write ``df`` as the next version of the table and flip the pointer.
 
     Safe even when ``df`` reads from the table's current version: the new
     snapshot is fully materialized in its own directory before the pointer
-    moves (write-then-flip, the essence of snapshot isolation)."""
+    moves (write-then-flip, the essence of snapshot isolation). With the
+    delta backend, Delta's own snapshot isolation provides the same
+    guarantee natively."""
+    if resolve_backend(path, backend) == "delta":
+        w = df.write.format("delta").mode("overwrite").option("overwriteSchema", "true")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+        return current_version(path) or 0
     os.makedirs(path, exist_ok=True)
     version = (current_version(path) or 0) + 1
     vdir = os.path.join(path, f"{_PREFIX}{version}")
@@ -76,6 +125,10 @@ def read_current(spark: SparkSession, path: str) -> DataFrame:
 
 def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     """Time travel: read a specific retained snapshot."""
+    if _is_delta_path(path):
+        return (
+            spark.read.format("delta").option("versionAsOf", version).load(path)
+        )
     vdir = os.path.join(path, f"{_PREFIX}{version}")
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"version {version} not found (or vacuumed) at {path}")
@@ -122,6 +175,21 @@ def merge_upsert(
             f"merge_upsert: updates contain duplicate key {tuple(dup[0][k] for k in keys)!r}; "
             "MERGE requires key-unique updates (dedupe before calling)"
         )
+    if resolve_backend(path, "auto") == "delta" and _is_delta_path(path):
+        from delta.tables import DeltaTable
+
+        if allow_new_columns:
+            spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
+        cond = " AND ".join(f"t.`{k}` <=> u.`{k}`" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(updates.alias("u"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return current_version(path) or 0
     key_set = F.broadcast(updates.select(*keys).distinct())
     untouched = current.join(key_set, on=keys, how="left_anti")
     if allow_new_columns:
@@ -133,8 +201,24 @@ def merge_upsert(
 
 def vacuum(path: str, keep: int = 2) -> list[int]:
     """Drop all but the newest ``keep`` versions (never the current one).
-    Returns the removed version numbers."""
+    Returns the removed version numbers.
+
+    Delta backend: delegates to ``DeltaTable.vacuum`` (Delta retains by
+    TIME, not version count — files unreferenced by the current snapshot
+    are removed; returns [] since Delta doesn't report version numbers)."""
     import shutil
+
+    if _is_delta_path(path):
+        from pyspark.sql import SparkSession as _S
+
+        from delta.tables import DeltaTable
+
+        spark = _S.getActiveSession()
+        if spark is None:
+            raise RuntimeError("vacuum on a delta path needs an active SparkSession")
+        spark.conf.set("spark.databricks.delta.retentionDurationCheck.enabled", "false")
+        DeltaTable.forPath(spark, path).vacuum(0.0)
+        return []
 
     cur = current_version(path)
     vs = _versions(path)

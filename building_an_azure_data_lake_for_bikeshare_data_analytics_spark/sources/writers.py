@@ -25,12 +25,19 @@ from pyspark.sql import DataFrame, SparkSession
 def overwrite_table(
     df: DataFrame,
     name: str,
-    fmt: str = "parquet",
+    fmt: str = "auto",
     partition_by: list[str] | None = None,
 ) -> None:
     """Managed-table overwrite: the engine equivalent of the reference's
     ``df.write.format('delta').mode('overwrite')
-    .option('overwriteSchema', True).saveAsTable(name)`` (S2/S3)."""
+    .option('overwriteSchema', True).saveAsTable(name)`` (S2/S3).
+
+    ``fmt='auto'`` writes REAL Delta when delta-spark is installed
+    (reference parity), parquet otherwise."""
+    if fmt == "auto":
+        from ..session import delta_available
+
+        fmt = "delta" if delta_available() else "parquet"
     w = df.write.format(fmt).mode("overwrite")
     if fmt == "delta":
         w = w.option("overwriteSchema", "true")

@@ -5,32 +5,45 @@ import pytest
 
 from pyspark.sql import Row
 
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import delta_available
 from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources import versioned as V
 
+#: both store backends; the delta cases run for real wherever delta-spark
+#: is installed and skip cleanly in this codec-less container
+BACKENDS = [
+    "parquet",
+    pytest.param(
+        "delta",
+        marks=pytest.mark.skipif(not delta_available(), reason="delta-spark not installed"),
+    ),
+]
 
-def test_write_read_roundtrip_and_versions(spark, tmp_path):
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_write_read_roundtrip_and_versions(spark, tmp_path, backend):
     p = str(tmp_path / "t")
     assert V.current_version(p) is None
-    v1 = V.write_version(spark.createDataFrame([Row(a=1)]), p)
-    v2 = V.write_version(spark.createDataFrame([Row(a=2)]), p)
-    assert (v1, v2) == (1, 2)
-    assert V.current_version(p) == 2
+    v1 = V.write_version(spark.createDataFrame([Row(a=1)]), p, backend=backend)
+    v2 = V.write_version(spark.createDataFrame([Row(a=2)]), p, backend=backend)
+    assert v2 == v1 + 1  # delta numbers from 0, the manifest store from 1
+    assert V.current_version(p) == v2
     assert V.read_current(spark, p).first()["a"] == 2
-    assert V.read_version(spark, p, 1).first()["a"] == 1  # time travel
+    assert V.read_version(spark, p, v1).first()["a"] == 1  # time travel
 
 
-def test_self_overwrite_reads_stable_snapshot(spark, tmp_path):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_self_overwrite_reads_stable_snapshot(spark, tmp_path, backend):
     """The reference's read-X-overwrite-X pattern (ipynb:L1074->L1098) —
-    must work without Delta: the derivation reads v1 while v2 writes."""
+    must work on both backends: the derivation reads v1 while v2 writes."""
     p = str(tmp_path / "t")
-    V.write_version(spark.createDataFrame([Row(a=i) for i in range(100)]), p)
+    v1 = V.write_version(spark.createDataFrame([Row(a=i) for i in range(100)]), p, backend=backend)
     cur = V.read_current(spark, p)
     derived = cur.selectExpr("a", "a * 10 AS b")  # lazily reads v1
-    V.write_version(derived, p)
+    V.write_version(derived, p, backend=backend)
     out = V.read_current(spark, p).orderBy("a").collect()
     assert len(out) == 100 and out[3]["b"] == 30
     # v1 untouched and still readable
-    assert "b" not in V.read_version(spark, p, 1).columns
+    assert "b" not in V.read_version(spark, p, v1).columns
 
 
 def test_vacuum_retention(spark, tmp_path):
