@@ -279,58 +279,65 @@ def _argmax_cell(qv: Column, centroids: list[list[int]]) -> Column:
     return (-F.array_max(packed).getField("nj")).cast("int")
 
 
+#: the quantizer trains on a bounded deterministic sample (the lowest-id
+#: rows): 100k x 64-d int64 is ~50 MB on the driver — the standard IVF
+#: practice (faiss trains on a sample too), and what keeps the fit a single
+#: collect instead of max_iter distributed jobs.
+KMEANS_TRAIN_ROWS = 100_000
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
     max_iter: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_rows: int = KMEANS_TRAIN_ROWS,
 ) -> list[list[int]]:
     """Deterministic Lloyd's KMeans over a quantized embedding column — the
     coarse-quantizer trainer for IVF (r1 used corpus labels as cells, which
     are not geometric clusters; recall@5 was 0.205 on the stress corpus).
 
     Deterministic by construction, in a stronger sense than seeded KMeans:
-    init = the k lowest-id vectors, a FIXED iteration count, integer
-    per-cell sums (order-independent — the result cannot depend on
-    partitioning), and centroid updates floor(sum/n) in IEEE double. Every
-    step is reproducible by another engine, which is how q56's DuckDB
-    oracle replays the whole fit. Returns integer centroids (micro-units).
+    the training set is the ``train_rows`` lowest-id vectors (collected
+    once), init = the k lowest-id vectors, a FIXED iteration count, exact
+    int64 dots/sums (order-independent — the result cannot depend on
+    partitioning), centroid updates floor(sum/n) and scores dot/sqrt(|c|²)
+    in IEEE double. Every step is bit-reproducible by another engine, which
+    is how q56's DuckDB oracle replays the whole fit; the in-driver numpy
+    loop computes the identical integers. Returns integer centroids
+    (micro-units).
 
-    Scale shape per iteration: one map-only pass computes each row's
-    nearest centroid from broadcast literals (no join), one partial+final
-    aggregation sums per-cell coordinates (k*dim longs cross the wire), so
-    100 TB costs max_iter scans and nothing quadratic. Driver state is
-    k x dim ints per round — never data."""
-    import math
+    Scale posture: the SAMPLE trains the quantizer (bounded driver memory,
+    one job); assigning the full 100 TB corpus to cells stays distributed
+    and map-only (ivf_topk embeds the centroids as literals)."""
+    import numpy as np
 
-    first = emb.select(vec_col).first()
-    dim = len(first[0])
-    init = emb.orderBy(id_col).limit(k).select(F.col(vec_col).alias("v")).collect()
-    if len(init) < k:
+    pdf = (
+        emb.orderBy(id_col)
+        .limit(train_rows)
+        .select(quantize_vec(F.col(vec_col)).alias("qv"))
+        .toPandas()
+    )
+    if len(pdf) < k:
         raise ValueError(f"kmeans_fit: corpus has fewer than k={k} rows")
-    cents = [
-        [math.floor(float(x) * QUANT_SCALE) for x in r["v"]] for r in init
-    ]
-    pts = emb.select(quantize_vec(F.col(vec_col)).alias("qv")).localCheckpoint()
+    X = np.array(pdf["qv"].tolist(), dtype=np.int64)  # (n, dim), exact
+    cents = X[:k].copy()  # init: the k lowest-id vectors (input is id-sorted)
     for _ in range(max_iter):
-        assigned = pts.select("qv", _argmax_cell(F.col("qv"), cents).alias("cell"))
-        rows = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
-            )
-            .collect()
-        )
-        new = [list(c) for c in cents]
-        for r in rows:
-            n = r["n"]
-            new[r["cell"]] = [math.floor(r[f"s{i}"] / n) for i in range(dim)]
-        if new == cents:
+        nsq = (cents * cents).sum(axis=1)  # exact int64
+        scores = (X @ cents.T).astype(np.float64) / np.sqrt(nsq.astype(np.float64))[None, :]
+        assign = scores.argmax(axis=1)  # first max = lowest cell on ties
+        new = cents.copy()
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                new[c] = np.floor(
+                    members.sum(axis=0, dtype=np.int64) / len(members)
+                ).astype(np.int64)
+        if np.array_equal(new, cents):
             break
         cents = new
-    return cents
+    return [[int(x) for x in row] for row in cents]
 
 
 def ivf_topk(

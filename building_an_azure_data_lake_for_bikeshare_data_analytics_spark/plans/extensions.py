@@ -426,13 +426,16 @@ def q54(spark, sf):
     return d.join(keep, "doc_id").select("doc_id", "lang", "source", "n_chars")
 
 
-def _ivf_oracle(k: int = 8, iters: int = 8, nprobe: int = 3, dim: int = 64) -> str:
+def _ivf_oracle(
+    k: int = 8, iters: int = 8, nprobe: int = 3, dim: int = 64, train_rows: int = 100_000
+) -> str:
     """DuckDB oracle for q56: replays the ENTIRE IVF computation — integer
-    quantization, k-lowest-id init, every Lloyd iteration, final cell
-    assignment, nprobe probe, exact re-rank. Possible because the engine's
-    KMeans is quantized to exact int64 arithmetic (order-independent sums;
-    floor(sum/n) centroid updates in IEEE double), so 'learned cells' are
-    as deterministic as q40's literal hyperplanes."""
+    quantization, the bounded lowest-id training sample, k-lowest-id init,
+    every Lloyd iteration, final cell assignment, nprobe probe, exact
+    re-rank. Possible because the engine's KMeans is quantized to exact
+    int64 arithmetic (order-independent sums; floor(sum/n) centroid updates
+    and dot/sqrt scores in IEEE double), so 'learned cells' are as
+    deterministic as q40's literal hyperplanes."""
     d1 = dim + 1
     score = (
         "CAST(list_sum(list_transform(range(1, {d1}), j -> p.qv[j] * c.c[j])) AS DOUBLE)"
@@ -447,7 +450,7 @@ def _ivf_oracle(k: int = 8, iters: int = 8, nprobe: int = 3, dim: int = 64) -> s
             SELECT p.vec_id, p.qv, c.cell,
                    row_number() OVER (PARTITION BY p.vec_id
                                       ORDER BY {score} DESC, c.cell) AS rn
-            FROM pts p CROSS JOIN {prev} c)
+            FROM ptr p CROSS JOIN {prev} c)
           WHERE rn = 1),
         c{i} AS MATERIALIZED (
           SELECT cell,
@@ -464,9 +467,11 @@ def _ivf_oracle(k: int = 8, iters: int = 8, nprobe: int = 3, dim: int = 64) -> s
              list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
       FROM embeddings),
+    ptr AS MATERIALIZED (
+      SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT {train_rows}),
     c0 AS (
       SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, qv AS c
-      FROM pts ORDER BY vec_id LIMIT {k}),
+      FROM ptr ORDER BY vec_id LIMIT {k}),
     {','.join(blocks)},
     asn AS MATERIALIZED (
       SELECT vec_id, cell FROM (
