@@ -232,6 +232,37 @@ def q37(spark, sf):
     return minhash_lsh_candidates(docs, num_hashes=32, bands=16)
 
 
+@query(
+    "q98_lsh_verified_pairs",
+    # the EXHAUSTIVE exact-Jaccard oracle (same SQL as q36): value equality
+    # certifies the LSH candidate stage lost no >=threshold pair
+    f"""WITH {_SHINGLES_SQL},
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter / (sa.n + sb.n - inter) >= 0.5""",
+    tags=("dedup", "minhash", "lsh", "jaccard"),
+)
+def q98(spark, sf):
+    """The 100 TB near-dup pipeline as ONE operator: MinHash/LSH candidate
+    generation + exact-Jaccard verification restricted to candidates
+    (operators/dedup.lsh_verified_jaccard_pairs — also q73's edge source).
+    Oracled against the EXHAUSTIVE quadratic formulation: a green row means
+    the banded path returned exactly the >=0.5 pairs while never joining on
+    a bare shingle key."""
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    from ..operators.dedup import lsh_verified_jaccard_pairs
+
+    return lsh_verified_jaccard_pairs(docs, threshold=0.5)
+
+
 @query("q38_simhash", None, tags=("dedup", "simhash", "rows-only", "pandas-udf"))
 def q38(spark, sf):
     """64-bit SimHash per document via an Arrow-batched pandas UDF
@@ -367,6 +398,38 @@ def q41(spark, sf):
     in SQL (valid because the synthetic corpus is ASCII)."""
     docs = _t(spark, sf, "documents")
     return extract_features(attach_binary(docs))
+
+
+@query(
+    "q99_frame_sample",
+    """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents),
+        p AS (SELECT doc_id, text, L, greatest(L // 4, 1) AS step FROM b WHERE L > 0),
+        f AS (SELECT doc_id, CAST(unnest(range(0, least(4, L))) AS INTEGER) AS frame_idx,
+                     step, L, text
+              FROM p)
+       SELECT doc_id, frame_idx,
+              CAST(least(step, L - frame_idx * step) AS INTEGER) AS frame_len,
+              CAST(ascii(substr(text, CAST(frame_idx * step + 1 AS INTEGER), 1)) AS INTEGER)
+                  AS first_char
+       FROM f""",
+    tags=("multimodal", "mapInPandas", "fanout"),
+)
+def q99(spark, sf):
+    """Video-style frame sampling over binary payloads: one payload row ->
+    n_frames rows (the row-multiplying mapInPandas fan-out shape real frame
+    extraction has), projected to comparable features (frame length, first
+    byte). The oracle replays the slicing arithmetic on the same bytes in
+    SQL — valid because the synthetic corpus is ASCII."""
+    from ..operators.multimodal import attach_binary, sample_frames
+
+    docs = _t(spark, sf, "documents")
+    frames = sample_frames(attach_binary(docs), n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_blob").alias("frame_len"),
+        F.ascii(F.col("frame_blob").cast("string")).alias("first_char"),
+    )
 
 
 @query("q53_simhash_near_pairs", None, tags=("dedup", "simhash", "rows-only", "hamming"))
