@@ -225,3 +225,51 @@ def test_session_windows_match_batch(spark, events_dir):
     for k, n in got.items():
         assert want.get(k) == n, k
     assert len(got) >= 0.8 * len(want)
+
+
+def test_incremental_merge_stream_upserts_per_batch(spark, tmp_path):
+    """foreachBatch -> versioned-store MERGE: batches land incrementally,
+    later batches overwrite earlier rows per key (last-write-wins), and the
+    store keeps one version per non-initial batch."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources import (
+        versioned as V,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        incremental_merge_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "a", 1.0, "{}"),
+            (2, "2024-01-01 00:01:00", 11, "a", 2.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    upd = spark.createDataFrame(
+        [
+            (2, "2024-01-01 00:05:00", 11, "b", 20.0, "{}"),  # update key 2
+            (2, "2024-01-01 00:03:00", 11, "stale", 5.0, "{}"),  # loses in-batch LWW
+            (3, "2024-01-01 00:06:00", 12, "c", 3.0, "{}"),  # insert key 3
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    base.coalesce(1).write.parquet(str(src / "f1"))
+    upd.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    store = str(tmp_path / "store")
+    n = incremental_merge_stream(
+        stream, store, key="event_id", seq_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert n == 2  # two micro-batches (one file each)
+    got = {r["event_id"]: (r["event_type"], r["value"]) for r in V.read_current(spark, store).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b", 20.0), 3: ("c", 3.0)}
+    assert V.current_version(store) == 2  # initial write + one merge
