@@ -10,10 +10,12 @@ Algorithm: minimum-label propagation — every node starts labeled with its
 own id; each round every node takes the min label among itself and its
 neighbors; converges when no label changes. Rounds = graph diameter, which
 for near-dup clusters (dense, star-ish blobs around a popular document) is
-tiny. For adversarial high-diameter graphs at 100 TB scale, swap in the
-alternating large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14), which converges in
-O(log n) rounds with the same join/groupBy building blocks.
+tiny. For adversarial high-diameter graphs at 100 TB scale,
+``connected_components_star`` below implements the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14), which converges in O(log n) rounds with
+the same join/groupBy building blocks (property-tested to produce the
+identical labeling).
 
 Scale posture: each round is one shuffle-join (edges ⋈ labels on node id)
 plus one hash aggregation — both keyed on node id, so AQE reuses the
@@ -63,3 +65,74 @@ def connected_components(
             break
         prev_total = total
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round alternative to min-label propagation for HIGH-DIAMETER
+    graphs, where propagation needs diameter rounds.
+
+    Each round is two groupBy-join passes over the current edge set:
+
+    * **large-star**: every node u links its larger neighbors directly to
+      its minimum neighborhood label m(u) = min(N(u) + {u}) — halves tree
+      heights without breaking connectivity;
+    * **small-star**: links u's smaller-or-equal neighbors to m(u) —
+      flattens the remaining short trees into stars.
+
+    Converges when the edge multiset stops changing (tracked by a cheap
+    (count, sum(a), sum(b)) signature — exact equality of the fixpoint is
+    what the property tests assert against min-label propagation). Returns
+    ``(id long, comp long)`` with comp = the component's minimum node id,
+    identical to ``connected_components``.
+
+    Same building blocks (shuffle joins + hash aggregations keyed on node
+    id), same ``localCheckpoint`` lineage control; choose this variant when
+    the dup-graph has long chains (e.g. transitive near-dup paths across a
+    crawl) rather than the star-ish blobs LSH dedup usually produces.
+    """
+    e0 = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    nodes = e0.select(F.col("a").alias("id")).union(e0.select("b")).distinct().localCheckpoint()
+    e = e0.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+
+    def _round(cur: DataFrame, keep_larger: bool) -> DataFrame:
+        # operate on Γ(u) ∪ {u}: the node itself participates (small-star
+        # must emit (u, m(u)) or star components lose their only edges)
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        joined = sym.join(mins, "a")
+        cond = F.col("b") > F.col("a") if keep_larger else F.col("b") <= F.col("a")
+        out = joined.where(cond & (F.col("b") != F.col("m"))).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        if not keep_larger:  # small-star: u itself links to its min label
+            out = out.union(
+                mins.where(F.col("a") != F.col("m")).select("a", F.col("m").alias("b"))
+            )
+        return out.distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _round(e, keep_larger=True).localCheckpoint()   # large-star
+        e = _round(e, keep_larger=False).localCheckpoint()  # small-star
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("a").alias("sa"), F.sum("b").alias("sb")
+        ).first()
+        sig = (sig["n"], sig["sa"], sig["sb"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at the fixpoint every edge points node -> component root (min id)
+    comp = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy("a")
+        .agg(F.min("b").alias("nb"))
+        .select(F.col("a").alias("id"), F.least(F.col("nb"), F.col("a")).alias("comp"))
+    )
+    return (
+        nodes.join(comp, "id", "left")
+        .select("id", F.coalesce("comp", "id").alias("comp"))
+    )

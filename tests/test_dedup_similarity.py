@@ -108,3 +108,27 @@ def test_lsh_candidates_superset_exact_jaccard_pairs(spark):
     }
     assert exact, "fixture corpus lost its near-dup pairs"
     assert exact <= cand, f"LSH missed exact pairs: {sorted(exact - cand)[:5]}"
+
+
+def test_simhash_chunk_blocking_captures_all_small_hamming_pairs(spark):
+    """q53's pigeonhole contract, certified against exhaustive ground truth:
+    any pair within Hamming 3 of the full 64-bit signature cannot differ in
+    every 16-bit chunk, so chunk-equality blocking MUST surface it. (Pairs
+    at Hamming 4..12 are best-effort — that's the documented trade.)"""
+    import numpy as np
+
+    rows = QUERIES["q38_simhash"](spark, SF_SMOKE).collect()
+    sigs = np.array([r["simhash"] for r in rows], dtype=np.uint64)
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    # exhaustive Hamming over the full corpus, driver-side numpy
+    x = sigs[:, None] ^ sigs[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    for shift in range(64):
+        ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int64)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    tight = {(int(min(a, b)), int(max(a, b)))
+             for a, b in zip(ids[iu[ham[iu, ju] <= 3]], ids[ju[ham[iu, ju] <= 3]])}
+    got = {(r["doc_a"], r["doc_b"])
+           for r in QUERIES["q53_simhash_near_pairs"](spark, SF_SMOKE).collect()}
+    assert tight, "fixture corpus has no tight near-dup signatures"
+    assert tight <= got, f"blocking missed guaranteed pairs: {sorted(tight - got)[:5]}"

@@ -139,3 +139,27 @@ def test_connected_components_matches_union_find(spark):
     for r in got_rows:
         got.setdefault(r["comp"], set()).add(r["id"])
     assert got == want
+
+
+def test_star_components_match_min_label_propagation(spark):
+    """large-star/small-star (Kiveris) must produce the identical
+    (id -> min-id component) labeling as min-label propagation, on shapes
+    that stress both: random graphs, a long chain (high diameter — the
+    regime star exists for), and disjoint islands."""
+    import random
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    cases = []
+    rng = random.Random(11)
+    for n, m in ((30, 25), (40, 60)):
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    cases.append([(i, i + 1) for i in range(80)])          # diameter-80 chain
+    cases.append([(0, 1), (2, 3), (4, 4), (9, 8)])        # islands + self loop
+    for i, pairs in enumerate(cases):
+        edges = spark.createDataFrame(pairs, ["src", "dst"])
+        ml = {r["id"]: r["comp"] for r in connected_components(edges, "src", "dst", max_iter=100).collect()}
+        st = {r["id"]: r["comp"] for r in connected_components_star(edges, "src", "dst").collect()}
+        assert ml == st, f"case {i}: star labeling diverged"
