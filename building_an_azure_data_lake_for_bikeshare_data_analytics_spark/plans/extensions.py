@@ -3,9 +3,12 @@ deduplication, similarity search, multimodal plumbing — over the driver's
 ``documents`` / ``embeddings`` tables.
 
 None of these exist in the reference (SURVEY.md §2.6 "not present"); they are
-the engine's scale-oriented extension surface. Where semantics are expressible
-in ANSI SQL both engines share an oracle; MinHash/SimHash use engine-specific
-hashing and get rows-only checks (the driver records the weaker gate).
+the engine's scale-oriented extension surface. Every hash-based operator
+(MinHash q37, SimHash q38/q53, winnowing q63) uses md5-derived hashes that
+DuckDB reproduces, so even the "approximate" dedup surface carries full
+value oracles; the only rows-only checks left are genuinely
+engine-specific float/sketch paths (BLAS q64/q65 — twin-equality-tested
+against their oracled formulations — and HLL/quantile sketches q46/q81).
 """
 
 from __future__ import annotations
@@ -263,11 +266,59 @@ def q98(spark, sf):
     return lsh_verified_jaccard_pairs(docs, threshold=0.5)
 
 
-@query("q38_simhash", None, tags=("dedup", "simhash", "rows-only", "pandas-udf"))
+def _simhash_ctes() -> str:
+    """Shared WITH-body replaying SimHash bit votes in DuckDB: token set =
+    lowercased whitespace split, token hash = first 8 bytes of md5 (parsed
+    as two 32-bit halves to stay inside BIGINT), signature bit j set iff
+    more than half the distinct tokens have bit j set, bit 63 folded in as
+    two's complement. Ends with ``sigs(doc_id, simhash)`` covering every
+    document."""
+    votes = ",\n                ".join(
+        (
+            f"sum((lo >> {j}) & 1) AS c{j}"
+            if j < 32
+            else f"sum((hi >> {j - 32}) & 1) AS c{j}"
+        )
+        for j in range(64)
+    )
+    low_bits = " + ".join(
+        f"(CASE WHEN 2 * c{j} > n THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(63)
+    )
+    return f"""
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tk
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(tk), 9, 8) AS BIGINT) AS lo
+      FROM tok),
+    v AS (SELECT doc_id, count(*) AS n,
+                {votes}
+          FROM h GROUP BY doc_id),
+    sig0 AS (SELECT doc_id,
+                   {low_bits}
+                   - (CASE WHEN 2 * c63 > n THEN CAST({1 << 62} AS BIGINT) ELSE 0 END)
+                   - (CASE WHEN 2 * c63 > n THEN CAST({1 << 62} AS BIGINT) ELSE 0 END)
+                   AS simhash
+            FROM v),
+    sigs AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id)"""
+
+
+def _simhash_oracle() -> str:
+    """DuckDB oracle for q38 (see ``_simhash_ctes``)."""
+    return f"WITH {_simhash_ctes()}\n    SELECT doc_id, simhash FROM sigs"
+
+
+@query("q38_simhash", _simhash_oracle(), tags=("dedup", "simhash", "pandas-udf"))
 def q38(spark, sf):
     """64-bit SimHash per document via an Arrow-batched pandas UDF
-    (md5-based token hashes; deterministic across runs/engines, but not
-    expressible in DuckDB SQL => rows-only check)."""
+    (md5-based token hashes, deterministic across runs AND engines — the
+    DuckDB oracle replays the bit votes, so even the Python escape hatch is
+    value-checked; r1 had this as a rows-only row)."""
     return _t(spark, sf, "documents").select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
@@ -432,7 +483,27 @@ def q99(spark, sf):
     )
 
 
-@query("q53_simhash_near_pairs", None, tags=("dedup", "simhash", "rows-only", "hamming"))
+def _simhash_pairs_oracle() -> str:
+    """DuckDB oracle for q53: same signatures as q38's oracle, same 4x16-bit
+    chunk-equality blocking, same exact-Hamming verify. (shift+mask on the
+    signed BIGINT extracts identical chunk bits whether the engine shifts
+    arithmetically or logically — the mask keeps only the moved-down bits.)"""
+    return f"""
+    WITH {_simhash_ctes()},
+    ch AS (
+      SELECT doc_id, simhash AS sig, part,
+             CAST((simhash >> (16 * part)) & 65535 AS INTEGER) AS chunk
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(part)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sa, b.sig AS sb
+      FROM ch a JOIN ch b
+        ON a.part = b.part AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 12"""
+
+
+@query("q53_simhash_near_pairs", _simhash_pairs_oracle(), tags=("dedup", "simhash", "hamming"))
 def q53(spark, sf):
     """SimHash near-dup pairs: Hamming distance <= 12 over 64-bit signatures.
 
@@ -440,8 +511,9 @@ def q53(spark, sf):
     chunks; any pair within Hamming 12 of the FULL signature is not
     guaranteed to share a chunk, but pairs within 3 per chunk-region are —
     we use chunk-equality blocking as the candidate generator (standard
-    SimHash table rotation) then verify exact Hamming on candidates.
-    Engine-specific signature bits => rows-only check."""
+    SimHash table rotation) then verify exact Hamming on candidates. The
+    md5-derived signatures are engine-reproducible, so r2 gave this a full
+    value oracle (r1: rows-only)."""
     docs = _t(spark, sf, "documents").select("doc_id", simhash64(F.col("text")).alias("sig"))
     chunks = docs.select(
         "doc_id", "sig",
@@ -617,14 +689,36 @@ def q62(spark, sf):
     )
 
 
-@query("q63_winnow_fingerprints", None, tags=("text", "fingerprint", "rolling-hash", "rows-only"))
+@query(
+    "q63_winnow_fingerprints",
+    r"""WITH d AS (SELECT doc_id,
+                          lower(regexp_replace(text, '\s+', ' ', 'g')) AS s
+                   FROM documents),
+        d2 AS (SELECT doc_id,
+                      list_transform(range(1, length(s) - 8 + 2),
+                          i -> CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 8)
+                               AS BIGINT)) AS hashes
+               FROM d WHERE length(s) >= 8),
+        win AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(hashes) - 4 + 1, 1) + 1),
+                           j -> list_min(list_slice(hashes, j, j + 4 - 1)))) AS fps
+                FROM d2)
+       SELECT doc_id,
+              CAST(len(fps) AS INTEGER) AS n_fingerprints,
+              list_min(fps) AS min_fp,
+              list_max(fps) AS max_fp
+       FROM win""",
+    tags=("text", "fingerprint", "rolling-hash"),
+)
 def q63(spark, sf):
     """Winnowing document fingerprints (Schleimer et al.): hash every k-char
     gram (k=8), slide a window of w=4 and keep each window's minimum hash —
     the standard near-dup/plagiarism sketch whose selected fingerprints are
     stable under insertions. Pure Column expressions: substring k-grams via
-    transform(sequence), crc32 per gram, window-min via another transform.
-    Engine-specific hash => rows-only check."""
+    transform(sequence), an md5-derived 32-bit gram hash (cross-engine —
+    r1 used crc32, which DuckDB lacks; this made the op oracle-checkable),
+    window-min via another transform."""
     k, w = 8, 4
     d = _t(spark, sf, "documents").select(
         "doc_id", F.lower(F.regexp_replace("text", r"\s+", " ")).alias("s")
@@ -633,7 +727,7 @@ def q63(spark, sf):
         "hashes",
         F.expr(
             f"transform(sequence(1, length(s) - {k} + 1), "
-            f"i -> crc32(CAST(substr(s, CAST(i AS INT), {k}) AS BINARY)))"
+            f"i -> CAST(conv(substr(md5(substr(s, CAST(i AS INT), {k})), 1, 8), 16, 10) AS BIGINT))"
         ),
     )
     winnowed = d2.withColumn(
