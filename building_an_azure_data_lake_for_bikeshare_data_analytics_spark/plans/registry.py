@@ -18,14 +18,15 @@ from . import quality  # noqa: F401  (registers q85-q97)
 # CORRECTNESS_r01 row (q42-q52, q57-q61, q67-q97), plus the queries whose
 # implementation changed this round (q23 decimal canonicalization, q37
 # oracle-able MinHash, q56 KMeans-cell IVF, q73 LSH-sourced components) and
-# q36 (q73's exact-Jaccard semantics twin). Queries already green in r01 and
-# unchanged since follow after the prefix.
+# q98 (the LSH-verified pair pipeline, oracled against q36's exhaustive
+# SQL — never gated before). Queries already green in r01 and unchanged
+# since follow after the prefix.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     "q23_format_orders",
-    "q36_ngram_jaccard_pairs",
     "q37_minhash_lsh_pairs",
     "q56_ivf_ann",
+    "q98_lsh_verified_pairs",
     "q42_hourly_event_stats",
     "q43_embedding_dup_pairs",
     "q44_top_tokens",
