@@ -389,3 +389,60 @@ def ivf_topk(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def lsh_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    planes: list[list[float]] | None = None,
+    bands: int = 2,
+) -> DataFrame:
+    """Label-free semantic near-dup pairs: hyperplane-LSH bucket blocking,
+    exact cosine verify on candidates — the 100 TB shape for embedding
+    dedup when no cluster/label column exists (q43's label blocking assumes
+    one; real corpora don't ship labels).
+
+    Returns (vec_a, vec_b, cos) with vec_a < vec_b and round(cos,4) >=
+    threshold. Candidates are pairs sharing >= 1 band bucket — equi-joins
+    on (band, bucket) only; near-identical vectors agree on every sign bit,
+    so true dups always collide. Deterministic planes make the whole
+    operator value-checkable cross-engine (q40's trick)."""
+    planes = planes or hyperplanes()
+    cols = lsh_bands(F.col("embedding"), planes, bands)
+    banded = (
+        emb.select("vec_id", "embedding", *cols)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .select("vec_id", "embedding", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .distinct()
+    )
+    cos = F.round(dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))), 4)
+    return (
+        cand.select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -745,6 +745,53 @@ def q63(spark, sf):
     )
 
 
+def _semantic_lsh_oracle(threshold: float = 0.45) -> str:
+    """DuckDB oracle for q100: the same deterministic hyperplanes as q40,
+    same band packing, candidates = pairs sharing a band bucket, exact
+    cosine verify — label-free semantic dedup, value-checked end to end."""
+    plane_rows = ",\n            ".join(
+        f"({j}, [{', '.join(repr(x) for x in p)}])" for j, p in enumerate(_PLANES)
+    )
+    return f"""
+    WITH planes AS (SELECT * FROM (VALUES
+            {plane_rows}) AS t(pid, p)),
+    dots AS (
+      SELECT e.vec_id, e.embedding, p.pid,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * p.p[i])) AS d
+      FROM embeddings e CROSS JOIN planes p),
+    sig AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             CAST(sum(CASE WHEN pid < 4 AND d > 0 THEN power(2, pid) ELSE 0 END) AS INTEGER) AS band0,
+             CAST(sum(CASE WHEN pid >= 4 AND d > 0 THEN power(2, pid - 4) ELSE 0 END) AS INTEGER) AS band1
+      FROM dots GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      a.embedding AS ea, b.embedding AS eb
+      FROM sig a JOIN sig b
+        ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT vec_a, vec_b,
+             round({_DOT.format(a='ea', b='eb')}
+                   / (sqrt({_DOT.format(a='ea', b='ea')})
+                      * sqrt({_DOT.format(a='eb', b='eb')})), 4) AS cos
+      FROM cand)
+    SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {threshold}"""
+
+
+@query("q100_semantic_dup_lsh", _semantic_lsh_oracle(), tags=("dedup", "embedding", "lsh", "semantic"))
+def q100(spark, sf):
+    """Label-free semantic near-dup pairs: hyperplane-LSH bucket blocking +
+    exact cosine verify (operators/similarity.lsh_dup_pairs). q43 does the
+    same job blocked by the corpus label column — a column a real 100 TB
+    corpus doesn't have; this is the deployable variant, and the
+    deterministic planes keep it value-checkable like q40."""
+    from ..operators.similarity import lsh_dup_pairs
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return lsh_dup_pairs(emb, threshold=0.45, planes=_PLANES, bands=2)
+
+
 @query("q64_embedding_topk_vectorized", None, tags=("similarity", "knn", "vectorized", "rows-only"))
 def q64(spark, sf):
     """Exact cosine top-k via the BLAS mapInPandas kernel — same semantics
