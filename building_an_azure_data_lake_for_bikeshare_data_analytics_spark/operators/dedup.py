@@ -156,6 +156,15 @@ def lsh_verified_jaccard_pairs(
     # explode+distinct once instead of re-running its shuffle three times
     sh = shingle_sets(docs_tokens, shingle_n).localCheckpoint()
     cand = _lsh_candidates_from_shingles(sh, num_hashes, bands).select("doc_a", "doc_b")
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate pairs.
+
+    cand: (doc_a, doc_b); sh: distinct (doc_id, shingle). Linear in
+    candidates x shingles-per-doc. Returns (doc_a, doc_b, jaccard >= threshold).
+    """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -177,6 +186,55 @@ def lsh_verified_jaccard_pairs(
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def incremental_near_dedup(
+    docs_tokens: DataFrame,
+    is_new: Column,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the production shape:
+    yesterday's 100 TB corpus is already deduped; today's crawl must only be
+    checked against (a) itself and (b) the existing corpus, never corpus x
+    corpus again.
+
+    docs_tokens: (doc_id, ts) with globally unique ids; ``is_new`` marks the
+    batch rows. Returns the batch docs that survive: no existing-corpus doc
+    within ``threshold`` Jaccard, as (doc_id, n_shingles).
+
+    Scale shape: ONE signature build over the union (the corpus side's
+    signatures would be precomputed/persisted in production — recomputing
+    here keeps the operator self-contained), LSH band join for candidates,
+    cross-side filter BEFORE the exact-Jaccard verify so corpus-internal
+    collisions cost nothing, then an anti-join to drop matched batch docs.
+    Docs too short to shingle (< shingle_n tokens) carry no dedup evidence
+    and are excluded by contract (both engines drop them identically).
+    """
+    tagged = docs_tokens.select("doc_id", "ts", is_new.alias("__new"))
+    sh = shingle_sets(tagged, shingle_n).localCheckpoint()
+    side = tagged.select("doc_id", "__new")
+    cand = (
+        _lsh_candidates_from_shingles(sh, num_hashes, bands)
+        .select("doc_a", "doc_b")
+        .join(side.select(F.col("doc_id").alias("doc_a"), F.col("__new").alias("na")), "doc_a")
+        .join(side.select(F.col("doc_id").alias("doc_b"), F.col("__new").alias("nb")), "doc_b")
+        .where(F.col("na") != F.col("nb"))
+        .select("doc_a", "doc_b")
+    )
+    matched = _verify_jaccard(cand, sh, threshold)
+    # either endpoint of a verified cross pair may be the batch doc
+    dropped = (
+        matched.join(side.select(F.col("doc_id").alias("doc_a"), F.col("__new").alias("na")), "doc_a")
+        .join(side.select(F.col("doc_id").alias("doc_b"), F.col("__new").alias("nb")), "doc_b")
+        .select(F.when(F.col("na"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_id"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_shingles"))
+    batch = side.where(F.col("__new")).select("doc_id")
+    return batch.join(dropped, "doc_id", "left_anti").join(sizes, "doc_id")
 
 
 #: per-executor token-hash memo — natural-language vocabularies are heavily

@@ -562,3 +562,124 @@ def q81(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus curation: per-source quotas, pre-shuffle join pruning, incremental
+# dedup — the round-2 additions to the training surface
+# --------------------------------------------------------------------------
+
+_QUOTA = 10
+
+@query(
+    "q101_source_quota_cap",
+    f"""SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) t
+        WHERE rn <= {_QUOTA}""",
+    tags=("training", "curation", "quota", "window"),
+)
+def q101(spark, sf):
+    """Per-source document quota (domain capping): keep at most N docs per
+    source, preferring the longest — the standard guard against a single
+    domain (boilerplate mills, mirrors) dominating a web-scale corpus.
+
+    Scale shape: one hash-partition window keyed on source; the sort is
+    per-source, not global. The deterministic (n_chars DESC, doc_id)
+    tie-break makes the kept set re-run- and partitioning-stable. A
+    pathologically hot source makes its one partition sort large — the
+    skew remedy at 100 TB is a two-phase cap (per-(source, shard) pre-cap
+    with a hash shard, then the exact window on survivors ≤ shards*N per
+    source), same trick as q97's salted aggregate."""
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _QUOTA)
+    )
+
+
+@query(
+    "q102_bloom_prefilter_join",
+    # plain-join oracle: value equality proves the bloom prefilter is
+    # result-transparent (false positives removed by the exact join,
+    # false negatives impossible)
+    """SELECT o_orderstatus,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              count(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY 1 ORDER BY o_orderstatus""",
+    tags=("training", "join", "bloom", "prune"),
+)
+def q102(spark, sf):
+    """Fact pruning before the join shuffle via an explicit Bloom filter
+    (operators/prune.py): build a key-count-sized bitmap (~16 bits/key)
+    from the filtered dim's keys, plant it as a literal predicate in the
+    fact scan, then run the exact join on survivors.
+
+    At 100 TB this is the difference between shuffling every fact row and
+    shuffling ~the matching fraction (+FP rate) when the dim is too large
+    to broadcast — the explicit form of Spark's runtime row-level bloom
+    rewrite, usable across multiple facts from one build. Here the dim
+    also broadcasts (it is small at test SF), which keeps the exact-join
+    stage shuffle-free; the bloom still demonstrates scan-stage pruning
+    (predicate visible in the scan's Filter, see PLANS.md)."""
+    from ..operators.prune import bloom_bitmap, bloom_might_contain
+
+    cust = _t(spark, sf, "customer")
+    keys = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bitmap = bloom_bitmap(keys, "c_custkey")
+    orders = _t(spark, sf, "orders")
+    pruned = orders.where(bloom_might_contain(F.col("o_custkey"), bitmap))
+    return (
+        pruned.join(F.broadcast(keys), pruned["o_custkey"] == keys["c_custkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            exact_sum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q103_incremental_dedup",
+    # exhaustive cross-set oracle (same shape as q98's): a green row
+    # certifies the banded cross-side candidate stage lost no >=0.5 pair
+    f"""WITH {_SHINGLES_SQL},
+         hsplit AS (SELECT doc_id, {_HASH_SQL} AS hh FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ca, b.doc_id AS nb, count(*) AS i
+                   FROM sh a JOIN hsplit ha ON a.doc_id = ha.doc_id
+                        JOIN sh b ON a.shingle = b.shingle
+                        JOIN hsplit hb ON b.doc_id = hb.doc_id
+                   WHERE ha.hh < 800 AND hb.hh >= 800
+                   GROUP BY 1, 2),
+         dropped AS (SELECT DISTINCT nb FROM inter
+                     JOIN sizes sa ON ca = sa.doc_id
+                     JOIN sizes sb ON nb = sb.doc_id
+                     WHERE i / (sa.n + sb.n - i) >= 0.5)
+        SELECT d.doc_id, CAST(s.n AS INTEGER) AS n_shingles
+        FROM hsplit d JOIN sizes s ON d.doc_id = s.doc_id
+        WHERE d.hh >= 800 AND d.doc_id NOT IN (SELECT nb FROM dropped)""",
+    tags=("training", "dedup", "incremental", "lsh"),
+)
+def q103(spark, sf):
+    """Incremental near-dedup: treat the 20% hash-split tail as today's new
+    batch and the 80% head as the already-deduped corpus; drop batch docs
+    with Jaccard >= 0.5 against ANY corpus doc (operators/dedup.
+    incremental_near_dedup — LSH band candidates restricted to cross-side
+    pairs, exact verify on candidates only).
+
+    The production point: re-deduping an append-only corpus from scratch is
+    O((N+B)^2)-ish; checking batch-vs-corpus through the persisted LSH
+    index is O(B x collisions). The oracle is the EXHAUSTIVE cross-set
+    Jaccard, so the gate row also certifies cross-side LSH recall."""
+    from ..operators.dedup import incremental_near_dedup
+
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    return incremental_near_dedup(docs, _doc_hash() >= 800, threshold=0.5)

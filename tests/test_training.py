@@ -163,3 +163,86 @@ def test_star_components_match_min_label_propagation(spark):
         ml = {r["id"]: r["comp"] for r in connected_components(edges, "src", "dst", max_iter=100).collect()}
         st = {r["id"]: r["comp"] for r in connected_components_star(edges, "src", "dst").collect()}
         assert ml == st, f"case {i}: star labeling diverged"
+
+
+def test_bloom_bitmap_no_false_negatives_and_low_fp(spark):
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.prune import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 200).withColumnRenamed("id", "k")
+    bm = bloom_bitmap(keys, "k")
+    probe = spark.range(0, 5000).withColumnRenamed("id", "k")
+    hits = (
+        probe.where(bloom_might_contain(F.col("k"), bm))
+        .select("k")
+        .collect()
+    )
+    hit_set = {r["k"] for r in hits}
+    # Bloom contract: every inserted key tests positive
+    assert set(range(200)) <= hit_set
+    # and false positives on the 4800 non-members stay rare
+    assert len(hit_set - set(range(200))) < 48
+
+
+def test_bloom_prefilter_join_is_result_transparent(spark):
+    q = registry.QUERIES["q102_bloom_prefilter_join"]
+    got = {tuple(r) for r in q(spark, SF).collect()}
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keys = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.agg import exact_sum
+
+    plain = {
+        tuple(r)
+        for r in orders.join(keys, orders["o_custkey"] == keys["c_custkey"])
+        .groupBy("o_orderstatus")
+        .agg(exact_sum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .collect()
+    }
+    assert got == plain and len(got) > 0
+
+
+def test_source_quota_cap_keeps_longest(spark):
+    rows = registry.QUERIES["q101_source_quota_cap"](spark, SF).collect()
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    all_src: dict[str, list] = {}
+    for d in docs:
+        all_src.setdefault(d["source"], []).append(d)
+    for src, kept in per_src.items():
+        assert len(kept) <= 10
+        # kept set == top-10 by (n_chars desc, doc_id) among that source
+        want = sorted(all_src[src], key=lambda d: (-d["n_chars"], d["doc_id"]))[:10]
+        assert sorted(k["doc_id"] for k in kept) == sorted(w["doc_id"] for w in want)
+
+
+def test_incremental_dedup_matches_exhaustive(spark):
+    got = {
+        r["doc_id"]
+        for r in registry.QUERIES["q103_incremental_dedup"](spark, SF).collect()
+    }
+    # brute force in python on the tiny fixture
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    sh = {
+        d["doc_id"]: {
+            " ".join(toks[i : i + 3])
+            for toks in [d["text"].strip().split()]
+            for i in range(len(toks) - 2)
+        }
+        for d in docs
+    }
+    def h(i): return ((i % 100003) * 2654435761) % 1000
+    batch = {i for i in sh if h(i) >= 800 and sh[i]}
+    corpus = {i for i in sh if h(i) < 800 and sh[i]}
+    want = {
+        b
+        for b in batch
+        if all(
+            len(sh[b] & sh[c]) / len(sh[b] | sh[c]) < 0.5 for c in corpus
+        )
+    }
+    assert got == want and len(batch) > 0
