@@ -142,3 +142,64 @@ def test_dup_components_edges_avoid_quadratic_shingle_join(spark):
             assert "doc_" in ln, f"bare-shingle quadratic join in q73 edge plan: {ln}"
     # and the minhash stage is actually present (md5-derived hash family)
     assert "md5" in plan
+
+
+def test_source_quota_single_window_exchange(spark):
+    """q101: one hash-partition Exchange on source for the window, no
+    global sort — the per-source row_number must not become a total
+    order."""
+    plan = _plan(spark, "q101_source_quota_cap")
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(source" in plan
+    # rangepartitioning would mean a global sort sneaked in
+    assert "rangepartitioning" not in plan
+    # Spark's rank-limit pushdown must fire: rows beyond the quota are
+    # dropped map-side too — a partial WindowGroupLimit BELOW the exchange
+    # (the formatted tree lists children after parents, so it appears
+    # after the Exchange line)
+    assert "WindowGroupLimit" in tree[tree.index("Exchange") :]
+
+
+def test_bloom_prefilter_prunes_in_fact_scan_stage(spark):
+    """q102: the bloom membership test (xxhash64 arithmetic) must sit in
+    the orders-side Filter BELOW the join — fact rows are dropped in the
+    scan stage, before any exchange — and the exact join must broadcast."""
+    plan = _plan(spark, "q102_bloom_prefilter_join")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree and "SortMergeJoin" not in tree
+    # the bloom probe (xxhash64 over o_custkey) must live in a Filter
+    # detail block — i.e. planted as a scan-stage predicate on the fact
+    details = plan.split("\n\n", 1)[1]
+    bloom_filter_blocks = [
+        b
+        for b in details.split("\n(")
+        if b.split("\n")[0].endswith("Filter")
+        and "xxhash64" in b
+        and "o_custkey" in b
+    ]
+    assert bloom_filter_blocks, "bloom probe not found in any Filter block"
+    # and the fact side reaches the join without an exchange: the only
+    # Exchanges in the tree sit above the join (aggregation/sort), plus
+    # the dim's BroadcastExchange
+    join_pos = tree.index("BroadcastHashJoin")
+    below_join = tree[join_pos:]
+    assert "Exchange" not in below_join.replace("BroadcastExchange", "")
+
+
+def test_incremental_dedup_avoids_bare_shingle_join(spark):
+    """q103's candidate stage must stay band-bucketed: the only
+    shingle-keyed join is the doc-id-scoped verify join (q98's
+    contract, extended to the cross-corpus operator)."""
+    plan = _plan(spark, "q103_incremental_dedup")
+    for line in plan.split("\n\n")[0].splitlines():
+        if "Join" not in line:
+            continue
+        assert "CartesianProduct" not in line
+    # join conditions mentioning shingle must also mention doc ids
+    details = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+    for block in details.split("\n\n"):
+        if "Join condition" in block or "Left keys" in block:
+            if "shingle" in block:
+                assert "doc_" in block, block
