@@ -458,3 +458,71 @@ def lsh_dup_pairs(
         joined.select("vec_a", "vec_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Compressed-domain similarity: int8 scalar quantization
+# --------------------------------------------------------------------------
+
+def quantize_int8(emb: Column) -> tuple[Column, Column]:
+    """Per-vector symmetric int8 quantization: scale = max|x_i|,
+    q_i = round(x_i * 127 / scale) in [-127, 127].
+
+    Cross-engine deterministic: the scale is an exact double (max of
+    absolute values), the quantized code is one double multiply/divide and
+    a HALF-AWAY-FROM-ZERO round — both engines agree bit-for-bit, which is
+    what lets the quantized ANN carry a full value oracle (q104). Returns
+    (codes array<int>, scale double)."""
+    s = F.array_max(F.transform(emb, lambda v: F.abs(v.cast("double"))))
+    qv = F.transform(emb, lambda v: F.round(v.cast("double") * 127 / s).cast("int"))
+    return qv, s
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two int-code arrays — order-independent
+    (integer addition is associative), so partial aggregation and engine
+    choice can't flake the value."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Cosine top-k in the COMPRESSED domain: rank by the int8-code cosine
+    (exact int64 dots, one deterministic double division at the end).
+
+    Why this exists at 100 TB: a float32 embedding column is the dominant
+    scan cost of any similarity pass; int8 codes are 4x smaller (and the
+    int dot is SIMD-friendlier), so a quantized first pass reads a quarter
+    of the bytes and feeds its top-k into an exact re-rank over only the
+    survivors — the standard two-stage retrieval layout. Recall vs exact
+    cosine is empirically ~1.0 at k=5 on unit-ish vectors (the quantized
+    cosine differs from the true one by O(1/127) — see the recall test).
+
+    corpus: (vec_id, embedding); queries: (query_id, qe). Same plan shape
+    as brute_force_topk: queries broadcast, corpus never shuffles, one
+    window shuffle on query_id."""
+    cq, cs = quantize_int8(F.col("embedding"))
+    # zero vectors have no direction: excluded by contract (scale > 0),
+    # mirrored in the oracle's WHERE s > 0
+    c = corpus.select("vec_id", cq.alias("cv"), cs.alias("__s")).where(
+        F.col("__s") > 0
+    ).select("vec_id", "cv", int_dot(F.col("cv"), F.col("cv")).alias("cc"))
+    qq, qscale = quantize_int8(F.col("qe"))
+    q = queries.select("query_id", qq.alias("qv"), qscale.alias("__s")).where(
+        F.col("__s") > 0
+    ).select("query_id", "qv", int_dot(F.col("qv"), F.col("qv")).alias("qq"))
+    qcos = F.round(
+        int_dot(F.col("qv"), F.col("cv")).cast("double")
+        / (F.sqrt(F.col("qq").cast("double")) * F.sqrt(F.col("cc").cast("double"))),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), qcos.alias("qcos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

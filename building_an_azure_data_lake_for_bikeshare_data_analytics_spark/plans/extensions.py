@@ -885,3 +885,60 @@ def q69(spark, sf):
         )
         .orderBy("source_kind", "shard")
     )
+
+
+_QZ_CODES = (
+    "list_transform(embedding, v -> "
+    "CAST(round(CAST(v AS DOUBLE) * 127 / s) AS INTEGER))"
+)
+_QZ_DOT = (
+    "CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
+)
+
+@query(
+    "q104_quantized_topk",
+    # the oracle REPLAYS the whole quantization: same per-vector scale,
+    # same round-half-away int8 codes, same exact int64 dots — the
+    # compressed-domain ranking is value-checked end to end
+    f"""WITH sc AS (SELECT vec_id, embedding,
+                        list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) AS s
+                 FROM embeddings),
+         qz AS (SELECT vec_id, {_QZ_CODES} AS qv FROM sc WHERE s > 0),
+         nrm AS (SELECT vec_id, qv, {_QZ_DOT.format(a='qv', b='qv')} AS qq
+                 FROM qz),
+         q AS (SELECT vec_id AS query_id, qv AS uqv, qq AS uqq
+               FROM nrm WHERE {_Q_FILTER}),
+         p AS (SELECT query_id, n.vec_id AS neighbor_id,
+                      round(CAST({_QZ_DOT.format(a='uqv', b='n.qv')} AS DOUBLE)
+                            / (sqrt(CAST(uqq AS DOUBLE)) * sqrt(CAST(n.qq AS DOUBLE))),
+                            4) AS qcos
+               FROM nrm n, q WHERE n.vec_id <> query_id)
+        SELECT query_id, neighbor_id, qcos, CAST(rnk AS INTEGER) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY qcos DESC, neighbor_id) AS rnk
+              FROM p)
+        WHERE rnk <= 5""",
+    tags=("similarity", "knn", "quantization", "compressed"),
+)
+def q104(spark, sf):
+    """Compressed-domain cosine top-k: per-vector symmetric int8
+    quantization (scale = max|x|, codes = round(x*127/scale)), ranking by
+    the quantized cosine with exact int64 dot products
+    (operators/similarity.quantized_int8_topk).
+
+    The 100 TB rationale: the embedding column dominates scan bytes; int8
+    codes cut them 4x, making the first retrieval pass IO-proportionally
+    cheaper, with exact re-rank (q39/q64) reserved for the few survivors.
+    Integer dots are associative, so the score is partial-aggregation- and
+    engine-independent — which is why this "lossy" operator still carries
+    a full value oracle (recall vs exact cosine is pinned separately in
+    tests/test_dedup_similarity.py)."""
+    from ..operators.similarity import quantized_int8_topk
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    qs = emb.where(F.expr(_Q_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return quantized_int8_topk(emb, qs, k=5)

@@ -132,3 +132,19 @@ def test_simhash_chunk_blocking_captures_all_small_hamming_pairs(spark):
            for r in QUERIES["q53_simhash_near_pairs"](spark, SF_SMOKE).collect()}
     assert tight, "fixture corpus has no tight near-dup signatures"
     assert tight <= got, f"blocking missed guaranteed pairs: {sorted(tight - got)[:5]}"
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """q104's int8 compressed-domain ranking must agree with exact cosine
+    (q39) at recall@5 >= 0.9 on the fixture — the quantized cosine differs
+    from the true one by O(1/127), far below the typical neighbor gap."""
+    exact: dict[int, set[int]] = {}
+    for r in QUERIES["q39_embedding_topk"](spark, SF_SMOKE).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    quant: dict[int, set[int]] = {}
+    for r in QUERIES["q104_quantized_topk"](spark, SF_SMOKE).collect():
+        quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert exact and set(exact) == set(quant)
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, f"recall@5 {hits/total:.3f}"
