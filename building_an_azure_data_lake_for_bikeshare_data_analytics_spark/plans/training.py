@@ -683,3 +683,122 @@ def q103(spark, sf):
 
     docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
     return incremental_near_dedup(docs, _doc_hash() >= 800, threshold=0.5)
+
+
+@query(
+    "q105_dup_group_canonical",
+    f"""WITH RECURSIVE {_SHINGLES_SQL},
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         je AS (SELECT doc_a, doc_b FROM pairs
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM je
+               UNION SELECT doc_b, doc_a FROM je),
+         reach AS (SELECT a, b FROM e
+                   UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+                  FROM reach GROUP BY a),
+         m AS (SELECT c.component_id, d.doc_id, d.n_chars
+               FROM comp c JOIN documents d USING (doc_id)),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY component_id
+                                                 ORDER BY n_chars DESC, doc_id) AS rn
+                    FROM m)
+        SELECT component_id, count(*) AS n_docs,
+               CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+               CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS rep_chars,
+               CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS dropped_chars
+        FROM ranked GROUP BY 1 ORDER BY component_id""",
+    tags=("training", "dedup", "graph", "canonical"),
+)
+def q105(spark, sf):
+    """Canonical-representative selection: the finishing step of near-dedup.
+    Components come from the scale-safe LSH-verified pair pipeline (same
+    edges as q73); within each duplicate group the KEPT document is the
+    longest one (ties -> lowest doc_id), and the query reports what each
+    group kept and dropped.
+
+    Scale shape: the rep is chosen with a single ``max(struct(n_chars,
+    -doc_id))`` aggregate — partial-aggregation-friendly (map-side combine
+    works), ONE shuffle on component id, no window over the full corpus.
+    The oracle re-derives components from the exhaustive quadratic join
+    and picks the rep with row_number, so a green row certifies both the
+    LSH recall and the tie-break."""
+    from ..operators.dedup import lsh_verified_jaccard_pairs
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "n_chars", tokens("text").alias("ts")
+    )
+    pairs = lsh_verified_jaccard_pairs(
+        docs.select("doc_id", "ts"), threshold=0.5
+    ).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+    # lexicographic struct max == (max n_chars, then min doc_id): the
+    # argmax travels through partial aggregation as one 16-byte value
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg")))
+    return (
+        comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy(F.col("comp").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            best.alias("best"),
+            F.sum("n_chars").alias("__tot"),
+        )
+        .select(
+            "component_id",
+            "n_docs",
+            (-F.col("best.neg")).alias("rep_doc_id"),
+            F.col("best.n_chars").alias("rep_chars"),
+            (F.col("__tot") - F.col("best.n_chars")).alias("dropped_chars"),
+        )
+        .orderBy("component_id")
+    )
+
+
+#: 60 md5 bits as the shuffle sort key — decorrelated from doc_id, identical
+#: in both engines (the MinHash base-hash pattern, operators/dedup.py)
+_SHUF_HASH = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@query(
+    "q106_corpus_shuffle",
+    f"""WITH h AS (SELECT doc_id, {_SHUF_HASH} AS oh FROM documents)
+        SELECT CAST(oh % 8 AS INTEGER) AS shard,
+               CAST(row_number() OVER (PARTITION BY oh % 8
+                                       ORDER BY oh, doc_id) AS INTEGER) AS pos,
+               doc_id
+        FROM h""",
+    tags=("training", "shuffle", "deterministic"),
+)
+def q106(spark, sf):
+    """Deterministic global shuffle for training-example order: every doc
+    gets (shard, pos) from an md5-derived sort key — reproducible across
+    runs, engines, and partitionings, unlike ``df.orderBy(rand())``.
+
+    Scale shape: NO global sort. Shard = hash % 8 is a map-only
+    projection; position is a row_number within shard, i.e. one shuffle on
+    the shard key and 8 independent local sorts — the layout a 100 TB
+    corpus writer wants (one output file group per shard, each internally
+    hash-ordered). Epoch reshuffles = salt the md5 input with the epoch
+    number."""
+    oh = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("oh", "doc_id")
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", oh.alias("oh"))
+        .withColumn("shard", (F.col("oh") % 8).cast("int"))
+        .select(
+            "shard",
+            F.row_number().over(w).cast("int").alias("pos"),
+            "doc_id",
+        )
+    )
