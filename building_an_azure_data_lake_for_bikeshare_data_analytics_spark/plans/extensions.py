@@ -942,3 +942,115 @@ def q104(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return quantized_int8_topk(emb, qs, k=5)
+
+
+# --------------------------------------------------------------------------
+# Deterministic sketches: count-min heavy hitters, weighted priority sample
+# --------------------------------------------------------------------------
+
+_CMS_W, _CMS_D = 256, 4
+_CMS_B = "CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT) % 256"
+
+
+def _cms_bucket(d: int) -> F.Column:
+    """Row-d count-min bucket of ``tok``: 60 md5 bits of 'd:tok' mod W —
+    the same md5-derived family as MinHash (operators/dedup.py), so DuckDB
+    replays the sketch exactly."""
+    m = F.md5(F.concat(F.lit(f"{d}:"), F.col("tok")))
+    return F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % _CMS_W
+
+
+@query(
+    "q107_cms_heavy_hitters",
+    rf"""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents),
+         v AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+         p AS (SELECT tok, n, d, {_CMS_B} AS b
+               FROM v, (SELECT unnest([0, 1, 2, 3]) AS d)),
+         c AS (SELECT d, b, CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
+         est AS (SELECT tok, min(cnt) AS est FROM p JOIN c USING (d, b) GROUP BY 1),
+         top AS (SELECT tok, n FROM v ORDER BY n DESC, tok LIMIT 20)
+        SELECT t.tok, CAST(t.n AS BIGINT) AS true_n, CAST(e.est AS BIGINT) AS cms_est
+        FROM top t JOIN est e USING (tok) ORDER BY true_n DESC, tok""",
+    tags=("sketch", "heavy-hitters", "count-min"),
+)
+def q107(spark, sf):
+    """Count-min-sketch heavy hitters with the sketch REPLAYED by the
+    oracle: depth-4 x width-256 counters from md5-derived bucket hashes,
+    estimate = min over rows, reported against the exact count for the
+    true top-20 tokens (cms_est >= true_n always; the gap is the sketch's
+    collision noise).
+
+    The 100 TB shape this pins: counters are built DIRECTLY from the token
+    stream — groupBy (d, bucket) collapses map-side into at most D*W=1024
+    cells per partition, so the full pass over a petabyte token stream
+    shuffles ~1024 rows per partition regardless of vocabulary size. No
+    vocab materialization is needed to MAINTAIN the sketch (the exact
+    counts here exist only to report estimation error; a production run
+    would probe candidates from a per-partition local top-k instead)."""
+    toks = _t(spark, sf, "documents").select(F.explode(tokens("text")).alias("tok"))
+    # sketch maintenance: one pass over occurrences, <=1024 cells out
+    occ = None
+    for d in range(_CMS_D):
+        part = toks.select(F.lit(d).alias("d"), _cms_bucket(d).alias("b"))
+        occ = part if occ is None else occ.unionAll(part)
+    counters = occ.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    probe = None
+    for d in range(_CMS_D):
+        part = vocab.select("tok", F.lit(d).alias("d"), _cms_bucket(d).alias("b"))
+        probe = part if probe is None else probe.unionAll(part)
+    est = (
+        probe.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    top = (
+        vocab.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+        .select("tok", F.col("n").alias("true_n"))
+    )
+    return (
+        est.join(F.broadcast(top), "tok")
+        .select("tok", "true_n", "cms_est")
+        .orderBy(F.desc("true_n"), "tok")
+    )
+
+
+#: 60 md5 bits of 'ws:'||doc_id as a uniform u in [0,1) — 2^60 denominator
+_WS_U = "(CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) / 1152921504606846976.0)"
+
+
+@query(
+    "q108_weighted_sample",
+    f"""SELECT doc_id, lang, n_chars, pri
+        FROM (SELECT doc_id, lang, n_chars,
+                     round(pow({_WS_U}, 1.0 / greatest(n_chars, 1)), 6) AS pri
+              FROM documents)
+        ORDER BY pri DESC, doc_id LIMIT 100""",
+    tags=("training", "sample", "weighted"),
+)
+def q108(spark, sf):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirtsis A-ES): priority = u^(1/w) with u a per-doc md5-derived
+    uniform and w = n_chars, keep the global top-100 priorities — docs are
+    sampled proportionally to length, reproducibly (no rand()).
+
+    Scale shape: priority is a map-only projection; the sample is a
+    TakeOrderedAndProject top-k (per-partition heaps, no global sort).
+    The priority is rounded to 6 dp BEFORE ranking so JVM-vs-libm pow()
+    ulp differences can't flip the selection boundary — the same
+    determinism rule as functions/agg.py's float policy."""
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long") / F.lit(float(1 << 60))
+    pri = F.round(F.pow(u, F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1))), 6)
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "lang", "n_chars", pri.alias("pri"))
+        .orderBy(F.desc("pri"), F.asc("doc_id"))
+        .limit(100)
+    )

@@ -203,3 +203,20 @@ def test_incremental_dedup_avoids_bare_shingle_join(spark):
         if "Join condition" in block or "Left keys" in block:
             if "shingle" in block:
                 assert "doc_" in block, block
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark):
+    """q108's sample selection must be TakeOrderedAndProject (per-partition
+    heaps); a global Sort of the full corpus by priority would be the
+    scale bug."""
+    plan = _plan(spark, "q108_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_probe_joins_broadcast(spark):
+    """q107's counter table (<=1024 rows) and top-20 list must broadcast
+    into their probe joins — a shuffle join keyed on (d, bucket) would
+    move the whole vocabulary."""
+    plan = _plan(spark, "q107_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
