@@ -526,3 +526,80 @@ def quantized_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> Da
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def quantized_int8_topk_vectorized(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """BLAS twin of quantized_int8_topk: identical int8 codes (same
+    round-half-away quantizer), identical exact integer dots, numpy matmul
+    kernel — asserted row-equal to the Column-fold formulation in tests.
+
+    This is the actual 100 TB two-stage layout: the Column-fold (q104)
+    exists to carry the value oracle; throughput comes from this kernel,
+    where the int64-exact dot products ride a float64 matmul (code
+    products sum to < 2^21, far inside float64's 2^53 exact-integer
+    range, so BLAS speed costs no exactness). Same partial-top-k shape as
+    brute_force_topk_vectorized: queries broadcast, each corpus partition
+    emits only local top-k."""
+    import numpy as np
+
+    def _codes(M: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+        # round HALF AWAY FROM ZERO to match F.round / DuckDB round();
+        # np.round is half-even and would drift on exact .5 code boundaries
+        s = np.abs(M).max(axis=1, keepdims=True)
+        keep = s[:, 0] > 0
+        C = np.sign(M) * np.floor(np.abs(M) * 127 / np.where(s == 0, 1.0, s) + 0.5)
+        return C, keep
+
+    probe = queries.select("query_id", "qe").limit(_MAX_DRIVER_QUERIES + 1).collect()
+    if len(probe) > _MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"quantized_int8_topk_vectorized: query set exceeds {_MAX_DRIVER_QUERIES} "
+            "rows; it must fit on the driver (broadcast side)."
+        )
+    if not probe:
+        return quantized_int8_topk(corpus, queries, k)
+    Q = np.array([list(r["qe"]) for r in probe], dtype=np.float64)
+    QC, qkeep = _codes(Q)
+    qids = np.array([r["query_id"] for r in probe], dtype=np.int64)[qkeep]
+    QC = QC[qkeep]
+    qn = np.sqrt((QC * QC).sum(axis=1))
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, QC, qn))
+
+    def part(batches):
+        import pandas as pd
+
+        ids, QCn, qnv = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            C, keep = _codes(E)
+            vecids = pdf["vec_id"].to_numpy(dtype=np.int64)[keep]
+            C = C[keep]
+            if not len(vecids):
+                continue
+            cn = np.sqrt((C * C).sum(axis=1))
+            S = np.round((C @ QCn.T) / (cn[:, None] * qnv[None, :]), 4)
+            out_q, out_n, out_c = [], [], []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                cand_idx = np.nonzero(vecids != ids[j])[0]
+                if cand_idx.size == 0:
+                    continue
+                order = np.lexsort((vecids[cand_idx], -col[cand_idx]))[:k]
+                sel = cand_idx[order]
+                out_q.extend([ids[j]] * len(sel))
+                out_n.extend(vecids[sel])
+                out_c.extend(col[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "qcos": out_c}
+            )
+
+    cands = corpus.select("vec_id", "embedding").mapInPandas(
+        part, "query_id long, neighbor_id long, qcos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return cands.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

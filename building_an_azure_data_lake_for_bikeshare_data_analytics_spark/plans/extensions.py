@@ -1054,3 +1054,23 @@ def q108(spark, sf):
         .orderBy(F.desc("pri"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@query(
+    "q109_quantized_topk_vectorized",
+    None,
+    tags=("similarity", "knn", "quantization", "vectorized", "rows-only"),
+)
+def q109(spark, sf):
+    """int8 compressed-domain top-k via the BLAS kernel — same codes and
+    exact integer dots as q104 (asserted row-equal in tests), the
+    throughput half of the two-stage retrieval layout. Rows-only for the
+    same reason as q64: the final divide/round happens in numpy rather
+    than the oracle's sequential expression order."""
+    from ..operators.similarity import quantized_int8_topk_vectorized
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    qs = emb.where(F.expr(_Q_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return quantized_int8_topk_vectorized(emb, qs, k=5)

@@ -148,3 +148,14 @@ def test_quantized_topk_recall_vs_exact(spark):
     hits = sum(len(exact[q] & quant[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9, f"recall@5 {hits/total:.3f}"
+
+
+def test_quantized_vectorized_equals_column_fold(spark):
+    """q109's BLAS kernel must produce exactly q104's rows — same int8
+    codes (half-away rounding), same exact integer dots, same round-4
+    quantized cosines and tie-breaks."""
+    a = sorted(map(tuple, QUERIES["q104_quantized_topk"](spark, SF_SMOKE).collect()))
+    b = sorted(
+        map(tuple, QUERIES["q109_quantized_topk_vectorized"](spark, SF_SMOKE).collect())
+    )
+    assert a and a == b
