@@ -51,3 +51,40 @@ def salted_sum_count(
     return partial.groupBy(*group_cols).agg(
         F.sum("__ps").alias(sum_alias), F.sum("__pc").alias(count_alias)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    row_salt: Column,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Salted equi-join: the remedy when the BIG side's join key is skewed
+    and the small side is too large to broadcast (a broadcast join is
+    always the first choice — this is for the sort-merge regime).
+
+    The big side gets ``salt = pmod(row_salt, n_salts)`` where ``row_salt``
+    must be a per-ROW hash (e.g. ``xxhash64`` of the full row key) — NOT a
+    hash of the join key, which would land every hot-key row back in one
+    bucket. The small side is replicated ``n_salts`` times, and the join
+    runs on (key, salt): a key with 100M rows now spreads over n_salts
+    reduce partitions. Row-for-row identical to the plain join (each big
+    row matches exactly the replicas carrying its salt) — q111 pins that
+    with a full value oracle. Cost: small side shuffles n_salts x its
+    size; pick n_salts ~ (hot-key rows / healthy-partition rows).
+
+    AQE's skew-join splitting does this adaptively for detected skew; the
+    explicit form works on any Spark, composes with bucketing, and lets
+    the caller choose the salt domain per workload.
+    """
+    b = big.withColumn("__salt", F.pmod(row_salt, F.lit(n_salts)).cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        b.join(s, (b[big_key] == s[small_key]) & (b["__salt"] == s["__salt"]))
+        .drop(b["__salt"])
+        .drop(s["__salt"])
+    )

@@ -802,3 +802,100 @@ def q106(spark, sf):
             "doc_id",
         )
     )
+
+
+_MIX_BUDGET = 20_000
+#: per-doc md5 uniform order key, salted 'mix:' — decorrelated from q106's
+_MIX_HASH = "CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@query(
+    "q110_token_budget_mix",
+    f"""WITH tc AS (SELECT doc_id, source,
+                         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                             AS n_tok,
+                         {_MIX_HASH} AS oh
+                  FROM documents),
+         c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY oh, doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok
+                       AS cum_before
+               FROM tc)
+        SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        FROM c WHERE cum_before < {_MIX_BUDGET} GROUP BY 1 ORDER BY source""",
+    tags=("training", "curation", "mixture", "token-budget"),
+)
+def q110(spark, sf):
+    """Token-budget mixture sampling: fill each source's slice of the
+    training mix up to a per-source TOKEN budget (not a document count —
+    sources with long docs contribute fewer docs), taking documents in
+    deterministic pseudo-random order (md5 order key) so the kept subset
+    is unbiased and re-run-stable. The boundary doc that crosses the
+    budget is kept (greedy fill).
+
+    This is how mixture weights ("20% code, 40% web, ...") become concrete
+    document sets at 100 TB. Scale shape: one window per source (running
+    sum, per-source sort only), then a small per-source aggregate; no
+    global sort, no driver state."""
+    oh = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("oh", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tok"), oh.alias("oh")
+    )
+    return (
+        d.withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .where(F.col("cum_before") < _MIX_BUDGET)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "q111_salted_revenue_join",
+    # plain-join oracle: value equality proves the salted rewrite is
+    # result-transparent (every big row meets exactly its salt's replica)
+    """SELECT o_orderstatus,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              count(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1 ORDER BY o_orderstatus""",
+    tags=("training", "skew", "join", "salted"),
+)
+def q111(spark, sf):
+    """Skew-salted large-to-large join (functions/skew.salted_join):
+    lineitem rows carry pmod(xxhash64(orderkey, linenumber), 8) and orders
+    is replicated 8x, so a pathologically hot orderkey spreads over 8
+    reduce partitions instead of pinning one. The merge hint forces the
+    sort-merge regime the salt exists for (at test SF the planner would
+    otherwise broadcast orders and no salting would be needed — broadcast
+    remains the first choice when the small side fits).
+
+    The oracle is the PLAIN join: a green row certifies the salted rewrite
+    changed the physical distribution and nothing else."""
+    from ..functions.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus").hint("merge")
+    joined = salted_join(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        F.xxhash64("l_orderkey", "l_linenumber"),
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(exact_sum("l_extendedprice", "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_orderstatus")
+    )

@@ -220,3 +220,12 @@ def test_cms_probe_joins_broadcast(spark):
     plan = _plan(spark, "q107_cms_heavy_hitters")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_sort_merge_on_salted_keys(spark):
+    """q111 must actually run the sort-merge regime with the salt in the
+    join keys — if the planner broadcasts (or the salt falls out of the
+    condition), the query no longer demonstrates anything."""
+    plan = _plan(spark, "q111_salted_revenue_join")
+    assert "SortMergeJoin" in plan
+    assert "__salt" in plan

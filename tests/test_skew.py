@@ -57,3 +57,31 @@ def test_salted_count_is_row_count_with_null_measures(spark):
     }
     assert got == direct
     assert got["a"][1] == 3 and got["b"][1] == 1  # rows, not non-null values
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-identical to the plain equi-join on a
+    synthetic skewed dataset (90% of big rows share one hot key)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.skew import (
+        salted_join,
+    )
+
+    big = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("rid"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("sk"), (F.col("id") * 100).alias("payload")
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_join(big, small, "k", "sk", F.xxhash64("rid"), n_salts=4)
+            .select("rid", "payload")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, big.join(small, big["k"] == small["sk"]).select("rid", "payload").collect())
+    )
+    assert got == want and len(got) == 1000
