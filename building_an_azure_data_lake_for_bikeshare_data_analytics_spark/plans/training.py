@@ -899,3 +899,61 @@ def q111(spark, sf):
         .agg(exact_sum("l_extendedprice", "revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q112_incremental_gold_refresh",
+    # full-recompute oracle: value equality proves the partial-merge
+    # refresh is lossless (store (sum, count), never the finished avg)
+    """SELECT o_orderstatus,
+              CAST(year(o_orderdate) AS INT) AS yr,
+              CAST(month(o_orderdate) AS INT) AS mo,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                  AS avg_price
+       FROM orders GROUP BY 1, 2, 3 ORDER BY o_orderstatus, yr, mo""",
+    tags=("training", "incremental", "gold", "partial-agg"),
+)
+def q112(spark, sf):
+    """Incremental gold refresh: the stored gold table keeps MERGEABLE
+    partials (decimal sum, row count) per group; a new batch contributes
+    its own partials; refresh = union + re-aggregate, and finished
+    measures (avg) are derived only after the merge. Here the "stored"
+    side is orders before 1996-01-01 and the "batch" is everything after —
+    the oracle recomputes from scratch, so a green row certifies the merge
+    loses nothing.
+
+    The 100 TB point: a daily refresh touches one day of fact data plus a
+    gold-sized partial table instead of re-scanning years of history. The
+    exact decimal sums are what make this safe — float partials would
+    drift from the recompute as batch boundaries move (functions/agg.py's
+    rule). Never store a finished average: avg partials don't merge."""
+    base = _t(spark, sf, "orders").select(
+        "o_orderstatus",
+        "o_orderdate",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        "o_totalprice",
+    )
+    keys = ["o_orderstatus", "yr", "mo"]
+
+    def partials(df):
+        return df.groupBy(*keys).agg(
+            F.sum(F.col("o_totalprice").cast(DecimalType(18, 2))).alias("ps"),
+            F.count(F.lit(1)).alias("pc"),
+        )
+
+    stored = partials(base.where(F.col("o_orderdate") < "1996-01-01"))
+    batch = partials(base.where(F.col("o_orderdate") >= "1996-01-01"))
+    s = F.sum("ps")
+    return (
+        stored.unionByName(batch)
+        .groupBy(*keys)
+        .agg(
+            s.cast("double").alias("revenue"),
+            F.sum("pc").alias("n_orders"),
+            (s.cast("double") / F.sum("pc")).alias("avg_price"),
+        )
+        .orderBy(*keys)
+    )
