@@ -273,3 +273,40 @@ def test_incremental_merge_stream_upserts_per_batch(spark, tmp_path):
     got = {r["event_id"]: (r["event_type"], r["value"]) for r in V.read_current(spark, store).collect()}
     assert got == {1: ("a", 1.0), 2: ("b", 20.0), 3: ("c", 3.0)}
     assert V.current_version(store) == 2  # initial write + one merge
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """The click->purchase attribution join (stream-stream, range-bounded)
+    must emit exactly the pairs the equivalent batch join produces —
+    in-order replay means nothing is late, so parity is exact."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        attributed_purchases_stream,
+    )
+
+    stream = attributed_purchases_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "attrib", "append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+
+    ev = spark.read.parquet(events_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("click_ts") < F.col("purchase_ts")),
+        ).collect()
+    }
+    assert want, "fixture produced no click->purchase pairs in the gap window"
+    assert got == want
