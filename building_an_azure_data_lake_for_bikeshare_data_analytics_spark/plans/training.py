@@ -957,3 +957,76 @@ def q112(spark, sf):
         )
         .orderBy(*keys)
     )
+
+
+@query(
+    "q113_leakage_safe_split",
+    f"""WITH RECURSIVE {_SHINGLES_SQL},
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         je AS (SELECT doc_a, doc_b FROM pairs
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM je
+               UNION SELECT doc_b, doc_a FROM je),
+         reach AS (SELECT a, b FROM e
+                   UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+                  FROM reach GROUP BY a),
+         g AS (SELECT d.doc_id, d.n_chars,
+                      coalesce(c.component_id, d.doc_id) AS gid
+               FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         s AS (SELECT *, CASE WHEN ((gid % 100003) * 2654435761) % 1000 < 800
+                              THEN 'train'
+                              WHEN ((gid % 100003) * 2654435761) % 1000 < 900
+                              THEN 'val' ELSE 'test' END AS split
+               FROM g)
+        SELECT split, count(*) AS n_docs, count(DISTINCT gid) AS n_groups,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM s GROUP BY 1 ORDER BY split""",
+    tags=("training", "split", "dedup", "leakage"),
+)
+def q113(spark, sf):
+    """Leakage-safe train/val/test split: the split is a hash of the
+    near-dup GROUP id (connected component; singletons group with
+    themselves), so two near-duplicate documents can never land on
+    opposite sides of the train/test boundary — the quiet eval-inflation
+    bug a doc-id hash split (q71) cannot prevent.
+
+    Scale shape: the component pass is the q73 pipeline (LSH candidates ->
+    verify -> iterative CC); the split itself is a map-only projection off
+    a LEFT join against the (small) component table. The oracle re-derives
+    groups exhaustively, so a green row certifies group-atomicity of the
+    split end to end."""
+    from ..operators.dedup import lsh_verified_jaccard_pairs
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "n_chars", tokens("text").alias("ts")
+    )
+    pairs = lsh_verified_jaccard_pairs(
+        docs.select("doc_id", "ts"), threshold=0.5
+    ).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+    gid = F.coalesce(F.col("comp"), F.col("doc_id"))
+    h = ((gid % 100003) * F.lit(2654435761)) % 1000
+    split = (
+        F.when(h < 800, F.lit("train")).when(h < 900, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(comps, "doc_id", "left")
+        .select(split.alias("split"), gid.alias("gid"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("gid").alias("n_groups"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
