@@ -180,7 +180,11 @@ def q48(spark, sf):
         "is_new",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            # interval comparison works for both TIMESTAMP and TIMESTAMP_NTZ
+            # (Spark 4 reads the nanos-parquet ts as NTZ and forbids a direct
+            # bigint cast) and matches the oracle's `> INTERVAL 30 MINUTE`
+            # at full sub-second precision, unlike an epoch-seconds diff.
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
             1,
         ).otherwise(0),
     )

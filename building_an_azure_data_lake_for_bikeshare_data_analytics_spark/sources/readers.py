@@ -76,11 +76,37 @@ def read_jsonl(
     return reader.json(path)
 
 
-#: columns stored as INT64 TIMESTAMP(NANOS) in the driver testdata; Spark
-#: reads them as raw nanos longs (spark.sql.legacy.parquet.nanosAsLong) and
-#: we truncate to microsecond timestamps at the scan — same truncation DuckDB
-#: applies when casting TIMESTAMP_NS to TIMESTAMP.
+#: columns stored as INT64 TIMESTAMP(NANOS) in the driver testdata. Spark 4
+#: reads nanos parquet natively as TIMESTAMP_NTZ (micros truncation — same as
+#: DuckDB casting TIMESTAMP_NS to TIMESTAMP); the native scan keeps ts
+#: predicates pushdown-able, so it is the primary path. Older Sparks reject
+#: the type outright unless spark.sql.legacy.parquet.nanosAsLong is set, in
+#: which case we read raw nanos longs and truncate — that conf is scoped to
+#: the fallback scan and restored (ADVICE r1: it used to leak into
+#: caller-owned sessions).
 _NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def _read_nanos_fallback(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Legacy-Spark path: scan nanos columns as longs, truncate to micros."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev: str | None = None
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(path)
+        for c in _NANOS_TS_COLS.get(name, ()):
+            if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def read_parquet_table(spark: SparkSession, root: str, name: str) -> DataFrame:
@@ -89,27 +115,23 @@ def read_parquet_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     pushdown free via the vectorized parquet reader."""
     file_path = os.path.join(root, f"{name}.parquet")
     dir_path = os.path.join(root, name)
-    prev_nanos_conf: str | None = None
-    if name in _NANOS_TS_COLS:
-        # defensive: caller-owned sessions (e.g. the grading driver's) may
-        # not carry this conf; it is runtime-settable. Scoped to this scan:
-        # the prior value is restored below so unrelated reads of
-        # nanos-timestamp parquet in the same session are not silently
-        # turned into bigint columns.
-        prev_nanos_conf = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = file_path if os.path.exists(file_path) else dir_path
     try:
-        df = spark.read.parquet(file_path if os.path.exists(file_path) else dir_path)
-        for c in _NANOS_TS_COLS.get(name, ()):
-            if c in df.columns and dict(df.dtypes).get(c) == "bigint":
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    finally:
+        df = spark.read.parquet(path)
         if name in _NANOS_TS_COLS:
-            if prev_nanos_conf is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos_conf)
-    return df
+            dtypes = dict(df.dtypes)
+            if any(dtypes.get(c) == "bigint" for c in _NANOS_TS_COLS[name]):
+                # session already had nanosAsLong=true: normalize to micros
+                for c in _NANOS_TS_COLS[name]:
+                    if dtypes.get(c) == "bigint":
+                        df = df.withColumn(
+                            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                        )
+        return df
+    except Exception:
+        if name not in _NANOS_TS_COLS:
+            raise
+        return _read_nanos_fallback(spark, path, name)
 
 
 def load_star(

@@ -44,8 +44,12 @@ def test_read_parquet_table_and_load_star(spark):
 
 
 def test_events_nanos_ts_converted(spark):
+    """Spark 4 reads the INT64 TIMESTAMP(NANOS) ts column natively as
+    TIMESTAMP_NTZ (micros truncation, matching DuckDB TIMESTAMP_NS -> TIMESTAMP);
+    the legacy-conf fallback yields TIMESTAMP. Either way, a timestamp — never
+    a raw bigint."""
     ev = read_parquet_table(spark, SF_SMOKE, "events")
-    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert ev.where(ev.ts.isNull()).count() == 0
 
 
@@ -118,15 +122,19 @@ def test_compact_parquet_table(spark, tmp_path):
 
 
 def test_nanos_conf_restored_after_events_read(spark):
-    """read_parquet_table scopes the nanosAsLong legacy conf to its own scan
-    (ADVICE r1: it used to leak the setting into caller-owned sessions)."""
+    """read_parquet_table never leaks the nanosAsLong legacy conf into
+    caller-owned sessions (ADVICE r1): the native path does not touch it and
+    the legacy fallback restores whatever value the caller had set."""
     key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
     try:
         spark.conf.set(key, "false")
         df = read_parquet_table(spark, SF_SMOKE, "events")
-        assert spark.conf.get(key) == "false"  # restored, not leaked
-        assert dict(df.dtypes)["ts"] == "timestamp"  # scan still converts
+        assert spark.conf.get(key) == "false"  # untouched / restored
+        assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     finally:
         if prev is None:
             spark.conf.unset(key)
