@@ -1,0 +1,299 @@
+"""Corpus-curation and batch-shaping operators (q114-q117): time-decayed
+example weighting, length-bucketed batch assembly, ANN hard-negative mining,
+and a composite Gopher-style document filter gate.
+
+These extend the training-pipeline surface (BASELINE.json north star; the
+reference notebook has none of this — SURVEY.md §2.6 "not present" list)
+with the four curation steps an LLM data pipeline runs between dedup
+(q35-q38, q73) and packing (q74): weight, bucket, mine, filter.
+
+Determinism rules (plans/base.py): every ratio is one IEEE division of two
+exact integers or an exactly-representable product; weighted sums go through
+the fixed-decimal path; every window carries a total tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+from pyspark.sql.window import Window
+
+from ..functions.text import STOPWORDS, marker_count, tokens
+from ..functions.vectors import dot, norm
+from .base import _t, query
+
+# ---------------------------------------------------------------------------
+# q114 — half-life-decayed per-user activity (sampling-weight primitive)
+# ---------------------------------------------------------------------------
+
+#: fixed "as of" anchor one day past the events table's span (2024-01-01 →
+#: 2024-01-30 at every sf) so ages are small positive ints at any scale.
+_ANCHOR = "2024-01-31"
+_HALF_LIFE_WEEKS_SQL = (
+    "pow(0.5, floor(datediff('day', CAST(ts AS DATE), DATE '{a}') / 7.0))".format(a=_ANCHOR)
+)
+
+
+def half_life_weight(ts_col: Column, anchor: Column, half_life_days: int = 7) -> Column:
+    """Exponential half-life decay weight: 0.5 ** floor(age_days / H).
+
+    The integer-week exponent keeps the weight an exact binary fraction
+    (2^-k), so ``value * weight`` is a single exact IEEE multiply — the
+    weighted sum can then ride the fixed-decimal exact-sum path and stay
+    order-independent (bit-identical across engines and shuffle orders),
+    which a raw ``exp(-age/tau)`` double-sum cannot guarantee."""
+    age_weeks = F.floor(F.datediff(anchor, F.to_date(ts_col)) / half_life_days)
+    return F.pow(F.lit(0.5), age_weeks)
+
+
+@query(
+    "q114_decayed_user_activity",
+    f"""SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+               CAST(sum(CAST(value * {_HALF_LIFE_WEEKS_SQL} AS DECIMAL(18,6)))
+                    AS DOUBLE) AS decayed_value
+        FROM events GROUP BY 1""",
+    tags=("curation", "decay", "weighting"),
+)
+def q114(spark, sf):
+    """Time-decayed per-user activity score (half-life = 1 week): the
+    recency-weighted mixture/sampling-weight primitive. Weight is computed
+    in the scan projection, so only (user_id, partial sums) rows shuffle —
+    map-side combine absorbs the fan-in exactly like a plain groupBy; at
+    100 TB this is one shuffle of |users| rows regardless of event count."""
+    ev = _t(spark, sf, "events")
+    wt = half_life_weight(F.col("ts"), F.lit(_ANCHOR).cast("date"), 7)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DecimalType(18, 2))).cast("double").alias("value_sum"),
+        F.sum((F.col("value") * wt).cast(DecimalType(18, 6)))
+        .cast("double")
+        .alias("decayed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115 — length-bucketed batch assembly (padding-waste minimizer)
+# ---------------------------------------------------------------------------
+
+_BATCH = 8
+
+_BUCKET_SQL = """CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                      WHEN n_tok <= 64 THEN 64 ELSE 128 END"""
+
+
+def _bucket(n_tok: Column) -> Column:
+    return (
+        F.when(n_tok <= 16, 16)
+        .when(n_tok <= 32, 32)
+        .when(n_tok <= 64, 64)
+        .otherwise(128)
+    )
+
+
+@query(
+    "q115_length_bucket_batches",
+    f"""WITH d AS (SELECT doc_id,
+                          CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tok
+                   FROM documents),
+         b AS (SELECT doc_id, n_tok,
+                      CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+               FROM d),
+         r AS (SELECT bucket, n_tok,
+                      CAST(floor((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                                 / {_BATCH}) AS INTEGER) AS batch_id
+               FROM b)
+        SELECT bucket, batch_id,
+               count(*) AS n_docs,
+               CAST(max(n_tok) AS INTEGER) AS max_len,
+               CAST(sum(n_tok) AS BIGINT) AS token_sum,
+               round(1.0 - sum(n_tok) * 1.0 / (count(*) * bucket), 6) AS pad_frac
+        FROM r GROUP BY 1, 2 ORDER BY bucket, batch_id""",
+    tags=("curation", "batching", "window"),
+)
+def q115(spark, sf):
+    """Length-bucketed batch assembly: pad-to-bucket batching that bounds
+    padding FLOPs (the training-loader counterpart of q74's greedy packing —
+    fixed shapes per bucket instead of concat-to-max-len). Docs land in
+    power-of-two token buckets, get a deterministic row_number within the
+    bucket, and batches of 8 report their padding waste.
+
+    Scale note: row_number over 4 bucket partitions serializes at 100 TB;
+    the cluster path salts the window key to (bucket, hash(doc_id) % K) —
+    batches stay intra-salt-group and shapes are unchanged, only batch ids
+    renumber. The oracle pins the canonical single-partition numbering."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tok")
+    )
+    b = d.select("doc_id", "n_tok", _bucket(F.col("n_tok")).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    r = b.select(
+        "bucket",
+        "n_tok",
+        F.floor((F.row_number().over(w) - 1) / _BATCH).cast("int").alias("batch_id"),
+    )
+    return (
+        r.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").alias("max_len"),
+            F.sum("n_tok").alias("token_sum"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_len",
+            "token_sum",
+            F.round(
+                1.0 - F.col("token_sum") / (F.col("n_docs") * F.col("bucket")), 6
+            ).alias("pad_frac"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116 — ANN hard-negative mining (contrastive-training primitive)
+# ---------------------------------------------------------------------------
+
+_Q_FILTER = "vec_id % 50 = 0"
+_DOT = "list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+
+
+@query(
+    "q116_hard_negatives",
+    f"""WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qe
+                   FROM embeddings WHERE {_Q_FILTER}),
+         p AS (SELECT query_id, query_label,
+                      e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                      round({_DOT.format(a='qe', b='e.embedding')}
+                            / (sqrt({_DOT.format(a='qe', b='qe')})
+                               * sqrt({_DOT.format(a='e.embedding', b='e.embedding')})),
+                            4) AS cos
+               FROM embeddings e, q WHERE e.label <> query_label)
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM p)
+        WHERE rnk <= 5""",
+    tags=("curation", "similarity", "negative-mining"),
+)
+def q116(spark, sf):
+    """Hard-negative mining: for each query vector, the top-5 most-similar
+    vectors with a *different* label — the highest-loss negatives a
+    contrastive trainer wants. Same broadcast shape as q39 (queries are the
+    small side, corpus never shuffles) with the positive-pair anti-filter
+    pushed into the join condition, so same-label candidates never
+    materialize. At 100 TB the candidate stage swaps to the LSH-bucketed
+    join (q40) before the label filter; the brute-force form is the oracle."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("label") != F.col("query_label"))
+    cos = F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cos.alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — composite Gopher-style document filter gate
+# ---------------------------------------------------------------------------
+
+_STOPS_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "q117_corpus_filter_gate",
+    f"""WITH t AS (SELECT doc_id, text,
+                          string_split_regex(trim(text), '\\s+') AS ts
+                   FROM documents),
+         mc AS (SELECT doc_id, max(c) AS most_common_n
+                FROM (SELECT doc_id, tok, count(*) AS c
+                      FROM (SELECT doc_id, unnest(ts) AS tok FROM t)
+                      GROUP BY 1, 2)
+                GROUP BY 1),
+         s AS (SELECT t.doc_id,
+                      CAST(len(ts) AS INTEGER) AS n_tok,
+                      CAST(len(list_filter(ts, x -> x IN ({_STOPS_IN}))) AS INTEGER)
+                          AS stop_n,
+                      CAST(mc.most_common_n AS INTEGER) AS most_common_n,
+                      length(replace(text, ' ', '')) * 1.0 / len(ts) AS mean_len
+               FROM t JOIN mc ON t.doc_id = mc.doc_id)
+        SELECT doc_id, n_tok, stop_n, most_common_n,
+               (n_tok BETWEEN 20 AND 80) AS ok_len,
+               (mean_len >= 3.8 AND mean_len <= 5.0) AS ok_word_len,
+               (stop_n >= 2) AS ok_stop,
+               (most_common_n * 1.0 / n_tok <= 0.125) AS ok_mcw,
+               ((n_tok BETWEEN 20 AND 80)
+                AND mean_len >= 3.8 AND mean_len <= 5.0
+                AND stop_n >= 2
+                AND most_common_n * 1.0 / n_tok <= 0.125) AS keep
+        FROM s""",
+    tags=("curation", "quality", "filter-gate"),
+)
+def q117(spark, sf):
+    """Composite document filter gate, Gopher-rule style: token-count
+    bounds, mean-word-length band, minimum stopword evidence, and
+    most-common-word dominance — each as an auditable boolean plus the
+    final ``keep`` conjunction (filter *decisions*, where q32/q88 stop at
+    scores). Thresholds chosen to split this corpus on every rule.
+
+    The dominance rule needs the per-doc modal token count: explode →
+    (doc, tok) partial-count → per-doc max — two shuffles both keyed by
+    doc_id, with map-side combine absorbing the token fan-out; the
+    per-doc scalar then joins back to the scan-side stats on doc_id."""
+    t = _t(spark, sf, "documents").select(
+        "doc_id", "text", tokens("text").alias("ts")
+    )
+    mc = (
+        t.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").cast("int").alias("most_common_n"))
+    )
+    n = F.size("ts")
+    s = (
+        t.select(
+            "doc_id",
+            n.alias("n_tok"),
+            marker_count(F.col("ts"), STOPWORDS).cast("int").alias("stop_n"),
+            (F.length(F.regexp_replace("text", " ", "")) / n).alias("mean_len"),
+        )
+        .join(mc, "doc_id")
+    )
+    ok_len = F.col("n_tok").between(20, 80)
+    ok_word_len = (F.col("mean_len") >= 3.8) & (F.col("mean_len") <= 5.0)
+    ok_stop = F.col("stop_n") >= 2
+    ok_mcw = F.col("most_common_n") / F.col("n_tok") <= 0.125
+    return s.select(
+        "doc_id",
+        "n_tok",
+        "stop_n",
+        "most_common_n",
+        ok_len.alias("ok_len"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stop"),
+        ok_mcw.alias("ok_mcw"),
+        (ok_len & ok_word_len & ok_stop & ok_mcw).alias("keep"),
+    )

@@ -10,6 +10,7 @@ from . import analytics_ext  # noqa: F401  (registers q42-q52)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84)
 from . import quality  # noqa: F401  (registers q85-q97)
+from . import curation  # noqa: F401  (registers q114-q117)
 
 # ---------------------------------------------------------------------------
 # Export order. Graders that sample a prefix of the registry (the r01 gate

@@ -1,0 +1,88 @@
+"""Invariant tests for the corpus-curation family (q114-q117).
+
+Value-for-value parity is the DuckDB oracle gate; these pin the semantic
+invariants that would survive a data refresh.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.curation import (
+    _BATCH,
+    half_life_weight,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
+
+from conftest import SF_SMOKE
+
+
+def test_decayed_activity_bounded_by_plain_sum(spark):
+    rows = QUERIES["q114_decayed_user_activity"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # weights are in (0, 1]: decayed total never exceeds the plain total
+        assert r["decayed_value"] <= r["value_sum"] + 1e-6
+        assert r["decayed_value"] >= 0.0
+        assert r["n_events"] > 0
+
+
+def test_half_life_weights_are_exact_powers_of_two(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        half_life_weight(F.col("ts"), F.lit("2024-01-31").cast("date"), 7).alias("w")
+    )
+    for r in df.distinct().collect():
+        # exact binary fractions 2^-k — the determinism contract of q114
+        assert r["w"] > 0
+        k = round(math.log2(1.0 / r["w"]))
+        assert r["w"] == 0.5**k
+
+
+def test_length_buckets_batch_contract(spark):
+    rows = QUERIES["q115_length_bucket_batches"](spark, SF_SMOKE).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        assert r["n_docs"] <= _BATCH
+        assert r["max_len"] <= r["bucket"]  # pad-to-bucket never truncates
+        assert r["token_sum"] <= r["n_docs"] * r["bucket"]
+        assert 0.0 <= r["pad_frac"] < 1.0
+        by_bucket.setdefault(r["bucket"], []).append(r["batch_id"])
+    n_docs_total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for bucket, batch_ids in by_bucket.items():
+        # batch ids are contiguous from 0 — only the final batch may be short
+        assert sorted(batch_ids) == list(range(len(batch_ids)))
+
+
+def test_hard_negatives_exclude_query_label(spark):
+    rows = QUERIES["q116_hard_negatives"](spark, SF_SMOKE).collect()
+    assert rows
+    per_query = {}
+    for r in rows:
+        assert r["neighbor_label"] != r["query_label"]
+        assert -1.0001 <= r["cos"] <= 1.0001
+        per_query.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_query.items():
+        ranks = sorted(r["rnk"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 5
+        # ranks ordered by descending cosine
+        by_rnk = sorted(rs, key=lambda r: r["rnk"])
+        for hi, lo in zip(by_rnk, by_rnk[1:]):
+            assert hi["cos"] >= lo["cos"]
+
+
+def test_filter_gate_keep_is_conjunction_and_rules_bite(spark):
+    rows = QUERIES["q117_corpus_filter_gate"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (
+            r["ok_len"] and r["ok_word_len"] and r["ok_stop"] and r["ok_mcw"]
+        )
+        assert 1 <= r["most_common_n"] <= r["n_tok"]
+        assert 0 <= r["stop_n"] <= r["n_tok"]
+    kept = sum(1 for r in rows if r["keep"])
+    # the gate must actually split the corpus (thresholds are data-aware)
+    assert 0 < kept < len(rows)
+    for rule in ("ok_len", "ok_word_len", "ok_stop", "ok_mcw"):
+        assert any(not r[rule] for r in rows), f"{rule} rejects nothing"
