@@ -603,3 +603,162 @@ def quantized_int8_topk_vectorized(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
     return cands.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+# ---------------------------------------------------------------------------
+
+#: PQ layout: the 64-d embedding splits into PQ_M contiguous subvectors of
+#: dim/PQ_M dims; each subspace gets its own PQ_KSUB-entry codebook. A corpus
+#: vector is stored as PQ_M small ints (the IVF-PQ compressed representation:
+#: 4 codes instead of 64 floats, a 64x storage/bandwidth cut at 100 TB).
+PQ_M = 4
+PQ_KSUB = 8
+PQ_ITERS = 4
+
+
+def _lloyd_euclid(X: "np.ndarray", k: int, max_iter: int) -> "np.ndarray":
+    """Deterministic integer Lloyd iterations under EXACT Euclidean
+    assignment: argmin ||x - c||^2 == argmax (2*x.c - |c|^2), computed in
+    int64 so assignment is bit-exact (no doubles anywhere in the argmax —
+    stronger than the IVF fit, whose scores divide by a double sqrt).
+    Init = first k rows; ties -> lowest code; update = floor(mean)."""
+    cents = X[:k].copy()
+    for _ in range(max_iter):
+        nsq = (cents * cents).sum(axis=1)  # exact int64
+        scores = 2 * (X @ cents.T) - nsq[None, :]  # exact int64
+        assign = scores.argmax(axis=1)  # first max = lowest code on ties
+        new = cents.copy()
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                new[c] = np.floor(
+                    members.sum(axis=0, dtype=np.int64) / len(members)
+                ).astype(np.int64)
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return cents
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    max_iter: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = KMEANS_TRAIN_ROWS,
+) -> list[list[list[int]]]:
+    """Train PQ codebooks: one integer-quantized Lloyd fit per subspace over
+    the ``train_rows`` lowest-id vectors (same bounded-sample posture as
+    kmeans_fit; faiss trains PQ on a sample too). Returns
+    ``codebooks[s][c] -> list[int]`` — deterministic enough that the DuckDB
+    oracle replays every iteration of all m fits (q118)."""
+    pdf = (
+        emb.orderBy(id_col)
+        .limit(train_rows)
+        .select(quantize_vec(F.col(vec_col)).alias("qv"))
+        .toPandas()
+    )
+    if len(pdf) < ksub:
+        raise ValueError(f"pq_fit: corpus has fewer than ksub={ksub} rows")
+    X = np.array(pdf["qv"].tolist(), dtype=np.int64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[int(x) for x in row] for row in _lloyd_euclid(X[:, s * sub : (s + 1) * sub], ksub, max_iter)]
+        for s in range(m)
+    ]
+
+
+def _pq_code(qv_sub: Column, codebook: list[list[int]]) -> Column:
+    """Nearest-codeword id for one quantized subvector, by exact integer
+    Euclidean score (2*dot - |c|^2); ties -> lowest code. Map-only: the
+    codebook rides along as literals, like _argmax_cell."""
+    packed = F.array(
+        *[
+            F.struct(
+                (2 * _int_dot(qv_sub, c) - F.lit(int(sum(x * x for x in c)))).alias("s"),
+                F.lit(-j).alias("nj"),
+            )
+            for j, c in enumerate(codebook)
+        ]
+    )
+    return (-F.array_max(packed).getField("nj")).cast("int")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding) -> (id, code: array<int>) — the PQ compression step.
+    Map-only over the scan; at 100 TB this is the one full pass that turns
+    the 100 TB float corpus into a ~1.5 TB code table."""
+    qv = quantize_vec(F.col(vec_col))
+    sub = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _pq_code(F.slice(qv, s * sub + 1, sub), cb)
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+    return corpus.select(F.col(id_col), codes.alias("code"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes its
+    per-subspace dot table against the codebooks (m*ksub exact int64 dots,
+    once per query); scoring a corpus vector is then m table LOOKUPS — the
+    compressed-domain kernel that never touches the original floats.
+
+    queries: (query_id, qe). Ranking key is the exact integer ADC score
+    (tie-break neighbor_id), so rank order is engine-exact; the reported
+    ``adc_dot`` de-quantizes it to the approximate raw dot product.
+    Scale shape: the encoded corpus (codes only, no embeddings) joins a
+    broadcast of the tabled queries; nothing wider than m ints + the small
+    table array ever shuffles."""
+    sub = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks)
+    qqv = quantize_vec(F.col("qe"))
+    tbl = F.array(
+        *[
+            F.array(*[_int_dot(F.slice(qqv, s * sub + 1, sub), c) for c in cb])
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+    q = queries.select("query_id", tbl.alias("tbl"))
+    pairs = enc.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    adc = F.aggregate(
+        F.zip_with(F.col("tbl"), F.col("code"), lambda t, c: F.element_at(t, c + F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("adc").cast("double") / F.lit(float(QUANT_SCALE) ** 2), 6).alias(
+                "adc_dot"
+            ),
+            "rnk",
+        )
+    )

@@ -297,3 +297,120 @@ def q117(spark, sf):
         ok_mcw.alias("ok_mcw"),
         (ok_len & ok_word_len & ok_stop & ok_mcw).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — product-quantization ADC top-k (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle(
+    m: int = 4, ksub: int = 8, iters: int = 4, dim: int = 64, k: int = 5,
+    train_rows: int = 100_000,
+) -> str:
+    """DuckDB oracle for q118: replays all m per-subspace integer Lloyd
+    fits (init = ksub lowest-id subvectors, exact 2*dot-|c|^2 assignment,
+    floor-mean updates), re-encodes the corpus, and scores every
+    (query, neighbor) pair by the exact integer ADC sum — the same
+    replay-the-fit pattern as q56's IVF oracle, minus doubles even in the
+    assignment scores."""
+    sub = dim // m
+
+    def dot_vc(v: str, c: str) -> str:
+        return f"list_sum(list_transform(range(1, {sub + 1}), j -> {v}[j] * {c}[j]))"
+
+    def nsq(c: str) -> str:
+        return f"list_sum(list_transform({c}, x -> x * x))"
+
+    blocks = []
+    for s in range(m):
+        lo = s * sub + 1
+        blocks.append(
+            f"""sv{s} AS MATERIALIZED (
+      SELECT vec_id, list_transform(range({lo}, {lo + sub}), j -> qv[j]) AS v
+      FROM ptr),
+    c{s}_0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, v AS c
+      FROM sv{s} ORDER BY vec_id LIMIT {ksub})"""
+        )
+        for i in range(1, iters + 1):
+            blocks.append(
+                f"""a{s}_{i} AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM (
+        SELECT p.vec_id, p.v, c.cell,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY (2 * {dot_vc('p.v', 'c.c')} - {nsq('c.c')}) DESC,
+                                           c.cell) AS rn
+        FROM sv{s} p CROSS JOIN c{s}_{i - 1} c)
+      WHERE rn = 1),
+    c{s}_{i} AS MATERIALIZED (
+      SELECT cell, list_transform(range(1, {sub + 1}), j ->
+               CAST(floor(CAST(list_sum(list_transform(list(v), x -> x[j])) AS DOUBLE)
+                          / count(*)) AS BIGINT)) AS c
+      FROM a{s}_{i} GROUP BY cell
+      UNION ALL
+      SELECT cell, c FROM c{s}_{i - 1}
+      WHERE cell NOT IN (SELECT cell FROM a{s}_{i}))"""
+            )
+        blocks.append(
+            f"""e{s} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT p.vec_id, c.cell,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY (2 * {dot_vc('p.v', 'c.c')} - {nsq('c.c')}) DESC,
+                                           c.cell) AS rn
+        FROM (SELECT vec_id, list_transform(range({lo}, {lo + sub}), j -> qv[j]) AS v
+              FROM pts) p
+        CROSS JOIN c{s}_{iters} c)
+      WHERE rn = 1)"""
+        )
+
+    adc_terms = " + ".join(
+        f"list_sum(list_transform(range(1, {sub + 1}), j -> q.qv[{s * sub} + j] * k{s}.c[j]))"
+        for s in range(m)
+    )
+    enc_joins = "\n      ".join(
+        f"JOIN e{s} ON e{s}.vec_id = e0.vec_id" for s in range(1, m)
+    )
+    cb_joins = "\n      ".join(
+        f"JOIN c{s}_{iters} k{s} ON k{s}.cell = e{s}.cell" for s in range(m)
+    )
+    return f"""WITH pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+    ptr AS MATERIALIZED (SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT {train_rows}),
+    {','.join(blocks)},
+    q AS (SELECT vec_id AS query_id, qv FROM pts WHERE {_Q_FILTER}),
+    p AS (
+      SELECT q.query_id, e0.vec_id AS neighbor_id, ({adc_terms}) AS adc
+      FROM q
+      JOIN e0 ON e0.vec_id <> q.query_id
+      {enc_joins}
+      {cb_joins})
+    SELECT query_id, neighbor_id,
+           round(CAST(adc AS DOUBLE) / 1000000000000.0, 6) AS adc_dot,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc DESC, neighbor_id) AS rnk
+          FROM p)
+    WHERE rnk <= {k}"""
+
+
+@query("q118_pq_adc_topk", _pq_oracle(), tags=("curation", "similarity", "pq", "ann"))
+def q118(spark, sf):
+    """Product-quantization ADC top-k — the compression half of the IVF-PQ
+    stack (q56 holds the IVF half): per-subspace integer Lloyd codebooks,
+    corpus stored as m small codes, queries scored by table lookups that
+    never touch the original floats. Ranking runs on the exact integer ADC
+    score, so the DuckDB oracle (which replays all m fits iteration by
+    iteration) matches rank-for-rank; approximation quality vs exact top-k
+    is measured on the stress corpus in SCALE_NOTES, not here."""
+    from ..operators.similarity import pq_adc_topk, pq_fit
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    books = pq_fit(emb, m=4, ksub=8, max_iter=4)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return pq_adc_topk(emb, q, books, k=5)

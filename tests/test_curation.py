@@ -86,3 +86,59 @@ def test_filter_gate_keep_is_conjunction_and_rules_bite(spark):
     assert 0 < kept < len(rows)
     for rule in ("ok_len", "ok_word_len", "ok_stop", "ok_mcw"):
         assert any(not r[rule] for r in rows), f"{rule} rejects nothing"
+
+
+def test_pq_encode_codes_in_range(spark):
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = pq_fit(emb, m=PQ_M, ksub=PQ_KSUB, max_iter=4)
+    assert len(books) == PQ_M and all(len(cb) == PQ_KSUB for cb in books)
+    rows = pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["code"]) == PQ_M
+        assert all(0 <= c < PQ_KSUB for c in r["code"])
+
+
+def test_pq_identical_vectors_share_codes(spark):
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = pq_fit(emb, m=4, ksub=8, max_iter=4)
+    # duplicate every vector under a shifted id: codes must be identical
+    n = emb.count()
+    dup = emb.select((F.col("vec_id") + n).alias("vec_id"), "embedding")
+    enc = pq_encode(emb.unionAll(dup), books).collect()
+    by_id = {r["vec_id"]: list(r["code"]) for r in enc}
+    for vid in range(n):
+        assert by_id[vid] == by_id[vid + n]
+
+
+def test_pq_adc_topk_rank_contract(spark):
+    rows = QUERIES["q118_pq_adc_topk"](spark, SF_SMOKE).collect()
+    assert rows
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_query.items():
+        by_rnk = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in by_rnk] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        for hi, lo in zip(by_rnk, by_rnk[1:]):
+            assert hi["adc_dot"] >= lo["adc_dot"]
+        assert all(r["neighbor_id"] != q for r in rs)
