@@ -762,3 +762,91 @@ def pq_adc_topk(
             "rnk",
         )
     )
+
+
+def pq_adc_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+) -> DataFrame:
+    """q118's ADC search through the numpy kernel — bit-identical results
+    (every score is the same exact int64 the Column-fold computes: floor
+    quantization, integer codebook assignment, integer table gathers), at
+    q64-class speed instead of expression-tree speed.
+
+    Same twin contract as q109<->q104: the fold formulation carries the
+    DuckDB oracle, this kernel is asserted row-equal in tests and is what
+    a 100 TB run deploys. Per partition: vectorized encode (2*X@C.T -
+    |C|^2 argmax), ADC score matrix by table gather, local top-k per
+    query; the global window sees only k x partitions x queries rows."""
+    import numpy as np
+
+    probe = queries.select("query_id", "qe").limit(_MAX_DRIVER_QUERIES + 1).collect()
+    if len(probe) > _MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"pq_adc_topk_vectorized: query set exceeds {_MAX_DRIVER_QUERIES} rows; "
+            "shard the query table for fact-sized query sets."
+        )
+    if not probe:
+        return pq_adc_topk(corpus, queries, codebooks, k)
+    books = np.array(codebooks, dtype=np.int64)  # (m, ksub, sub)
+    m, ksub, sub = books.shape
+    qids = np.array([r["query_id"] for r in probe], dtype=np.int64)
+    Qf = np.array([list(r["qe"]) for r in probe], dtype=np.float64)
+    QQ = np.floor(Qf * float(QUANT_SCALE)).astype(np.int64)  # = quantize_vec
+    # per-query ADC tables: T[q, s, c] = dot(q_sub_s, codebook[s][c]), exact
+    T = np.einsum("qsd,scd->qsc", QQ.reshape(len(qids), m, sub), books)
+    nsq = (books * books).sum(axis=2)  # (m, ksub), exact
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, T))
+
+    def part(batches):
+        import pandas as pd
+
+        ids, Tq = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            X = np.floor(E * float(QUANT_SCALE)).astype(np.int64)
+            Xs = X.reshape(len(E), m, sub)
+            codes = np.empty((len(E), m), dtype=np.int64)
+            for s in range(m):
+                scores = 2 * (Xs[:, s] @ books[s].T) - nsq[s][None, :]
+                codes[:, s] = scores.argmax(axis=1)  # first max = lowest code
+            # ADC[q, x] = sum_s T[q, s, codes[x, s]] — pure integer gathers
+            adc = np.zeros((len(ids), len(E)), dtype=np.int64)
+            for s in range(m):
+                adc += Tq[:, s, :][:, codes[:, s]]
+            vecids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_a = [], [], []
+            for j in range(len(ids)):
+                cand = np.nonzero(vecids != ids[j])[0]
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((vecids[cand], -adc[j][cand]))[:k]
+                sel = cand[order]
+                out_q.extend([ids[j]] * len(sel))
+                out_n.extend(vecids[sel])
+                out_a.extend(adc[j][sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_a}
+            )
+
+    cands = corpus.select("vec_id", "embedding").mapInPandas(
+        part, "query_id long, neighbor_id long, adc long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("adc").cast("double") / F.lit(float(QUANT_SCALE) ** 2), 6).alias(
+                "adc_dot"
+            ),
+            "rnk",
+        )
+    )

@@ -414,3 +414,102 @@ def q118(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return pq_adc_topk(emb, q, books, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q119 — per-source token-distribution drift (total-variation distance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q119_source_token_drift",
+    r"""WITH tok AS (
+          SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents),
+        sc AS (SELECT source, tok, count(*) AS cnt_st FROM tok GROUP BY 1, 2),
+        ct AS (SELECT tok, sum(cnt_st) AS cnt_t FROM sc GROUP BY 1),
+        st AS (SELECT source, sum(cnt_st) AS tot_s FROM sc GROUP BY 1),
+        g AS (SELECT CAST(sum(cnt_st) AS BIGINT) AS tot_c FROM sc),
+        terms AS (
+          SELECT sc.source,
+                 CAST(abs(cnt_st * 1.0 / tot_s - cnt_t * 1.0 / tot_c)
+                      AS DECIMAL(18,12)) AS d,
+                 CAST(cnt_t * 1.0 / tot_c AS DECIMAL(18,12)) AS p_t
+          FROM sc JOIN ct USING (tok) JOIN st USING (source) CROSS JOIN g)
+        SELECT source,
+               CAST(st.tot_s AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               round(CAST(0.5 * (sum(d) + (1.0 - sum(p_t))) AS DOUBLE), 6)
+                   AS tv_drift
+        FROM terms JOIN st USING (source)
+        GROUP BY source, st.tot_s ORDER BY source""",
+    tags=("curation", "drift", "distribution"),
+)
+def q119(spark, sf):
+    """Per-source distribution-drift score: total-variation distance between
+    each source's token distribution and the whole corpus's — the
+    corpus-monitoring primitive that flags a crawl source going off-mix.
+
+    TV is chosen over KL/PSI deliberately: it needs no transcendental
+    functions, so every term is a ratio of exact int64 counts (identical
+    IEEE doubles in any engine) quantized to DECIMAL(18,12) for an
+    order-independent sum — the whole score is oracle-checkable to the
+    last bit, which a log-based divergence cannot be (libm vs JVM ulps).
+    Tokens absent from a source are handled in closed form (their
+    contribution is the missing corpus mass, 1 - sum of present p_t), so
+    no source x vocabulary full-outer join ever materializes — at 100 TB
+    the shuffles stay keyed on (source, token) and token only."""
+    tok = _t(spark, sf, "documents").select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    sc = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt_st"))
+    ct = sc.groupBy("tok").agg(F.sum("cnt_st").alias("cnt_t"))
+    st = sc.groupBy("source").agg(F.sum("cnt_st").alias("tot_s"))
+    g = sc.agg(F.sum("cnt_st").cast("bigint").alias("tot_c"))
+    d = F.abs(
+        F.col("cnt_st") / F.col("tot_s") - F.col("cnt_t") / F.col("tot_c")
+    ).cast(DecimalType(18, 12))
+    p_t = (F.col("cnt_t") / F.col("tot_c")).cast(DecimalType(18, 12))
+    terms = (
+        sc.join(ct, "tok")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(g))
+        .select("source", "tot_s", d.alias("d"), p_t.alias("p_t"))
+    )
+    return (
+        terms.groupBy("source", "tot_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum("d").alias("sd"),
+            F.sum("p_t").alias("sp"),
+        )
+        .select(
+            "source",
+            F.col("tot_s").cast("bigint").alias("n_tokens"),
+            "n_distinct",
+            F.round(
+                (0.5 * (F.col("sd") + (1.0 - F.col("sp")))).cast("double"), 6
+            ).alias("tv_drift"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q120_pq_adc_topk_vectorized",
+    None,  # rows-only: the oracle lives on the fold twin (q118); equality
+    # between the two is asserted in tests/test_curation.py
+    tags=("curation", "similarity", "pq", "vectorized"),
+)
+def q120(spark, sf):
+    """q118 through the numpy ADC kernel (mapInPandas, integer gathers) —
+    the deployment-speed path, bit-identical to the fold formulation by
+    exact int64 arithmetic. Same twin contract as q109<->q104."""
+    from ..operators.similarity import pq_adc_topk_vectorized, pq_fit
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    books = pq_fit(emb, m=4, ksub=8, max_iter=4)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return pq_adc_topk_vectorized(emb, q, books, k=5)

@@ -142,3 +142,33 @@ def test_pq_adc_topk_rank_contract(spark):
         for hi, lo in zip(by_rnk, by_rnk[1:]):
             assert hi["adc_dot"] >= lo["adc_dot"]
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_pq_vectorized_twin_equals_fold(spark):
+    """q120 (numpy ADC kernel) must match q118 (Column-fold, oracle vehicle)
+    row-for-row — both compute the same exact int64 scores."""
+    fold = {
+        (r["query_id"], r["neighbor_id"], r["adc_dot"], r["rnk"])
+        for r in QUERIES["q118_pq_adc_topk"](spark, SF_SMOKE).collect()
+    }
+    vec = {
+        (r["query_id"], r["neighbor_id"], r["adc_dot"], r["rnk"])
+        for r in QUERIES["q120_pq_adc_topk_vectorized"](spark, SF_SMOKE).collect()
+    }
+    assert fold == vec and fold
+
+
+def test_source_drift_bounds_and_coverage(spark):
+    rows = QUERIES["q119_source_token_drift"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["tv_drift"] <= 1.0  # TV distance is bounded
+        assert 0 < r["n_distinct"] <= r["n_tokens"]
+    srcs = {r["source"] for r in rows}
+    n_srcs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(srcs) == n_srcs
