@@ -1,11 +1,14 @@
-"""Corpus-curation and batch-shaping operators (q114-q117): time-decayed
+"""Corpus-curation and batch-shaping operators (q114-q121): time-decayed
 example weighting, length-bucketed batch assembly, ANN hard-negative mining,
-and a composite Gopher-style document filter gate.
+a composite Gopher-style document filter gate, PQ/ADC compressed-domain
+top-k (fold oracle vehicle q118 + BLAS twin q120), per-source TV-distance
+distribution drift, and the end-to-end composed pipeline (q121).
 
 These extend the training-pipeline surface (BASELINE.json north star; the
 reference notebook has none of this — SURVEY.md §2.6 "not present" list)
-with the four curation steps an LLM data pipeline runs between dedup
-(q35-q38, q73) and packing (q74): weight, bucket, mine, filter.
+with the curation steps an LLM data pipeline runs between dedup
+(q35-q38, q73) and packing (q74): weight, bucket, mine, filter, compress,
+monitor — and q121 chains gate -> dedup -> split -> bucket as one job.
 
 Determinism rules (plans/base.py): every ratio is one IEEE division of two
 exact integers or an exactly-representable product; weighted sums go through
@@ -19,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 from pyspark.sql.window import Window
 
-from ..functions.text import STOPWORDS, marker_count, tokens
+from ..functions.text import STOPWORDS, fingerprint, marker_count, tokens
 from ..functions.vectors import dot, norm
 from .base import _t, query
 
@@ -221,10 +224,10 @@ def q116(spark, sf):
 
 _STOPS_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
-
-@query(
-    "q117_corpus_filter_gate",
-    f"""WITH t AS (SELECT doc_id, text,
+#: shared gate-stats CTE chain (ends in ``s(doc_id, n_tok, stop_n,
+#: most_common_n, mean_len)``) and the keep-rule predicate — one source of
+#: truth for q117 (the auditable gate) and q121 (the composed pipeline).
+_GATE_CTES = f"""t AS (SELECT doc_id, text,
                           string_split_regex(trim(text), '\\s+') AS ts
                    FROM documents),
          mc AS (SELECT doc_id, max(c) AS most_common_n
@@ -238,16 +241,54 @@ _STOPS_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
                           AS stop_n,
                       CAST(mc.most_common_n AS INTEGER) AS most_common_n,
                       length(replace(text, ' ', '')) * 1.0 / len(ts) AS mean_len
-               FROM t JOIN mc ON t.doc_id = mc.doc_id)
+               FROM t JOIN mc ON t.doc_id = mc.doc_id)"""
+
+_OK_LEN_SQL = "(n_tok BETWEEN 20 AND 80)"
+_OK_WORD_LEN_SQL = "(mean_len >= 3.8 AND mean_len <= 5.0)"
+_OK_STOP_SQL = "(stop_n >= 2)"
+_OK_MCW_SQL = "(most_common_n * 1.0 / n_tok <= 0.125)"
+_KEEP_SQL = f"({_OK_LEN_SQL} AND {_OK_WORD_LEN_SQL} AND {_OK_STOP_SQL} AND {_OK_MCW_SQL})"
+
+
+def _gate_stats(t: "DataFrame") -> "DataFrame":
+    """(doc_id, text, ts) -> per-doc gate stats (the Spark twin of the
+    ``s`` CTE in ``_GATE_CTES``)."""
+    mc = (
+        t.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").cast("int").alias("most_common_n"))
+    )
+    n = F.size("ts")
+    return t.select(
+        "doc_id",
+        n.alias("n_tok"),
+        marker_count(F.col("ts"), STOPWORDS).cast("int").alias("stop_n"),
+        (F.length(F.regexp_replace("text", " ", "")) / n).alias("mean_len"),
+    ).join(mc, "doc_id")
+
+
+def _gate_rules() -> dict[str, Column]:
+    """The four keep rules over _gate_stats columns (Spark twins of the
+    *_SQL predicates above)."""
+    return {
+        "ok_len": F.col("n_tok").between(20, 80),
+        "ok_word_len": (F.col("mean_len") >= 3.8) & (F.col("mean_len") <= 5.0),
+        "ok_stop": F.col("stop_n") >= 2,
+        "ok_mcw": F.col("most_common_n") / F.col("n_tok") <= 0.125,
+    }
+
+
+@query(
+    "q117_corpus_filter_gate",
+    f"""WITH {_GATE_CTES}
         SELECT doc_id, n_tok, stop_n, most_common_n,
-               (n_tok BETWEEN 20 AND 80) AS ok_len,
-               (mean_len >= 3.8 AND mean_len <= 5.0) AS ok_word_len,
-               (stop_n >= 2) AS ok_stop,
-               (most_common_n * 1.0 / n_tok <= 0.125) AS ok_mcw,
-               ((n_tok BETWEEN 20 AND 80)
-                AND mean_len >= 3.8 AND mean_len <= 5.0
-                AND stop_n >= 2
-                AND most_common_n * 1.0 / n_tok <= 0.125) AS keep
+               {_OK_LEN_SQL} AS ok_len,
+               {_OK_WORD_LEN_SQL} AS ok_word_len,
+               {_OK_STOP_SQL} AS ok_stop,
+               {_OK_MCW_SQL} AS ok_mcw,
+               {_KEEP_SQL} AS keep
         FROM s""",
     tags=("curation", "quality", "filter-gate"),
 )
@@ -265,37 +306,19 @@ def q117(spark, sf):
     t = _t(spark, sf, "documents").select(
         "doc_id", "text", tokens("text").alias("ts")
     )
-    mc = (
-        t.select("doc_id", F.explode("ts").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").cast("int").alias("most_common_n"))
-    )
-    n = F.size("ts")
-    s = (
-        t.select(
-            "doc_id",
-            n.alias("n_tok"),
-            marker_count(F.col("ts"), STOPWORDS).cast("int").alias("stop_n"),
-            (F.length(F.regexp_replace("text", " ", "")) / n).alias("mean_len"),
-        )
-        .join(mc, "doc_id")
-    )
-    ok_len = F.col("n_tok").between(20, 80)
-    ok_word_len = (F.col("mean_len") >= 3.8) & (F.col("mean_len") <= 5.0)
-    ok_stop = F.col("stop_n") >= 2
-    ok_mcw = F.col("most_common_n") / F.col("n_tok") <= 0.125
+    s = _gate_stats(t)
+    r = _gate_rules()
+    keep = r["ok_len"] & r["ok_word_len"] & r["ok_stop"] & r["ok_mcw"]
     return s.select(
         "doc_id",
         "n_tok",
         "stop_n",
         "most_common_n",
-        ok_len.alias("ok_len"),
-        ok_word_len.alias("ok_word_len"),
-        ok_stop.alias("ok_stop"),
-        ok_mcw.alias("ok_mcw"),
-        (ok_len & ok_word_len & ok_stop & ok_mcw).alias("keep"),
+        r["ok_len"].alias("ok_len"),
+        r["ok_word_len"].alias("ok_word_len"),
+        r["ok_stop"].alias("ok_stop"),
+        r["ok_mcw"].alias("ok_mcw"),
+        keep.alias("keep"),
     )
 
 
@@ -513,3 +536,84 @@ def q120(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return pq_adc_topk_vectorized(emb, q, books, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q121 — the curation pipeline composed end-to-end
+# ---------------------------------------------------------------------------
+
+_HASH_SQL = "((doc_id % 100003) * 2654435761) % 1000"
+_SPLIT_SQL = f"""CASE WHEN {_HASH_SQL} < 800 THEN 'train'
+                      WHEN {_HASH_SQL} < 900 THEN 'val'
+                      ELSE 'test' END"""
+
+
+@query(
+    "q121_curation_pipeline",
+    f"""WITH {_GATE_CTES},
+         kept AS (SELECT s.doc_id, t.text, s.n_tok
+                  FROM s JOIN t ON s.doc_id = t.doc_id
+                  WHERE {_KEEP_SQL}),
+         fp AS (SELECT min(doc_id) AS keep_id
+                FROM (SELECT doc_id,
+                             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+                      FROM kept)
+                GROUP BY f),
+         ded AS (SELECT k.doc_id, k.n_tok
+                 FROM kept k JOIN fp ON fp.keep_id = k.doc_id),
+         sp AS (SELECT {_SPLIT_SQL} AS split,
+                       CAST({_BUCKET_SQL} AS INTEGER) AS bucket,
+                       n_tok
+                FROM ded)
+        SELECT split, bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS token_sum,
+               CAST(max(n_tok) AS INTEGER) AS max_len
+        FROM sp GROUP BY 1, 2 ORDER BY split, bucket""",
+    tags=("curation", "pipeline", "composition"),
+)
+def q121(spark, sf):
+    """The curation pipeline a corpus run actually executes, composed
+    end-to-end from this module's pieces: filter gate (q117 rules) ->
+    exact dedup keep-lowest (q35 shape) -> deterministic hash split
+    (q71 shape) -> length buckets (q115 shape), reported as per
+    (split, bucket) doc/token totals.
+
+    Every stage shares its SQL/Column definitions with the standalone
+    query it composes (one source of truth, so the composite oracle
+    cannot drift from the pieces). Plan shape: the gate's two doc_id
+    shuffles -> one fp-keyed dedup shuffle -> map-only split/bucket ->
+    one small aggregate; nothing wider than (doc_id, n_tok, fp) moves
+    after the gate."""
+    from .training import _doc_hash
+
+    t = _t(spark, sf, "documents").select(
+        "doc_id", "text", tokens("text").alias("ts")
+    )
+    r = _gate_rules()
+    keep = r["ok_len"] & r["ok_word_len"] & r["ok_stop"] & r["ok_mcw"]
+    kept = (
+        _gate_stats(t)
+        .where(keep)
+        .join(t.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "n_tok", fingerprint("text").alias("f"))
+    )
+    keeps = kept.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    ded = kept.join(
+        keeps, kept["doc_id"] == keeps["keep_id"]
+    ).select("doc_id", "n_tok")
+    split = (
+        F.when(_doc_hash() < 800, F.lit("train"))
+        .when(_doc_hash() < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ded.select(split.alias("split"), _bucket(F.col("n_tok")).alias("bucket"), "n_tok")
+        .groupBy("split", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("token_sum"),
+            F.max("n_tok").alias("max_len"),
+        )
+        .orderBy("split", "bucket")
+    )

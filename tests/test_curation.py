@@ -172,3 +172,16 @@ def test_source_drift_bounds_and_coverage(spark):
         .count()
     )
     assert len(srcs) == n_srcs
+
+
+def test_curation_pipeline_consistent_with_gate(spark):
+    rows = QUERIES["q121_curation_pipeline"](spark, SF_SMOKE).collect()
+    assert rows
+    gate = QUERIES["q117_corpus_filter_gate"](spark, SF_SMOKE).collect()
+    n_kept = sum(1 for r in gate if r["keep"])
+    assert 0 < sum(r["n_docs"] for r in rows) <= n_kept  # dedup only removes
+    for r in rows:
+        assert r["split"] in ("train", "val", "test")
+        assert r["bucket"] in (16, 32, 64, 128)
+        assert r["max_len"] <= r["bucket"]
+        assert r["token_sum"] <= r["n_docs"] * r["bucket"]
