@@ -185,3 +185,45 @@ def test_curation_pipeline_consistent_with_gate(spark):
         assert r["bucket"] in (16, 32, 64, 128)
         assert r["max_len"] <= r["bucket"]
         assert r["token_sum"] <= r["n_docs"] * r["bucket"]
+
+
+def test_pq_fit_invariant_under_repartition(spark):
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        pq_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    b1 = pq_fit(emb, m=4, ksub=8, max_iter=4)
+    b2 = pq_fit(emb.repartition(13), m=4, ksub=8, max_iter=4)
+    assert b1 == b2  # codebooks are a pure function of the data, not layout
+
+
+def test_decayed_sum_invariant_under_repartition(spark):
+    """The fixed-decimal weighted sum is associative/commutative — shuffling
+    partition layout cannot move a single bit of the result (the property
+    that makes q114 safe on any cluster)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.curation import (
+        half_life_weight,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    wt = half_life_weight(F.col("ts"), F.lit("2024-01-31").cast("date"), 7)
+
+    def decayed(df):
+        rows = (
+            df.groupBy("user_id")
+            .agg(
+                F.sum((F.col("value") * wt).cast(DecimalType(18, 6)))
+                .cast("double")
+                .alias("d")
+            )
+            .collect()
+        )
+        return {r["user_id"]: r["d"] for r in rows}
+
+    assert decayed(ev) == decayed(ev.repartition(17))
