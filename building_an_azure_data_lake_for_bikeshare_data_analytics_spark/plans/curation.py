@@ -1,8 +1,9 @@
-"""Corpus-curation and batch-shaping operators (q114-q121): time-decayed
+"""Corpus-curation and batch-shaping operators (q114-q122): time-decayed
 example weighting, length-bucketed batch assembly, ANN hard-negative mining,
 a composite Gopher-style document filter gate, PQ/ADC compressed-domain
 top-k (fold oracle vehicle q118 + BLAS twin q120), per-source TV-distance
-distribution drift, and the end-to-end composed pipeline (q121).
+distribution drift (q119 tokens-by-source, q122 values-by-time-window),
+and the end-to-end composed pipeline (q121).
 
 These extend the training-pipeline surface (BASELINE.json north star; the
 reference notebook has none of this — SURVEY.md §2.6 "not present" list)
@@ -616,4 +617,83 @@ def q121(spark, sf):
             F.max("n_tok").alias("max_len"),
         )
         .orderBy("split", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — numeric-distribution drift between time windows (per event type)
+# ---------------------------------------------------------------------------
+
+_DRIFT_CUT = "2024-01-15"
+
+
+@query(
+    "q122_value_drift_by_window",
+    f"""WITH b AS (
+          SELECT event_type,
+                 CAST(floor(value / 25.0) AS BIGINT) * 25 AS bucket,
+                 CASE WHEN CAST(ts AS DATE) < DATE '{_DRIFT_CUT}' THEN 1 ELSE 0 END AS is_ref
+          FROM events),
+        c AS (SELECT event_type, bucket,
+                     sum(is_ref) AS cnt_ref,
+                     sum(1 - is_ref) AS cnt_cur
+              FROM b GROUP BY 1, 2),
+        t AS (SELECT event_type,
+                     CAST(sum(cnt_ref) AS BIGINT) AS tot_ref,
+                     CAST(sum(cnt_cur) AS BIGINT) AS tot_cur
+              FROM c GROUP BY 1),
+        terms AS (
+          SELECT c.event_type,
+                 CAST(abs(cnt_ref * 1.0 / tot_ref - cnt_cur * 1.0 / tot_cur)
+                      AS DECIMAL(18,12)) AS d
+          FROM c JOIN t USING (event_type))
+        SELECT event_type,
+               t.tot_ref AS n_ref, t.tot_cur AS n_cur,
+               round(CAST(0.5 * sum(d) AS DOUBLE), 6) AS tv_drift
+        FROM terms JOIN t USING (event_type)
+        GROUP BY event_type, t.tot_ref, t.tot_cur
+        ORDER BY event_type""",
+    tags=("curation", "drift", "histogram"),
+)
+def q122(spark, sf):
+    """Per-event-type numeric drift: total-variation distance between the
+    value histograms of a reference window (before {cut}) and the current
+    window — q119's monitor for numeric columns. Bucketing reuses q85's
+    fixed-width histogram; because both periods' counts land in ONE
+    (type, bucket) aggregate row (conditional sums, no second scan), a
+    bucket present in either period contributes its full |p_ref - p_cur|
+    term and no union/full-outer join ever materializes. Terms are ratios
+    of exact int64 counts quantized to DECIMAL(18,12): order-independent,
+    engine-exact. Scale shape: one shuffle keyed (type, bucket), one tiny
+    per-type total broadcast back."""
+    ev = _t(spark, sf, "events")
+    is_ref = (F.to_date("ts") < F.lit(_DRIFT_CUT).cast("date")).cast("long")
+    b = ev.select(
+        "event_type",
+        (F.floor(F.col("value") / 25.0) * 25).alias("bucket"),
+        is_ref.alias("is_ref"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").alias("cnt_ref"),
+        F.sum(1 - F.col("is_ref")).alias("cnt_cur"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("cnt_ref").cast("bigint").alias("tot_ref"),
+        F.sum("cnt_cur").cast("bigint").alias("tot_cur"),
+    )
+    d = F.abs(
+        F.col("cnt_ref") / F.col("tot_ref") - F.col("cnt_cur") / F.col("tot_cur")
+    ).cast(DecimalType(18, 12))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .select("event_type", "tot_ref", "tot_cur", d.alias("d"))
+        .groupBy("event_type", "tot_ref", "tot_cur")
+        .agg(F.round((0.5 * F.sum("d")).cast("double"), 6).alias("tv_drift"))
+        .select(
+            "event_type",
+            F.col("tot_ref").alias("n_ref"),
+            F.col("tot_cur").alias("n_cur"),
+            "tv_drift",
+        )
+        .orderBy("event_type")
     )

@@ -227,3 +227,13 @@ def test_decayed_sum_invariant_under_repartition(spark):
         return {r["user_id"]: r["d"] for r in rows}
 
     assert decayed(ev) == decayed(ev.repartition(17))
+
+
+def test_value_drift_bounds(spark):
+    rows = QUERIES["q122_value_drift_by_window"](spark, SF_SMOKE).collect()
+    assert rows
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r["n_ref"] + r["n_cur"] for r in rows) == total
+    for r in rows:
+        assert 0.0 <= r["tv_drift"] <= 1.0
+        assert r["n_ref"] > 0 and r["n_cur"] > 0
