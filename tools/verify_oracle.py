@@ -10,6 +10,7 @@ Usage: python tools/verify_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import os
 import sys
@@ -33,7 +34,13 @@ def canon(df: pd.DataFrame) -> tuple[str, list[str], list[str]]:
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
-            df[c] = s.map(lambda v: str(v) if v is not None else None)
+            # without Arrow, Spark's toPandas yields datetime.date objects
+            # where DuckDB yields datetime64 — normalize both to datetime64
+            # so the harness is robust to the session's arrow setting
+            if s.map(lambda v: isinstance(v, datetime.date) or v is None).all() and s.notna().any():
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                df[c] = s.map(lambda v: str(v) if v is not None else None)
     rows = sorted(df.itertuples(index=False, name=None), key=lambda r: tuple(str(x) for x in r))
     h = hashlib.md5(repr(rows).encode()).hexdigest()
     return h, list(df.columns), [str(df[c].dtype) for c in df.columns]
