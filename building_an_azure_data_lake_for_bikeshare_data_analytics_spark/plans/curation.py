@@ -482,11 +482,23 @@ def q119(spark, sf):
     Tokens absent from a source are handled in closed form (their
     contribution is the missing corpus mass, 1 - sum of present p_t), so
     no source x vocabulary full-outer join ever materializes — at 100 TB
-    the shuffles stay keyed on (source, token) and token only."""
+    the shuffles stay keyed on (source, token) and token only.
+
+    The (source, token) counts relation feeds four consumers (per-token
+    totals, per-source totals, the corpus scalar, and the terms join);
+    localCheckpoint materializes the explode+count once instead of
+    re-scanning the corpus per consumer (same pattern as the LSH
+    pipeline's shingle relation; the pinned plan has zero parquet
+    re-scans). The materialized relation is |sources x vocab| counts —
+    tiny relative to the corpus."""
     tok = _t(spark, sf, "documents").select(
         "source", F.explode(tokens("text")).alias("tok")
     )
-    sc = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt_st"))
+    sc = (
+        tok.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt_st"))
+        .localCheckpoint()
+    )
     ct = sc.groupBy("tok").agg(F.sum("cnt_st").alias("cnt_t"))
     st = sc.groupBy("source").agg(F.sum("cnt_st").alias("tot_s"))
     g = sc.agg(F.sum("cnt_st").cast("bigint").alias("tot_c"))
@@ -664,8 +676,10 @@ def q122(spark, sf):
     bucket present in either period contributes its full |p_ref - p_cur|
     term and no union/full-outer join ever materializes. Terms are ratios
     of exact int64 counts quantized to DECIMAL(18,12): order-independent,
-    engine-exact. Scale shape: one shuffle keyed (type, bucket), one tiny
-    per-type total broadcast back."""
+    engine-exact. Scale shape: ONE parquet scan (pinned) — per-type totals
+    come from a window over the already-aggregated (type, bucket) rows
+    (hundreds of rows), not a second aggregate joined back, which would
+    re-scan the fact table."""
     ev = _t(spark, sf, "events")
     is_ref = (F.to_date("ts") < F.lit(_DRIFT_CUT).cast("date")).cast("long")
     b = ev.select(
@@ -677,16 +691,19 @@ def q122(spark, sf):
         F.sum("is_ref").alias("cnt_ref"),
         F.sum(1 - F.col("is_ref")).alias("cnt_cur"),
     )
-    t = c.groupBy("event_type").agg(
-        F.sum("cnt_ref").cast("bigint").alias("tot_ref"),
-        F.sum("cnt_cur").cast("bigint").alias("tot_cur"),
+    wt = Window.partitionBy("event_type")
+    ct = c.select(
+        "event_type",
+        "cnt_ref",
+        "cnt_cur",
+        F.sum("cnt_ref").over(wt).cast("bigint").alias("tot_ref"),
+        F.sum("cnt_cur").over(wt).cast("bigint").alias("tot_cur"),
     )
     d = F.abs(
         F.col("cnt_ref") / F.col("tot_ref") - F.col("cnt_cur") / F.col("tot_cur")
     ).cast(DecimalType(18, 12))
     return (
-        c.join(F.broadcast(t), "event_type")
-        .select("event_type", "tot_ref", "tot_cur", d.alias("d"))
+        ct.select("event_type", "tot_ref", "tot_cur", d.alias("d"))
         .groupBy("event_type", "tot_ref", "tot_cur")
         .agg(F.round((0.5 * F.sum("d")).cast("double"), 6).alias("tv_drift"))
         .select(

@@ -229,3 +229,54 @@ def test_salted_join_sort_merge_on_salted_keys(spark):
     plan = _plan(spark, "q111_salted_revenue_join")
     assert "SortMergeJoin" in plan
     assert "__salt" in plan
+
+
+def test_curation_family_plan_shapes(spark):
+    """Plan contracts for the q114-q122 curation family."""
+    # q114: one Exchange, partial+final hash agg — the weight is computed in
+    # the scan projection, so only (user_id, partials) ever shuffles
+    tree = _plan(spark, "q114_decayed_user_activity").split("\n\n")[0]
+    assert tree.count("Exchange") == 1 and tree.count("HashAggregate") == 2
+
+    # q116: queries broadcast; the label-inequality join must be a
+    # broadcast nested loop, never a cartesian of two fact-sized sides
+    plan = _plan(spark, "q116_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # q119: the (source, token) counts relation feeds four consumers — the
+    # localCheckpoint materializes it once, so the final plan re-scans NO
+    # parquet (the one corpus scan happened in the checkpoint job)
+    plan = _plan(spark, "q119_source_token_drift")
+    tree = plan.split("\n\n")[0]
+    assert "Scan parquet" not in tree
+    assert "SortMergeJoin" not in plan
+
+    # q122: reference/current counts land in ONE (type, bucket) aggregate
+    # and totals come from a window over it — a second aggregate joined
+    # back would re-scan the fact table
+    tree = _plan(spark, "q122_value_drift_by_window").split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_pq_encode_is_map_only(spark):
+    """PQ corpus encoding must be a map-only projection over the scan (the
+    codebooks ride as literals) — no shuffle before the encoded table."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = pq_fit(emb, m=4, ksub=8, max_iter=2)
+    tree = (
+        pq_encode(emb, books)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        .split("\n\n")[0]
+    )
+    assert "Exchange" not in tree
