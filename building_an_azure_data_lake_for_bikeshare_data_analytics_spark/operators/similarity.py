@@ -850,3 +850,40 @@ def pq_adc_topk_vectorized(
             "rnk",
         )
     )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    rerank_from: int = 50,
+) -> DataFrame:
+    """The PQ deployment shape: ADC prune in the compressed domain to
+    ``rerank_from`` candidates per query, exact cosine re-rank over the raw
+    embeddings of the survivors only. Measured on the stress corpus: raw
+    ADC@5 recall 0.506 (replicas compress to identical codes and tie);
+    pruning to 50 then re-ranking recovers 0.951 while exact-scoring
+    1/800th of the corpus per query (SCALE_NOTES).
+
+    Scale shape: the candidate relation (queries x rerank_from ids) is
+    broadcast-size by construction; the corpus joins it broadcast, so the
+    raw embeddings of non-candidates are never read past the scan filter
+    and nothing fact-sized shuffles."""
+    cand = pq_adc_topk(corpus, queries, codebooks, k=rerank_from).select(
+        "query_id", "neighbor_id"
+    )
+    withq = cand.join(F.broadcast(queries.select("query_id", "qe")), "query_id")
+    ne = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    pairs = ne.join(F.broadcast(withq), "neighbor_id")
+    cos = F.round(
+        dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

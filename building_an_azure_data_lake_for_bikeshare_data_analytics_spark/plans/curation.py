@@ -1,7 +1,8 @@
-"""Corpus-curation and batch-shaping operators (q114-q122): time-decayed
+"""Corpus-curation and batch-shaping operators (q114-q123): time-decayed
 example weighting, length-bucketed batch assembly, ANN hard-negative mining,
 a composite Gopher-style document filter gate, PQ/ADC compressed-domain
-top-k (fold oracle vehicle q118 + BLAS twin q120), per-source TV-distance
+top-k (fold oracle vehicle q118, BLAS twin q120, ADC-prune -> exact
+re-rank q123), per-source TV-distance
 distribution drift (q119 tokens-by-source, q122 values-by-time-window),
 and the end-to-end composed pipeline (q121).
 
@@ -330,7 +331,7 @@ def q117(spark, sf):
 
 def _pq_oracle(
     m: int = 4, ksub: int = 8, iters: int = 4, dim: int = 64, k: int = 5,
-    train_rows: int = 100_000,
+    train_rows: int = 100_000, rerank_from: int | None = None,
 ) -> str:
     """DuckDB oracle for q118: replays all m per-subspace integer Lloyd
     fits (init = ksub lowest-id subvectors, exact 2*dot-|c|^2 assignment,
@@ -412,12 +413,42 @@ def _pq_oracle(
       JOIN e0 ON e0.vec_id <> q.query_id
       {enc_joins}
       {cb_joins})
-    SELECT query_id, neighbor_id,
+    {_pq_oracle_tail(k, rerank_from)}"""
+
+
+def _pq_oracle_tail(k: int, rerank_from: int | None) -> str:
+    """Final stage of the PQ oracle: rank by exact integer ADC (q118), or
+    prune to ``rerank_from`` ADC candidates and re-rank by exact cosine
+    over the raw embeddings (q123 — the deployment shape)."""
+    if rerank_from is None:
+        return f"""SELECT query_id, neighbor_id,
            round(CAST(adc AS DOUBLE) / 1000000000000.0, 6) AS adc_dot,
            CAST(rnk AS INTEGER) AS rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY adc DESC, neighbor_id) AS rnk
           FROM p)
+    WHERE rnk <= {k}"""
+    cos = (
+        f"round({_DOT.format(a='qe.embedding', b='ne.embedding')}"
+        f" / (sqrt({_DOT.format(a='qe.embedding', b='qe.embedding')})"
+        f" * sqrt({_DOT.format(a='ne.embedding', b='ne.embedding')})), 4)"
+    )
+    return f""",
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc DESC, neighbor_id) AS crnk
+            FROM p)
+      WHERE crnk <= {rerank_from}),
+    x AS (
+      SELECT c.query_id, c.neighbor_id, {cos} AS cos
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM x)
     WHERE rnk <= {k}"""
 
 
@@ -714,3 +745,24 @@ def q122(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q123_pq_adc_rerank",
+    _pq_oracle(rerank_from=50),
+    tags=("curation", "similarity", "pq", "rerank"),
+)
+def q123(spark, sf):
+    """PQ ADC prune -> exact re-rank, the shape a 100 TB ANN deployment
+    runs (q118 is the pure compressed-domain ranking; this recovers exact
+    ordering among the ADC survivors — 0.951 recall@5 vs 0.506 on the
+    stress corpus, SCALE_NOTES). The oracle replays the fits, prunes by
+    exact integer ADC, and re-ranks by the same fold cosine as q39."""
+    from ..operators.similarity import pq_adc_rerank_topk, pq_fit
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    books = pq_fit(emb, m=4, ksub=8, max_iter=4)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return pq_adc_rerank_topk(emb, q, books, k=5, rerank_from=50)

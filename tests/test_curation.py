@@ -237,3 +237,24 @@ def test_value_drift_bounds(spark):
     for r in rows:
         assert 0.0 <= r["tv_drift"] <= 1.0
         assert r["n_ref"] > 0 and r["n_cur"] > 0
+
+
+def test_pq_rerank_recall_not_below_raw_adc(spark):
+    """Exact re-rank of ADC survivors can only improve agreement with the
+    exact brute-force top-k (q39), never hurt it."""
+    def topsets(qname):
+        out = {}
+        for r in QUERIES[qname](spark, SF_SMOKE).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topsets("q39_embedding_topk")
+    adc = topsets("q118_pq_adc_topk")
+    rer = topsets("q123_pq_adc_rerank")
+    def recall(approx):
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    assert recall(rer) >= recall(adc)
+    for q, rs in rer.items():
+        assert len(rs) <= 5
