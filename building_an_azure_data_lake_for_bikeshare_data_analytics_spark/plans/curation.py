@@ -1,10 +1,11 @@
-"""Corpus-curation and batch-shaping operators (q114-q123): time-decayed
+"""Corpus-curation and batch-shaping operators (q114-q124): time-decayed
 example weighting, length-bucketed batch assembly, ANN hard-negative mining,
 a composite Gopher-style document filter gate, PQ/ADC compressed-domain
 top-k (fold oracle vehicle q118, BLAS twin q120, ADC-prune -> exact
 re-rank q123), per-source TV-distance
 distribution drift (q119 tokens-by-source, q122 values-by-time-window),
-and the end-to-end composed pipeline (q121).
+the end-to-end composed pipeline (q121), and closed-form curriculum
+ordering (q124).
 
 These extend the training-pipeline surface (BASELINE.json north star; the
 reference notebook has none of this — SURVEY.md §2.6 "not present" list)
@@ -766,3 +767,66 @@ def q123(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return pq_adc_rerank_topk(emb, q, books, k=5, rerank_from=50)
+
+
+# ---------------------------------------------------------------------------
+# q124 — curriculum ordering (short-to-long, source-interleaved, no global sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q124_curriculum_order",
+    r"""WITH d AS (SELECT doc_id, source,
+                          CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tok
+                   FROM documents),
+        sr AS (SELECT source,
+                      CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS source_rank,
+                      CAST(count(*) OVER () AS BIGINT) AS n_sources
+               FROM (SELECT DISTINCT source FROM d)),
+        p AS (SELECT doc_id, d.source, n_tok,
+                     CAST(row_number() OVER (PARTITION BY d.source
+                                             ORDER BY n_tok, doc_id) AS BIGINT)
+                         AS pos_in_source
+              FROM d)
+        SELECT doc_id, p.source, n_tok, pos_in_source,
+               (pos_in_source - 1) * n_sources + source_rank AS curriculum_pos
+        FROM p JOIN sr ON p.source = sr.source""",
+    tags=("curation", "curriculum", "ordering"),
+)
+def q124(spark, sf):
+    """Curriculum ordering: shortest-first within each source, sources
+    interleaved round-robin — the classic length-curriculum the training
+    loader consumes (sorted by ``curriculum_pos``).
+
+    The scale design is the point: the global position is CLOSED FORM —
+    ``(pos_in_source - 1) * n_sources + source_rank`` — so no global
+    row_number (single-partition sort) ever runs. The only window is
+    per-source (hash-distributed); the source-rank dimension is |sources|
+    rows, broadcast. Positions have gaps once short sources run dry, which
+    is harmless: the loader orders by the value, it doesn't index by it.
+    Every output is an exact int — the whole ordering is engine-exact."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tok")
+    )
+    srcs = d.select("source").distinct()
+    wr = Window.orderBy("source")
+    sr = srcs.select(
+        "source",
+        F.dense_rank().over(wr).cast("bigint").alias("source_rank"),
+    ).crossJoin(F.broadcast(srcs.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))))
+    wp = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    p = d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.row_number().over(wp).cast("bigint").alias("pos_in_source"),
+    )
+    return p.join(F.broadcast(sr), "source").select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "pos_in_source",
+        ((F.col("pos_in_source") - 1) * F.col("n_sources") + F.col("source_rank")).alias(
+            "curriculum_pos"
+        ),
+    )

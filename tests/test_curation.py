@@ -258,3 +258,22 @@ def test_pq_rerank_recall_not_below_raw_adc(spark):
     assert recall(rer) >= recall(adc)
     for q, rs in rer.items():
         assert len(rs) <= 5
+
+
+def test_curriculum_order_properties(spark):
+    rows = QUERIES["q124_curriculum_order"](spark, SF_SMOKE).collect()
+    assert rows
+    pos = [r["curriculum_pos"] for r in rows]
+    assert len(set(pos)) == len(pos)  # strict total order
+    # within a source, position increases with (n_tok, doc_id)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["curriculum_pos"])
+        keys = [(r["n_tok"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys), src
+    # the first |sources| curriculum slots hold each source's shortest doc
+    head = sorted(rows, key=lambda r: r["curriculum_pos"])[: len(by_src)]
+    assert {r["source"] for r in head} == set(by_src)
+    assert all(r["pos_in_source"] == 1 for r in head)
