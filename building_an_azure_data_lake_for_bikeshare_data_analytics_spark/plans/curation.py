@@ -849,7 +849,9 @@ def length_bucket_batches_salted(
         "doc_id",
         "n_tok",
         _bucket(F.col("n_tok")).alias("bucket"),
-        F.pmod(F.col("doc_id") * 2654435761 % 100003, salt_groups).alias("salt"),
+        # mod BEFORE multiply (mirrors training._doc_hash): doc_id * 2654435761
+        # overflows int64 for doc_id > ~3.47e9 and throws under ANSI mode.
+        F.pmod((F.col("doc_id") % 100003) * 2654435761, salt_groups).alias("salt"),
     )
     w = Window.partitionBy("bucket", "salt").orderBy("doc_id")
     r = b.select(

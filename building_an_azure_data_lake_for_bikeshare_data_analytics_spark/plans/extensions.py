@@ -689,20 +689,55 @@ def q62(spark, sf):
     )
 
 
+# Winnowing gram hash: closed-form base-131 polynomial over char codes
+# (mod 256), fully unrolled — sum_t code(s[i+t]) * 131^(k-1-t). Exact int64
+# (max ~1.7e17 < 2^63), pure JVM codegen arithmetic on the Spark side and
+# verbatim-identical SQL on the DuckDB side. Replaces r2's per-position md5
+# string hash, which cost one md5 per character position (the 2.7 s -> 16.5 s
+# bench regression) — same trick as minhash's Carter-Wegman family
+# (operators/dedup.py), which pays hashing once per distinct token, not
+# per position.
+_WINNOW_K, _WINNOW_W = 8, 4
+_WINNOW_POWS = [131 ** (_WINNOW_K - 1 - t) for t in range(_WINNOW_K)]
+
+
+# Char codes are materialized ONCE into an array (split + ascii) and grams
+# index it with O(1) element_at — substr(s, i, 1) inside the position loop
+# would rescan the string from the start each call (O(len^2) per document).
+_WINNOW_CODES_SPARK = "transform(split(s, ''), c -> CAST(ascii(c) % 256 AS BIGINT))"
+_WINNOW_CODES_DUCKDB = (
+    "list_transform(string_split(s, ''), c -> CAST(ascii(c) % 256 AS BIGINT))"
+)
+
+
+def _winnow_gram_spark() -> str:
+    terms = " + ".join(
+        f"element_at(codes, i + {t}) * {p}" for t, p in enumerate(_WINNOW_POWS)
+    )
+    return f"transform(sequence(1, size(codes) - {_WINNOW_K} + 1), i -> {terms})"
+
+
+def _winnow_gram_duckdb() -> str:
+    terms = " + ".join(
+        f"codes[CAST(i + {t} AS INT)] * {p}" for t, p in enumerate(_WINNOW_POWS)
+    )
+    return f"list_transform(range(1, len(codes) - {_WINNOW_K} + 2), i -> {terms})"
+
+
 @query(
     "q63_winnow_fingerprints",
-    r"""WITH d AS (SELECT doc_id,
+    rf"""WITH d AS (SELECT doc_id,
                           lower(regexp_replace(text, '\s+', ' ', 'g')) AS s
                    FROM documents),
+        dc AS (SELECT doc_id, {_WINNOW_CODES_DUCKDB} AS codes
+               FROM d WHERE length(s) >= {_WINNOW_K}),
         d2 AS (SELECT doc_id,
-                      list_transform(range(1, length(s) - 8 + 2),
-                          i -> CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 8)
-                               AS BIGINT)) AS hashes
-               FROM d WHERE length(s) >= 8),
+                      {_winnow_gram_duckdb()} AS hashes
+               FROM dc),
         win AS (SELECT doc_id,
                        list_distinct(list_transform(
-                           range(1, greatest(len(hashes) - 4 + 1, 1) + 1),
-                           j -> list_min(list_slice(hashes, j, j + 4 - 1)))) AS fps
+                           range(1, greatest(len(hashes) - {_WINNOW_W} + 1, 1) + 1),
+                           j -> list_min(list_slice(hashes, j, j + {_WINNOW_W} - 1)))) AS fps
                 FROM d2)
        SELECT doc_id,
               CAST(len(fps) AS INTEGER) AS n_fingerprints,
@@ -716,19 +751,17 @@ def q63(spark, sf):
     gram (k=8), slide a window of w=4 and keep each window's minimum hash —
     the standard near-dup/plagiarism sketch whose selected fingerprints are
     stable under insertions. Pure Column expressions: substring k-grams via
-    transform(sequence), an md5-derived 32-bit gram hash (cross-engine —
-    r1 used crc32, which DuckDB lacks; this made the op oracle-checkable),
-    window-min via another transform."""
-    k, w = 8, 4
+    transform(sequence), a closed-form base-131 integer polynomial gram hash
+    (exact int64 in both engines — r2's md5-per-position variant was the
+    suite's worst bench regression), window-min via another transform."""
+    k, w = _WINNOW_K, _WINNOW_W
     d = _t(spark, sf, "documents").select(
         "doc_id", F.lower(F.regexp_replace("text", r"\s+", " ")).alias("s")
     )
-    d2 = d.where(F.length("s") >= k).withColumn(
-        "hashes",
-        F.expr(
-            f"transform(sequence(1, length(s) - {k} + 1), "
-            f"i -> CAST(conv(substr(md5(substr(s, CAST(i AS INT), {k})), 1, 8), 16, 10) AS BIGINT))"
-        ),
+    d2 = (
+        d.where(F.length("s") >= k)
+        .withColumn("codes", F.expr(_WINNOW_CODES_SPARK))
+        .withColumn("hashes", F.expr(_winnow_gram_spark()))
     )
     winnowed = d2.withColumn(
         "fps",

@@ -128,10 +128,16 @@ def read_parquet_table(spark: SparkSession, root: str, name: str) -> DataFrame:
                             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                         )
         return df
-    except Exception:
-        if name not in _NANOS_TS_COLS:
-            raise
-        return _read_nanos_fallback(spark, path, name)
+    except Exception as exc:
+        # Only the nanos-timestamp parquet-type error routes to the legacy-conf
+        # fallback; anything else (missing path, corrupt file, permissions)
+        # re-raises so the real cause surfaces.
+        msg = str(exc)
+        if name in _NANOS_TS_COLS and (
+            "PARQUET_TYPE_ILLEGAL" in msg or "Illegal Parquet type" in msg
+        ):
+            return _read_nanos_fallback(spark, path, name)
+        raise
 
 
 def load_star(

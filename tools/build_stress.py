@@ -62,7 +62,7 @@ def main() -> None:
                    list_zip(e.embedding,
                             range(1, len(e.embedding) + 1)),
                    z -> CAST(z[1] AS FLOAT)
-                        + CAST((((e.vec_id * 31 + CAST(z[2] AS BIGINT) * 17 + c.i * 7) % 7) - 3)
+                        + CAST((((e.vec_id * 31 + CAST(z[2] AS BIGINT) * 17 + c.i * 5) % 7) - 3)
                                AS FLOAT) * CAST(0.002 AS FLOAT) * CAST(c.i > 0 AS INTEGER)
                  ) AS embedding,
                  e.label
