@@ -852,6 +852,102 @@ def pq_adc_topk_vectorized(
     )
 
 
+def ivf_pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 3,
+    rerank_from: int = 20,
+) -> DataFrame:
+    """The full IVF-PQ deployment stack in one plan (faiss's IVFx,PQy
+    layout): coarse-quantizer cells bound WHICH corpus rows each query
+    scores, PQ/ADC bounds WHAT is read to score them, and an exact cosine
+    re-rank over the few survivors restores accuracy.
+
+    Stage shapes, in order:
+      * index build — ONE map-only pass over the corpus emits (vec_id,
+        cell, code): cell via centroid literals (_argmax_cell), code via
+        codebook literals (_pq_code). At 100 TB this pass replaces the
+        float corpus with a ~1.5 TB code table partitioned by cell.
+      * probe — each query's nprobe best cells + its ADC lookup table
+        (m*ksub exact int64 dots) form a tiny relation, broadcast onto the
+        code table: a broadcast hash join on cell, so the corpus never
+        shuffles at all (narrower than ivf_topk, whose candidates carry
+        raw embeddings).
+      * ADC prune — candidates rank by the exact integer ADC score inside
+        probed cells only; the per-query window keeps ``rerank_from``.
+      * re-rank — survivors (queries x rerank_from ids, broadcast-size by
+        construction) join back to raw embeddings for exact cosine top-k;
+        non-survivor embeddings are never read past the scan filter.
+
+    Every ranking key is exact int64 (ADC) or round-4 IEEE cosine with id
+    tie-breaks, so the composed output is value-checkable cross-engine —
+    q125's DuckDB oracle replays BOTH fits (every KMeans and Lloyd
+    codebook iteration) and the probe/prune/re-rank pipeline."""
+    sub = len(codebooks[0][0])
+    qv = quantize_vec(F.col("embedding"))
+    codes = F.array(
+        *[_pq_code(F.slice(qv, s * sub + 1, sub), cb) for s, cb in enumerate(codebooks)]
+    )
+    index = corpus.select(
+        "vec_id",
+        _argmax_cell(qv, centroids).alias("cell"),
+        codes.alias("code"),
+    )
+    qqv = quantize_vec(F.col("qe"))
+    tbl = F.array(
+        *[
+            F.array(*[_int_dot(F.slice(qqv, s * sub + 1, sub), c) for c in cb])
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+    qscores = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(-j).alias("nj"))
+            for j, s in enumerate(_cell_scores(qqv, centroids))
+        ]
+    )
+    probes = (
+        queries.select(
+            "query_id",
+            tbl.alias("tbl"),
+            F.slice(F.sort_array(qscores, asc=False), 1, nprobe).alias("top"),
+        )
+        .select("query_id", "tbl", F.explode("top").alias("t"))
+        .select("query_id", "tbl", (-F.col("t.nj")).cast("int").alias("cell"))
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("tbl"), F.col("code"), lambda t, c: F.element_at(t, c + F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wprune = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        index.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc"))
+        .withColumn("crnk", F.row_number().over(wprune))
+        .where(F.col("crnk") <= rerank_from)
+        .select("query_id", "neighbor_id")
+    )
+    withq = cand.join(F.broadcast(queries.select("query_id", "qe")), "query_id")
+    ne = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    pairs = ne.join(F.broadcast(withq), "neighbor_id")
+    cos = F.round(
+        dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def pq_adc_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,

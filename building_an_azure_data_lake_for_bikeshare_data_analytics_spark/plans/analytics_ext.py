@@ -430,3 +430,58 @@ def q70(spark, sf):
             F.round(F.col("value") - F.lag("value").over(w), 4).cast("double").alias("value_delta"),
         )
     )
+
+
+@query(
+    "q126_event_gap_seconds",
+    """WITH l AS (
+         SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         FROM events)
+       SELECT user_id, event_id,
+              CAST(floor(date_part('epoch', ts))
+                   - floor(date_part('epoch', prev_ts)) AS BIGINT) AS gap_secs
+       FROM l WHERE prev_ts IS NOT NULL""",
+    tags=("extension", "F1", "window"),
+)
+def q126(spark, sf):
+    """Timestamp subtraction -> whole seconds (F1, ipynb:L1080
+    ``(ended_at - started_at).cast('long')``) as a gate query: each event's
+    gap to the user's previous event, via functions.derive.duration_seconds
+    (unix_timestamp subtraction — the stable Spark-4 path for the NTZ ts;
+    a direct long cast of the interval is version-dependent and illegal on
+    NTZ under ANSI). One shuffle on user_id for the lag window; the derived
+    column itself is map-side codegen."""
+    from ..functions.derive import duration_seconds
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "ts")
+    d = ev.withColumn("prev_ts", F.lag("ts").over(w)).where(F.col("prev_ts").isNotNull())
+    return d.select(
+        "user_id", "event_id", duration_seconds("prev_ts", "ts").alias("gap_secs")
+    )
+
+
+@query(
+    "q127_order_age_years",
+    """SELECT o_orderkey,
+              CAST(trunc(datediff('day', CAST(o_orderdate AS DATE),
+                                  DATE '2002-12-31') / 365.0) AS INTEGER)
+                  AS age_years
+       FROM orders""",
+    tags=("extension", "F3", "derive"),
+)
+def q127(spark, sf):
+    """datediff/365 whole-year ages (F3, ipynb:L1084 ``age_at_account_start``,
+    L1094 ``age_at_ride_time``) as a gate query: each order's age in whole
+    years at a fixed 2002-12-31 snapshot, via functions.derive.age_years —
+    the reference's (slightly lossy) truncating formula reproduced verbatim.
+    Map-only projection; the oracle uses trunc() because DuckDB's
+    double->int cast rounds where Spark's truncates."""
+    from ..functions.derive import age_years
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    return o.select(
+        "o_orderkey",
+        age_years("o_orderdate", F.to_date(F.lit("2002-12-31"))).alias("age_years"),
+    )

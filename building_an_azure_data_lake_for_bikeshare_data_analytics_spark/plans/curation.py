@@ -332,16 +332,14 @@ def q117(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-def _pq_oracle(
-    m: int = 4, ksub: int = 8, iters: int = 4, dim: int = 64, k: int = 5,
-    train_rows: int = 100_000, rerank_from: int | None = None,
-) -> str:
-    """DuckDB oracle for q118: replays all m per-subspace integer Lloyd
-    fits (init = ksub lowest-id subvectors, exact 2*dot-|c|^2 assignment,
-    floor-mean updates), re-encodes the corpus, and scores every
-    (query, neighbor) pair by the exact integer ADC sum — the same
-    replay-the-fit pattern as q56's IVF oracle, minus doubles even in the
-    assignment scores."""
+def _pq_ctes(m: int = 4, ksub: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """CTE chain replaying all m per-subspace integer Lloyd codebook fits
+    (init = ksub lowest-id subvectors, exact 2*dot-|c|^2 assignment,
+    floor-mean updates) and re-encoding the corpus: ``sv{s}, c{s}_0 ...
+    c{s}_{iters}, e{s}`` (e{s} = subspace-s code per corpus vector).
+    Expects ``pts`` (vec_id, qv) and ``ptr`` (lowest-id training sample)
+    to be defined by the caller; shared by q118/q123's oracle and the
+    composed IVF-PQ oracle (q125)."""
     sub = dim // m
 
     def dot_vc(v: str, c: str) -> str:
@@ -392,9 +390,16 @@ def _pq_oracle(
         CROSS JOIN c{s}_{iters} c)
       WHERE rn = 1)"""
         )
+    return ",\n    ".join(blocks)
 
+
+def _pq_adc_pair_sql(m: int = 4, iters: int = 4, dim: int = 64, qref: str = "q") -> str:
+    """The (query, neighbor, adc) scoring clause over the _pq_ctes chain:
+    exact integer ADC sum via per-subspace codebook joins. ``qref`` is the
+    alias holding the query's quantized vector (column qv)."""
+    sub = dim // m
     adc_terms = " + ".join(
-        f"list_sum(list_transform(range(1, {sub + 1}), j -> q.qv[{s * sub} + j] * k{s}.c[j]))"
+        f"list_sum(list_transform(range(1, {sub + 1}), j -> {qref}.qv[{s * sub} + j] * k{s}.c[j]))"
         for s in range(m)
     )
     enc_joins = "\n      ".join(
@@ -403,12 +408,24 @@ def _pq_oracle(
     cb_joins = "\n      ".join(
         f"JOIN c{s}_{iters} k{s} ON k{s}.cell = e{s}.cell" for s in range(m)
     )
+    return adc_terms, enc_joins, cb_joins  # type: ignore[return-value]
+
+
+def _pq_oracle(
+    m: int = 4, ksub: int = 8, iters: int = 4, dim: int = 64, k: int = 5,
+    train_rows: int = 100_000, rerank_from: int | None = None,
+) -> str:
+    """DuckDB oracle for q118/q123: replays all m per-subspace integer Lloyd
+    fits, re-encodes the corpus, and scores every (query, neighbor) pair by
+    the exact integer ADC sum — the same replay-the-fit pattern as q56's
+    IVF oracle, minus doubles even in the assignment scores."""
+    adc_terms, enc_joins, cb_joins = _pq_adc_pair_sql(m, iters, dim)
     return f"""WITH pts AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
       FROM embeddings),
     ptr AS MATERIALIZED (SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT {train_rows}),
-    {','.join(blocks)},
+    {_pq_ctes(m, ksub, iters, dim)},
     q AS (SELECT vec_id AS query_id, qv FROM pts WHERE {_Q_FILTER}),
     p AS (
       SELECT q.query_id, e0.vec_id AS neighbor_id, ({adc_terms}) AS adc
@@ -870,3 +887,70 @@ def length_bucket_batches_salted(
             F.sum("n_tok").alias("token_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — the composed IVF-PQ deployment stack (q56's cells + q118's codes +
+# q123's re-rank in ONE pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_oracle(
+    kcells: int = 8, kmeans_iters: int = 8, nprobe: int = 3,
+    m: int = 4, ksub: int = 8, pq_iters: int = 4, dim: int = 64,
+    k: int = 5, train_rows: int = 100_000, rerank_from: int = 20,
+) -> str:
+    """DuckDB oracle for q125: replays BOTH fits — the IVF coarse
+    quantizer's every KMeans iteration (extensions._kmeans_ctes, q56's
+    chain) and all m per-subspace Lloyd codebook fits (_pq_ctes, q118's
+    chain) — then the composed probe -> ADC prune -> exact re-rank
+    pipeline. The two CTE families share the quantized corpus (pts) and
+    the bounded lowest-id training sample (ptr)."""
+    from .extensions import _kmeans_ctes, _kmeans_qprobe_cte
+
+    adc_terms, enc_joins, cb_joins = _pq_adc_pair_sql(m, pq_iters, dim, qref="qq")
+    return f"""WITH pts AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+    ptr AS MATERIALIZED (SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT {train_rows}),
+    {_kmeans_ctes(kcells, kmeans_iters, dim)},
+    {_pq_ctes(m, ksub, pq_iters, dim)},
+    q AS (SELECT vec_id AS query_id, embedding AS qe, qv FROM pts WHERE {_Q_FILTER}),
+    {_kmeans_qprobe_cte(nprobe, kmeans_iters, dim)},
+    p AS (
+      SELECT qp.query_id, e0.vec_id AS neighbor_id, ({adc_terms}) AS adc
+      FROM qprobe qp
+      JOIN q qq ON qq.query_id = qp.query_id
+      JOIN asn ON asn.cell = qp.cell
+      JOIN e0 ON e0.vec_id = asn.vec_id AND e0.vec_id <> qp.query_id
+      {enc_joins}
+      {cb_joins})
+    {_pq_oracle_tail(k, rerank_from)}"""
+
+
+@query(
+    "q125_ivf_pq_rerank",
+    _ivf_pq_oracle(),
+    tags=("curation", "similarity", "ivf", "pq", "rerank"),
+)
+def q125(spark, sf):
+    """The actual IVF-PQ deployment stack as one query (faiss IVF8,PQ4
+    shape): q56's learned coarse cells bound WHICH rows each query scores
+    (nprobe=3 of 8 cells), q118's PQ codes bound WHAT is read to score
+    them (4 codes instead of 64 floats), q123's exact re-rank over the
+    ADC-pruned survivors (20 per query) restores accuracy. One map-only
+    index pass, a broadcast probe join on cell (the corpus never
+    shuffles), per-query ADC prune window, broadcast re-rank join. Both
+    fits are integer-deterministic, so the oracle replays the entire
+    stack value-for-value; recall vs exact top-k is measured on the
+    stress corpus (SCALE_NOTES)."""
+    from ..operators.similarity import ivf_pq_rerank_topk, kmeans_fit, pq_fit
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=8, max_iter=8)
+    books = pq_fit(emb, m=4, ksub=8, max_iter=4)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_pq_rerank_topk(emb, q, cents, books, k=5, nprobe=3, rerank_from=20)

@@ -561,22 +561,30 @@ def q54(spark, sf):
     return d.join(keep, "doc_id").select("doc_id", "lang", "source", "n_chars")
 
 
-def _ivf_oracle(
-    k: int = 8, iters: int = 8, nprobe: int = 3, dim: int = 64, train_rows: int = 100_000
-) -> str:
-    """DuckDB oracle for q56: replays the ENTIRE IVF computation — integer
-    quantization, the bounded lowest-id training sample, k-lowest-id init,
-    every Lloyd iteration, final cell assignment, nprobe probe, exact
-    re-rank. Possible because the engine's KMeans is quantized to exact
-    int64 arithmetic (order-independent sums; floor(sum/n) centroid updates
-    and dot/sqrt scores in IEEE double), so 'learned cells' are as
-    deterministic as q40's literal hyperplanes."""
+def _kmeans_score(dim: int = 64) -> str:
+    """The IVF assignment score (dot / |centroid|) as DuckDB SQL; expects
+    the point aliased ``p`` (column qv) and the centroid aliased ``c``
+    (column c)."""
     d1 = dim + 1
-    score = (
+    return (
         "CAST(list_sum(list_transform(range(1, {d1}), j -> p.qv[j] * c.c[j])) AS DOUBLE)"
         " / sqrt(CAST(list_sum(list_transform(c.c, x -> x * x)) AS DOUBLE))"
     ).format(d1=d1)
-    blocks = []
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 8, dim: int = 64) -> str:
+    """CTE chain replaying the IVF coarse-quantizer fit verbatim —
+    ``c0, a1, c1, ..., c{iters}, asn`` (asn = final cell per corpus vector).
+    Expects ``pts`` (vec_id, embedding, qv) and ``ptr`` (the lowest-id
+    training sample) to be defined by the caller; shared by q56's oracle
+    and the composed IVF-PQ oracle (curation.q125)."""
+    d1 = dim + 1
+    score = _kmeans_score(dim)
+    blocks = [
+        f"""c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, qv AS c
+      FROM ptr ORDER BY vec_id LIMIT {k})"""
+    ]
     for i in range(1, iters + 1):
         prev = f"c{i - 1}"
         blocks.append(f"""
@@ -596,6 +604,41 @@ def _ivf_oracle(
           UNION ALL
           SELECT cell, c FROM {prev}
           WHERE cell NOT IN (SELECT cell FROM a{i}))""")
+    blocks.append(f"""
+    asn AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT p.vec_id, c.cell,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {score} DESC, c.cell) AS rn
+        FROM pts p CROSS JOIN c{iters} c)
+      WHERE rn = 1)""")
+    return ",".join(blocks)
+
+
+def _kmeans_qprobe_cte(nprobe: int = 3, iters: int = 8, dim: int = 64) -> str:
+    """The query-side probe CTE: each query's ``nprobe`` best cells under
+    the same assignment score. Expects ``q`` (query_id, qe, qv) and the
+    _kmeans_ctes chain to be defined."""
+    score = _kmeans_score(dim)
+    return f"""qprobe AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT p.query_id, p.qe, c.cell,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {score} DESC, c.cell) AS rn
+        FROM (SELECT query_id, qe, qv FROM q) p CROSS JOIN c{iters} c)
+      WHERE rn <= {nprobe})"""
+
+
+def _ivf_oracle(
+    k: int = 8, iters: int = 8, nprobe: int = 3, dim: int = 64, train_rows: int = 100_000
+) -> str:
+    """DuckDB oracle for q56: replays the ENTIRE IVF computation — integer
+    quantization, the bounded lowest-id training sample, k-lowest-id init,
+    every Lloyd iteration, final cell assignment, nprobe probe, exact
+    re-rank. Possible because the engine's KMeans is quantized to exact
+    int64 arithmetic (order-independent sums; floor(sum/n) centroid updates
+    and dot/sqrt scores in IEEE double), so 'learned cells' are as
+    deterministic as q40's literal hyperplanes."""
     return f"""
     WITH pts AS MATERIALIZED (
       SELECT vec_id, embedding,
@@ -604,25 +647,9 @@ def _ivf_oracle(
       FROM embeddings),
     ptr AS MATERIALIZED (
       SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT {train_rows}),
-    c0 AS (
-      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, qv AS c
-      FROM ptr ORDER BY vec_id LIMIT {k}),
-    {','.join(blocks)},
-    asn AS MATERIALIZED (
-      SELECT vec_id, cell FROM (
-        SELECT p.vec_id, c.cell,
-               row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY {score} DESC, c.cell) AS rn
-        FROM pts p CROSS JOIN c{iters} c)
-      WHERE rn = 1),
+    {_kmeans_ctes(k, iters, dim)},
     q AS (SELECT vec_id AS query_id, embedding AS qe, qv FROM pts WHERE {_Q_FILTER}),
-    qprobe AS (
-      SELECT query_id, qe, cell FROM (
-        SELECT p.query_id, p.qe, c.cell,
-               row_number() OVER (PARTITION BY p.query_id
-                                  ORDER BY {score} DESC, c.cell) AS rn
-        FROM (SELECT query_id, qe, qv FROM q) p CROSS JOIN c{iters} c)
-      WHERE rn <= {nprobe}),
+    {_kmeans_qprobe_cte(nprobe, iters, dim)},
     cand AS (
       SELECT qp.query_id, e.vec_id AS neighbor_id, qp.qe, e.embedding
       FROM qprobe qp

@@ -1020,7 +1020,11 @@ def q113(spark, sf):
     )
     return (
         docs.select("doc_id", "n_chars")
-        .join(comps, "doc_id", "left")
+        # broadcast: comps holds only docs that belong to a dup group (tiny
+        # vs the corpus), but it comes out of the CC localCheckpoint as an
+        # RDD scan with no stats, so without the hint the planner falls back
+        # to a sort-merge join that shuffles the whole corpus by doc_id.
+        .join(F.broadcast(comps), "doc_id", "left")
         .select(split.alias("split"), gid.alias("gid"), "n_chars")
         .groupBy("split")
         .agg(

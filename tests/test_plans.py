@@ -280,3 +280,58 @@ def test_pq_encode_is_map_only(spark):
         .split("\n\n")[0]
     )
     assert "Exchange" not in tree
+
+
+def test_token_budget_mix_no_global_sort(spark):
+    """q110: the running-sum window hash-partitions by source (never a
+    total order over the corpus); exactly two Exchanges — the window's
+    hash partitioning and the final |sources|-row output sort."""
+    plan = _plan(spark, "q110_token_budget_mix")
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    assert tree.count("Exchange") == 2
+    assert "hashpartitioning(source" in plan
+
+
+def test_leakage_split_broadcasts_component_table(spark):
+    """q113: the split projection must be a broadcast left join against the
+    (tiny) component table — the corpus side never shuffles for it. The CC
+    output is an RDD scan with no stats, so this only holds because the
+    plan hints the broadcast explicitly."""
+    plan = _plan(spark, "q113_leakage_safe_split")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin LeftOuter" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_ivf_pq_rerank_corpus_never_shuffles(spark):
+    """q125 (composed IVF-PQ): every join is broadcast (probe-on-cell,
+    re-rank-on-survivors) — the corpus reaches both scoring stages without
+    a single shuffle; the only Exchanges are the two per-query ranking
+    windows, and rank-limit pushdown prunes map-side below each (the
+    partial WindowGroupLimit under the Exchange)."""
+    plan = _plan(spark, "q125_ivf_pq_rerank")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
+    assert tree.count("BroadcastHashJoin") == 3  # probe, re-rank, query-attach
+    non_broadcast = tree.replace("BroadcastExchange", "")
+    assert non_broadcast.count("Exchange") == 2  # ADC prune + final top-k windows
+    first_exchange = tree.index("Exchange")
+    assert "WindowGroupLimit" in tree[first_exchange:]  # map-side partial rank limit
+
+
+def test_event_gap_single_window_exchange(spark):
+    """q126 (F1 gate query): one hash Exchange on user_id for the lag
+    window; the seconds derivation is map-side."""
+    plan = _plan(spark, "q126_event_gap_seconds")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_order_age_is_map_only(spark):
+    """q127 (F3 gate query): a pure scan-side projection — no Exchange
+    anywhere, whole-stage codegen covers it."""
+    tree = _plan(spark, "q127_order_age_years").split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Scan parquet" in tree
