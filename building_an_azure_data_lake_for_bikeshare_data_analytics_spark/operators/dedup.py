@@ -103,9 +103,8 @@ def shingle_sets(docs_tokens: DataFrame, shingle_n: int = 3) -> DataFrame:
     ).distinct()
 
 
-def _lsh_candidates_from_shingles(
-    sh: DataFrame, num_hashes: int, bands: int
-) -> DataFrame:
+def _banded_signatures(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, shingle) -> exploded (doc_id, band, sig) band-bucket rows."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(sh, num_hashes)
     band_structs = [
@@ -117,15 +116,71 @@ def _lsh_candidates_from_shingles(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def _lsh_candidates_from_shingles(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    banded = _banded_signatures(sh, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def minhash_lsh_candidates_salted(
+    docs_tokens: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    n_salts: int = 8,
+) -> DataFrame:
+    """``minhash_lsh_candidates`` with a salted band join — the STRUCTURAL
+    hot-band mitigation, row-identical output (asserted in tests).
+
+    Why it exists when AQE skew-join splitting is already on: AQE detects
+    skew from COMPRESSED shuffle-partition bytes, and a hot band bucket is
+    maximally compressible (thousands of rows carrying the identical sig
+    string), so the hot partition's bytes understate its rows and the
+    split may not trigger until the bucket is enormous (measured in
+    tests/test_skew.py — default thresholds miss a 2000-doc planted
+    bucket outright). Salting spreads the bucket unconditionally.
+
+    Shape: the left side keeps one row per (doc, band) with salt =
+    xxhash64(doc_id) % n_salts folded into the join key; the right side
+    replicates each row to ALL n_salts salt values. A pair meets exactly
+    once — at the left doc's salt — so results are identical; a hot bucket
+    of n docs becomes n_salts sub-buckets of (n/n_salts) x n pairs, i.e.
+    n_salts-way parallelism for the quadratic pair work, at the price of
+    an n_salts-x replication of the (narrow) right band relation. Use when
+    boilerplate-heavy corpora make band buckets degenerate; the plain
+    variant + AQE is right for organic bucket-size distributions."""
+    sh = shingle_sets(docs_tokens, shingle_n)
+    banded = _banded_signatures(sh, num_hashes, bands)
+    a = banded.select(
+        "doc_id", "band", "sig",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("__salt"),
+    ).alias("a")
+    b = banded.select(
+        "doc_id", "band", "sig",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("__salt"),
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.__salt") == F.col("b.__salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

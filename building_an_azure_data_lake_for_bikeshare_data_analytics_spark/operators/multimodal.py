@@ -71,6 +71,224 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, str] | None:
         return None  # corrupt container -> byte-level fallback below
 
 
+#: zigzag scan order: index in the 64-coefficient stream -> (row*8+col)
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers,
+    byte-aligns across RSTn restarts."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bits, self.nbits = data, pos, 0, 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed literal 0xFF
+                else:
+                    raise EOFError("marker in entropy stream")
+            else:
+                self.pos += 1
+            self.bits, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume an RSTn marker (byte-aligned) between restart intervals."""
+        self.nbits = 0
+        if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol for a canonical JPEG Huffman table."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.read_bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _idct_matrix():
+    import math
+
+    import numpy as np
+
+    M = np.empty((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            M[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return M
+
+
+def _decode_jpeg(blob: bytes) -> tuple[int, int, int, str] | None:
+    """Baseline (SOF0) JPEG decode with the stdlib + numpy only: marker
+    parse, per-file Huffman/quant tables, MCU entropy decode, dequantize,
+    separable float IDCT. Features come from the reconstructed LUMA plane
+    (chroma blocks are entropy-decoded to keep the bitstream in sync but
+    not IDCT'd — features only need Y). Progressive (SOF2) and arithmetic
+    files return None -> byte-level fallback."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 4 or blob[0:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
+        width = height = 0
+        restart_interval = 0
+        pos = 2
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                return None
+            marker = blob[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+            seg = blob[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    if pq:  # 16-bit table
+                        vals = list(struct.unpack(f">{64}H", seg[i + 1 : i + 129]))
+                        i += 129
+                    else:
+                        vals = list(seg[i + 1 : i + 65])
+                        i += 65
+                    qt[tq] = vals
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                height, width = struct.unpack(">HH", seg[1:5])
+                n = seg[5]
+                comps = [
+                    (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0xF, seg[8 + 3 * c])
+                    for c in range(n)
+                ]
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic: not baseline
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    bits = list(seg[i + 1 : i + 17])
+                    nval = sum(bits)
+                    huff[(tc, th)] = _build_huffman(bits, seg[i + 17 : i + 17 + nval])
+                    i += 17 + nval
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = seg[0]
+                scan = {seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF) for c in range(ns)}
+                data_pos = pos + 2 + seglen
+                return _decode_scan(
+                    blob, data_pos, width, height, comps, scan, qt, huff,
+                    restart_interval, np,
+                )
+            pos += 2 + seglen
+        return None
+    except Exception:
+        return None
+
+
+def _decode_scan(blob, data_pos, width, height, comps, scan, qt, huff, dri, np):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    M = _idct_matrix()
+    y_id, y_h, y_v, y_tq = comps[0]
+    yplane = np.zeros((mcus_y * 8 * y_v, mcus_x * 8 * y_h), dtype=np.float64)
+    yq = np.array([qt[y_tq][i] for i in range(64)], dtype=np.float64)
+    r = _BitReader(blob, data_pos)
+    pred = {c[0]: 0 for c in comps}
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and n_mcu and n_mcu % dri == 0:
+                r.align_restart()
+                pred = {c[0]: 0 for c in comps}
+            n_mcu += 1
+            for cid, ch, cv, ctq in comps:
+                dc_tbl = huff[(0, scan[cid][0])]
+                ac_tbl = huff[(1, scan[cid][1])]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coefs = [0] * 64
+                        t = _huff_decode(r, dc_tbl)
+                        pred[cid] += _receive_extend(r, t)
+                        coefs[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, ac_tbl)
+                            rr, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            coefs[k] = _receive_extend(r, s)
+                            k += 1
+                        if cid != y_id:
+                            continue  # chroma: bitstream consumed, no IDCT
+                        C = np.zeros(64)
+                        C[_ZIGZAG] = np.array(coefs, dtype=np.float64) * yq
+                        block = M.T @ C.reshape(8, 8) @ M
+                        py = (my * y_v + by) * 8
+                        px = (mx * y_h + bx) * 8
+                        yplane[py : py + 8, px : px + 8] = block
+    # crop to the luma plane's true dims and de-level-shift
+    lh = -(-height * y_v // vmax)
+    lw = -(-width * y_h // hmax)
+    pix = np.clip(np.round(yplane[:lh, :lw] + 128), 0, 255).astype(np.int64)
+    flat = pix.ravel()
+    return int(flat.size), int(flat[0]), int(flat.sum() % 997), f"jpeg:{width}x{height}"
+
+
 def _decode_wav(blob: bytes) -> tuple[int, int, int, str] | None:
     """Real WAV decode via the stdlib ``wave`` module: features from the
     decoded PCM frames."""
@@ -93,15 +311,16 @@ def _decode_wav(blob: bytes) -> tuple[int, int, int, str] | None:
 def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
     """Decode a binary payload into (byte_len, first_byte, checksum, status).
 
-    PNG and WAV payloads are REALLY decoded (stdlib struct/zlib/wave — no
-    third-party codecs in this container): features come from decompressed
-    pixel / PCM bytes and the status carries decoded metadata
-    (``png:WxH`` / ``wav:RATEhz``). Any other payload falls back to
-    deterministic byte-level features with status ``stub`` — the seam where
-    a production deployment plugs PIL / pyav for JPEG/MP4 and friends."""
+    PNG, baseline JPEG, and WAV payloads are REALLY decoded (stdlib
+    struct/zlib/wave + the numpy IDCT — no third-party codecs in this
+    container): features come from decompressed pixel / PCM bytes and the
+    status carries decoded metadata (``png:WxH`` / ``jpeg:WxH`` /
+    ``wav:RATEhz``). Any other payload (progressive JPEG, MP4, ...) falls
+    back to deterministic byte-level features with status ``stub`` — the
+    seam where a production deployment plugs PIL / pyav."""
     if not blob:
         return 0, -1, 0, "empty"
-    decoded = _decode_png(blob) or _decode_wav(blob)
+    decoded = _decode_png(blob) or _decode_jpeg(blob) or _decode_wav(blob)
     if decoded is not None:
         return decoded
     checksum = sum(blob) % 997

