@@ -40,15 +40,19 @@ def main() -> None:
         per_query[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_suite, 3)
 
+    slowest5 = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
+                # summary keys FIRST: a truncated capture still carries the
+                # suite total, count, and worst offenders
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
                 "sf": sf,
                 "n_queries": len(per_query),
+                "slowest5": slowest5,
+                "queries": per_query,
             }
         )
     )
