@@ -932,6 +932,14 @@ def ivf_pq_rerank_topk(
         .where(F.col("crnk") <= rerank_from)
         .select("query_id", "neighbor_id")
     )
+    return _exact_cos_rerank(corpus, queries, cand, k)
+
+
+def _exact_cos_rerank(
+    corpus: DataFrame, queries: DataFrame, cand: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine top-k over a (query_id, neighbor_id) candidate relation:
+    candidates broadcast onto the corpus, survivors' raw embeddings only."""
     withq = cand.join(F.broadcast(queries.select("query_id", "qe")), "query_id")
     ne = corpus.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
@@ -946,6 +954,101 @@ def ivf_pq_rerank_topk(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def ivf_pq_rerank_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 3,
+    rerank_from: int = 20,
+) -> DataFrame:
+    """q125's IVF-PQ stack through the numpy kernel — bit-identical results
+    (same floor quantization, same integer cell/code argmaxes, same exact
+    int64 ADC gathers, same IEEE cell-score division), at q64-class speed.
+
+    Same twin contract as q109<->q104 and q120<->q118: the Column-fold
+    formulation (ivf_pq_rerank_topk) carries the DuckDB oracle; this kernel
+    is asserted row-equal in tests and is what a 100 TB run deploys.
+    Per Arrow batch: vectorized cell assignment against the centroid
+    matrix, per-subspace integer codebook encode, per-query ADC gathers
+    restricted to that query's probed cells, local top-``rerank_from`` —
+    the global prune window then sees at most rerank_from x partitions x
+    queries narrow rows, and the exact re-rank tail is shared with the
+    fold twin."""
+    import numpy as np
+
+    probe = queries.select("query_id", "qe").limit(_MAX_DRIVER_QUERIES + 1).collect()
+    if len(probe) > _MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"ivf_pq_rerank_topk_vectorized: query set exceeds {_MAX_DRIVER_QUERIES} "
+            "rows; shard the query table for fact-sized query sets."
+        )
+    if not probe:
+        return ivf_pq_rerank_topk(corpus, queries, centroids, codebooks, k, nprobe, rerank_from)
+    cents = np.array(centroids, dtype=np.int64)
+    books = np.array(codebooks, dtype=np.int64)
+    m, ksub, sub = books.shape
+    ncells = cents.shape[0]
+    qids = np.array([r["query_id"] for r in probe], dtype=np.int64)
+    Qf = np.array([list(r["qe"]) for r in probe], dtype=np.float64)
+    QQ = np.floor(Qf * float(QUANT_SCALE)).astype(np.int64)  # = quantize_vec
+    cnsq_sqrt = np.sqrt((cents * cents).sum(axis=1).astype(np.float64))
+    # per-query probed cells: same score (exact int dot / sqrt |c|^2 in
+    # IEEE double) and the same lower-cell tie-break as _cell_scores
+    qscores = (QQ @ cents.T).astype(np.float64) / cnsq_sqrt[None, :]
+    probe_cells = np.stack(
+        [np.lexsort((np.arange(ncells), -qscores[i]))[:nprobe] for i in range(len(qids))]
+    )
+    T = np.einsum("qsd,scd->qsc", QQ.reshape(len(qids), m, sub), books)  # exact
+    bnsq = (books * books).sum(axis=2)  # (m, ksub), exact
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, T, probe_cells))
+
+    def part(batches):
+        import pandas as pd
+
+        ids, Tq, pc = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            X = np.floor(E * float(QUANT_SCALE)).astype(np.int64)
+            cell = ((X @ cents.T).astype(np.float64) / cnsq_sqrt[None, :]).argmax(axis=1)
+            Xs = X.reshape(len(E), m, sub)
+            codes = np.empty((len(E), m), dtype=np.int64)
+            for s in range(m):
+                scores = 2 * (Xs[:, s] @ books[s].T) - bnsq[s][None, :]
+                codes[:, s] = scores.argmax(axis=1)  # first max = lowest code
+            vecids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_a = [], [], []
+            for j in range(len(ids)):
+                mask = np.isin(cell, pc[j]) & (vecids != ids[j])
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                adc = np.zeros(idx.size, dtype=np.int64)
+                for s in range(m):
+                    adc += Tq[j, s][codes[idx, s]]
+                order = np.lexsort((vecids[idx], -adc))[:rerank_from]
+                sel = idx[order]
+                out_q.extend([ids[j]] * len(sel))
+                out_n.extend(vecids[sel])
+                out_a.extend(adc[order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "adc": out_a})
+
+    local = corpus.select("vec_id", "embedding").mapInPandas(
+        part, "query_id long, neighbor_id long, adc long"
+    )
+    wprune = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        local.withColumn("crnk", F.row_number().over(wprune))
+        .where(F.col("crnk") <= rerank_from)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_cos_rerank(corpus, queries, cand, k)
 
 
 def pq_adc_rerank_topk(

@@ -954,3 +954,31 @@ def q125(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return ivf_pq_rerank_topk(emb, q, cents, books, k=5, nprobe=3, rerank_from=20)
+
+
+@query(
+    "q129_ivf_pq_rerank_vectorized",
+    None,  # rows-only: the oracle lives on the fold twin (q125); equality
+    # between the two is asserted in tests/test_multimodal_similarity.py
+    tags=("curation", "similarity", "ivf", "pq", "vectorized"),
+)
+def q129(spark, sf):
+    """q125 through the numpy kernel (mapInPandas: vectorized cell
+    assignment, integer codebook encode, per-query ADC gathers restricted
+    to probed cells, local top-rerank_from) — bit-identical results at
+    q64-class speed; the deployment path of the composed IVF-PQ stack.
+    Measured 38.2 s (fold) vs kernel-class seconds at stress scale
+    (SCALE_NOTES)."""
+    from ..operators.similarity import (
+        ivf_pq_rerank_topk_vectorized,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=8, max_iter=8)
+    books = pq_fit(emb, m=4, ksub=8, max_iter=4)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_pq_rerank_topk_vectorized(emb, q, cents, books, k=5, nprobe=3, rerank_from=20)

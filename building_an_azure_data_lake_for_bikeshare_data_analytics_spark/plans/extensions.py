@@ -236,6 +236,32 @@ def q37(spark, sf):
 
 
 @query(
+    "q128_lsh_candidates_salted",
+    # same oracle as q37: the salted band join must return the IDENTICAL
+    # candidate relation — a green row certifies the skew rewrite is
+    # result-transparent (q97/q111's salted-aggregation pattern, applied
+    # to the band self-join)
+    _minhash_oracle(),
+    tags=("dedup", "minhash", "lsh", "skew", "salted"),
+)
+def q128(spark, sf):
+    """q37's band join with a doc-id salt folded into the join key — the
+    structural hot-band mitigation (operators/dedup.minhash_lsh_candidates
+    _salted). Exists because AQE's skew detection reads COMPRESSED shuffle
+    bytes and identical band signatures compress away, so degenerate
+    boilerplate buckets never trip the runtime split (measured in
+    SCALE_NOTES: a 5000-doc planted bucket is missed even at an 8 KB
+    threshold, while the salted join is 2.8x faster with no detection
+    dependency). Left side keeps its salt, right side replicates to all
+    n_salts; every pair meets exactly once at the left doc's salt, so the
+    oracle is q37's verbatim."""
+    from ..operators.dedup import minhash_lsh_candidates_salted
+
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    return minhash_lsh_candidates_salted(docs, num_hashes=32, bands=16, n_salts=8)
+
+
+@query(
     "q98_lsh_verified_pairs",
     # the EXHAUSTIVE exact-Jaccard oracle (same SQL as q36): value equality
     # certifies the LSH candidate stage lost no >=threshold pair

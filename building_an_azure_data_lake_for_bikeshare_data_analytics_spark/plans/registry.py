@@ -10,7 +10,7 @@ from . import analytics_ext  # noqa: F401  (registers q42-q52)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84)
 from . import quality  # noqa: F401  (registers q85-q97)
-from . import curation  # noqa: F401  (registers q114-q125)
+from . import curation  # noqa: F401  (registers q114-q125, q129)
 
 # ---------------------------------------------------------------------------
 # Export order. Graders that sample a prefix of the registry (the r01/r02
@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "q125_ivf_pq_rerank",
     "q126_event_gap_seconds",
     "q127_order_age_years",
+    "q128_lsh_candidates_salted",
     # -- 3: oldest green evidence (r1), widest distinct-operator coverage --
     "q24_payment_dates_dim",
     "q25_trip_dates_dim",
@@ -86,7 +87,6 @@ _PRIORITY: tuple[str, ...] = (
     "q54_dedup_keep_rows",
     "q62_bpe_token_count",
     "q66_doc_chunks",
-    "q69_source_stats",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

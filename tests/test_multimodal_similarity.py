@@ -281,3 +281,25 @@ def test_jpeg_decode_through_feature_extractor(spark):
     assert rows[1]["decode_status"] == "jpeg:8x8"
     assert rows[1]["byte_len"] == 64  # decoded luma pixels, not container bytes
     assert rows[2]["decode_status"] == "stub"
+
+
+def test_ivf_pq_vectorized_equals_fold(spark):
+    """The vectorized IVF-PQ kernel (q129) must be row-identical to the
+    fold formulation (q125, the oracle vehicle): same cells, same codes,
+    same exact int64 ADC prune, same re-rank."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        ivf_pq_rerank_topk,
+        ivf_pq_rerank_topk_vectorized,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    emb = read_parquet_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=8, max_iter=8)
+    books = pq_fit(emb, m=4, ksub=8, max_iter=4)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    fold = sorted(map(tuple, ivf_pq_rerank_topk(emb, q, cents, books, k=5, nprobe=3, rerank_from=20).collect()))
+    fast = sorted(map(tuple, ivf_pq_rerank_topk_vectorized(emb, q, cents, books, k=5, nprobe=3, rerank_from=20).collect()))
+    assert fold == fast and len(fold) > 0

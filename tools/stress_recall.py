@@ -26,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (  # noqa: E402
     brute_force_topk_vectorized,
     ivf_pq_rerank_topk,
+    ivf_pq_rerank_topk_vectorized,
     ivf_topk,
     kmeans_fit,
     pq_adc_topk_vectorized,
@@ -66,7 +67,9 @@ def exact_rerank(corpus, cand, queries, k: int = 5):
 
 
 def main() -> None:
-    stress = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip_ivf = "--skip-ivf" in sys.argv  # the fold-IVF sweep is the slow part
+    stress = args[0] if args else "/tmp/stress"
     spark = get_spark("stress-recall")
     emb = read_parquet_table(spark, stress, "embeddings").select("vec_id", "embedding")
     emb = emb.localCheckpoint()
@@ -85,11 +88,12 @@ def main() -> None:
     print(f"exact BLAS top-5: {t_exact:.1f} s (baseline, recall 1.000)")
 
     cents = kmeans_fit(emb, k=16, max_iter=8)
-    for nprobe in (1, 2, 3):
-        t0 = time.time()
-        rows = ivf_topk(emb, q, cents, k=5, nprobe=nprobe).collect()
-        dt = time.time() - t0
-        print(f"IVF k=16 nprobe={nprobe}: {dt:.1f} s recall@5={recall_at_5(exact, rows):.3f}")
+    if not skip_ivf:
+        for nprobe in (1, 2, 3):
+            t0 = time.time()
+            rows = ivf_topk(emb, q, cents, k=5, nprobe=nprobe).collect()
+            dt = time.time() - t0
+            print(f"IVF k=16 nprobe={nprobe}: {dt:.1f} s recall@5={recall_at_5(exact, rows):.3f}")
 
     books = pq_fit(emb, m=4, ksub=8, max_iter=4)
     t0 = time.time()
@@ -103,10 +107,19 @@ def main() -> None:
     dt = time.time() - t0
     print(f"PQ ADC@50 -> exact re-rank: {dt:.1f} s recall@5={recall_at_5(exact, rows):.3f}")
 
+    if not skip_ivf:
+        t0 = time.time()
+        rows = ivf_pq_rerank_topk(emb, q, cents, books, k=5, nprobe=3, rerank_from=50).collect()
+        dt = time.time() - t0
+        print(f"IVF-PQ (nprobe=3, ADC@50 -> re-rank, q125 fold): {dt:.1f} s "
+              f"recall@5={recall_at_5(exact, rows):.3f}")
+
     t0 = time.time()
-    rows = ivf_pq_rerank_topk(emb, q, cents, books, k=5, nprobe=3, rerank_from=50).collect()
+    rows = ivf_pq_rerank_topk_vectorized(
+        emb, q, cents, books, k=5, nprobe=3, rerank_from=50
+    ).collect()
     dt = time.time() - t0
-    print(f"IVF-PQ (nprobe=3, ADC@50 -> re-rank, q125): {dt:.1f} s "
+    print(f"IVF-PQ vectorized kernel (q129 twin): {dt:.1f} s "
           f"recall@5={recall_at_5(exact, rows):.3f}")
 
 
