@@ -982,3 +982,25 @@ def q129(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return ivf_pq_rerank_topk_vectorized(emb, q, cents, books, k=5, nprobe=3, rerank_from=20)
+
+
+@query(
+    "q130_ivf_ann_vectorized",
+    None,  # rows-only: the fit-replay oracle lives on the fold twin (q56);
+    # equality between the two is asserted in tests
+    tags=("curation", "similarity", "ivf", "vectorized"),
+)
+def q130(spark, sf):
+    """q56's IVF probe through the numpy kernel (vectorized cell
+    assignment + one masked BLAS matmul per Arrow batch) — row-equal to
+    the fold formulation, the IVF deployment path. At stress scale the
+    fold costs 52-135 s (nprobe 1-3) where this kernel is q64-class
+    seconds (SCALE_NOTES)."""
+    from ..operators.similarity import ivf_topk_vectorized, kmeans_fit
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=8, max_iter=8)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_topk_vectorized(emb, q, cents, k=5, nprobe=3)

