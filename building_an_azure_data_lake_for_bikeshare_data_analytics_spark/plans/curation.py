@@ -1004,3 +1004,126 @@ def q130(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return ivf_topk_vectorized(emb, q, cents, k=5, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# q131/q132 — BPE vocabulary training + encoding (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_L, _BPE_R = "⟨", "⟩"
+
+
+def _bpe_fit_ctes(n_merges: int = 8, top_words: int = 1000) -> str:
+    """CTE chain replaying the BPE fit: word frequencies -> wrapped symbol
+    strings -> n_merges iterations of (adjacent-pair count, argmax with
+    pair-string tie-break, literal replace). Defines w, s0, and per
+    iteration pr{i}, m{i}, s{i} — the q56/q118 replay-the-fit pattern
+    applied to a tokenizer."""
+    ctes = [
+        rf"""w AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-z0-9]+$')
+      GROUP BY word ORDER BY freq DESC, word LIMIT {top_words}),
+    s0 AS (
+      SELECT word, freq,
+             array_to_string(list_transform(string_split(word, ''),
+                 c -> '{_BPE_L}' || c || '{_BPE_R}'), '') AS s
+      FROM w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""
+    pr{i} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(list_transform(range(1, len(sy)), j -> sy[j] || sy[j+1])) AS pair
+        FROM (SELECT freq, regexp_extract_all(s, '{_BPE_L}[^{_BPE_R}]*{_BPE_R}') AS sy
+              FROM {prev}))
+      GROUP BY pair),
+    m{i} AS (
+      SELECT {i} AS rank, pair,
+             replace(pair, '{_BPE_R}{_BPE_L}', '') AS merged, cnt
+      FROM pr{i} ORDER BY cnt DESC, pair LIMIT 1),
+    s{i} AS (
+      SELECT word, freq, replace(s, m.pair, m.merged) AS s
+      FROM {prev} CROSS JOIN m{i} m)""")
+    return ",".join(ctes)
+
+
+@query(
+    "q131_bpe_vocab",
+    f"""WITH {_bpe_fit_ctes()}
+    SELECT CAST(rank AS INTEGER) AS rank, pair, merged, cnt AS pair_count
+    FROM ({' UNION ALL '.join(f'SELECT * FROM m{i}' for i in range(1, 9))})
+    ORDER BY rank""",
+    tags=("curation", "bpe", "tokenizer", "fit"),
+)
+def q131(spark, sf):
+    """BPE vocabulary training (Sennrich et al.): the learned merge table.
+    The distributed stage is ONE word-count aggregate (explode ->
+    hash-agg -> bounded TakeOrdered head); the merge loop runs driver-side
+    over the bounded word table in exact integer arithmetic — kmeans_fit's
+    posture applied to a tokenizer, and like q56/q118 the DuckDB oracle
+    replays every iteration (pair counts, argmax with pair-string
+    tie-break, literal replace), so 'learned vocabulary' is value-checked,
+    not trusted."""
+    from ..operators.bpe import bpe_fit
+
+    d = _t(spark, sf, "documents").select("text")
+    merges = bpe_fit(d, n_merges=8, top_words=1000)
+    rows = [
+        (i + 1, pair, merged, int(cnt)) for i, (pair, merged, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, pair string, merged string, pair_count bigint"
+    ).orderBy("rank")
+
+
+@query(
+    "q132_bpe_token_counts",
+    f"""WITH {_bpe_fit_ctes()},
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-z0-9]+$')),
+    enc AS (
+      SELECT doc_id,
+             {''.join('replace(' for _ in range(8))}
+             array_to_string(list_transform(string_split(word, ''),
+                 c -> '{_BPE_L}' || c || '{_BPE_R}'), '')
+             {''.join(f", (SELECT pair FROM m{i}), (SELECT merged FROM m{i}))" for i in range(1, 9))}
+                 AS s
+      FROM dw)
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_words,
+           CAST(sum(length(s) - length(replace(s, '{_BPE_R}', ''))) AS INTEGER)
+               AS n_bpe_tokens
+    FROM enc GROUP BY doc_id""",
+    tags=("curation", "bpe", "tokenizer", "encode"),
+)
+def q132(spark, sf):
+    """Per-document token counts under the LEARNED BPE vocabulary — the
+    real token-budget counter (q62's regex count is the cheap estimator
+    this calibrates). Encoding is a chain of 8 literal replaces over
+    wrapped symbol strings: pure JVM Column expressions, no UDF, and
+    byte-identical to the oracle's replace chain over the replayed fit.
+    Scale shape: fit once (bounded), encode map-only, one hash-agg by
+    doc_id."""
+    from ..functions.text import tokens
+    from ..operators.bpe import bpe_fit, bpe_token_count
+
+    d = _t(spark, sf, "documents")
+    merges = bpe_fit(d.select("text"), n_merges=8, top_words=1000)
+    words = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    ).where(F.col("word").rlike("^[a-z0-9]+$"))
+    per_word = words.select(
+        "doc_id", bpe_token_count(F.col("word"), merges).alias("n")
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.sum("n").cast("int").alias("n_bpe_tokens"),
+    )

@@ -24,10 +24,11 @@ from . import curation  # noqa: F401  (registers q114-q125, q129-q130)
 #      `no_oracle` rows — the r2 verdict's q46/q81 lesson);
 #   2. this round's new queries (q125 composed IVF-PQ, q126/q127 = the F1/F3
 #      derive operators' first gate entries, q128 = the salted band join
-#      against q37's verbatim oracle);
-#   3. 19 r1-green-but-stale oracled queries whose evidence is oldest,
+#      against q37's verbatim oracle, q131/q132 = the BPE tokenizer fit +
+#      encode with their full fit-replay oracles);
+#   3. 17 r1-green-but-stale oracled queries whose evidence is oldest,
 #      covering the widest distinct-operator surface (q24-q36, q39-q41,
-#      q54, q62, q66).
+#      q54).
 # Deliberately NOT in the prefix: q46/q81 (by-design rows-only sketches —
 # their exact twins q45/q67 are gate-green and twin-equality tests are the
 # evidence), q64/q65/q109/q120/q129/q130 (rows-only BLAS twins, same
@@ -68,6 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     "q126_event_gap_seconds",
     "q127_order_age_years",
     "q128_lsh_candidates_salted",
+    "q131_bpe_vocab",
+    "q132_bpe_token_counts",
     # -- 3: oldest green evidence (r1), widest distinct-operator coverage --
     "q24_payment_dates_dim",
     "q25_trip_dates_dim",
@@ -86,8 +89,6 @@ _PRIORITY: tuple[str, ...] = (
     "q40_embedding_lsh_ann",
     "q41_multimodal_features",
     "q54_dedup_keep_rows",
-    "q62_bpe_token_count",
-    "q66_doc_chunks",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
