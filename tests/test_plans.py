@@ -335,3 +335,14 @@ def test_order_age_is_map_only(spark):
     tree = _plan(spark, "q127_order_age_years").split("\n\n")[0]
     assert "Exchange" not in tree
     assert "Scan parquet" in tree
+
+
+def test_kmv_sketch_partial_topk_per_group(spark):
+    """q134: the per-group k-smallest must push a partial WindowGroupLimit
+    below the exchange (map-side top-k per group) — only ~k rows per group
+    ride the final shuffle."""
+    plan = _plan(spark, "q134_kmv_distinct_users")
+    tree = plan.split("\n\n")[0]
+    first_exchange = tree.index("Exchange")
+    assert "WindowGroupLimit" in tree[first_exchange:]
+    assert "rangepartitioning" not in tree[: tree.index("Window")]

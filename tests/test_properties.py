@@ -83,3 +83,34 @@ def test_asof_join_matches_bruteforce_property(spark, lefts, rights):
         t = base + dt.timedelta(hours=h)
         cands = [base + dt.timedelta(hours=rh) for rk, rh in rights if rk == k and base + dt.timedelta(hours=rh) <= t]
         assert got[i] == (max(cands) if cands else None), (i, k, h)
+
+
+def test_kmv_estimate_accuracy(spark):
+    """The KMV sketch (q134) must estimate distinct users within ~30%
+    relative error at k=64 (theory: ~1/sqrt(63) ~ 13% std) on the gate
+    corpus, and be exact when a group has fewer than k distinct keys."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+        QUERIES,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+        read_parquet_table,
+    )
+    from conftest import SF_SMOKE
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in read_parquet_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in QUERIES["q134_kmv_distinct_users"](spark, SF_SMOKE).collect():
+        true_n = exact[r["event_type"]]
+        if r["n_retained"] < 64:
+            assert r["kmv_estimate"] == float(true_n)
+        else:
+            assert abs(r["kmv_estimate"] - true_n) / true_n < 0.30, (
+                r["event_type"], r["kmv_estimate"], true_n
+            )
