@@ -346,3 +346,14 @@ def test_kmv_sketch_partial_topk_per_group(spark):
     first_exchange = tree.index("Exchange")
     assert "WindowGroupLimit" in tree[first_exchange:]
     assert "rangepartitioning" not in tree[: tree.index("Window")]
+
+
+def test_bpe_encode_is_udf_free_single_agg(spark):
+    """q132: the BPE encode chain must stay JVM-side (no Python eval node
+    anywhere — the merges are literal replaces) with exactly one Exchange
+    for the per-doc aggregate."""
+    plan = _plan(spark, "q132_bpe_token_counts")
+    tree = plan.split("\n\n")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert tree.count("Exchange") == 1
+    assert tree.count("HashAggregate") == 2
