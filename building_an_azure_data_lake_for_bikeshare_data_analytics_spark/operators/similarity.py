@@ -24,6 +24,19 @@ from pyspark.sql.window import Window
 from ..functions.vectors import dot, norm
 
 
+def _round4_half_away(S: "np.ndarray") -> "np.ndarray":
+    """Round to 4 decimals HALF AWAY FROM ZERO in float64 — the operation
+    DuckDB's round() performs (std::round(x * 1e4) / 1e4) and the observed
+    behavior of Spark's F.round on every gate corpus. np.round is half-EVEN
+    and would diverge from both engines whenever a cosine lands exactly on a
+    .00005 boundary; with this helper the vectorized kernels share the
+    oracle's own rounding rule, so their twin-equality is not just
+    corpus-verified luck at the rounding step. (Bit-equality with the
+    sequential Column fold is still corpus-verified rather than guaranteed:
+    BLAS summation order can differ from the fold's pre-round by ~1 ulp.)"""
+    return np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
+
+
 def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 0) -> list[list[float]]:
     """Deterministic LSH hyperplanes, 6-decimal rounded for stable literals."""
     rs = np.random.RandomState(seed)
@@ -152,21 +165,23 @@ def brute_force_topk_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 
     if not q_rows:
         return brute_force_topk(corpus, queries, k)
     Q = np.array([list(r["qe"]) for r in q_rows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qn = np.linalg.norm(Q, axis=1)
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     sc = corpus.sparkSession.sparkContext
-    bq = sc.broadcast((qids, Q))
+    bq = sc.broadcast((qids, Q, qn))
 
     def part(batches):
         import pandas as pd
 
-        ids, Qn = bq.value
+        ids, Qm, qnv = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
             E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
-            E /= np.linalg.norm(E, axis=1, keepdims=True)
-            S = np.round(E @ Qn.T, 4)  # (batch, nq)
+            en = np.linalg.norm(E, axis=1)
+            # dot-then-divide mirrors the fold's cos expression shape;
+            # rounding is the oracle's own half-away rule (_round4_half_away)
+            S = _round4_half_away((E @ Qm.T) / (en[:, None] * qnv[None, :]))
             vecids = pdf["vec_id"].to_numpy(dtype=np.int64)
             out_q, out_n, out_c = [], [], []
             for j in range(S.shape[1]):
@@ -211,8 +226,8 @@ def blocked_dup_pairs_vectorized(
                 {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
             )
         E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
-        E /= np.linalg.norm(E, axis=1, keepdims=True)
-        S = np.round(E @ E.T, 4)
+        en = np.linalg.norm(E, axis=1)
+        S = _round4_half_away((E @ E.T) / (en[:, None] * en[None, :]))
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = S[iu, ju] >= threshold
@@ -582,7 +597,7 @@ def quantized_int8_topk_vectorized(
             if not len(vecids):
                 continue
             cn = np.sqrt((C * C).sum(axis=1))
-            S = np.round((C @ QCn.T) / (cn[:, None] * qnv[None, :]), 4)
+            S = _round4_half_away((C @ QCn.T) / (cn[:, None] * qnv[None, :]))
             out_q, out_n, out_c = [], [], []
             for j in range(S.shape[1]):
                 col = S[:, j]
@@ -994,22 +1009,24 @@ def ivf_topk_vectorized(
     probe_cells = np.stack(
         [np.lexsort((np.arange(ncells), -qscores[i]))[:nprobe] for i in range(len(qids))]
     )
-    Qn = Qf / np.linalg.norm(Qf, axis=1, keepdims=True)
+    qn = np.linalg.norm(Qf, axis=1)
     sc = corpus.sparkSession.sparkContext
-    bq = sc.broadcast((qids, Qn, probe_cells))
+    bq = sc.broadcast((qids, Qf, qn, probe_cells))
 
     def part(batches):
         import pandas as pd
 
-        ids, Qnv, pc = bq.value
+        ids, Qm, qnv, pc = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
             E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
             X = np.floor(E * float(QUANT_SCALE)).astype(np.int64)
             cell = ((X @ cents.T).astype(np.float64) / cnsq_sqrt[None, :]).argmax(axis=1)
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            S = np.round(En @ Qnv.T, 4)  # (batch, nq) — q64's proven recipe
+            en = np.linalg.norm(E, axis=1)
+            # dot-then-divide + half-away round — q64's recipe (see
+            # _round4_half_away for the cross-engine rounding contract)
+            S = _round4_half_away((E @ Qm.T) / (en[:, None] * qnv[None, :]))
             vecids = pdf["vec_id"].to_numpy(dtype=np.int64)
             out_q, out_n, out_c = [], [], []
             for j in range(len(ids)):

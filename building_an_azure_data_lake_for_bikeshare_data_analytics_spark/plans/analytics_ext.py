@@ -40,17 +40,13 @@ def q42(spark, sf):
     )
 
 
-_DOT_D = "list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+# q43's oracle is shared with its BLAS twin q65 — defined once in
+# plans/extensions.py (imported before this module by the registry).
+from .extensions import _EMB_DUP_PAIRS_ORACLE  # noqa: E402
 
 @query(
     "q43_embedding_dup_pairs",
-    f"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                      round({_DOT_D.format(a='a.embedding', b='b.embedding')}
-                            / (sqrt({_DOT_D.format(a='a.embedding', b='a.embedding')})
-                               * sqrt({_DOT_D.format(a='b.embedding', b='b.embedding')})), 4) AS cos
-               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
+    _EMB_DUP_PAIRS_ORACLE,
     tags=("dedup", "embedding", "semantic"),
 )
 def q43(spark, sf):

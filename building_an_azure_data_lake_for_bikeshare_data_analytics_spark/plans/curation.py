@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 from ..functions.text import STOPWORDS, fingerprint, marker_count, tokens
 from ..functions.vectors import dot, norm
 from .base import _t, query
+from .extensions import _ivf_oracle  # q130 carries its fold twin q56's oracle
 
 # ---------------------------------------------------------------------------
 # q114 — half-life-decayed per-user activity (sampling-weight primitive)
@@ -393,10 +394,13 @@ def _pq_ctes(m: int = 4, ksub: int = 8, iters: int = 4, dim: int = 64) -> str:
     return ",\n    ".join(blocks)
 
 
-def _pq_adc_pair_sql(m: int = 4, iters: int = 4, dim: int = 64, qref: str = "q") -> str:
-    """The (query, neighbor, adc) scoring clause over the _pq_ctes chain:
-    exact integer ADC sum via per-subspace codebook joins. ``qref`` is the
-    alias holding the query's quantized vector (column qv)."""
+def _pq_adc_pair_sql(
+    m: int = 4, iters: int = 4, dim: int = 64, qref: str = "q"
+) -> tuple[str, str, str]:
+    """SQL fragments for scoring (query, neighbor) pairs over the _pq_ctes
+    chain — returns ``(adc_terms, enc_joins, cb_joins)``: the exact integer
+    ADC sum expression, the encoded-corpus joins, and the codebook joins.
+    ``qref`` is the alias holding the query's quantized vector (column qv)."""
     sub = dim // m
     adc_terms = " + ".join(
         f"list_sum(list_transform(range(1, {sub + 1}), j -> {qref}.qv[{s * sub} + j] * k{s}.c[j]))"
@@ -408,7 +412,7 @@ def _pq_adc_pair_sql(m: int = 4, iters: int = 4, dim: int = 64, qref: str = "q")
     cb_joins = "\n      ".join(
         f"JOIN c{s}_{iters} k{s} ON k{s}.cell = e{s}.cell" for s in range(m)
     )
-    return adc_terms, enc_joins, cb_joins  # type: ignore[return-value]
+    return adc_terms, enc_joins, cb_joins
 
 
 def _pq_oracle(
@@ -584,14 +588,15 @@ def q119(spark, sf):
 
 @query(
     "q120_pq_adc_topk_vectorized",
-    None,  # rows-only: the oracle lives on the fold twin (q118); equality
-    # between the two is asserted in tests/test_curation.py
+    _pq_oracle(),  # the fold twin's (q118) oracle verbatim — every ADC
+    # score is the same exact int64 in both formulations (r3 verdict item 1)
     tags=("curation", "similarity", "pq", "vectorized"),
 )
 def q120(spark, sf):
     """q118 through the numpy ADC kernel (mapInPandas, integer gathers) —
     the deployment-speed path, bit-identical to the fold formulation by
-    exact int64 arithmetic. Same twin contract as q109<->q104."""
+    exact int64 arithmetic. Same twin contract as q109<->q104; carries
+    q118's fit-replay oracle verbatim."""
     from ..operators.similarity import pq_adc_topk_vectorized, pq_fit
 
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -958,8 +963,10 @@ def q125(spark, sf):
 
 @query(
     "q129_ivf_pq_rerank_vectorized",
-    None,  # rows-only: the oracle lives on the fold twin (q125); equality
-    # between the two is asserted in tests/test_multimodal_similarity.py
+    _ivf_pq_oracle(),  # the fold twin's (q125) double-fit-replay oracle
+    # verbatim — ADC prune is exact int64, the re-rank tail is the SAME
+    # Column code as the fold's (_exact_cos_rerank), so every float op in
+    # the ranking keys is shared (r3 verdict item 1)
     tags=("curation", "similarity", "ivf", "pq", "vectorized"),
 )
 def q129(spark, sf):
@@ -986,8 +993,9 @@ def q129(spark, sf):
 
 @query(
     "q130_ivf_ann_vectorized",
-    None,  # rows-only: the fit-replay oracle lives on the fold twin (q56);
-    # equality between the two is asserted in tests
+    _ivf_oracle(),  # the fold twin's (q56) fit-replay oracle verbatim —
+    # same integer cell assignment/probe, cosines via dot-then-divide with
+    # the oracle's half-away rounding (r3 verdict item 1)
     tags=("curation", "similarity", "ivf", "vectorized"),
 )
 def q130(spark, sf):
@@ -995,7 +1003,7 @@ def q130(spark, sf):
     assignment + one masked BLAS matmul per Arrow batch) — row-equal to
     the fold formulation, the IVF deployment path. At stress scale the
     fold costs 52-135 s (nprobe 1-3) where this kernel is q64-class
-    seconds (SCALE_NOTES)."""
+    seconds (SCALE_NOTES). Carries q56's oracle verbatim."""
     from ..operators.similarity import ivf_topk_vectorized, kmeans_fit
 
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")

@@ -355,9 +355,12 @@ def q38(spark, sf):
 _Q_FILTER = "vec_id % 50 = 0"
 _DOT = "list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
 
-@query(
-    "q39_embedding_topk",
-    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+# Shared by q39 (Column-fold) and q64 (BLAS kernel): the two are row-equal
+# by construction up to float summation order — same round-4 cosines, same
+# id tie-breaks — so one oracle gates both (the r3 verdict's item 1; the
+# kernels now share the oracle's own half-away rounding rule, see
+# operators/similarity._round4_half_away).
+_BRUTE_TOPK_ORACLE = f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                    FROM embeddings WHERE {_Q_FILTER}),
          p AS (SELECT query_id, e.vec_id AS neighbor_id,
                       round({_DOT.format(a='qe', b='e.embedding')}
@@ -369,7 +372,21 @@ _DOT = "list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUB
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY cos DESC, neighbor_id) AS rnk
               FROM p)
-        WHERE rnk <= 5""",
+        WHERE rnk <= 5"""
+
+# Shared by q43 (label-blocked equi-join, plans/analytics_ext.py) and q65
+# (per-block BLAS kernel) — same twin contract as q39/q64.
+_EMB_DUP_PAIRS_ORACLE = f"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      round({_DOT.format(a='a.embedding', b='b.embedding')}
+                            / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                               * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 4) AS cos
+               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45"""
+
+@query(
+    "q39_embedding_topk",
+    _BRUTE_TOPK_ORACLE,
     tags=("similarity", "knn", "window"),
 )
 def q39(spark, sf):
@@ -878,13 +895,14 @@ def q100(spark, sf):
     return lsh_dup_pairs(emb, threshold=0.45, planes=_PLANES, bands=2)
 
 
-@query("q64_embedding_topk_vectorized", None, tags=("similarity", "knn", "vectorized", "rows-only"))
+@query("q64_embedding_topk_vectorized", _BRUTE_TOPK_ORACLE, tags=("similarity", "knn", "vectorized"))
 def q64(spark, sf):
     """Exact cosine top-k via the BLAS mapInPandas kernel — same semantics
-    as q39 (asserted equal in tests), ~100x faster at stress scale. Kept
-    rows-only: float summation order in BLAS differs from the sequential
-    fold the q39 oracle replicates (identical after round-4 in practice,
-    but not by construction)."""
+    as q39 (asserted row-equal in tests), ~100x faster at stress scale.
+    Carries q39's oracle verbatim (r3 verdict item 1): the kernel computes
+    dot-then-divide cosines rounded with the oracle's own half-away rule,
+    so the only residual divergence risk is BLAS-vs-fold summation order
+    pre-round — corpus-verified identical at gate and stress scale."""
     from ..operators.similarity import brute_force_topk_vectorized
 
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -894,11 +912,12 @@ def q64(spark, sf):
     return brute_force_topk_vectorized(emb, qs, k=5)
 
 
-@query("q65_embedding_dup_pairs_vectorized", None, tags=("dedup", "embedding", "vectorized", "rows-only"))
+@query("q65_embedding_dup_pairs_vectorized", _EMB_DUP_PAIRS_ORACLE, tags=("dedup", "embedding", "vectorized"))
 def q65(spark, sf):
     """Label-blocked semantic dup pairs via per-block BLAS (applyInPandas) —
     asserted row-identical to q43's equi-join formulation in tests; the
-    measured-fast path for big blocks."""
+    measured-fast path for big blocks. Carries q43's oracle verbatim
+    (same twin contract as q39/q64)."""
     from ..operators.similarity import blocked_dup_pairs_vectorized
 
     emb = _t(spark, sf, "embeddings")
@@ -982,12 +1001,13 @@ _QZ_DOT = (
     "i -> CAST({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)"
 )
 
-@query(
-    "q104_quantized_topk",
-    # the oracle REPLAYS the whole quantization: same per-vector scale,
-    # same round-half-away int8 codes, same exact int64 dots — the
-    # compressed-domain ranking is value-checked end to end
-    f"""WITH sc AS (SELECT vec_id, embedding,
+# The oracle REPLAYS the whole quantization: same per-vector scale, same
+# round-half-away int8 codes, same exact int64 dots — the compressed-domain
+# ranking is value-checked end to end. Shared by q104 (Column fold) and
+# q109 (BLAS kernel): the integer dots are bit-identical in both, only the
+# final divide/round is float, and the kernel uses the oracle's own
+# half-away rounding (operators/similarity._round4_half_away).
+_QUANT_TOPK_ORACLE = f"""WITH sc AS (SELECT vec_id, embedding,
                         list_max(list_transform(embedding,
                                  v -> abs(CAST(v AS DOUBLE)))) AS s
                  FROM embeddings),
@@ -1005,7 +1025,11 @@ _QZ_DOT = (
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY qcos DESC, neighbor_id) AS rnk
               FROM p)
-        WHERE rnk <= 5""",
+        WHERE rnk <= 5"""
+
+@query(
+    "q104_quantized_topk",
+    _QUANT_TOPK_ORACLE,
     tags=("similarity", "knn", "quantization", "compressed"),
 )
 def q104(spark, sf):
@@ -1144,15 +1168,16 @@ def q108(spark, sf):
 
 @query(
     "q109_quantized_topk_vectorized",
-    None,
-    tags=("similarity", "knn", "quantization", "vectorized", "rows-only"),
+    _QUANT_TOPK_ORACLE,
+    tags=("similarity", "knn", "quantization", "vectorized"),
 )
 def q109(spark, sf):
     """int8 compressed-domain top-k via the BLAS kernel — same codes and
     exact integer dots as q104 (asserted row-equal in tests), the
-    throughput half of the two-stage retrieval layout. Rows-only for the
-    same reason as q64: the final divide/round happens in numpy rather
-    than the oracle's sequential expression order."""
+    throughput half of the two-stage retrieval layout. Carries q104's
+    oracle verbatim (r3 verdict item 1): every dot is the same exact
+    int64, and the one float divide/round uses the oracle's half-away
+    rule."""
     from ..operators.similarity import quantized_int8_topk_vectorized
 
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
