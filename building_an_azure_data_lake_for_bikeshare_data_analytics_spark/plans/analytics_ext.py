@@ -483,13 +483,15 @@ def q127(spark, sf):
     )
 
 
-_KMV_K = 64
+_KMV_K = 64  # default sketch size for the gate query (q134)
 _KMV_SPACE = float(1 << 60)  # hash space size; 63 * 2^60 is exact in double
 
 
-@query(
-    "q134_kmv_distinct_users",
-    f"""WITH h AS (
+def kmv_oracle(k: int = _KMV_K) -> str:
+    """DuckDB oracle for the KMV sketch at any k — replays the sketch
+    value-for-value (same md5-derived 60-bit hashes, same k-smallest, same
+    single IEEE division)."""
+    return f"""WITH h AS (
          SELECT DISTINCT event_type,
                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
          FROM events),
@@ -501,14 +503,45 @@ _KMV_SPACE = float(1 << 60)  # hash space size; 63 * 2^60 is exact in double
          SELECT event_type,
                 count(*) AS m,
                 max(h) AS xk
-         FROM r WHERE rn <= {_KMV_K} GROUP BY event_type)
+         FROM r WHERE rn <= {k} GROUP BY event_type)
        SELECT event_type,
               CAST(m AS INTEGER) AS n_retained,
               xk AS kth_hash,
-              CASE WHEN m < {_KMV_K} THEN CAST(m AS DOUBLE)
-                   ELSE round({_KMV_K - 1} * {_KMV_SPACE} / CAST(xk AS DOUBLE), 4)
+              CASE WHEN m < {k} THEN CAST(m AS DOUBLE)
+                   ELSE round({k - 1} * {_KMV_SPACE} / CAST(xk AS DOUBLE), 4)
               END AS kmv_estimate
-       FROM k ORDER BY event_type""",
+       FROM k ORDER BY event_type"""
+
+
+def kmv_distinct_users(spark, sf, k: int = _KMV_K):
+    """The KMV sketch body at a caller-chosen k (r3 verdict item 5: k was
+    hard-coded at 64). Error ~ 1/sqrt(k-1): 13% at k=64, 6.3% at 256,
+    3.1% at 1024 — the property tests pin the measured curve at stress
+    scale (tests/test_properties.py). Plan shape is k-independent: the
+    rank window plans a map-side WindowGroupLimit partial top-k, so ~k
+    rows per group ride the final exchange whatever k is."""
+    ev = _t(spark, sf, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    d = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    agg = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_retained"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_retained") < k, F.col("n_retained").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("kth_hash").cast("double"), 4)
+    )
+    return agg.select(
+        "event_type", "n_retained", "kth_hash", est.alias("kmv_estimate")
+    ).orderBy("event_type")
+
+
+@query(
+    "q134_kmv_distinct_users",
+    kmv_oracle(_KMV_K),
     tags=("extension", "sketch", "distinct", "kmv"),
 )
 def q134(spark, sf):
@@ -526,24 +559,120 @@ def q134(spark, sf):
     k-smallest is a rank window with WindowGroupLimit pushdown (map-side
     partial top-k), so only ~k rows per group reach the final exchange —
     the same partial-top-k shape as TakeOrderedAndProject, per group.
-    Accuracy ~ 1/sqrt(k-1) ≈ 13% relative; tests pin <30% on the gate
-    corpus and the estimator-vs-exact ratio at stress scale."""
-    from pyspark.sql.window import Window
+    Accuracy ~ 1/sqrt(k-1) ≈ 13% relative at the default k=64; k is a
+    parameter of ``kmv_distinct_users`` (r4) and the measured error curve
+    at k ∈ {64, 256, 1024} is pinned at stress scale in
+    tests/test_properties.py."""
+    return kmv_distinct_users(spark, sf, _KMV_K)
 
-    ev = _t(spark, sf, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
-    d = ev.select("event_type", h.alias("h")).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    topk = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _KMV_K)
-    agg = topk.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("int").alias("n_retained"),
-        F.max("h").alias("kth_hash"),
+
+# --------------------------------------------------------------------------
+# q136 — fixed-grid histogram quantiles: the value-checkable approximate
+# percentile (retires q81's engine-private Greenwald-Khanna sketch from the
+# gate the same way q134 retired q46's HLL; exact twin stays q67)
+# --------------------------------------------------------------------------
+
+_HQ_B = 256  # histogram buckets; error bound = (max-min)/B per group
+
+
+def _hq_est_sql(q: float) -> str:
+    """One quantile's SELECT expression over the cumulated histogram CTE."""
+    rank = f"CAST(ceil({q} * n) AS BIGINT)"
+    est = (
+        f"CASE WHEN mx = mn THEN mn "
+        f"ELSE mn + ((mx - mn) / {_HQ_B}.0) * (bucket + ({rank} - cb) / CAST(cnt AS DOUBLE)) END"
     )
-    est = F.when(
-        F.col("n_retained") < _KMV_K, F.col("n_retained").cast("double")
-    ).otherwise(
-        F.round(F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("kth_hash").cast("double"), 4)
+    return f"max(CASE WHEN cum >= {rank} AND cb < {rank} THEN round({est}, 6) END)"
+
+
+@query(
+    "q136_histogram_quantiles",
+    f"""WITH s AS (
+         SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n
+         FROM events GROUP BY 1),
+       b AS (
+         SELECT e.event_type, s.mn, s.mx, s.n,
+                CASE WHEN s.mx = s.mn THEN 0
+                     ELSE CAST(least(floor((e.value - s.mn) / ((s.mx - s.mn) / {_HQ_B}.0)),
+                               {_HQ_B - 1}) AS INTEGER)
+                END AS bucket
+         FROM events e JOIN s USING (event_type)),
+       h AS (
+         SELECT event_type, mn, mx, n, bucket, count(*) AS cnt
+         FROM b GROUP BY event_type, mn, mx, n, bucket),
+       c AS (
+         SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+         FROM h),
+       c2 AS (SELECT *, cum - cnt AS cb FROM c)
+       SELECT event_type,
+              {_hq_est_sql(0.5)} AS p50_hist,
+              {_hq_est_sql(0.9)} AS p90_hist,
+              {_hq_est_sql(0.99)} AS p99_hist
+       FROM c2 GROUP BY event_type ORDER BY event_type""",
+    tags=("extension", "sketch", "percentile", "histogram"),
+)
+def q136(spark, sf):
+    """Approximate per-group percentiles that are VALUE-CHECKABLE
+    cross-engine — the deterministic alternative to q81's percentile_approx
+    (whose Greenwald-Khanna sketch state is engine-private, forcing a
+    rows-only row; r3 verdict item 4). Fixed-grid histogram: per group,
+    min/max/count in one agg, 256 equal-width buckets counted in a second,
+    quantile = linear interpolation inside the first bucket whose
+    cumulative count reaches ceil(q*n). Every count is an exact int64 and
+    the estimate is a short, identical IEEE expression in both engines
+    (rounded to 6 dp), so the gate checks the estimator itself.
+
+    Error bound is structural — (max-min)/256 per group, vs q67's exact
+    per-group sort (the twin-accuracy test pins estimates within one
+    bucket width of q67's exact values). Scale shape: two
+    partial+final hash aggs over the fact table (min/max/count, then
+    bucket counts — the stats join back via broadcast, never shuffling
+    the facts), a <= 256-rows-per-group cumsum window, and a final tiny
+    agg — no per-group sort of raw values anywhere, which is exactly why
+    histograms beat exact percentiles at 100 TB."""
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
     )
-    return agg.select(
-        "event_type", "n_retained", "kth_hash", est.alias("kmv_estimate")
-    ).orderBy("event_type")
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HQ_B))
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width),
+                F.lit(_HQ_B - 1).cast("long"),
+            )
+        )
+        .cast("int")
+    )
+    hist = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", "mn", "mx", "n", bucket.alias("bucket"))
+        .groupBy("event_type", "mn", "mx", "n", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    c = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cb", F.col("cum") - F.col("cnt")
+    )
+
+    def est(q: float):
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        e = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+            F.col("mn")
+            + width * (F.col("bucket") + (rank - F.col("cb")) / F.col("cnt").cast("double"))
+        )
+        cond = (F.col("cum") >= rank) & (F.col("cb") < rank)
+        return F.max(F.when(cond, F.round(e, 6)))
+
+    return (
+        c.groupBy("event_type")
+        .agg(
+            est(0.5).alias("p50_hist"),
+            est(0.9).alias("p90_hist"),
+            est(0.99).alias("p99_hist"),
+        )
+        .orderBy("event_type")
+    )

@@ -357,3 +357,39 @@ def test_bpe_encode_is_udf_free_single_agg(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert tree.count("Exchange") == 1
     assert tree.count("HashAggregate") == 2
+
+
+def test_substring_dup_spans_grams_never_shuffle(spark):
+    """q135: the 8-token gram STRINGS must not ride any exchange — the
+    60-bit hash is computed map-side and only narrow (gh, doc_id, pos)
+    rows shuffle. A gram string in an Exchange input would mean the
+    map-side hashing contract broke (k*~6 bytes per token position on
+    the wire instead of 8)."""
+    plan = _plan(spark, "q135_substring_dup_spans")
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" in head:
+            assert "gram#" not in block, head
+
+
+def test_salted_band_join_salt_in_join_keys(spark):
+    """q128's structural skew fix (r3): the salt must sit IN the equi-join
+    keys, so a hot band bucket hash-partitions n_salts ways, and the join
+    must run in the partitioned (sort-merge) regime once the banded
+    relation exceeds broadcast size — a broadcast of the salt-replicated
+    side would silently discard the mitigation (and waste the n_salts-x
+    replication). Broadcast is disabled for the assertion because at
+    smoke scale the planner would otherwise broadcast the tiny side."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "q128_lsh_candidates_salted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ("Left keys" in ln or "Right keys" in ln) and "__salt" in ln
+    ]
+    assert key_lines, "salt column must appear in the sort-merge join keys"
