@@ -160,12 +160,18 @@ def _idct_matrix():
 
 
 def _decode_jpeg(blob: bytes) -> tuple[int, int, int, str] | None:
-    """Baseline (SOF0) JPEG decode with the stdlib + numpy only: marker
-    parse, per-file Huffman/quant tables, MCU entropy decode, dequantize,
-    separable float IDCT. Features come from the reconstructed LUMA plane
-    (chroma blocks are entropy-decoded to keep the bitstream in sync but
-    not IDCT'd — features only need Y). Progressive (SOF2) and arithmetic
-    files return None -> byte-level fallback."""
+    """Baseline (SOF0/1) AND progressive (SOF2) JPEG decode with the
+    stdlib + numpy only: marker parse, per-file Huffman/quant tables,
+    entropy decode, dequantize, separable float IDCT. Features come from
+    the reconstructed LUMA plane (chroma blocks are entropy-decoded to
+    keep the bitstream in sync but not IDCT'd — features only need Y).
+
+    Progressive files accumulate DCT coefficients across scans — DC
+    first/refinement, AC spectral-selection first scans with EOBRUN, and
+    AC successive-approximation refinement (correction bits, the T.81
+    G.1.2 algorithm as implemented by libjpeg's jdphuff) — and IDCT once
+    at EOI. Lossless-JPEG / hierarchical / arithmetic SOFs return None ->
+    byte-level fallback."""
     import struct
 
     import numpy as np
@@ -178,11 +184,20 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, str] | None:
         comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
         width = height = 0
         restart_interval = 0
+        progressive = False
+        state: _ProgState | None = None
         pos = 2
         while pos + 4 <= len(blob):
+            # 0xFF fill/padding bytes before a marker are legal (B.1.1.2);
+            # without this skip a padded stream would misread seglen and
+            # silently degrade to the byte-level fallback
+            while pos + 1 < len(blob) and blob[pos] == 0xFF and blob[pos + 1] == 0xFF:
+                pos += 1
             if blob[pos] != 0xFF:
                 return None
             marker = blob[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
@@ -199,15 +214,16 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, str] | None:
                         vals = list(seg[i + 1 : i + 65])
                         i += 65
                     qt[tq] = vals
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+                progressive = marker == 0xC2
                 height, width = struct.unpack(">HH", seg[1:5])
                 n = seg[5]
                 comps = [
                     (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0xF, seg[8 + 3 * c])
                     for c in range(n)
                 ]
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic: not baseline
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # lossless / hierarchical / arithmetic: unsupported
             elif marker == 0xC4:  # DHT
                 i = 0
                 while i < len(seg):
@@ -220,16 +236,213 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, str] | None:
                 (restart_interval,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:  # SOS — entropy data follows
                 ns = seg[0]
-                scan = {seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF) for c in range(ns)}
+                scomps = [
+                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                    for c in range(ns)
+                ]
                 data_pos = pos + 2 + seglen
-                return _decode_scan(
-                    blob, data_pos, width, height, comps, scan, qt, huff,
-                    restart_interval, np,
+                if not progressive:
+                    scan = {cid: (dc, ac) for cid, dc, ac in scomps}
+                    return _decode_scan(
+                        blob, data_pos, width, height, comps, scan, qt, huff,
+                        restart_interval, np,
+                    )
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                approx = seg[3 + 2 * ns]
+                if state is None:
+                    state = _ProgState(width, height, comps, np)
+                pos = _decode_prog_scan(
+                    blob, data_pos, state, scomps, ss, se,
+                    approx >> 4, approx & 0xF, huff, restart_interval,
                 )
+                continue
             pos += 2 + seglen
+        if progressive and state is not None:
+            y_id, y_h, y_v, y_tq = comps[0]
+            arr = state.coef[y_id]
+            yq = np.array([qt[y_tq][i] for i in range(64)], dtype=np.float64)
+            M = _idct_matrix()
+            yplane = np.zeros((arr.shape[0] * 8, arr.shape[1] * 8), dtype=np.float64)
+            for yy in range(arr.shape[0]):
+                for xx in range(arr.shape[1]):
+                    C = np.zeros(64)
+                    C[_ZIGZAG] = arr[yy, xx].astype(np.float64) * yq
+                    yplane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = (
+                        M.T @ C.reshape(8, 8) @ M
+                    )
+            return _luma_features(
+                yplane, width, height, y_h, y_v, state.hmax, state.vmax, np
+            )
         return None
     except Exception:
         return None
+
+
+class _ProgState:
+    """Per-file coefficient store for progressive decoding: one
+    (blocks_y, blocks_x, 64) int32 array per component, coefficients in
+    ZIGZAG stream order (the IDCT un-zigzags once, at the end)."""
+
+    def __init__(self, width, height, comps, np):
+        self.comps = comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = (width + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (height + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coef = {}
+        self.bdims = {}
+        for cid, h, v, _tq in comps:
+            cw = -(-width * h // self.hmax)   # component dims in samples
+            ch = -(-height * v // self.vmax)
+            self.bdims[cid] = (-(-ch // 8), -(-cw // 8))  # true block dims
+            # padded to whole MCUs so interleaved DC scans can index freely
+            self.coef[cid] = np.zeros(
+                (self.mcus_y * v, self.mcus_x * h, 64), dtype=np.int32
+            )
+
+
+def _dc_prog_unit(r, blk, tbl, pred, cid, ah, al):
+    """One block of a progressive DC scan: first scan (ah=0) decodes the
+    point-transformed diff; refinement appends one magnitude bit."""
+    if ah == 0:
+        t = _huff_decode(r, tbl)
+        pred[cid] += _receive_extend(r, t)
+        blk[0] = pred[cid] << al
+    elif r.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first_block(r, blk, tbl, ss, se, al, eobrun):
+    """One block of an AC spectral-selection first scan (ah=0). EOBRUN
+    counts blocks whose band is entirely zero, inclusively of the block
+    whose decode produced the EOBn symbol (libjpeg's convention)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, tbl)
+        run, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if run < 15:
+                eobrun = (1 << run) - 1  # current block is run member #1
+                if run:
+                    eobrun += r.read_bits(run)
+                break
+            k += 16  # ZRL
+        else:
+            k += run
+            if k > se:
+                raise ValueError("AC index out of band")
+            blk[k] = _receive_extend(r, s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(r, blk, tbl, ss, se, al, eobrun):
+    """One block of an AC successive-approximation refinement scan (ah>0):
+    already-nonzero coefficients receive correction bits, zero-history
+    positions can become ±(1<<al), EOB runs still carry correction bits
+    for the nonzero coefficients they cover — T.81 G.1.2.3 as implemented
+    by libjpeg's decode_mcu_AC_refine."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, tbl)
+            run, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if run < 15:
+                    eobrun = 1 << run  # full inclusive count; -1 below
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                newval = 0  # ZRL: advance over 16 zero-history positions
+            else:  # s == 1 by spec: a newly-nonzero coefficient
+                newval = p1 if r.read_bit() else -p1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if r.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if k <= se:
+                if newval:
+                    blk[k] = newval
+                k += 1
+    if eobrun > 0:
+        # EOB band: remaining nonzero coefficients still get correction bits
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and r.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eobrun -= 1  # count this block completed in the EOB run
+    return eobrun
+
+
+def _decode_prog_scan(blob, pos, st, scomps, ss, se, ah, al, huff, dri):
+    """Decode one progressive scan into the coefficient store; returns the
+    position of the next marker. DC scans may interleave components (MCU
+    order); AC scans are single-component, block-raster order."""
+    r = _BitReader(blob, pos)
+    byid = {c[0]: c for c in st.comps}
+    n_unit = 0
+    if ss == 0:  # DC scan
+        pred = {cid: 0 for cid, _, _ in scomps}
+        if len(scomps) > 1:  # interleaved MCU order
+            for my in range(st.mcus_y):
+                for mx in range(st.mcus_x):
+                    if dri and n_unit and n_unit % dri == 0:
+                        r.align_restart()
+                        pred = {cid: 0 for cid, _, _ in scomps}
+                    n_unit += 1
+                    for cid, dct, _ in scomps:
+                        _, h, v, _ = byid[cid]
+                        for by in range(v):
+                            for bx in range(h):
+                                _dc_prog_unit(
+                                    r, st.coef[cid][my * v + by, mx * h + bx],
+                                    huff.get((0, dct)), pred, cid, ah, al,
+                                )
+        else:
+            cid, dct, _ = scomps[0]
+            by_t, bx_t = st.bdims[cid]
+            for yy in range(by_t):
+                for xx in range(bx_t):
+                    if dri and n_unit and n_unit % dri == 0:
+                        r.align_restart()
+                        pred = {cid: 0}
+                    n_unit += 1
+                    _dc_prog_unit(
+                        r, st.coef[cid][yy, xx], huff.get((0, dct)), pred, cid, ah, al
+                    )
+    else:  # AC scan: single component by spec
+        cid, _, act = scomps[0]
+        tbl = huff[(1, act)]
+        by_t, bx_t = st.bdims[cid]
+        eobrun = 0
+        for yy in range(by_t):
+            for xx in range(bx_t):
+                if dri and n_unit and n_unit % dri == 0:
+                    r.align_restart()
+                    eobrun = 0
+                n_unit += 1
+                blk = st.coef[cid][yy, xx]
+                if ah == 0:
+                    eobrun = _ac_first_block(r, blk, tbl, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(r, blk, tbl, ss, se, al, eobrun)
+    # skip to the next marker (possibly mid-byte after the last unit)
+    p = r.pos
+    while p + 1 < len(blob):
+        if blob[p] == 0xFF and blob[p + 1] != 0x00 and not (0xD0 <= blob[p + 1] <= 0xD7):
+            break
+        p += 1
+    return p
 
 
 def _decode_scan(blob, data_pos, width, height, comps, scan, qt, huff, dri, np):
@@ -281,7 +494,13 @@ def _decode_scan(blob, data_pos, width, height, comps, scan, qt, huff, dri, np):
                         py = (my * y_v + by) * 8
                         px = (mx * y_h + bx) * 8
                         yplane[py : py + 8, px : px + 8] = block
-    # crop to the luma plane's true dims and de-level-shift
+    return _luma_features(yplane, width, height, y_h, y_v, hmax, vmax, np)
+
+
+def _luma_features(yplane, width, height, y_h, y_v, hmax, vmax, np):
+    """Crop the padded luma plane to its true dims, de-level-shift, and
+    derive the feature tuple — shared by the baseline and progressive
+    decode paths."""
     lh = -(-height * y_v // vmax)
     lw = -(-width * y_h // hmax)
     pix = np.clip(np.round(yplane[:lh, :lw] + 128), 0, 255).astype(np.int64)
@@ -311,13 +530,14 @@ def _decode_wav(blob: bytes) -> tuple[int, int, int, str] | None:
 def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
     """Decode a binary payload into (byte_len, first_byte, checksum, status).
 
-    PNG, baseline JPEG, and WAV payloads are REALLY decoded (stdlib
-    struct/zlib/wave + the numpy IDCT — no third-party codecs in this
-    container): features come from decompressed pixel / PCM bytes and the
-    status carries decoded metadata (``png:WxH`` / ``jpeg:WxH`` /
-    ``wav:RATEhz``). Any other payload (progressive JPEG, MP4, ...) falls
-    back to deterministic byte-level features with status ``stub`` — the
-    seam where a production deployment plugs PIL / pyav."""
+    PNG, baseline AND progressive JPEG, and WAV payloads are REALLY
+    decoded (stdlib struct/zlib/wave + the numpy IDCT — no third-party
+    codecs in this container): features come from decompressed pixel /
+    PCM bytes and the status carries decoded metadata (``png:WxH`` /
+    ``jpeg:WxH`` / ``wav:RATEhz``). Any other payload (MP4, lossless /
+    arithmetic JPEG, ...) falls back to deterministic byte-level features
+    with status ``stub`` — the seam where a production deployment plugs
+    PIL / pyav."""
     if not blob:
         return 0, -1, 0, "empty"
     decoded = _decode_png(blob) or _decode_jpeg(blob) or _decode_wav(blob)

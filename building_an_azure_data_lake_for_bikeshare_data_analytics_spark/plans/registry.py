@@ -13,83 +13,94 @@ from . import quality  # noqa: F401  (registers q85-q97)
 from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
 
 # ---------------------------------------------------------------------------
-# Export order. Graders that sample a prefix of the registry (the r01/r02
-# gates checked exactly the first 50 entries in insertion order) should see
-# the queries with the least prior evidence first:
-#   1. the 27 oracled queries with ZERO green gate rows so far — the r1
-#      no_oracle trio whose oracles landed in r2 after the prefix was fixed
-#      (q38/q53/q63) and the r2-added curation/PQ family (q99-q124, minus
-#      the two rows-only BLAS twins q109/q120, which are asserted row-equal
-#      to their oracled fold twins in tests and would burn slots as
-#      `no_oracle` rows — the r2 verdict's q46/q81 lesson);
-#   2. this round's new queries (q125 composed IVF-PQ, q126/q127 = the F1/F3
-#      derive operators' first gate entries, q128 = the salted band join
-#      against q37's verbatim oracle, q131/q132 = the BPE tokenizer fit +
-#      encode with their full fit-replay oracles, q134 = the KMV distinct
-#      sketch whose values — unlike q46's HLL — both engines compute
-#      identically);
-#   3. 16 r1-green-but-stale oracled queries whose evidence is oldest,
-#      covering the widest distinct-operator surface (q24-q36, q39-q41).
-# Deliberately NOT in the prefix: q46/q81 (by-design rows-only sketches —
-# their exact twins q45/q67 are gate-green and twin-equality tests are the
-# evidence), q64/q65/q109/q120/q129/q130 (rows-only BLAS twins, same
-# reasoning), and the q01-q22 template family + r2-green rows, which follow
-# in insertion order.
+# Export order. The grading driver gates exactly the FIRST 50 registry
+# entries each round, so this prefix is rotated every round under an
+# explicit staleness policy (r3 verdict item 3):
+#
+#   ROTATION POLICY: no oracled query goes more than 2 rounds without a
+#   green CORRECTNESS row. Each round the prefix is rebuilt as
+#     (a) queries with NO green row yet (new queries, newly-oracled ones),
+#     (b) the stalest green evidence (oldest round), widest operator
+#         coverage first,
+#   and the remainder follows in insertion order. Green-row history:
+#   r1 = q01-q41 + q53/q54/q56/q62-q66/q69; r2 = q23/q37/q42-q52/q56-q61/
+#   q67-q98; r3 = q24-q41/q53/q63 + q99-q134 (minus twins).
+#
+# Round-4 prefix, by that policy:
+#   1. the six vectorized deployment twins (q64/q65/q109/q120/q129/q130) —
+#      newly carrying their fold twins' oracle SQL (r3 verdict item 1),
+#      never gate-green before;
+#   2. new this round: q135 (substring-level dedup), q136 (histogram
+#      quantiles — the value-checkable percentile that retires q81 from
+#      the gate the way q134 retired q46);
+#   3. the stalest evidence: the q01-q22 reference-parity template family
+#      + q23 decimal + q54/q62/q66/q69 (all last green r1, three rounds
+#      ago);
+#   4. 15 r2-green queries covering the widest distinct surface among the
+#      r2 cohort: window/sessionize/pivot/JSON/asof/SQL-entry/percentile/
+#      graph + the fold twins of the six kernels above (q37/q43/q56 also
+#      re-anchor the twin pairs in the same gate round).
+# Deliberately NEVER in the prefix: q46/q81 — genuinely engine-private
+# sketch values (HLL / GK percentile); their value-checkable stand-ins
+# q134/q136 and exact twins q45/q67 carry the evidence. Remaining r2-green
+# queries (q44/q52/q59-q61/q68/q70-q97 minus picks) hit their 2-round
+# staleness limit NEXT round and must form the core of the r5 prefix.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
-    # -- 1: never gated green, oracled --
-    "q38_simhash",
-    "q53_simhash_near_pairs",
-    "q63_winnow_fingerprints",
-    "q99_frame_sample",
-    "q100_semantic_dup_lsh",
-    "q101_source_quota_cap",
-    "q102_bloom_prefilter_join",
-    "q103_incremental_dedup",
-    "q104_quantized_topk",
-    "q105_dup_group_canonical",
-    "q106_corpus_shuffle",
-    "q107_cms_heavy_hitters",
-    "q108_weighted_sample",
-    "q110_token_budget_mix",
-    "q111_salted_revenue_join",
-    "q112_incremental_gold_refresh",
-    "q113_leakage_safe_split",
-    "q114_decayed_user_activity",
-    "q115_length_bucket_batches",
-    "q116_hard_negatives",
-    "q117_corpus_filter_gate",
-    "q118_pq_adc_topk",
-    "q119_source_token_drift",
-    "q121_curation_pipeline",
-    "q122_value_drift_by_window",
-    "q123_pq_adc_rerank",
-    "q124_curriculum_order",
+    # -- 1: newly-oracled vectorized twins, never gate-green --
+    "q64_embedding_topk_vectorized",
+    "q65_embedding_dup_pairs_vectorized",
+    "q109_quantized_topk_vectorized",
+    "q120_pq_adc_topk_vectorized",
+    "q129_ivf_pq_rerank_vectorized",
+    "q130_ivf_ann_vectorized",
     # -- 2: new this round --
-    "q125_ivf_pq_rerank",
-    "q126_event_gap_seconds",
-    "q127_order_age_years",
-    "q128_lsh_candidates_salted",
-    "q131_bpe_vocab",
-    "q132_bpe_token_counts",
-    "q134_kmv_distinct_users",
-    # -- 3: oldest green evidence (r1), widest distinct-operator coverage --
-    "q24_payment_dates_dim",
-    "q25_trip_dates_dim",
-    "q26_date_range_probe",
-    "q27_top_orders_per_customer",
-    "q28_distinct_segments",
-    "q29_customers_without_events",
-    "q30_status_priority_rollup",
-    "q31_doc_token_count",
-    "q32_doc_quality",
-    "q33_lang_guess",
-    "q34_doc_fingerprint",
-    "q35_dedup_exact",
-    "q36_ngram_jaccard_pairs",
-    "q39_embedding_topk",
-    "q40_embedding_lsh_ann",
-    "q41_multimodal_features",
+    "q135_substring_dup_spans",
+    "q136_histogram_quantiles",
+    # -- 3: stalest (last green r1) --
+    "q01_avg_price_by_dow",
+    "q02_sum_price_by_dow",
+    "q03_avg_price_by_orderdate",
+    "q04_sum_price_by_orderdate",
+    "q05_avg_extprice_by_supp",
+    "q06_sum_extprice_by_supp",
+    "q07_avg_extprice_by_part",
+    "q08_sum_extprice_by_part",
+    "q09_sum_price_by_acct_band",
+    "q10_avg_price_by_acct_band",
+    "q11_avg_price_by_membership",
+    "q12_sum_price_by_membership",
+    "q13_sum_amount_by_month",
+    "q14_avg_amount_by_month",
+    "q15_sum_amount_by_quarter",
+    "q16_avg_amount_by_quarter",
+    "q17_sum_amount_by_year",
+    "q18_avg_amount_by_year",
+    "q19_member_avg_by_acct_band",
+    "q20_member_sum_by_acct_band",
+    "q21_member_spend_rides",
+    "q22_member_spend_duration",
+    "q23_format_orders",
+    "q54_dedup_keep_rows",
+    "q62_bpe_token_count",
+    "q66_doc_chunks",
+    "q69_source_stats",
+    # -- 4: stale r2 cohort, widest distinct surface + twin anchors --
+    "q37_minhash_lsh_pairs",
+    "q42_hourly_event_stats",
+    "q43_embedding_dup_pairs",
+    "q45_distinct_users_by_type",
+    "q47_user_running_value",
+    "q48_sessionize",
+    "q49_event_type_pivot",
+    "q50_props_json_extract",
+    "q51_pricing_summary",
+    "q56_ivf_ann",
+    "q57_sql_cte_subquery",
+    "q58_asof_last_order",
+    "q67_value_percentiles",
+    "q73_dup_components",
+    "q98_lsh_verified_pairs",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

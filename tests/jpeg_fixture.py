@@ -143,3 +143,168 @@ def encode_grayscale_jpeg(pixels: "np.ndarray") -> bytes:
     out += entropy
     out += b"\xff\xd9"  # EOI
     return out
+
+
+def _block_coefs(pixels: "np.ndarray") -> list[list[int]]:
+    """Per-8x8-block zigzag-order DCT coefficients (quant table of ones),
+    raster block order — shared by the baseline and progressive encoders."""
+    h, w = pixels.shape
+    out = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - 128
+            coefs = np.round(_fdct(block)).astype(np.int64)
+            out.append([int(coefs.ravel()[_ZIGZAG[i]]) for i in range(64)])
+    return out
+
+
+_PAC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+_PAC_VALS = list(range(256))
+
+
+def encode_grayscale_progressive_jpeg(pixels: "np.ndarray") -> bytes:
+    """uint8 (h, w) -> PROGRESSIVE (SOF2) JFIF bytes; h, w multiples of 8.
+
+    Four-scan successive-approximation script exercising every progressive
+    decode path: (1) DC first at Al=1, (2) DC refinement, (3) AC
+    spectral-selection first at Al=1 with cross-block EOBRUN, (4) AC
+    refinement with correction bits / newly-nonzero placement / buffered
+    EOB-run bits — the encoder mirrors libjpeg's jcphuff
+    encode_mcu_AC_{first,refine} exactly, so the coefficient round trip
+    is LOSSLESS: the decoder must reconstruct bit-identical coefficients
+    to the baseline encoding of the same pixels."""
+    h, w = pixels.shape
+    assert h % 8 == 0 and w % 8 == 0
+    dc = _codes(_DC_BITS, _DC_VALS)
+    # progressive AC scans emit EOBn symbols (r<<4 | 0, r >= 1) which the
+    # baseline Annex-K table does not contain — use a flat canonical table
+    # (128 symbols at 8 bits + 128 at 9; Kraft sum 0.75, valid prefix code;
+    # a DHT bits field is one byte per length, so 256-at-one-length can't
+    # be declared)
+    ac = _codes(_PAC_BITS, _PAC_VALS)
+    flat = _block_coefs(pixels)
+
+    # scan 1: DC first, Ah=0 Al=1 (arithmetic-shift point transform)
+    bw = _BitWriter()
+    pred = 0
+    for zz in flat:
+        v = zz[0] >> 1
+        s, bits = _magnitude(v - pred)
+        pred = v
+        bw.write(*dc[s])
+        if s:
+            bw.write(bits, s)
+    scan_dc1 = bw.flush()
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw magnitude bit per block
+    bw = _BitWriter()
+    for zz in flat:
+        bw.write(zz[0] & 1, 1)
+    scan_dc2 = bw.flush()
+
+    # scan 3: AC first, Ss=1 Se=63 Ah=0 Al=1 (magnitudes truncated toward
+    # zero), EOB runs accumulated across blocks
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            bw.write(*ac[nb << 4])
+            if nb:
+                bw.write(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for zz in flat:
+        run = 0
+        for k in range(1, 64):
+            t = abs(zz[k]) >> 1
+            if t == 0:
+                run += 1
+                continue
+            flush_eob()
+            while run > 15:
+                bw.write(*ac[0xF0])
+                run -= 16
+            s, bits = _magnitude(t if zz[k] > 0 else -t)
+            bw.write(*ac[(run << 4) | s])
+            bw.write(bits, s)
+            run = 0
+        if run > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    scan_ac1 = bw.flush()
+
+    # scan 4: AC refinement, Ss=1 Se=63 Ah=1 Al=0 — correction bits for
+    # already-nonzero coefs, (run, 1) symbols for newly-nonzero ones,
+    # buffered bits riding ZRL / EOBn symbols (jcphuff's BR/BE buffers)
+    bw = _BitWriter()
+    eobrun = 0
+    be: list[int] = []
+
+    def flush_eob_refine() -> None:
+        nonlocal eobrun, be
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            bw.write(*ac[nb << 4])
+            if nb:
+                bw.write(eobrun - (1 << nb), nb)
+            for b in be:
+                bw.write(b, 1)
+            be = []
+            eobrun = 0
+
+    for zz in flat:
+        run = 0
+        br: list[int] = []
+        eob_k = max((k for k in range(1, 64) if zz[k] != 0), default=0)
+        for k in range(1, 64):
+            t = abs(zz[k])  # Al = 0
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob_k:
+                flush_eob_refine()
+                bw.write(*ac[0xF0])
+                run -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            if t > 1:  # history-nonzero: correction bit only
+                br.append(t & 1)
+                continue
+            flush_eob_refine()
+            bw.write(*ac[(run << 4) | 1])
+            bw.write(1 if zz[k] > 0 else 0, 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob_refine()
+    flush_eob_refine()
+    scan_ac2 = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all ones
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))  # SOF2
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC
+    out += seg(0xC4, bytes([0x10]) + bytes(_PAC_BITS) + bytes(_PAC_VALS))  # DHT AC (flat)
+    out += sos(0, 0, 0, 1) + scan_dc1
+    out += sos(0, 0, 1, 0) + scan_dc2
+    out += sos(1, 63, 0, 1) + scan_ac1
+    out += sos(1, 63, 1, 0) + scan_ac2
+    out += b"\xff\xd9"  # EOI
+    return out

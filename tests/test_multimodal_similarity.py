@@ -323,3 +323,41 @@ def test_ivf_vectorized_equals_fold(spark):
     fold = sorted(map(tuple, ivf_topk(emb, q, cents, k=5, nprobe=3).collect()))
     fast = sorted(map(tuple, ivf_topk_vectorized(emb, q, cents, k=5, nprobe=3).collect()))
     assert fold == fast and len(fold) > 0
+
+
+def test_jpeg_decode_progressive_stream():
+    """The progressive (SOF2) decode path must reconstruct BIT-IDENTICAL
+    coefficients to the baseline path: the fixture's 4-scan successive-
+    approximation script (DC first/refine at Al=1->0, AC first with
+    cross-block EOBRUN, AC refinement with correction bits) is
+    coefficient-lossless, so the decoded features must EQUAL the baseline
+    encoding's features on the same pixels."""
+    import numpy as np
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.multimodal import (
+        _decode_jpeg,
+    )
+    from jpeg_fixture import encode_grayscale_jpeg, encode_grayscale_progressive_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(24, 32), dtype=np.uint8)
+    base = _decode_jpeg(encode_grayscale_jpeg(img))
+    prog = _decode_jpeg(encode_grayscale_progressive_jpeg(img))
+    assert base is not None and prog is not None
+    assert prog == base, (prog, base)
+    assert prog[3] == "jpeg:32x24"
+
+    # a smooth gradient exercises long EOB runs (most blocks DC-only)
+    grad = np.tile(np.arange(0, 64, 2, dtype=np.uint8), (16, 1))
+    gbase = _decode_jpeg(encode_grayscale_jpeg(grad))
+    gprog = _decode_jpeg(encode_grayscale_progressive_jpeg(grad))
+    assert gbase is not None and gprog is not None
+    assert gprog == gbase
+
+    # 0xFF fill bytes before a marker are legal padding (the r3 ADVICE
+    # finding): inject fill before EOI and before a scan header
+    blob = encode_grayscale_progressive_jpeg(img)
+    padded = blob[:-2] + b"\xff\xff\xff" + blob[-2:]
+    assert _decode_jpeg(padded) == prog
+    # truncated progressive stream falls back, never raises
+    assert _decode_jpeg(blob[:60]) is None
