@@ -41,21 +41,26 @@ def main() -> None:
     total = round(time.time() - t_suite, 3)
 
     slowest5 = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:5])
-    print(
-        json.dumps(
-            {
-                # summary keys FIRST: a truncated capture still carries the
-                # suite total, count, and worst offenders
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(per_query),
-                "slowest5": slowest5,
-                "queries": per_query,
-            }
-        )
-    )
+    payload = {
+        # summary keys FIRST: a truncated capture still carries the
+        # suite total, count, and worst offenders
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+        "slowest5": slowest5,
+        "queries": per_query,
+    }
+    print(json.dumps(payload))
+    # the driver's BENCH_r*.json capture truncates before the q100+ tail
+    # and leaves `parsed` null, so round-over-round comparison needs a
+    # committed artifact: write the summary (sans full tail) next to the
+    # repo for each round to commit (r3 verdict item 8)
+    summary = {k: v for k, v in payload.items() if k != "queries"}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"), "w") as f:
+        json.dump({**summary, "queries": per_query}, f, indent=1, sort_keys=False)
+        f.write("\n")
 
 
 if __name__ == "__main__":

@@ -97,9 +97,16 @@ def bpe_encode(text: Column, merges: list[tuple[str, str, int]]) -> Column:
 
     Pure Column expressions: char-split to wrapped symbols, then one
     literal ``replace`` per merge — whole-stage-codegen'd, no UDF, and
-    byte-identical to the oracle's replace chain."""
+    byte-identical to the oracle's replace chain.
+
+    The empty-string filter guards a Spark version seam: Spark >= 3.4
+    drops the trailing empty string from ``split(text, '')``
+    (SPARK-40194), while 3.2/3.3 emit it — unguarded, an older runtime
+    would wrap a spurious empty symbol ``⟨⟩`` per value, inflating every
+    token count by one and breaking oracle equality."""
+    chars = F.filter(F.split(text, ""), lambda c: c != F.lit(""))
     sym = F.concat_ws(
-        "", F.transform(F.split(text, ""), lambda c: F.concat(F.lit(L), c, F.lit(R)))
+        "", F.transform(chars, lambda c: F.concat(F.lit(L), c, F.lit(R)))
     )
     for pair, merged, _ in merges:
         sym = F.replace(sym, F.lit(pair), F.lit(merged))

@@ -953,6 +953,100 @@ def q135(spark, sf):
     )
 
 
+@query(
+    "q137_substring_dedup_clean",
+    rf"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                    FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                     CAST('0x' || substr(md5(array_to_string(ts[i:i+{_SPAN_K - 1}], ' ')), 1, 15)
+                          AS BIGINT) AS gh
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {_SPAN_K} + 2)) AS i
+                    FROM tok WHERE len(ts) >= {_SPAN_K})),
+        dup AS (SELECT gh, min(doc_id) AS keeper
+                FROM (SELECT DISTINCT gh, doc_id FROM g)
+                GROUP BY gh HAVING count(*) >= 2),
+        cover AS (SELECT DISTINCT g.doc_id, CAST(p AS BIGINT) AS p
+                  FROM g JOIN dup USING (gh), unnest(range(g.pos, g.pos + {_SPAN_K})) AS u(p)
+                  WHERE g.doc_id > dup.keeper),
+        cov AS (SELECT doc_id, list_sort(list(p)) AS cps FROM cover GROUP BY doc_id),
+        j AS (SELECT t.doc_id, t.ts, c.cps FROM tok t LEFT JOIN cov c USING (doc_id)),
+        cl AS (SELECT doc_id, ts,
+                      list_where(ts, list_transform(range(1, len(ts) + 1),
+                          p -> NOT coalesce(list_contains(cps, p), false))) AS kept
+               FROM j)
+       SELECT doc_id,
+              CAST(len(ts) AS INTEGER) AS n_tokens,
+              CAST(len(kept) AS INTEGER) AS n_kept,
+              -- coalesce: DuckDB's array_to_string([]) is NULL where
+              -- Spark's concat_ws of an empty array is ''
+              coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+       FROM cl""",
+    tags=("dedup", "substring", "span", "clean"),
+)
+def q137(spark, sf):
+    """The span-REMOVAL pass that consumes q135's detection — together they
+    are the full substring-level dedup family (detect + clean), the
+    "remove all but one occurrence of every duplicated span" operation of
+    large-scale training-data pipelines. A token position is dropped iff
+    some duplicated 8-gram covering its start position belongs to a doc
+    that is NOT the gram's keeper (keeper = lowest doc_id containing the
+    gram — exactly one copy of every duplicated span survives,
+    deterministically). Returns (doc_id, n_tokens, n_kept, cleaned_text).
+
+    Scale shape: the gram/dup stages are q135's (narrow hashes only in the
+    exchanges); covered positions explode to (doc_id, p) — 8 rows per
+    duplicated gram, NOT per token of the corpus — and aggregate to one
+    sorted position-array row per affected doc. The text rebuild is then
+    MAP-SIDE: one doc-keyed join of that array onto the token arrays and a
+    filter-by-index lambda — the token stream itself never rides a
+    shuffle. The per-token array_contains probe is O(|covered|) — binary
+    search would shave it at extreme span density, noted not needed."""
+    from ..functions.text import tokens
+
+    k = _SPAN_K
+    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    eligible = d.where(F.size("ts") >= k)
+    grams = eligible.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {k} + 1), "
+                f"i -> concat_ws(' ', slice(ts, i, {k})))"
+            )
+        ).alias("pos0", "gram"),
+    )
+    g = grams.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
+    )
+    dup = (
+        g.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("keeper"))
+        .where(F.col("nd") >= 2)
+        .select("gh", "keeper")
+    )
+    cover = (
+        g.join(dup, "gh")
+        .where(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("p"))
+        .distinct()
+    )
+    cov = cover.groupBy("doc_id").agg(F.sort_array(F.collect_list("p")).alias("cps"))
+    j = d.join(cov, "doc_id", "left")
+    kept = F.expr(
+        "filter(ts, (t, i) -> NOT coalesce(array_contains(cps, CAST(i + 1 AS BIGINT)), false))"
+    )
+    return j.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
+
+
 def _semantic_lsh_oracle(threshold: float = 0.45) -> str:
     """DuckDB oracle for q100: the same deterministic hyperplanes as q40,
     same band packing, candidates = pairs sharing a band bucket, exact

@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- 2: new this round --
     "q135_substring_dup_spans",
     "q136_histogram_quantiles",
+    "q137_substring_dedup_clean",
     # -- 3: stalest (last green r1) --
     "q01_avg_price_by_dow",
     "q02_sum_price_by_dow",
@@ -85,9 +86,10 @@ _PRIORITY: tuple[str, ...] = (
     "q62_bpe_token_count",
     "q66_doc_chunks",
     "q69_source_stats",
-    # -- 4: stale r2 cohort, widest distinct surface + twin anchors --
+    # -- 4: stale r2 cohort, widest distinct surface + twin anchors
+    # (q42 dropped to make room for q137: its F2/A3 surface is r3-green
+    # via q25 and r2-green via q96; rotate it back in r5) --
     "q37_minhash_lsh_pairs",
-    "q42_hourly_event_stats",
     "q43_embedding_dup_pairs",
     "q45_distinct_users_by_type",
     "q47_user_running_value",

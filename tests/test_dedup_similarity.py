@@ -159,3 +159,35 @@ def test_quantized_vectorized_equals_column_fold(spark):
         map(tuple, QUERIES["q109_quantized_topk_vectorized"](spark, SF_SMOKE).collect())
     )
     assert a and a == b
+
+
+def test_substring_dedup_detect_clean_consistency(spark):
+    """q135 (detect) and q137 (clean) must agree: a doc loses tokens ONLY
+    if it carries a duplicated span (appears in q135's output), and every
+    doc with no duplicated span keeps every token. Also basic soundness:
+    kept <= total, the cleaned text really has n_kept tokens, and the
+    corpus (which contains planted exact dups) loses tokens somewhere."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+        QUERIES,
+    )
+    from conftest import SF_SMOKE
+
+    spans = QUERIES["q135_substring_dup_spans"](spark, SF_SMOKE).collect()
+    cleaned = QUERIES["q137_substring_dedup_clean"](spark, SF_SMOKE).collect()
+    docs_with_spans = {r["doc_id"] for r in spans}
+    assert cleaned, "clean pass returned nothing"
+    lost_any = False
+    for r in cleaned:
+        assert r["n_kept"] <= r["n_tokens"], r
+        n_text_tokens = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
+        assert n_text_tokens == r["n_kept"], r
+        if r["n_kept"] < r["n_tokens"]:
+            lost_any = True
+            assert r["doc_id"] in docs_with_spans, (
+                "doc lost tokens without a detected span", r["doc_id"],
+            )
+    assert lost_any, "corpus with planted dups lost no tokens at all"
+    # docs without any duplicated span must be untouched
+    for r in cleaned:
+        if r["doc_id"] not in docs_with_spans:
+            assert r["n_kept"] == r["n_tokens"], r
