@@ -508,6 +508,66 @@ def _luma_features(yplane, width, height, y_h, y_v, hmax, vmax, np):
     return int(flat.size), int(flat[0]), int(flat.sum() % 997), f"jpeg:{width}x{height}"
 
 
+def _parse_mp4(blob: bytes) -> tuple[int, int, int, str] | None:
+    """Real ISO-BMFF (MP4) CONTAINER parse with the stdlib only: top-level
+    box walk + moov/mvhd/trak descent -> duration, timescale, track count.
+    The codec payload (mdat) is NOT decoded — that stays the documented
+    seam for pyav/ffmpeg — but the features and status come from genuinely
+    parsed structure, not byte heuristics: status ``mp4:<secs>s:<n>trk``,
+    checksum over the mdat payload bytes."""
+    import struct
+
+    if len(blob) < 16 or blob[4:8] != b"ftyp":
+        return None
+    try:
+        duration = timescale = 0
+        n_tracks = 0
+        mdat = b""
+
+        def walk(lo: int, hi: int, depth: int) -> None:
+            nonlocal duration, timescale, n_tracks, mdat
+            pos = lo
+            while pos + 8 <= hi:
+                (size,), btype = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
+                if size == 1:  # 64-bit largesize
+                    (size,) = struct.unpack(">Q", blob[pos + 8 : pos + 16])
+                    body = pos + 16
+                elif size == 0:  # box extends to end of enclosing scope
+                    size = hi - pos
+                    body = pos + 8
+                else:
+                    body = pos + 8
+                if size < 8 or pos + size > hi:
+                    raise ValueError("bad box size")
+                if btype == b"moov" and depth == 0:
+                    walk(body, pos + size, 1)
+                elif btype == b"mvhd":
+                    ver = blob[body]
+                    if ver == 1:
+                        timescale, duration = struct.unpack(
+                            ">IQ", blob[body + 20 : body + 32]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", blob[body + 12 : body + 20]
+                        )
+                elif btype == b"trak":
+                    n_tracks += 1
+                elif btype == b"mdat" and depth == 0:
+                    mdat = blob[body : pos + size]
+                pos += size
+
+        walk(0, len(blob), 0)
+        if timescale == 0:
+            return None
+        secs = duration // timescale
+        checksum = sum(mdat) % 997 if mdat else 0
+        first = mdat[0] if mdat else -1
+        return len(mdat), first, checksum, f"mp4:{secs}s:{n_tracks}trk"
+    except Exception:
+        return None
+
+
 def _decode_wav(blob: bytes) -> tuple[int, int, int, str] | None:
     """Real WAV decode via the stdlib ``wave`` module: features from the
     decoded PCM frames."""
@@ -534,13 +594,15 @@ def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
     decoded (stdlib struct/zlib/wave + the numpy IDCT — no third-party
     codecs in this container): features come from decompressed pixel /
     PCM bytes and the status carries decoded metadata (``png:WxH`` /
-    ``jpeg:WxH`` / ``wav:RATEhz``). Any other payload (MP4, lossless /
-    arithmetic JPEG, ...) falls back to deterministic byte-level features
-    with status ``stub`` — the seam where a production deployment plugs
-    PIL / pyav."""
+    ``jpeg:WxH`` / ``wav:RATEhz``). MP4 payloads get a real CONTAINER
+    parse (box walk -> ``mp4:<secs>s:<n>trk``, features over the mdat
+    payload) with the codec itself left to the seam. Anything else
+    (lossless / arithmetic JPEG, ...) falls back to deterministic
+    byte-level features with status ``stub`` — the seam where a
+    production deployment plugs PIL / pyav."""
     if not blob:
         return 0, -1, 0, "empty"
-    decoded = _decode_png(blob) or _decode_jpeg(blob) or _decode_wav(blob)
+    decoded = _decode_png(blob) or _decode_jpeg(blob) or _decode_wav(blob) or _parse_mp4(blob)
     if decoded is not None:
         return decoded
     checksum = sum(blob) % 997

@@ -361,3 +361,46 @@ def test_jpeg_decode_progressive_stream():
     assert _decode_jpeg(padded) == prog
     # truncated progressive stream falls back, never raises
     assert _decode_jpeg(blob[:60]) is None
+
+
+def test_mp4_container_parse():
+    """The MP4 path must really parse ISO-BMFF structure (box walk,
+    mvhd duration/timescale, trak count, mdat features) — not byte
+    heuristics; the codec payload stays the documented seam."""
+    import struct
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.multimodal import (
+        _decode_one,
+        _parse_mp4,
+    )
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + t + payload
+
+    mvhd_v0 = box(
+        b"mvhd",
+        bytes(4) + bytes(8) + struct.pack(">II", 1000, 5500) + bytes(80),
+    )
+    trak = box(b"trak", bytes(8))
+    moov = box(b"moov", mvhd_v0 + trak + trak)
+    mdat = box(b"mdat", bytes(range(10)))
+    blob = box(b"ftyp", b"isom\x00\x00\x00\x01mp41") + moov + mdat
+    got = _parse_mp4(blob)
+    assert got == (10, 0, sum(range(10)) % 997, "mp4:5s:2trk"), got
+    assert _decode_one(blob)[3] == "mp4:5s:2trk"
+
+    # 64-bit mvhd (version 1) and a largesize mdat
+    mvhd_v1 = box(
+        b"mvhd",
+        bytes([1, 0, 0, 0]) + bytes(16) + struct.pack(">IQ", 600, 1860) + bytes(80),
+    )
+    moov1 = box(b"moov", mvhd_v1 + trak)
+    big = b"\x00\x00\x00\x01mdat" + struct.pack(">Q", 16 + 4) + b"abcd"
+    blob1 = box(b"ftyp", b"isom\x00\x00\x00\x01mp41") + moov1 + big
+    got1 = _parse_mp4(blob1)
+    assert got1 == (4, ord("a"), sum(b"abcd") % 997, "mp4:3s:1trk"), got1
+
+    # corrupt / truncated / non-mp4 fall back (None), never raise
+    assert _parse_mp4(blob[:20]) is None
+    assert _parse_mp4(b"\x00\x00\x00\x08free" + bytes(8)) is None
+    assert _parse_mp4(box(b"ftyp", b"isom") + box(b"mdat", b"x")) is None  # no mvhd
