@@ -902,14 +902,16 @@ def q135(spark, sf):
     the gate would catch any cross-engine divergence because DuckDB
     replays the identical hash).
 
-    The corpus is deliberately scanned TWICE (gram pass for the dup-hash
-    agg, gram pass again for the join-back) rather than localCheckpointing
-    the exploded gram relation a la q119: that relation is ~one row per
-    TOKEN of the corpus (~24 B x total tokens — several times the size of
-    the compressed text itself), so at 100 TB materializing it costs more
-    than recomputing it, the opposite trade from q119's tiny
-    (source, token) counts. Stress row in SCALE_NOTES (100k docs: 4.3M
-    grams hashed twice, 100k maximal spans)."""
+    The exploded gram relation feeds two consumers (the dup-hash agg and
+    the join-back); it is localCheckpointed a la q119 because the
+    MEASURED tradeoff favors it: recomputing the 4.3M-gram explode+md5
+    pass costs 2.2x more than materializing the narrow (gh, doc_id, pos)
+    relation at stress scale (49.5 s rescan vs 22.9 s checkpointed,
+    SCALE_NOTES). The honest 100 TB caveat is recorded there too: the
+    relation is ~24 B x every token of the corpus (several times the
+    compressed text), so at petabyte scale with constrained executor
+    storage the crossover can flip back toward recompute — the structure
+    makes flipping a one-line change."""
     from ..functions.text import tokens
 
     k = _SPAN_K
@@ -931,7 +933,7 @@ def q135(spark, sf):
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
-    )
+    ).localCheckpoint()  # measured 2.2x over recompute — see docstring
     dup = (
         g.select("gh", "doc_id")
         .distinct()
@@ -1019,7 +1021,7 @@ def q137(spark, sf):
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
-    )
+    ).localCheckpoint()  # same measured tradeoff as q135 (SCALE_NOTES)
     dup = (
         g.select("gh", "doc_id")
         .distinct()
