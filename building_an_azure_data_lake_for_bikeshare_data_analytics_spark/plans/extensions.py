@@ -1049,6 +1049,88 @@ def q137(spark, sf):
     )
 
 
+@query(
+    "q138_doc_lm_score",
+    r"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                   FROM documents),
+       pairs AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                 FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+                       FROM tok WHERE len(ts) >= 2)),
+       bg AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+       ug AS (SELECT t AS w1, count(*) AS c1
+              FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+       v AS (SELECT count(DISTINCT t) AS vsz
+             FROM (SELECT unnest(ts) AS t FROM tok)),
+       term AS (SELECT p.doc_id,
+                       CAST(ln((bg.c12 + 1) * 1.0 / (ug.c1 + v.vsz))
+                            AS DECIMAL(18,12)) AS lp
+                FROM pairs p JOIN bg USING (w1, w2) JOIN ug USING (w1)
+                CROSS JOIN v)
+       SELECT doc_id,
+              CAST(count(*) AS INTEGER) AS n_pairs,
+              round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp
+       FROM term GROUP BY doc_id""",
+    tags=("text", "quality", "lm", "perplexity"),
+)
+def q138(spark, sf):
+    """Bigram language-model scoring — the CCNet/Gopher-style quality
+    filter: train an add-one-smoothed bigram LM on the corpus itself and
+    score every document by its mean token log-probability (low avg_logp
+    = the LM finds the doc surprising = boilerplate/garbled candidate;
+    real pipelines threshold or bucket on this score).
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). Cross-engine determinism
+    uses the q119 discipline: every per-pair log-prob is one ln() of an
+    IEEE-identical ratio of exact int64 counts, quantized to
+    DECIMAL(18,12) so the per-doc SUM is exact integer arithmetic
+    (order-independent — partial aggregation cannot flake it), then one
+    double division and a round-6. ln() itself is libm-vs-JVM 1-ulp
+    territory (~1e-15 at these magnitudes) — the same accepted risk class
+    as q83's TF-IDF log and q108's pow, both gate-green for three rounds.
+
+    Scale shape: the pair relation (one row per adjacent token pair) is
+    localCheckpointed — it feeds the bigram-count agg AND the score
+    join-back (q135's measured tradeoff). The count tables are
+    vocab-bounded: bigram join keyed (w1, w2), unigram join keyed w1,
+    V a broadcast scalar. No per-group sort, no driver state; the LM
+    "training" IS the two count aggregates — exactly how n-gram quality
+    filters run over petabyte corpora."""
+    from pyspark.sql.types import DecimalType
+
+    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    toks = d.select(F.explode("ts").alias("t"))
+    pairs = (
+        d.where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint()
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug = toks.groupBy(F.col("t").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.agg(F.countDistinct("t").alias("vsz"))
+    lp = F.log(
+        (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("vsz"))
+    ).cast(DecimalType(18, 12))
+    term = (
+        pairs.join(bg, ["w1", "w2"])
+        .join(ug, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_pairs"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
+    )
+
+
 def _semantic_lsh_oracle(threshold: float = 0.45) -> str:
     """DuckDB oracle for q100: the same deterministic hyperplanes as q40,
     same band packing, candidates = pairs sharing a band bucket, exact

@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "q135_substring_dup_spans",
     "q136_histogram_quantiles",
     "q137_substring_dedup_clean",
+    "q138_doc_lm_score",
     # -- 3: stalest (last green r1) --
     "q01_avg_price_by_dow",
     "q02_sum_price_by_dow",
@@ -87,12 +88,12 @@ _PRIORITY: tuple[str, ...] = (
     "q66_doc_chunks",
     "q69_source_stats",
     # -- 4: stale r2 cohort, widest distinct surface + twin anchors
-    # (q42 dropped to make room for q137: its F2/A3 surface is r3-green
-    # via q25 and r2-green via q96; rotate it back in r5) --
+    # (q42 dropped to make room for q137 — its F2/A3 surface is r3-green
+    # via q25 and r2-green via q96; q47 dropped for q138 — its lag-window
+    # surface rides q48/q126 in this same prefix; rotate both back in r5) --
     "q37_minhash_lsh_pairs",
     "q43_embedding_dup_pairs",
     "q45_distinct_users_by_type",
-    "q47_user_running_value",
     "q48_sessionize",
     "q49_event_type_pivot",
     "q50_props_json_extract",

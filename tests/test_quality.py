@@ -150,3 +150,40 @@ def test_salted_totals_match_plain_groupby(spark):
         .collect()
     }
     assert got == want  # salting is value-invisible
+
+
+def test_lm_score_properties(spark):
+    """q138 bigram LM scores: every doc with >= 2 tokens gets a finite
+    negative mean log-prob (probabilities < 1 by add-one smoothing), and
+    byte-identical documents (q35's exact-dup groups) must score
+    IDENTICALLY — the score is a pure function of text + corpus counts."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+        QUERIES,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    # sf0.1: the smallest corpus containing token-identical dup docs
+    sf = "/root/testdata/sf0.1"
+    scores = {r["doc_id"]: r for r in QUERIES["q138_doc_lm_score"](spark, sf).collect()}
+    assert scores
+    for r in scores.values():
+        assert r["n_pairs"] >= 1
+        assert math.isfinite(r["avg_logp"]) and r["avg_logp"] < 0, r
+
+    groups = (
+        read_parquet_table(spark, sf, "documents")
+        .groupBy(F.concat_ws(" ", F.split(F.trim("text"), r"\s+")).alias("f"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .collect()
+    )
+    assert groups, "sf0.1 corpus should contain token-identical dup docs"
+    for g in groups:
+        vals = {scores[i]["avg_logp"] for i in g["ids"] if i in scores}
+        assert len(vals) <= 1, ("identical docs scored differently", g["ids"], vals)
