@@ -1049,6 +1049,102 @@ def q137(spark, sf):
     )
 
 
+# q103's deterministic 80/20 hash split (training._doc_hash), restated so
+# the span-level incremental pass partitions the corpus identically
+_INC_HASH = "((doc_id % 100003) * 2654435761) % 1000"
+
+
+@query(
+    "q139_incremental_span_dedup",
+    rf"""WITH tok AS (SELECT doc_id, {_INC_HASH} >= 800 AS is_new,
+                          string_split_regex(trim(text), '\s+') AS ts
+                   FROM documents),
+        g AS (SELECT doc_id, is_new, i AS pos,
+                     CAST('0x' || substr(md5(array_to_string(ts[i:i+{_SPAN_K - 1}], ' ')), 1, 15)
+                          AS BIGINT) AS gh
+              FROM (SELECT doc_id, is_new, ts, unnest(range(1, len(ts) - {_SPAN_K} + 2)) AS i
+                    FROM tok WHERE len(ts) >= {_SPAN_K})),
+        ag AS (SELECT gh,
+                      min(CASE WHEN NOT is_new THEN doc_id END) AS corpus_min,
+                      min(CASE WHEN is_new THEN doc_id END) AS batch_min
+               FROM g GROUP BY gh),
+        cover AS (SELECT DISTINCT g.doc_id, CAST(p AS BIGINT) AS p
+                  FROM g JOIN ag USING (gh), unnest(range(g.pos, g.pos + {_SPAN_K})) AS u(p)
+                  WHERE g.is_new
+                    AND (ag.corpus_min IS NOT NULL OR ag.batch_min < g.doc_id)),
+        ncov AS (SELECT doc_id, count(*) AS nc FROM cover GROUP BY doc_id)
+       SELECT t.doc_id,
+              CAST(len(t.ts) AS INTEGER) AS n_tokens,
+              CAST(len(t.ts) - coalesce(n.nc, 0) AS INTEGER) AS n_kept
+       FROM tok t LEFT JOIN ncov n USING (doc_id)
+       WHERE t.is_new""",
+    tags=("dedup", "substring", "incremental", "span"),
+)
+def q139(spark, sf):
+    """Incremental SPAN-level dedup — q103's batch-vs-corpus shape applied
+    to q135/q137's substring family: the 20% hash-split tail is today's
+    crawl batch, the 80% head the already-cleaned corpus. A batch token
+    position is dropped iff a duplicated 8-gram covering it already exists
+    in the corpus (corpus always keeps) or in a lower-id batch doc
+    (first-in-batch keeps). Corpus docs are never touched — the production
+    contract of an append-only cleaned corpus.
+
+    Scale shape: ONE gram pass over the union (checkpointed, the measured
+    q135 tradeoff); the per-gram aggregate carries a two-sided min
+    (corpus_min, batch_min), so the cross-side decision is one narrow
+    hash-agg — no batch x corpus pair relation ever materializes; covered
+    positions explode only for BATCH grams that actually collide. At
+    production scale the corpus side's gram hashes would be a persisted
+    table (the span-level analog of the persisted LSH index q103's
+    docstring describes), making the daily cost O(batch + collisions)."""
+    from ..functions.text import tokens
+
+    k = _SPAN_K
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        (F.expr(_INC_HASH) >= 800).alias("is_new"),
+        tokens("text").alias("ts"),
+    )
+    eligible = d.where(F.size("ts") >= k)
+    grams = eligible.select(
+        "doc_id",
+        "is_new",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {k} + 1), "
+                f"i -> concat_ws(' ', slice(ts, i, {k})))"
+            )
+        ).alias("pos0", "gram"),
+    )
+    g = grams.select(
+        "doc_id",
+        "is_new",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
+    ).localCheckpoint()
+    ag = g.groupBy("gh").agg(
+        F.min(F.when(~F.col("is_new"), F.col("doc_id"))).alias("corpus_min"),
+        F.min(F.when(F.col("is_new"), F.col("doc_id"))).alias("batch_min"),
+    )
+    cover = (
+        g.where("is_new")
+        .join(ag, "gh")
+        .where(F.col("corpus_min").isNotNull() | (F.col("batch_min") < F.col("doc_id")))
+        .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("p"))
+        .distinct()
+    )
+    ncov = cover.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        d.where("is_new")
+        .join(ncov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ts").alias("n_tokens"),
+            (F.size("ts") - F.coalesce("nc", F.lit(0))).cast("int").alias("n_kept"),
+        )
+    )
+
+
 @query(
     "q138_doc_lm_score",
     r"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts

@@ -5,8 +5,8 @@ from __future__ import annotations
 
 from .base import REGISTRY, QuerySpec, QueryFn  # noqa: F401
 from . import core  # noqa: F401  (registers q01-q30)
-from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128)
-from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q127, q134)
+from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128, q135/q137-q139)
+from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q127, q134, q136)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113)
 from . import quality  # noqa: F401  (registers q85-q97)
@@ -30,16 +30,18 @@ from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
 #   1. the six vectorized deployment twins (q64/q65/q109/q120/q129/q130) —
 #      newly carrying their fold twins' oracle SQL (r3 verdict item 1),
 #      never gate-green before;
-#   2. new this round: q135 (substring-level dedup), q136 (histogram
-#      quantiles — the value-checkable percentile that retires q81 from
-#      the gate the way q134 retired q46);
+#   2. new this round: the substring-dedup family q135/q137/q139
+#      (detect / keeper-preserving clean / incremental batch-vs-corpus),
+#      q136 (histogram quantiles — the value-checkable percentile that
+#      retires q81 from the gate the way q134 retired q46), and q138
+#      (bigram-LM perplexity quality scoring);
 #   3. the stalest evidence: the q01-q22 reference-parity template family
 #      + q23 decimal + q54/q62/q66/q69 (all last green r1, three rounds
 #      ago);
-#   4. 15 r2-green queries covering the widest distinct surface among the
-#      r2 cohort: window/sessionize/pivot/JSON/asof/SQL-entry/percentile/
-#      graph + the fold twins of the six kernels above (q37/q43/q56 also
-#      re-anchor the twin pairs in the same gate round).
+#   4. 12 r2-green queries covering the widest distinct surface among the
+#      r2 cohort: sessionize/pivot/JSON/asof/SQL-entry/percentile/graph +
+#      the fold twins of the kernels above (q37/q43/q56 also re-anchor
+#      the twin pairs in the same gate round).
 # Deliberately NEVER in the prefix: q46/q81 — genuinely engine-private
 # sketch values (HLL / GK percentile); their value-checkable stand-ins
 # q134/q136 and exact twins q45/q67 carry the evidence. Remaining r2-green
@@ -59,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q136_histogram_quantiles",
     "q137_substring_dedup_clean",
     "q138_doc_lm_score",
+    "q139_incremental_span_dedup",
     # -- 3: stalest (last green r1) --
     "q01_avg_price_by_dow",
     "q02_sum_price_by_dow",
@@ -88,12 +91,12 @@ _PRIORITY: tuple[str, ...] = (
     "q66_doc_chunks",
     "q69_source_stats",
     # -- 4: stale r2 cohort, widest distinct surface + twin anchors
-    # (q42 dropped to make room for q137 — its F2/A3 surface is r3-green
-    # via q25 and r2-green via q96; q47 dropped for q138 — its lag-window
-    # surface rides q48/q126 in this same prefix; rotate both back in r5) --
+    # (dropped to make room for the four new r4 queries: q42 — its F2/A3
+    # surface is r3-green via q25 and r2-green via q96; q47 — lag-window
+    # surface rides q48/q126 here; q45 — distinct-agg surface rides q134
+    # here; rotate all three back in r5) --
     "q37_minhash_lsh_pairs",
     "q43_embedding_dup_pairs",
-    "q45_distinct_users_by_type",
     "q48_sessionize",
     "q49_event_type_pivot",
     "q50_props_json_extract",
