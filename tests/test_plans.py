@@ -393,3 +393,20 @@ def test_salted_band_join_salt_in_join_keys(spark):
         if ("Left keys" in ln or "Right keys" in ln) and "__salt" in ln
     ]
     assert key_lines, "salt column must appear in the sort-merge join keys"
+
+
+def test_gate_prefix_contract():
+    """The driver gates exactly the first 50 registry entries: the rotated
+    prefix must be exactly 50 names, lead the export order verbatim, and
+    contain ONLY oracled queries (a rows-only query in the prefix burns a
+    gate slot as a permanent no_oracle row — the r1 lesson)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+        ORACLES,
+        QUERIES,
+        _PRIORITY,
+    )
+
+    assert len(_PRIORITY) == 50
+    assert list(QUERIES)[:50] == list(_PRIORITY)
+    missing = [n for n in _PRIORITY if n not in ORACLES]
+    assert not missing, f"prefix entries without oracle SQL: {missing}"
