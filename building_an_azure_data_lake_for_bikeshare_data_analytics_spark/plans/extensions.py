@@ -1190,41 +1190,17 @@ def q138(spark, sf):
     vocab-bounded: bigram join keyed (w1, w2), unigram join keyed w1,
     V a broadcast scalar. No per-group sort, no driver state; the LM
     "training" IS the two count aggregates — exactly how n-gram quality
-    filters run over petabyte corpora."""
-    from pyspark.sql.types import DecimalType
+    filters run over petabyte corpora. Implementation shared with the
+    streaming ingestion scorer (operators/lm.py)."""
+    from ..operators.lm import lm_pairs, lm_score_pairs
 
-    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
-    toks = d.select(F.explode("ts").alias("t"))
-    pairs = (
-        d.where(F.size("ts") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ts) - 1), "
-                    "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "p.w1", "p.w2")
-        .localCheckpoint()
-    )
+    d = _t(spark, sf, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("t"))
+    pairs = lm_pairs(d).localCheckpoint()
     bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ug = toks.groupBy(F.col("t").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
     v = toks.agg(F.countDistinct("t").alias("vsz"))
-    lp = F.log(
-        (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("vsz"))
-    ).cast(DecimalType(18, 12))
-    term = (
-        pairs.join(bg, ["w1", "w2"])
-        .join(ug, "w1")
-        .crossJoin(F.broadcast(v))
-        .select("doc_id", lp.alias("lp"))
-    )
-    return term.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_pairs"),
-        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
-    )
+    return lm_score_pairs(pairs, bg, ug, v)
 
 
 def _semantic_lsh_oracle(threshold: float = 0.45) -> str:

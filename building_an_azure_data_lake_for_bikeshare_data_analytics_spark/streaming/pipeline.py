@@ -360,3 +360,53 @@ def drift_monitor_stream(
     q = writer.start()
     q.awaitTermination()
     return out
+
+
+def lm_scored_docs_stream(
+    docs: DataFrame,
+    bg: DataFrame,
+    ug: DataFrame,
+    v: DataFrame,
+    min_avg_logp: float | None = None,
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """Streaming ingestion quality gate: score each micro-batch of incoming
+    documents against the STATIC corpus-trained bigram LM (operators/lm —
+    the counts persist once; every crawl batch scores against them) and
+    optionally gate on a minimum mean log-probability — the shape of a
+    production crawl pipeline that rejects garbled/boilerplate docs while
+    they stream in, not at the end of the day.
+
+    foreachBatch + availableNow (the incremental ingestion-job shape, like
+    drift_monitor_stream): per-doc aggregation over an exploded pair
+    relation is a plain batch plan per micro-batch. Unseen bigrams/
+    unigrams take the add-one defaults (lm_score_pairs_smoothed), so novel
+    crawl content still scores every pair. Returns (epoch_id, doc_id,
+    n_pairs, avg_logp[, kept]) rows.
+
+    Determinism: a doc's score depends only on its text and the static
+    counts, so the union of all micro-batch outputs EQUALS the batch
+    scoring of the same docs regardless of how the stream was chunked —
+    the parity test's exact-equality contract. State is the file-source
+    log only; the count tables are vocab-bounded joins in each batch plan.
+    """
+    from ..operators.lm import lm_pairs, lm_score_pairs_smoothed
+
+    out: list[tuple] = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        scored = lm_score_pairs_smoothed(lm_pairs(batch_df), bg, ug, v)
+        if min_avg_logp is not None:
+            scored = scored.withColumn("kept", F.col("avg_logp") >= min_avg_logp)
+        for r in scored.collect():
+            row = (epoch_id, r["doc_id"], r["n_pairs"], r["avg_logp"])
+            out.append(row + ((r["kept"],) if min_avg_logp is not None else ()))
+
+    writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out

@@ -343,3 +343,69 @@ def test_drift_monitor_stream_flags_skew_not_self(spark, events_dir):
     # only 'click' can appear (reference has no other types after the
     # tot_ref > 0 guard); its distribution matches itself exactly
     assert {r[1] for r in rows_skew} == {"click"}
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    """Split the documents table into 3 parquet files so the file source
+    replays the corpus as 3 micro-batches (maxFilesPerTrigger=1)."""
+    import time
+
+    import duckdb
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    out = d / "docs"
+    out.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE dd AS SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet') ORDER BY doc_id"
+    )
+    n = con.execute("SELECT count(*) FROM dd").fetchone()[0]
+    step = (n + 2) // 3
+    for i in range(3):
+        con.execute(
+            f"COPY (SELECT * FROM dd ORDER BY doc_id LIMIT {step} OFFSET {i * step}) "
+            f"TO '{out}/part{i}.parquet' (FORMAT PARQUET)"
+        )
+        time.sleep(1.1)
+    yield str(out)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lm_scored_stream_matches_batch(spark, docs_dir):
+    """The streaming ingestion quality gate must score EXACTLY like the
+    batch path regardless of micro-batch chunking: a doc's score depends
+    only on its text and the static LM counts, so the union of all
+    micro-batch outputs equals batch scoring of the whole corpus — and on
+    in-corpus docs the smoothed (left-join) scorer must reduce exactly to
+    q138's inner-join scorer."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.lm import (
+        lm_fit,
+        lm_pairs,
+        lm_score_pairs,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        lm_scored_docs_stream,
+    )
+
+    docs = read_parquet_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    bg, ug, v = lm_fit(docs)
+    bg, ug, v = bg.localCheckpoint(), ug.localCheckpoint(), v.localCheckpoint()
+    batch = {
+        r["doc_id"]: (r["n_pairs"], r["avg_logp"])
+        for r in lm_score_pairs(lm_pairs(docs), bg, ug, v).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    rows = lm_scored_docs_stream(stream, bg, ug, v, min_avg_logp=-9.0)
+    assert len({e for e, *_ in rows}) >= 2, "expected multiple micro-batches"
+    got = {doc_id: (n, s) for _, doc_id, n, s, _k in rows}
+    assert got == batch
+    kept = {doc_id: k for _, doc_id, _n, s, k in rows}
+    for _, doc_id, _n, s, k in rows:
+        assert k == (s >= -9.0)
+    assert any(kept.values()) or all(not k for k in kept.values())
