@@ -1049,6 +1049,328 @@ def q137(spark, sf):
     )
 
 
+# --------------------------------------------------------------------------
+# Embedding preprocessing: exact covariance (q140) + top-PC projection via
+# fixed-iteration power method (q141) — the PCA-whitening prep a retrieval
+# pipeline runs before ANN indexing
+# --------------------------------------------------------------------------
+
+_COV_DIM = 64
+
+
+def _cov_oracle() -> str:
+    """q140's oracle SQL, shared verbatim with its BLAS twin q142 (exact
+    integer sums make the two formulations value-identical)."""
+    return f"""WITH q AS (SELECT list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                 FROM embeddings),
+       nn AS (SELECT count(*) AS n FROM q),
+       sij AS (SELECT u.i, w.j,
+                      sum(CAST(qv[u.i] * qv[w.j] AS DECIMAL(38,0))) AS s2
+               FROM q, unnest(range(1, {_COV_DIM + 1})) AS u(i),
+                       unnest(range(1, {_COV_DIM + 1})) AS w(j)
+               WHERE w.j >= u.i GROUP BY u.i, w.j),
+       si AS (SELECT i, sum(CAST(x AS DECIMAL(18,0))) AS s1
+              FROM (SELECT unnest(qv) AS x,
+                           generate_subscripts(qv, 1) AS i FROM q)
+              GROUP BY i)
+       SELECT CAST(sij.i AS INTEGER) AS i, CAST(sij.j AS INTEGER) AS j,
+              round((CAST(nn.n AS DOUBLE) * CAST(sij.s2 AS DOUBLE)
+                     - CAST(a.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE))
+                    / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1e12), 8)
+                  AS cov
+       FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j
+       CROSS JOIN nn"""
+
+
+
+
+@query(
+    "q140_embedding_covariance",
+    _cov_oracle(),
+    tags=("embedding", "covariance", "pca", "exact"),
+)
+def q140(spark, sf):
+    """Exact embedding covariance matrix — the first half of PCA-whitening
+    (the standard preprocessing before ANN indexing: center, decorrelate,
+    then quantize; faiss's PCAMatrix does exactly this). Upper triangle as
+    (i, j, cov) rows, 1-based dims.
+
+    Determinism is the KMeans/PQ integer posture applied to second
+    moments: embeddings quantize to micro-units, so Σx_i, Σx_i·x_j are
+    EXACT (decimal-summed — order- and partition-independent; DECIMAL
+    keeps the 100 TB row counts that would overflow int64 exact too), and
+    cov = (n·S_ij − S_i·S_j) / (n²·scale²) is one fixed IEEE expression
+    over those exact sums, rounded to 8 — value-checkable cross-engine.
+
+    Scale shape: one generator explodes d(d+1)/2 = 2,080 product terms
+    per row; map-side partial aggregation collapses them to 2,080 groups
+    per partition before the single narrow exchange — the classic
+    one-pass covariance, no centering pre-pass (the mean is folded in
+    algebraically), no driver state beyond the 2,080-row result."""
+    from pyspark.sql.types import DecimalType
+
+    from ..operators.similarity import QUANT_SCALE, quantize_vec
+
+    d = _COV_DIM
+    q = _t(spark, sf, "embeddings").select(quantize_vec(F.col("embedding")).alias("qv"))
+    terms = q.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {d}), "
+                f"i -> transform(sequence(i, {d}), "
+                f"j -> struct(i AS i, j AS j, element_at(qv, i) * element_at(qv, j) AS p))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    sij = terms.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast(DecimalType(38, 0))).alias("s2")
+    )
+    si = (
+        q.select(F.posexplode("qv").alias("pos0", "x"))
+        .select((F.col("pos0") + 1).alias("i"), "x")
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast(DecimalType(18, 0))).alias("s1"))
+    )
+    nn = q.agg(F.count(F.lit(1)).alias("n"))
+    a = si.select(F.col("i"), F.col("s1").alias("sa"))
+    b = si.select(F.col("i").alias("j"), F.col("s1").alias("sb"))
+    nd = F.col("n").cast("double")
+    cov = F.round(
+        (nd * F.col("s2").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double"))
+        / (nd * nd * F.lit(float(QUANT_SCALE) ** 2)),
+        8,
+    )
+    return (
+        sij.join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .crossJoin(F.broadcast(nn))
+        .select(F.col("i").cast("int").alias("i"), F.col("j").cast("int").alias("j"), cov.alias("cov"))
+    )
+
+
+@query(
+    "q142_embedding_covariance_vectorized",
+    _cov_oracle(),  # q140's oracle verbatim: per-partition int64 X'X
+    # partials sum to the SAME exact integers the Column fold computes
+    tags=("embedding", "covariance", "vectorized"),
+)
+def q142(spark, sf):
+    """q140 through a numpy kernel: each Arrow batch contributes one exact
+    int64 ``X'X`` matrix + column-sum vector + row count (mapInPandas —
+    2,145 narrow partial rows per BATCH, not 2,080 exploded terms per
+    ROW), cross-partition sums ride DECIMAL(38,0) so 100 TB row counts
+    can't overflow, and the final cov expression is q140's verbatim.
+    Same twin contract as q64/q109/q120: integer partials make the
+    kernel value-identical to the fold, so it carries the same oracle.
+    Measured 35.9 s (fold) vs kernel-class seconds at stress scale."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DecimalType
+
+    from ..operators.similarity import QUANT_SCALE
+
+    d = _COV_DIM
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.floor(
+                np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+                * float(QUANT_SCALE)
+            ).astype(np.int64)
+            M = X.T @ X  # (d, d) exact int64
+            s1 = X.sum(axis=0, dtype=np.int64)
+            iu, ju = np.triu_indices(d)
+            out_i = np.concatenate([iu + 1, np.arange(1, d + 1), [0]])
+            out_j = np.concatenate([ju + 1, np.zeros(d, dtype=np.int64), [0]])
+            out_s = np.concatenate([M[iu, ju], s1, [len(X)]])
+            yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
+
+    partials = (
+        _t(spark, sf, "embeddings")
+        .select("embedding")
+        .mapInPandas(part, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast(DecimalType(38, 0))).alias("s"))
+        # three consumers (sij / si / nn) — materialize the 2,145-row
+        # aggregate once instead of re-running the corpus kernel per branch
+        .localCheckpoint()
+    )
+    sij = partials.where(F.col("j") > 0).select("i", "j", F.col("s").alias("s2"))
+    si = partials.where((F.col("j") == 0) & (F.col("i") > 0)).select(
+        "i", F.col("s").alias("s1")
+    )
+    nn = partials.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("s").cast("long").alias("n")
+    )
+    a = si.select(F.col("i"), F.col("s1").alias("sa"))
+    b = si.select(F.col("i").alias("j"), F.col("s1").alias("sb"))
+    nd = F.col("n").cast("double")
+    cov = F.round(
+        (nd * F.col("s2").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double"))
+        / (nd * nd * F.lit(float(QUANT_SCALE) ** 2)),
+        8,
+    )
+    return (
+        sij.join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            cov.alias("cov"),
+        )
+    )
+
+
+_PI_ITERS = 48  # power-method iterations for q141 (fixed count, replayed;
+# near-bulk eigen-gaps on random-ish corpora converge slowly — 16 left a
+# 2% variance residual on the gate corpus, 48 is <0.1%)
+
+
+def _power_iter_ctes(t: int = _PI_ITERS, d: int = _COV_DIM) -> str:
+    """CTE chain replaying the q141 power-method fit over the q140
+    covariance CTEs: full matrix rows -> list-of-lists -> ``t`` iterations
+    of (matvec, norm, per-element round-12 normalize). Expects the q140
+    CTEs (q, nn, sij, si) to be defined; yields ``v{t}(v)``."""
+    cov = (
+        "round((CAST(nn.n AS DOUBLE) * CAST(sij.s2 AS DOUBLE)"
+        " - CAST(a.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE))"
+        " / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1e12), 8)"
+    )
+    blocks = [
+        f"""cmf AS (
+      SELECT sij.i AS i, sij.j AS j, {cov} AS cov
+      FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j CROSS JOIN nn
+      UNION ALL
+      SELECT sij.j AS i, sij.i AS j, {cov} AS cov
+      FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j CROSS JOIN nn
+      WHERE sij.i <> sij.j),
+    crow AS (SELECT i, list(cov ORDER BY j) AS r FROM cmf GROUP BY i),
+    cmat AS (SELECT list(r ORDER BY i) AS m FROM crow),
+    v0 AS (SELECT list_transform(range(1, {d + 1}), x -> 0.125) AS v)"""
+    ]
+    for k in range(1, t + 1):
+        blocks.append(
+            f"""w{k} AS (
+      SELECT list_transform(range(1, {d + 1}),
+                 i -> list_sum(list_transform(range(1, {d + 1}),
+                          j -> m[i][j] * v[j]))) AS w
+      FROM cmat, v{k - 1}),
+    v{k} AS (
+      SELECT list_transform(w, x -> round(x / sqrt(list_sum(
+                 list_transform(w, y -> y * y))), 12)) AS v
+      FROM w{k})"""
+        )
+    return ",\n    ".join(blocks)
+
+
+@query(
+    "q141_pca_project",
+    f"""WITH q AS (SELECT list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                 FROM embeddings),
+       nn AS (SELECT count(*) AS n FROM q),
+       sij AS (SELECT u.i, w.j,
+                      sum(CAST(qv[u.i] * qv[w.j] AS DECIMAL(38,0))) AS s2
+               FROM q, unnest(range(1, {_COV_DIM + 1})) AS u(i),
+                       unnest(range(1, {_COV_DIM + 1})) AS w(j)
+               WHERE w.j >= u.i GROUP BY u.i, w.j),
+       si AS (SELECT i, sum(CAST(x AS DECIMAL(18,0))) AS s1
+              FROM (SELECT unnest(qv) AS x,
+                           generate_subscripts(qv, 1) AS i FROM q)
+              GROUP BY i),
+       {_power_iter_ctes()}
+       SELECT e.vec_id,
+              round(list_sum(list_transform(range(1, {_COV_DIM + 1}),
+                        k -> CAST(e.embedding[k] AS DOUBLE) * v[k])), 6)
+                  AS proj
+       FROM embeddings e CROSS JOIN v{_PI_ITERS}""",
+    tags=("embedding", "pca", "power-iteration", "fit-replay"),
+)
+def q141(spark, sf):
+    """Projection onto the corpus's top principal component — the second
+    half of PCA prep (dimensionality reduction / whitening before ANN;
+    faiss PCAMatrix territory), with the ENTIRE fit replayed by the
+    oracle: q140's exact covariance feeds a fixed {_PI_ITERS}-iteration
+    power method (start = the exact double 1/8 per dim, matvec in
+    ascending-index fold order, per-element round-12 after each
+    normalize — the q56/q118 replay-the-fit pattern applied to an
+    iterative linear-algebra fit). The learned component embeds as
+    literals; the projection itself is map-only.
+
+    Determinism notes: covariance entries are one IEEE expression over
+    exact decimal sums (q140); the driver fit mirrors DuckDB's CAST-then-
+    multiply order in pure sequential Python (no BLAS — summation order
+    is part of the contract), and rounds half-away like both engines'
+    round(). Per-iteration round-12 squashes any sub-ulp drift before it
+    can compound. Sign is deterministic too (same arithmetic both sides
+    from the same positive start vector).
+
+    Scale: the fit collects 2,080 + 64 + 1 bounded rows (like kmeans_fit
+    collects its sample); the corpus-sized work — covariance aggregation
+    and projection — stays distributed and map-side/partial-agg shaped."""
+    import math
+
+    from pyspark.sql.types import DecimalType
+
+    from ..operators.similarity import QUANT_SCALE, quantize_vec
+
+    d = _COV_DIM
+    q = _t(spark, sf, "embeddings").select(quantize_vec(F.col("embedding")).alias("qv"))
+    terms = q.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {d}), "
+                f"i -> transform(sequence(i, {d}), "
+                f"j -> struct(i AS i, j AS j, element_at(qv, i) * element_at(qv, j) AS p))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    s2 = {
+        (int(r["i"]), int(r["j"])): int(r["s2"])
+        for r in terms.groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast(DecimalType(38, 0))).alias("s2"))
+        .collect()
+    }
+    s1 = {
+        int(r["i"]): int(r["s1"])
+        for r in q.select(F.posexplode("qv").alias("pos0", "x"))
+        .select((F.col("pos0") + 1).alias("i"), "x")
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast(DecimalType(18, 0))).alias("s1"))
+        .collect()
+    }
+    n = q.count()
+
+    def half_away(x: float, nd: int) -> float:
+        p = 10.0 ** nd
+        return math.floor(abs(x) * p + 0.5) / p * (1.0 if x >= 0 else -1.0)
+
+    nd_ = float(n)
+    denom = nd_ * nd_ * float(QUANT_SCALE) ** 2
+    C = [[0.0] * d for _ in range(d)]
+    for i in range(1, d + 1):
+        for j in range(i, d + 1):
+            val = half_away(
+                (nd_ * float(s2[(i, j)]) - float(s1[i]) * float(s1[j])) / denom, 8
+            )
+            C[i - 1][j - 1] = val
+            C[j - 1][i - 1] = val
+    v = [0.125] * d
+    for _ in range(_PI_ITERS):
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        nrm = math.sqrt(sum(x * x for x in w))
+        v = [half_away(x / nrm, 12) for x in w]
+
+    comp = F.array(*[F.lit(x) for x in v])
+    proj = F.round(dot(F.col("embedding"), comp), 6)
+    return _t(spark, sf, "embeddings").select("vec_id", proj.alias("proj"))
+
+
 # q103's deterministic 80/20 hash split (training._doc_hash), restated so
 # the span-level incremental pass partitions the corpus identically
 _INC_HASH = "((doc_id % 100003) * 2654435761) % 1000"

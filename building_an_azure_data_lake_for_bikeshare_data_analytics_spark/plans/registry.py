@@ -33,8 +33,10 @@ from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
 #   2. new this round: the substring-dedup family q135/q137/q139
 #      (detect / keeper-preserving clean / incremental batch-vs-corpus),
 #      q136 (histogram quantiles — the value-checkable percentile that
-#      retires q81 from the gate the way q134 retired q46), and q138
-#      (bigram-LM perplexity quality scoring);
+#      retires q81 from the gate the way q134 retired q46), q138
+#      (bigram-LM perplexity quality scoring), and the embedding-prep
+#      family q140/q141 (exact covariance + power-method top-PC
+#      projection, both fully oracle-replayed);
 #   3. the stalest evidence: the q01-q22 reference-parity template family
 #      + q23 decimal + q54/q62/q66/q69 (all last green r1, three rounds
 #      ago);
@@ -62,6 +64,9 @@ _PRIORITY: tuple[str, ...] = (
     "q137_substring_dedup_clean",
     "q138_doc_lm_score",
     "q139_incremental_span_dedup",
+    "q140_embedding_covariance",
+    "q141_pca_project",
+    "q142_embedding_covariance_vectorized",
     # -- 3: stalest (last green r1) --
     "q01_avg_price_by_dow",
     "q02_sum_price_by_dow",
@@ -91,15 +96,14 @@ _PRIORITY: tuple[str, ...] = (
     "q66_doc_chunks",
     "q69_source_stats",
     # -- 4: stale r2 cohort, widest distinct surface + twin anchors
-    # (dropped to make room for the four new r4 queries: q42 — its F2/A3
+    # (dropped to make room for the eight new r4 queries: q42 — its F2/A3
     # surface is r3-green via q25 and r2-green via q96; q47 — lag-window
-    # surface rides q48/q126 here; q45 — distinct-agg surface rides q134
-    # here; rotate all three back in r5) --
+    # surface rides q48/q126's family; q45 — distinct-agg surface rides
+    # q134 here; q48/q49/q50 — sessionize/pivot/JSON, r2-green, due anyway
+    # at their 2-round limit; all six form the core of the r5 prefix with
+    # the rest of the r2 cohort) --
     "q37_minhash_lsh_pairs",
     "q43_embedding_dup_pairs",
-    "q48_sessionize",
-    "q49_event_type_pivot",
-    "q50_props_json_extract",
     "q51_pricing_summary",
     "q56_ivf_ann",
     "q57_sql_cte_subquery",

