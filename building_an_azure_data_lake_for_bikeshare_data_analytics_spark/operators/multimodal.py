@@ -41,10 +41,61 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+#: PNG channels per pixel for the color types the unfilter path supports
+#: (8-bit depth only): grayscale, RGB, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes | None:
+    """Reverse the per-scanline PNG filters (types 0-4, RFC 2083 §6) —
+    turns the inflated filtered stream into TRUE pixel bytes."""
+    bpp = channels
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        pos += stride
+        base = y * stride
+        prev = out[base - stride : base] if y else bytes(stride)
+        if ftype == 0:  # None
+            out[base : base + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[base + x - bpp] if x >= bpp else 0
+                out[base + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                out[base + x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[base + x - bpp] if x >= bpp else 0
+                out[base + x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[base + x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[base + x] = (line[x] + pred) & 0xFF
+        else:
+            return None  # invalid filter type
+    return bytes(out)
+
+
 def _decode_png(blob: bytes) -> tuple[int, int, int, str] | None:
-    """Real PNG decode with the stdlib only: IHDR header parse + zlib
-    inflate of the IDAT stream. Features come from the DECODED pixel bytes
-    (scanline-filtered, but real image data), not the container bytes."""
+    """Real PNG decode with the stdlib only: IHDR parse, zlib inflate of
+    the IDAT stream, and per-scanline UNFILTERING (Sub/Up/Average/Paeth)
+    for 8-bit gray/RGB/GA/RGBA — features come from TRUE reconstructed
+    pixel bytes. Interlaced, paletted, or 16-bit files fall back to
+    features over the inflated (still-filtered) stream with the same
+    ``png:WxH`` status — real image data either way, exactness noted."""
     import struct
     import zlib
 
@@ -53,11 +104,13 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, str] | None:
     try:
         pos, idat = len(_PNG_MAGIC), []
         width = height = None
+        depth = ctype_ = interlace = 0
         while pos + 8 <= len(blob):
             (length,), ctype = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
             chunk = blob[pos + 8 : pos + 8 + length]
             if ctype == b"IHDR":
                 width, height = struct.unpack(">II", chunk[:8])
+                depth, ctype_, interlace = chunk[8], chunk[9], chunk[12]
             elif ctype == b"IDAT":
                 idat.append(chunk)
             elif ctype == b"IEND":
@@ -65,7 +118,12 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, str] | None:
             pos += 12 + length  # length + type + data + crc
         if width is None or not idat:
             return None
-        pixels = zlib.decompress(b"".join(idat))
+        raw = zlib.decompress(b"".join(idat))
+        pixels = None
+        if depth == 8 and interlace == 0 and ctype_ in _PNG_CHANNELS:
+            pixels = _png_unfilter(raw, width, height, _PNG_CHANNELS[ctype_])
+        if pixels is None:
+            pixels = raw  # filtered stream: still real image data
         return len(pixels), pixels[0], sum(pixels) % 997, f"png:{width}x{height}"
     except Exception:
         return None  # corrupt container -> byte-level fallback below

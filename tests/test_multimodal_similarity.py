@@ -188,7 +188,8 @@ def test_multimodal_real_codec_decode_end_to_end(spark):
     )
 
     # hand-rolled 2x2 grayscale PNG (bit depth 8): 2 scanlines, filter byte 0
-    pixels = b"\x00\x10\x20\x00\x30\x40"
+    filtered = b"\x00\x10\x20\x00\x30\x40"
+    pixels = b"\x10\x20\x30\x40"  # r4: the decoder now UNFILTERS scanlines
     def chunk(ctype, data):
         return (
             struct.pack(">I", len(data)) + ctype + data
@@ -197,7 +198,7 @@ def test_multimodal_real_codec_decode_end_to_end(spark):
     png = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(pixels))
+        + chunk(b"IDAT", zlib.compress(filtered))
         + chunk(b"IEND", b"")
     )
     buf = io.BytesIO()
@@ -404,3 +405,60 @@ def test_mp4_container_parse():
     assert _parse_mp4(blob[:20]) is None
     assert _parse_mp4(b"\x00\x00\x00\x08free" + bytes(8)) is None
     assert _parse_mp4(box(b"ftyp", b"isom") + box(b"mdat", b"x")) is None  # no mvhd
+
+
+def test_png_unfilter_all_filter_types():
+    """The PNG path must reverse every scanline filter type (0 None,
+    1 Sub, 2 Up, 3 Average, 4 Paeth — RFC 2083): forward-filter a known
+    grayscale image one type per row, and the decoder must reconstruct
+    the TRUE pixels exactly."""
+    import struct
+    import zlib
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    w, h = 6, 5
+    img = [[(13 * y + 7 * x * x + 3) % 256 for x in range(w)] for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    out = bytearray()
+    for y, ftype in zip(range(h), (0, 1, 2, 3, 4)):
+        out.append(ftype)
+        for x in range(w):
+            cur = img[y][x]
+            left = img[y][x - 1] if x else 0
+            up = img[y - 1][x] if y else 0
+            ul = img[y - 1][x - 1] if (x and y) else 0
+            if ftype == 0:
+                out.append(cur)
+            elif ftype == 1:
+                out.append((cur - left) & 0xFF)
+            elif ftype == 2:
+                out.append((cur - up) & 0xFF)
+            elif ftype == 3:
+                out.append((cur - (left + up) // 2) & 0xFF)
+            else:
+                out.append((cur - paeth(left, up, ul)) & 0xFF)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+    got = _decode_png(png)
+    assert got is not None
+    flat = [p for row in img for p in row]
+    assert got == (w * h, flat[0], sum(flat) % 997, f"png:{w}x{h}"), got
