@@ -4,11 +4,12 @@ deduplication, similarity search, multimodal plumbing — over the driver's
 
 None of these exist in the reference (SURVEY.md §2.6 "not present"); they are
 the engine's scale-oriented extension surface. Every hash-based operator
-(MinHash q37, SimHash q38/q53, winnowing q63) uses md5-derived hashes that
-DuckDB reproduces, so even the "approximate" dedup surface carries full
-value oracles; the only rows-only checks left are genuinely
-engine-specific float/sketch paths (BLAS q64/q65 — twin-equality-tested
-against their oracled formulations — and HLL/quantile sketches q46/q81).
+(MinHash q37, SimHash q38/q53, winnowing q63, substring spans q135-q139)
+uses md5-derived hashes that DuckDB reproduces, and since r4 the BLAS
+kernels (q64/q65/q109/...) carry their Column-fold twins' oracles verbatim
+— the only rows-only checks left in the whole registry are the genuinely
+engine-private HLL/GK sketches q46/q81, each with a value-checkable
+stand-in (q134 KMV / q136 histogram quantiles) and an exact twin.
 """
 
 from __future__ import annotations
@@ -1061,16 +1062,16 @@ _COV_DIM = 64
 def _cov_oracle() -> str:
     """q140's oracle SQL, shared verbatim with its BLAS twin q142 (exact
     integer sums make the two formulations value-identical)."""
-    return f"""WITH q AS (SELECT list_transform(embedding,
+    return f"""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
                  FROM embeddings),
-       nn AS (SELECT count(*) AS n FROM q),
-       sij AS (SELECT u.i, w.j,
+       nn AS MATERIALIZED (SELECT count(*) AS n FROM q),
+       sij AS MATERIALIZED (SELECT u.i, w.j,
                       sum(CAST(qv[u.i] * qv[w.j] AS DECIMAL(38,0))) AS s2
                FROM q, unnest(range(1, {_COV_DIM + 1})) AS u(i),
                        unnest(range(1, {_COV_DIM + 1})) AS w(j)
                WHERE w.j >= u.i GROUP BY u.i, w.j),
-       si AS (SELECT i, sum(CAST(x AS DECIMAL(18,0))) AS s1
+       si AS MATERIALIZED (SELECT i, sum(CAST(x AS DECIMAL(18,0))) AS s1
               FROM (SELECT unnest(qv) AS x,
                            generate_subscripts(qv, 1) AS i FROM q)
               GROUP BY i)
@@ -1149,21 +1150,12 @@ def q140(spark, sf):
     )
 
 
-@query(
-    "q142_embedding_covariance_vectorized",
-    _cov_oracle(),  # q140's oracle verbatim: per-partition int64 X'X
-    # partials sum to the SAME exact integers the Column fold computes
-    tags=("embedding", "covariance", "vectorized"),
-)
-def q142(spark, sf):
-    """q140 through a numpy kernel: each Arrow batch contributes one exact
-    int64 ``X'X`` matrix + column-sum vector + row count (mapInPandas —
-    2,145 narrow partial rows per BATCH, not 2,080 exploded terms per
-    ROW), cross-partition sums ride DECIMAL(38,0) so 100 TB row counts
-    can't overflow, and the final cov expression is q140's verbatim.
-    Same twin contract as q64/q109/q120: integer partials make the
-    kernel value-identical to the fold, so it carries the same oracle.
-    Measured 35.9 s (fold) vs kernel-class seconds at stress scale."""
+def _cov_partials(spark, sf):
+    """The q142 covariance kernel: exact int64 per-batch X'X / column-sum /
+    count partials, cross-partition DECIMAL(38,0) sums, materialized once
+    (2,145 rows; tagged union — (i, j>0, S_ij), (i, 0, S_i), (0, 0, n)).
+    Shared by the distributed q142 and the q141/q143 driver fits (the
+    sums are exact, so fold vs kernel provenance cannot change a value)."""
     import numpy as np
     import pandas as pd
 
@@ -1189,16 +1181,34 @@ def q142(spark, sf):
             out_s = np.concatenate([M[iu, ju], s1, [len(X)]])
             yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
 
-    partials = (
+    return (
         _t(spark, sf, "embeddings")
         .select("embedding")
         .mapInPandas(part, "i int, j int, s long")
         .groupBy("i", "j")
         .agg(F.sum(F.col("s").cast(DecimalType(38, 0))).alias("s"))
-        # three consumers (sij / si / nn) — materialize the 2,145-row
-        # aggregate once instead of re-running the corpus kernel per branch
         .localCheckpoint()
     )
+
+
+@query(
+    "q142_embedding_covariance_vectorized",
+    _cov_oracle(),  # q140's oracle verbatim: per-partition int64 X'X
+    # partials sum to the SAME exact integers the Column fold computes
+    tags=("embedding", "covariance", "vectorized"),
+)
+def q142(spark, sf):
+    """q140 through a numpy kernel: each Arrow batch contributes one exact
+    int64 ``X'X`` matrix + column-sum vector + row count (mapInPandas —
+    2,145 narrow partial rows per BATCH, not 2,080 exploded terms per
+    ROW), cross-partition sums ride DECIMAL(38,0) so 100 TB row counts
+    can't overflow, and the final cov expression is q140's verbatim.
+    Same twin contract as q64/q109/q120: integer partials make the
+    kernel value-identical to the fold, so it carries the same oracle.
+    Measured 35.9 s (fold) vs kernel-class seconds at stress scale."""
+    from ..operators.similarity import QUANT_SCALE
+
+    partials = _cov_partials(spark, sf)
     sij = partials.where(F.col("j") > 0).select("i", "j", F.col("s").alias("s2"))
     si = partials.where((F.col("j") == 0) & (F.col("i") > 0)).select(
         "i", F.col("s").alias("s1")
@@ -1231,55 +1241,80 @@ _PI_ITERS = 48  # power-method iterations for q141 (fixed count, replayed;
 # 2% variance residual on the gate corpus, 48 is <0.1%)
 
 
-def _power_iter_ctes(t: int = _PI_ITERS, d: int = _COV_DIM) -> str:
-    """CTE chain replaying the q141 power-method fit over the q140
-    covariance CTEs: full matrix rows -> list-of-lists -> ``t`` iterations
-    of (matvec, norm, per-element round-12 normalize). Expects the q140
-    CTEs (q, nn, sij, si) to be defined; yields ``v{t}(v)``."""
+def _cov_matrix_ctes(d: int = _COV_DIM) -> str:
+    """CTEs building the full covariance matrix as a list-of-lists
+    (``cmat(m)``) from the q140 CTEs (q, nn, sij, si)."""
     cov = (
         "round((CAST(nn.n AS DOUBLE) * CAST(sij.s2 AS DOUBLE)"
         " - CAST(a.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE))"
         " / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1e12), 8)"
     )
-    blocks = [
-        f"""cmf AS (
+    return f"""cmf AS (
       SELECT sij.i AS i, sij.j AS j, {cov} AS cov
       FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j CROSS JOIN nn
       UNION ALL
       SELECT sij.j AS i, sij.i AS j, {cov} AS cov
       FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j CROSS JOIN nn
       WHERE sij.i <> sij.j),
-    crow AS (SELECT i, list(cov ORDER BY j) AS r FROM cmf GROUP BY i),
-    cmat AS (SELECT list(r ORDER BY i) AS m FROM crow),
-    v0 AS (SELECT list_transform(range(1, {d + 1}), x -> 0.125) AS v)"""
-    ]
+    crow AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS r FROM cmf GROUP BY i),
+    cmat AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM crow)"""
+
+
+def _power_loop_ctes(
+    mat: str, prefix: str, t: int = _PI_ITERS, d: int = _COV_DIM
+) -> str:
+    """``t`` power-method iterations over matrix CTE ``mat(m)``: matvec,
+    norm, per-element round-12 normalize; yields ``{prefix}{t}(v)``."""
+    blocks = [f"{prefix}0 AS (SELECT list_transform(range(1, {d + 1}), x -> 0.125) AS v)"]
     for k in range(1, t + 1):
         blocks.append(
-            f"""w{k} AS (
+            f"""{prefix}w{k} AS MATERIALIZED (
       SELECT list_transform(range(1, {d + 1}),
                  i -> list_sum(list_transform(range(1, {d + 1}),
                           j -> m[i][j] * v[j]))) AS w
-      FROM cmat, v{k - 1}),
-    v{k} AS (
+      FROM {mat}, {prefix}{k - 1}),
+    {prefix}{k} AS MATERIALIZED (
       SELECT list_transform(w, x -> round(x / sqrt(list_sum(
                  list_transform(w, y -> y * y))), 12)) AS v
-      FROM w{k})"""
+      FROM {prefix}w{k})"""
         )
     return ",\n    ".join(blocks)
 
 
+def _power_iter_ctes(t: int = _PI_ITERS, d: int = _COV_DIM) -> str:
+    """CTE chain replaying the q141 power-method fit over the q140
+    covariance CTEs; yields ``v{t}(v)``."""
+    return _cov_matrix_ctes(d) + ",\n    " + _power_loop_ctes("cmat", "v", t, d)
+
+
+def _deflate_ctes(t: int = _PI_ITERS, d: int = _COV_DIM) -> str:
+    """Deflation step for the second component (q143): lambda1 = v'Cv over
+    the converged v{t}, then C2 = C - lambda1 v v' (round-12 entries),
+    each step one fixed float expression the driver fit mirrors."""
+    return f"""lam AS MATERIALIZED (
+      SELECT round(list_sum(list_transform(range(1, {d + 1}),
+                 i -> v[i] * list_sum(list_transform(range(1, {d + 1}),
+                          j -> m[i][j] * v[j])))), 12) AS l
+      FROM cmat, v{t}),
+    cmat2 AS MATERIALIZED (
+      SELECT list_transform(range(1, {d + 1}),
+                 i -> list_transform(range(1, {d + 1}),
+                          j -> round(m[i][j] - l * v[i] * v[j], 12))) AS m
+      FROM cmat, v{t}, lam)"""
+
+
 @query(
     "q141_pca_project",
-    f"""WITH q AS (SELECT list_transform(embedding,
+    f"""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
                  FROM embeddings),
-       nn AS (SELECT count(*) AS n FROM q),
-       sij AS (SELECT u.i, w.j,
+       nn AS MATERIALIZED (SELECT count(*) AS n FROM q),
+       sij AS MATERIALIZED (SELECT u.i, w.j,
                       sum(CAST(qv[u.i] * qv[w.j] AS DECIMAL(38,0))) AS s2
                FROM q, unnest(range(1, {_COV_DIM + 1})) AS u(i),
                        unnest(range(1, {_COV_DIM + 1})) AS w(j)
                WHERE w.j >= u.i GROUP BY u.i, w.j),
-       si AS (SELECT i, sum(CAST(x AS DECIMAL(18,0))) AS s1
+       si AS MATERIALIZED (SELECT i, sum(CAST(x AS DECIMAL(18,0))) AS s1
               FROM (SELECT unnest(qv) AS x,
                            generate_subscripts(qv, 1) AS i FROM q)
               GROUP BY i),
@@ -1313,62 +1348,114 @@ def q141(spark, sf):
     Scale: the fit collects 2,080 + 64 + 1 bounded rows (like kmeans_fit
     collects its sample); the corpus-sized work — covariance aggregation
     and projection — stays distributed and map-side/partial-agg shaped."""
+    v = _pca_power_components(spark, sf, 1)[0]
+    comp = F.array(*[F.lit(x) for x in v])
+    proj = F.round(dot(F.col("embedding"), comp), 6)
+    return _t(spark, sf, "embeddings").select("vec_id", proj.alias("proj"))
+
+
+def _half_away(x: float, nd: int) -> float:
+    """Round half-away-from-zero — the behavior of both engines' round()
+    (std::round / Spark HALF_UP); Python's round() is half-even and would
+    diverge at exact boundaries."""
     import math
 
-    from pyspark.sql.types import DecimalType
+    p = 10.0 ** nd
+    return math.floor(abs(x) * p + 0.5) / p * (1.0 if x >= 0 else -1.0)
 
-    from ..operators.similarity import QUANT_SCALE, quantize_vec
+
+def _pca_power_components(spark, sf, n_components: int = 1) -> list[list[float]]:
+    """Driver-side PCA fit mirroring the oracle's arithmetic EXACTLY:
+    exact decimal covariance sums -> float matrix (CAST-then-multiply
+    order, half-away round-8 entries) -> per component, _PI_ITERS power
+    iterations (ascending-index sequential matvec fold, half-away
+    round-12 per normalize) and Hotelling deflation (lambda = v'Cv
+    round-12, C -= lambda v v' with round-12 entries). Pure sequential
+    Python on bounded collected sums — summation order is part of the
+    cross-engine contract, so no BLAS here (the corpus-sized projection
+    is where the distributed work happens)."""
+    import math
+
+    from ..operators.similarity import QUANT_SCALE
 
     d = _COV_DIM
-    q = _t(spark, sf, "embeddings").select(quantize_vec(F.col("embedding")).alias("qv"))
-    terms = q.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(1, {d}), "
-                f"i -> transform(sequence(i, {d}), "
-                f"j -> struct(i AS i, j AS j, element_at(qv, i) * element_at(qv, j) AS p))))"
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p")
-    s2 = {
-        (int(r["i"]), int(r["j"])): int(r["s2"])
-        for r in terms.groupBy("i", "j")
-        .agg(F.sum(F.col("p").cast(DecimalType(38, 0))).alias("s2"))
-        .collect()
-    }
-    s1 = {
-        int(r["i"]): int(r["s1"])
-        for r in q.select(F.posexplode("qv").alias("pos0", "x"))
-        .select((F.col("pos0") + 1).alias("i"), "x")
-        .groupBy("i")
-        .agg(F.sum(F.col("x").cast(DecimalType(18, 0))).alias("s1"))
-        .collect()
-    }
-    n = q.count()
-
-    def half_away(x: float, nd: int) -> float:
-        p = 10.0 ** nd
-        return math.floor(abs(x) * p + 0.5) / p * (1.0 if x >= 0 else -1.0)
-
+    rows = _cov_partials(spark, sf).collect()  # exact sums via the kernel
+    s2 = {(int(r["i"]), int(r["j"])): int(r["s"]) for r in rows if r["j"] > 0}
+    s1 = {int(r["i"]): int(r["s"]) for r in rows if r["j"] == 0 and r["i"] > 0}
+    n = next(int(r["s"]) for r in rows if r["i"] == 0 and r["j"] == 0)
     nd_ = float(n)
     denom = nd_ * nd_ * float(QUANT_SCALE) ** 2
     C = [[0.0] * d for _ in range(d)]
     for i in range(1, d + 1):
         for j in range(i, d + 1):
-            val = half_away(
+            val = _half_away(
                 (nd_ * float(s2[(i, j)]) - float(s1[i]) * float(s1[j])) / denom, 8
             )
             C[i - 1][j - 1] = val
             C[j - 1][i - 1] = val
-    v = [0.125] * d
-    for _ in range(_PI_ITERS):
-        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
-        nrm = math.sqrt(sum(x * x for x in w))
-        v = [half_away(x / nrm, 12) for x in w]
 
-    comp = F.array(*[F.lit(x) for x in v])
-    proj = F.round(dot(F.col("embedding"), comp), 6)
-    return _t(spark, sf, "embeddings").select("vec_id", proj.alias("proj"))
+    comps: list[list[float]] = []
+    for _ in range(n_components):
+        v = [0.125] * d
+        for _ in range(_PI_ITERS):
+            w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+            nrm = math.sqrt(sum(x * x for x in w))
+            v = [_half_away(x / nrm, 12) for x in w]
+        comps.append(v)
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        lam = _half_away(sum(v[i] * w[i] for i in range(d)), 12)
+        C = [
+            [_half_away(C[i][j] - lam * v[i] * v[j], 12) for j in range(d)]
+            for i in range(d)
+        ]
+    return comps
+
+
+@query(
+    "q143_pca_project2",
+    f"""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                 FROM embeddings),
+       nn AS MATERIALIZED (SELECT count(*) AS n FROM q),
+       sij AS MATERIALIZED (SELECT u.i, w.j,
+                      sum(CAST(qv[u.i] * qv[w.j] AS DECIMAL(38,0))) AS s2
+               FROM q, unnest(range(1, {_COV_DIM + 1})) AS u(i),
+                       unnest(range(1, {_COV_DIM + 1})) AS w(j)
+               WHERE w.j >= u.i GROUP BY u.i, w.j),
+       si AS MATERIALIZED (SELECT i, sum(CAST(x AS DECIMAL(18,0))) AS s1
+              FROM (SELECT unnest(qv) AS x,
+                           generate_subscripts(qv, 1) AS i FROM q)
+              GROUP BY i),
+       {_power_iter_ctes()},
+       {_deflate_ctes()},
+       {_power_loop_ctes("cmat2", "u")}
+       SELECT e.vec_id,
+              round(list_sum(list_transform(range(1, {_COV_DIM + 1}),
+                        k -> CAST(e.embedding[k] AS DOUBLE) * v1.v[k])), 6) AS proj1,
+              round(list_sum(list_transform(range(1, {_COV_DIM + 1}),
+                        k -> CAST(e.embedding[k] AS DOUBLE) * v2.v[k])), 6) AS proj2
+       FROM embeddings e
+       CROSS JOIN v{_PI_ITERS} v1 CROSS JOIN u{_PI_ITERS} v2""",
+    tags=("embedding", "pca", "deflation", "fit-replay"),
+)
+def q143(spark, sf):
+    """Two-component PCA projection via Hotelling deflation — the
+    dimensionality-reduction shape a retrieval pipeline actually uses
+    (project onto the top-k principal subspace; k=2 here exercises the
+    full mechanism). The oracle replays BOTH power-method fits AND the
+    deflation (lambda1 = v'Cv, C2 = C - lambda1 v v', round-12 entries —
+    every step one fixed float expression mirrored by the driver fit in
+    sequential Python). Projections are map-only against the two literal
+    components; accuracy vs numpy eigh (variances ~ top-2 eigenvalues,
+    near-zero cross-covariance) is pinned in test_properties."""
+    v1, v2 = _pca_power_components(spark, sf, 2)
+    c1 = F.array(*[F.lit(x) for x in v1])
+    c2 = F.array(*[F.lit(x) for x in v2])
+    return _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.round(dot(F.col("embedding"), c1), 6).alias("proj1"),
+        F.round(dot(F.col("embedding"), c2), 6).alias("proj2"),
+    )
 
 
 # q103's deterministic 80/20 hash split (training._doc_hash), restated so

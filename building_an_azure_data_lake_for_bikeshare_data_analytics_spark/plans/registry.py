@@ -35,8 +35,9 @@ from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
 #      q136 (histogram quantiles — the value-checkable percentile that
 #      retires q81 from the gate the way q134 retired q46), q138
 #      (bigram-LM perplexity quality scoring), and the embedding-prep
-#      family q140/q141 (exact covariance + power-method top-PC
-#      projection, both fully oracle-replayed);
+#      family q140-q143 (exact covariance + its BLAS twin + power-method
+#      top-PC and deflated two-component projections, all fully
+#      oracle-replayed);
 #   3. the stalest evidence: the q01-q22 reference-parity template family
 #      + q23 decimal + q54/q62/q66/q69 (all last green r1, three rounds
 #      ago);
@@ -67,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "q140_embedding_covariance",
     "q141_pca_project",
     "q142_embedding_covariance_vectorized",
+    "q143_pca_project2",
     # -- 3: stalest (last green r1) --
     "q01_avg_price_by_dow",
     "q02_sum_price_by_dow",
@@ -96,15 +98,14 @@ _PRIORITY: tuple[str, ...] = (
     "q66_doc_chunks",
     "q69_source_stats",
     # -- 4: stale r2 cohort, widest distinct surface + twin anchors
-    # (dropped to make room for the eight new r4 queries: q42 — its F2/A3
+    # (dropped to make room for the nine new r4 queries: q42 — its F2/A3
     # surface is r3-green via q25 and r2-green via q96; q47 — lag-window
     # surface rides q48/q126's family; q45 — distinct-agg surface rides
-    # q134 here; q48/q49/q50 — sessionize/pivot/JSON, r2-green, due anyway
-    # at their 2-round limit; all six form the core of the r5 prefix with
-    # the rest of the r2 cohort) --
+    # q134 here; q48/q49/q50/q51 — sessionize/pivot/JSON/pricing, all
+    # r2-green and due anyway at their 2-round limit; all seven form the
+    # core of the r5 prefix with the rest of the r2 cohort) --
     "q37_minhash_lsh_pairs",
     "q43_embedding_dup_pairs",
-    "q51_pricing_summary",
     "q56_ivf_ann",
     "q57_sql_cte_subquery",
     "q58_asof_last_order",

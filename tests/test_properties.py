@@ -222,3 +222,32 @@ def test_pca_power_iteration_finds_dominant_eigenvector(spark):
     # Var(x.v) = v'Cv -> for the dominant eigvec this is the top eigenvalue
     assert abs(var - top_val) / top_val < 1e-2, (var, top_val)
     assert top_vec.shape == (d,)
+
+
+def test_pca_two_components_deflation(spark):
+    """q143: the deflated second component must capture the second
+    eigenvalue's variance and be ~orthogonal to the first (near-zero
+    cross-covariance of the two projections)."""
+    import numpy as np
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    cov_rows = QUERIES["q140_embedding_covariance"](spark, sf).collect()
+    d = 64
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    evals = np.linalg.eigvalsh(C)
+    lam1, lam2 = evals[-1], evals[-2]
+
+    rows = QUERIES["q143_pca_project2"](spark, sf).collect()
+    p1 = np.array([r["proj1"] for r in rows])
+    p2 = np.array([r["proj2"] for r in rows])
+    assert abs(p1.var() - lam1) / lam1 < 1e-2, (p1.var(), lam1)
+    assert abs(p2.var() - lam2) / lam2 < 5e-2, (p2.var(), lam2)
+    xc = np.cov(p1, p2, bias=True)[0, 1]
+    assert abs(xc) < 0.05 * lam2, (xc, lam2)
