@@ -55,11 +55,10 @@ def main() -> None:
     print(json.dumps(payload))
     # the driver's BENCH_r*.json capture truncates before the q100+ tail
     # and leaves `parsed` null, so round-over-round comparison needs a
-    # committed artifact: write the summary (sans full tail) next to the
-    # repo for each round to commit (r3 verdict item 8)
-    summary = {k: v for k, v in payload.items() if k != "queries"}
+    # committed artifact: write the full payload (summary keys first,
+    # per-query map included) for each round to commit (r3 verdict item 8)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"), "w") as f:
-        json.dump({**summary, "queries": per_query}, f, indent=1, sort_keys=False)
+        json.dump(payload, f, indent=1, sort_keys=False)
         f.write("\n")
 
 

@@ -43,13 +43,20 @@ def lm_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lm_fit(docs: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame, DataFrame]:
+def lm_fit(
+    docs: DataFrame, text_col: str = "text", pairs: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the add-one-smoothed bigram LM: returns (bigram counts
     (w1, w2, c12), unigram counts (w1, c1), vocab-size scalar (vsz)) —
-    three vocab-bounded relations; persisting them IS persisting the model."""
+    three vocab-bounded relations; persisting them IS persisting the model.
+    Pass a precomputed (possibly checkpointed) ``pairs`` relation to share
+    it with downstream scoring (q138 does) — the counts are the ONE
+    definition of the model either way."""
     d = docs.select(tokens(text_col).alias("ts"))
     toks = d.select(F.explode("ts").alias("t"))
-    bg = lm_pairs(docs, text_col).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if pairs is None:
+        pairs = lm_pairs(docs, text_col)
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ug = toks.groupBy(F.col("t").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
     v = toks.agg(F.countDistinct("t").alias("vsz"))
     return bg, ug, v

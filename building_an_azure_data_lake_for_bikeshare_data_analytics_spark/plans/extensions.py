@@ -859,6 +859,61 @@ def q63(spark, sf):
 _SPAN_K = 8  # tokens per gram — the duplicated-span detection granularity
 
 
+def _gram_hashes(docs, k: int = _SPAN_K, extra_cols: tuple = (), checkpoint: bool = True):
+    """(doc_id[, extra], ts) -> (doc_id[, extra], pos, gh): one 60-bit md5
+    hash per k-token gram position, computed map-side from an O(k) array
+    slice (the q63 winnowing lesson — no substr rescans). The ONE
+    definition shared by the whole substring-dedup family (q135 detect /
+    q137 clean / q139 incremental), so hash width / k / the
+    checkpoint-vs-recompute choice can never diverge between them.
+    ``checkpoint`` materializes the narrow relation for its multiple
+    consumers — the measured 2.2x win over recompute (SCALE_NOTES);
+    pass False to keep full lineage (the plan-pin test does, so the gram
+    stage stays visible to .explain)."""
+    grams = docs.where(F.size("ts") >= k).select(
+        "doc_id",
+        *extra_cols,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {k} + 1), "
+                f"i -> concat_ws(' ', slice(ts, i, {k})))"
+            )
+        ).alias("pos0", "gram"),
+    )
+    g = grams.select(
+        "doc_id",
+        *extra_cols,
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
+    )
+    return g.localCheckpoint() if checkpoint else g
+
+
+def _dup_spans(g, k: int = _SPAN_K):
+    """(doc_id, pos, gh) -> maximal cross-doc duplicated spans
+    (doc_id, span_start, span_len) — q135's detect stage, factored so the
+    plan-pin test can compose it over an un-checkpointed gram relation."""
+    dup = (
+        g.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    p = g.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = p.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("int").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
 @query(
     "q135_substring_dup_spans",
     rf"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
@@ -915,45 +970,8 @@ def q135(spark, sf):
     makes flipping a one-line change."""
     from ..functions.text import tokens
 
-    k = _SPAN_K
-    d = (
-        _t(spark, sf, "documents")
-        .select("doc_id", tokens("text").alias("ts"))
-        .where(F.size("ts") >= k)
-    )
-    grams = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(ts) - {k} + 1), "
-                f"i -> concat_ws(' ', slice(ts, i, {k})))"
-            )
-        ).alias("pos0", "gram"),
-    )
-    g = grams.select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
-    ).localCheckpoint()  # measured 2.2x over recompute — see docstring
-    dup = (
-        g.select("gh", "doc_id")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gh")
-    )
-    p = g.join(dup, "gh").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = p.withColumn("grp", F.col("pos") - F.row_number().over(w))
-    return (
-        isl.groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").cast("int").alias("span_start"),
-            (F.max("pos") - F.min("pos") + k).cast("int").alias("span_len"),
-        )
-        .select("doc_id", "span_start", "span_len")
-    )
+    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    return _dup_spans(_gram_hashes(d))
 
 
 @query(
@@ -1008,21 +1026,7 @@ def q137(spark, sf):
 
     k = _SPAN_K
     d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
-    eligible = d.where(F.size("ts") >= k)
-    grams = eligible.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(ts) - {k} + 1), "
-                f"i -> concat_ws(' ', slice(ts, i, {k})))"
-            )
-        ).alias("pos0", "gram"),
-    )
-    g = grams.select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
-    ).localCheckpoint()  # same measured tradeoff as q135 (SCALE_NOTES)
+    g = _gram_hashes(d)
     dup = (
         g.select("gh", "doc_id")
         .distinct()
@@ -1058,11 +1062,18 @@ def q137(spark, sf):
 
 _COV_DIM = 64
 
+#: the exact-sum covariance CTE block (q, nn, sij, si) — ONE definition
+#: shared by the q140/q142 oracle, q141, and q143 (the fit-replay contract
+#: requires every copy bit-identical, so there are no copies)
+#: the rounded covariance expression over (nn, sij, si a, si b) — shared
+#: by the q140/q142 oracle SELECT and the q141/q143 matrix CTEs
+_COV_EXPR_SQL = (
+    "round((CAST(nn.n AS DOUBLE) * CAST(sij.s2 AS DOUBLE)"
+    " - CAST(a.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE))"
+    " / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1e12), 8)"
+)
 
-def _cov_oracle() -> str:
-    """q140's oracle SQL, shared verbatim with its BLAS twin q142 (exact
-    integer sums make the two formulations value-identical)."""
-    return f"""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
+_COV_BASE_CTES = f"""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
                  FROM embeddings),
        nn AS MATERIALIZED (SELECT count(*) AS n FROM q),
@@ -1074,12 +1085,16 @@ def _cov_oracle() -> str:
        si AS MATERIALIZED (SELECT i, sum(CAST(x AS DECIMAL(18,0))) AS s1
               FROM (SELECT unnest(qv) AS x,
                            generate_subscripts(qv, 1) AS i FROM q)
-              GROUP BY i)
+              GROUP BY i)"""
+
+
+
+def _cov_oracle() -> str:
+    """q140's oracle SQL, shared verbatim with its BLAS twin q142 (exact
+    integer sums make the two formulations value-identical)."""
+    return f"""{_COV_BASE_CTES}
        SELECT CAST(sij.i AS INTEGER) AS i, CAST(sij.j AS INTEGER) AS j,
-              round((CAST(nn.n AS DOUBLE) * CAST(sij.s2 AS DOUBLE)
-                     - CAST(a.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE))
-                    / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1e12), 8)
-                  AS cov
+              {_COV_EXPR_SQL} AS cov
        FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j
        CROSS JOIN nn"""
 
@@ -1244,11 +1259,7 @@ _PI_ITERS = 48  # power-method iterations for q141 (fixed count, replayed;
 def _cov_matrix_ctes(d: int = _COV_DIM) -> str:
     """CTEs building the full covariance matrix as a list-of-lists
     (``cmat(m)``) from the q140 CTEs (q, nn, sij, si)."""
-    cov = (
-        "round((CAST(nn.n AS DOUBLE) * CAST(sij.s2 AS DOUBLE)"
-        " - CAST(a.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE))"
-        " / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1e12), 8)"
-    )
+    cov = _COV_EXPR_SQL  # the ONE definition of the cov expression
     return f"""cmf AS (
       SELECT sij.i AS i, sij.j AS j, {cov} AS cov
       FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j CROSS JOIN nn
@@ -1305,19 +1316,7 @@ def _deflate_ctes(t: int = _PI_ITERS, d: int = _COV_DIM) -> str:
 
 @query(
     "q141_pca_project",
-    f"""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-                 FROM embeddings),
-       nn AS MATERIALIZED (SELECT count(*) AS n FROM q),
-       sij AS MATERIALIZED (SELECT u.i, w.j,
-                      sum(CAST(qv[u.i] * qv[w.j] AS DECIMAL(38,0))) AS s2
-               FROM q, unnest(range(1, {_COV_DIM + 1})) AS u(i),
-                       unnest(range(1, {_COV_DIM + 1})) AS w(j)
-               WHERE w.j >= u.i GROUP BY u.i, w.j),
-       si AS MATERIALIZED (SELECT i, sum(CAST(x AS DECIMAL(18,0))) AS s1
-              FROM (SELECT unnest(qv) AS x,
-                           generate_subscripts(qv, 1) AS i FROM q)
-              GROUP BY i),
+    f"""{_COV_BASE_CTES},
        {_power_iter_ctes()}
        SELECT e.vec_id,
               round(list_sum(list_transform(range(1, {_COV_DIM + 1}),
@@ -1402,6 +1401,8 @@ def _pca_power_components(spark, sf, n_components: int = 1) -> list[list[float]]
             nrm = math.sqrt(sum(x * x for x in w))
             v = [_half_away(x / nrm, 12) for x in w]
         comps.append(v)
+        if len(comps) == n_components:
+            break  # no deflation needed after the last component
         w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
         lam = _half_away(sum(v[i] * w[i] for i in range(d)), 12)
         C = [
@@ -1413,19 +1414,7 @@ def _pca_power_components(spark, sf, n_components: int = 1) -> list[list[float]]
 
 @query(
     "q143_pca_project2",
-    f"""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-                 FROM embeddings),
-       nn AS MATERIALIZED (SELECT count(*) AS n FROM q),
-       sij AS MATERIALIZED (SELECT u.i, w.j,
-                      sum(CAST(qv[u.i] * qv[w.j] AS DECIMAL(38,0))) AS s2
-               FROM q, unnest(range(1, {_COV_DIM + 1})) AS u(i),
-                       unnest(range(1, {_COV_DIM + 1})) AS w(j)
-               WHERE w.j >= u.i GROUP BY u.i, w.j),
-       si AS MATERIALIZED (SELECT i, sum(CAST(x AS DECIMAL(18,0))) AS s1
-              FROM (SELECT unnest(qv) AS x,
-                           generate_subscripts(qv, 1) AS i FROM q)
-              GROUP BY i),
+    f"""{_COV_BASE_CTES},
        {_power_iter_ctes()},
        {_deflate_ctes()},
        {_power_loop_ctes("cmat2", "u")}
@@ -1514,23 +1503,7 @@ def q139(spark, sf):
         (F.expr(_INC_HASH) >= 800).alias("is_new"),
         tokens("text").alias("ts"),
     )
-    eligible = d.where(F.size("ts") >= k)
-    grams = eligible.select(
-        "doc_id",
-        "is_new",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(ts) - {k} + 1), "
-                f"i -> concat_ws(' ', slice(ts, i, {k})))"
-            )
-        ).alias("pos0", "gram"),
-    )
-    g = grams.select(
-        "doc_id",
-        "is_new",
-        (F.col("pos0") + 1).alias("pos"),
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
-    ).localCheckpoint()
+    g = _gram_hashes(d, extra_cols=("is_new",))
     ag = g.groupBy("gh").agg(
         F.min(F.when(~F.col("is_new"), F.col("doc_id"))).alias("corpus_min"),
         F.min(F.when(F.col("is_new"), F.col("doc_id"))).alias("batch_min"),
@@ -1601,14 +1574,11 @@ def q138(spark, sf):
     "training" IS the two count aggregates — exactly how n-gram quality
     filters run over petabyte corpora. Implementation shared with the
     streaming ingestion scorer (operators/lm.py)."""
-    from ..operators.lm import lm_pairs, lm_score_pairs
+    from ..operators.lm import lm_fit, lm_pairs, lm_score_pairs
 
     d = _t(spark, sf, "documents")
-    toks = d.select(F.explode(tokens("text")).alias("t"))
     pairs = lm_pairs(d).localCheckpoint()
-    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ug = toks.groupBy(F.col("t").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
-    v = toks.agg(F.countDistinct("t").alias("vsz"))
+    bg, ug, v = lm_fit(d, pairs=pairs)
     return lm_score_pairs(pairs, bg, ug, v)
 
 

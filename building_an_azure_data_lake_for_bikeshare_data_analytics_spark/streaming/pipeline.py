@@ -381,7 +381,10 @@ def lm_scored_docs_stream(
     drift_monitor_stream): per-doc aggregation over an exploded pair
     relation is a plain batch plan per micro-batch. Unseen bigrams/
     unigrams take the add-one defaults (lm_score_pairs_smoothed), so novel
-    crawl content still scores every pair. Returns (epoch_id, doc_id,
+    crawl content still scores every pair — and EVERY doc of every batch
+    gets an output row: docs too short to form a pair (empty/one-token
+    crawl records, exactly what a gate exists to reject) come back with
+    n_pairs=0, avg_logp NULL, kept=False. Returns (epoch_id, doc_id,
     n_pairs, avg_logp[, kept]) rows.
 
     Determinism: a doc's score depends only on its text and the static
@@ -397,9 +400,17 @@ def lm_scored_docs_stream(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
-        scored = lm_score_pairs_smoothed(lm_pairs(batch_df), bg, ug, v)
+        scored = batch_df.select("doc_id").join(
+            lm_score_pairs_smoothed(lm_pairs(batch_df), bg, ug, v), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            "avg_logp",
+        )
         if min_avg_logp is not None:
-            scored = scored.withColumn("kept", F.col("avg_logp") >= min_avg_logp)
+            scored = scored.withColumn(
+                "kept", F.coalesce(F.col("avg_logp") >= min_avg_logp, F.lit(False))
+            )
         for r in scored.collect():
             row = (epoch_id, r["doc_id"], r["n_pairs"], r["avg_logp"])
             out.append(row + ((r["kept"],) if min_avg_logp is not None else ()))

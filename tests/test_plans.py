@@ -362,10 +362,31 @@ def test_bpe_encode_is_udf_free_single_agg(spark):
 def test_substring_dup_spans_grams_never_shuffle(spark):
     """q135: the 8-token gram STRINGS must not ride any exchange — the
     60-bit hash is computed map-side and only narrow (gh, doc_id, pos)
-    rows shuffle. A gram string in an Exchange input would mean the
-    map-side hashing contract broke (k*~6 bytes per token position on
-    the wire instead of 8)."""
-    plan = _plan(spark, "q135_substring_dup_spans")
+    rows shuffle. Composed WITHOUT the localCheckpoint (which truncates
+    lineage and would make the assertion vacuous — the checkpointed
+    query's explained plan roots at a Scan ExistingRDD and could never
+    contain the gram stage), so the full gram pipeline is visible."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+        tokens,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.extensions import (
+        _dup_spans,
+        _gram_hashes,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    d = read_parquet_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    df = _dup_spans(_gram_hashes(d, checkpoint=False))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "gram#" in plan  # the gram stage IS in this plan (non-vacuous)
     for block in plan.split("\n\n"):
         head = block.strip().splitlines()[0] if block.strip() else ""
         if "Exchange" in head:
@@ -393,6 +414,20 @@ def test_salted_band_join_salt_in_join_keys(spark):
         if ("Left keys" in ln or "Right keys" in ln) and "__salt" in ln
     ]
     assert key_lines, "salt column must appear in the sort-merge join keys"
+
+
+def test_span_and_doc_hash_splits_identical():
+    """q139's span-level incremental pass claims to partition the corpus
+    identically to q103's doc-level pass — the two hash-split SQL strings
+    live in different modules and must never drift."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.extensions import (
+        _INC_HASH,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.training import (
+        _HASH_SQL,
+    )
+
+    assert _INC_HASH == _HASH_SQL
 
 
 def test_gate_prefix_contract():

@@ -368,6 +368,12 @@ def docs_dir(tmp_path_factory):
             f"TO '{out}/part{i}.parquet' (FORMAT PARQUET)"
         )
         time.sleep(1.1)
+    # a 4th file with degenerate crawl records (no scorable pair): the
+    # gate must emit rows for these too, kept=False
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES (999001, 'solo'), (999002, '')) t(doc_id, text)) "
+        f"TO '{out}/part3.parquet' (FORMAT PARQUET)"
+    )
     yield str(out)
     shutil.rmtree(d, ignore_errors=True)
 
@@ -401,11 +407,17 @@ def test_lm_scored_stream_matches_batch(spark, docs_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_dir)
     )
-    rows = lm_scored_docs_stream(stream, bg, ug, v, min_avg_logp=-9.0)
+    # threshold at the median corpus score so BOTH gate outcomes occur
+    med = sorted(s for _n, s in batch.values())[len(batch) // 2]
+    rows = lm_scored_docs_stream(stream, bg, ug, v, min_avg_logp=med)
     assert len({e for e, *_ in rows}) >= 2, "expected multiple micro-batches"
-    got = {doc_id: (n, s) for _, doc_id, n, s, _k in rows}
+    got = {doc_id: (n, s) for _, doc_id, n, s, _k in rows if doc_id < 999000}
     assert got == batch
-    kept = {doc_id: k for _, doc_id, _n, s, k in rows}
+    kept = {doc_id: k for _, doc_id, _n, _s, k in rows}
     for _, doc_id, _n, s, k in rows:
-        assert k == (s >= -9.0)
-    assert any(kept.values()) or all(not k for k in kept.values())
+        if doc_id < 999000:
+            assert k == (s >= med), (doc_id, s, med)
+    assert any(kept.values()) and not all(kept.values()), "both outcomes"
+    # degenerate docs (no scorable pair) are present, unscored, rejected
+    deg = {doc_id: (n, s, k) for _, doc_id, n, s, k in rows if doc_id >= 999000}
+    assert deg == {999001: (0, None, False), 999002: (0, None, False)}, deg
