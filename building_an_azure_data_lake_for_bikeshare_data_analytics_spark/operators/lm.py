@@ -83,6 +83,66 @@ def lm_score_pairs(pairs: DataFrame, bg: DataFrame, ug: DataFrame, v: DataFrame)
     )
 
 
+def lm_dsir_score_pairs(
+    pairs: DataFrame,
+    target_model: tuple[DataFrame, DataFrame, DataFrame],
+    raw_model: tuple[DataFrame, DataFrame, DataFrame],
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document's
+    pair relation under TWO add-one-smoothed bigram LMs — one trained on a
+    high-quality *target* slice, one on the *raw* corpus — and emit the
+    per-pair mean log importance weight
+
+        dsir_logw = (sum log p_target(pair) - sum log p_raw(pair)) / n_pairs.
+
+    Positive = the target LM finds the doc more probable than the raw LM
+    does = target-like; curation pipelines resample with probability
+    proportional to exp(logw) (q108's weighted-sample machinery is the
+    resampling half).
+
+    Determinism: each per-pair log-prob is one ln() of an IEEE-identical
+    ratio of exact int64 counts quantized to DECIMAL(18,12) (the q138
+    discipline), so both per-doc sums AND their difference are exact
+    integer arithmetic — order- and partitioning-independent — before the
+    single double division + round-6.
+
+    Scale shape: ONE pass over the pair relation; all four count tables
+    are vocab-bounded equi-join sides and the two vocab scalars broadcast.
+    In production both models persist once (the target model is tiny) and
+    every ingest batch scores against them — same layout as the streaming
+    LM gate."""
+    bg_t, ug_t, v_t = target_model
+    bg_r, ug_r, v_r = raw_model
+
+    def lp(c12: str, c1: str, vsz: str):
+        return F.log(
+            (F.coalesce(F.col(c12), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col(c1), F.lit(0)) + F.col(vsz))
+        ).cast(DecimalType(18, 12))
+
+    term = (
+        pairs.join(bg_t.withColumnRenamed("c12", "c12_t"), ["w1", "w2"], "left")
+        .join(ug_t.withColumnRenamed("c1", "c1_t"), "w1", "left")
+        .join(bg_r.withColumnRenamed("c12", "c12_r"), ["w1", "w2"], "left")
+        .join(ug_r.withColumnRenamed("c1", "c1_r"), "w1", "left")
+        .crossJoin(F.broadcast(v_t.withColumnRenamed("vsz", "vsz_t")))
+        .crossJoin(F.broadcast(v_r.withColumnRenamed("vsz", "vsz_r")))
+        .select(
+            "doc_id",
+            lp("c12_t", "c1_t", "vsz_t").alias("lp_t"),
+            lp("c12_r", "c1_r", "vsz_r").alias("lp_r"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return term.groupBy("doc_id").agg(
+        n.cast("int").alias("n_pairs"),
+        F.round(F.sum("lp_t").cast("double") / n, 6).alias("avg_logp_target"),
+        F.round(F.sum("lp_r").cast("double") / n, 6).alias("avg_logp_raw"),
+        F.round((F.sum("lp_t") - F.sum("lp_r")).cast("double") / n, 6).alias("dsir_logw"),
+    )
+
+
 def lm_score_pairs_smoothed(
     pairs: DataFrame, bg: DataFrame, ug: DataFrame, v: DataFrame
 ) -> DataFrame:

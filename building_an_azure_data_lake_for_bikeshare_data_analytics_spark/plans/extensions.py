@@ -1582,6 +1582,79 @@ def q138(spark, sf):
     return lm_score_pairs(pairs, bg, ug, v)
 
 
+_DSIR_TARGET_LANG = "en"  # the "high-quality target domain" slice for q144
+
+
+@query(
+    "q144_dsir_weights",
+    rf"""WITH tok AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+                   FROM documents),
+       pairs AS MATERIALIZED (
+           SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+           FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+                 FROM tok WHERE len(ts) >= 2)),
+       tids AS (SELECT doc_id FROM tok WHERE lang = '{_DSIR_TARGET_LANG}'),
+       bg_r AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+       ug_r AS (SELECT t AS w1, count(*) AS c1
+                FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+       v_r AS (SELECT count(DISTINCT t) AS vsz
+               FROM (SELECT unnest(ts) AS t FROM tok)),
+       bg_t AS (SELECT w1, w2, count(*) AS c12
+                FROM pairs JOIN tids USING (doc_id) GROUP BY 1, 2),
+       ug_t AS (SELECT t AS w1, count(*) AS c1
+                FROM (SELECT unnest(ts) AS t FROM tok
+                      WHERE lang = '{_DSIR_TARGET_LANG}') GROUP BY 1),
+       v_t AS (SELECT count(DISTINCT t) AS vsz
+               FROM (SELECT unnest(ts) AS t FROM tok
+                     WHERE lang = '{_DSIR_TARGET_LANG}')),
+       term AS (
+           SELECT p.doc_id,
+                  CAST(ln((coalesce(bt.c12, 0) + 1) * 1.0
+                          / (coalesce(ut.c1, 0) + vt.vsz)) AS DECIMAL(18,12)) AS lp_t,
+                  CAST(ln((coalesce(br.c12, 0) + 1) * 1.0
+                          / (coalesce(ur.c1, 0) + vr.vsz)) AS DECIMAL(18,12)) AS lp_r
+           FROM pairs p
+           LEFT JOIN bg_t bt USING (w1, w2)
+           LEFT JOIN ug_t ut USING (w1)
+           LEFT JOIN bg_r br USING (w1, w2)
+           LEFT JOIN ug_r ur USING (w1)
+           CROSS JOIN v_t vt CROSS JOIN v_r vr)
+       SELECT doc_id,
+              CAST(count(*) AS INTEGER) AS n_pairs,
+              round(CAST(sum(lp_t) AS DOUBLE) / count(*), 6) AS avg_logp_target,
+              round(CAST(sum(lp_r) AS DOUBLE) / count(*), 6) AS avg_logp_raw,
+              round(CAST(sum(lp_t) - sum(lp_r) AS DOUBLE) / count(*), 6) AS dsir_logw
+       FROM term GROUP BY doc_id""",
+    tags=("text", "curation", "dsir", "importance-weight", "lm"),
+)
+def q144(spark, sf):
+    """DSIR importance weighting (Xie et al. 2023) — the data-selection
+    stage between quality scoring (q138) and resampling (q108): train the
+    q138 bigram LM twice, once on the '{lang}=en' target slice and once on
+    the raw corpus, and score every document's mean per-pair log
+    importance weight log p_target - log p_raw. Docs the target LM prefers
+    (positive dsir_logw) get up-weighted when drawing the training mix.
+
+    The whole computation is two instances of the q138 fit plus ONE
+    smoothed scoring pass over the shared checkpointed pair relation
+    (operators/lm.lm_dsir_score_pairs), so the oracle replays it with the
+    same exact-count/DECIMAL discipline; the sum DIFFERENCE is computed in
+    exact decimal before the single divide+round, not as a difference of
+    rounded averages.
+
+    Scale: the target slice is by construction small and its model tiny;
+    the raw model is the q138 one the pipeline already maintains. Both
+    persist; per-batch cost is the pair scan. (No reference counterpart —
+    SURVEY §2.6.)"""
+    from ..operators.lm import lm_dsir_score_pairs, lm_fit, lm_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = lm_pairs(d).localCheckpoint()
+    raw = lm_fit(d, pairs=pairs)
+    target = lm_fit(d.where(F.col("lang") == _DSIR_TARGET_LANG))
+    return lm_dsir_score_pairs(pairs, target, raw)
+
+
 def _semantic_lsh_oracle(threshold: float = 0.45) -> str:
     """DuckDB oracle for q100: the same deterministic hyperplanes as q40,
     same band packing, candidates = pairs sharing a band bucket, exact
