@@ -1447,6 +1447,110 @@ def q143(spark, sf):
     )
 
 
+def _probe_sigma_sql(z: str) -> str:
+    """The fast-sigmoid expression over a z sub-expression — e-notation
+    literals force DOUBLE in DuckDB (bare 0.5 is DECIMAL there, which
+    would silently switch the arithmetic class)."""
+    return f"0.5e0 + (0.5e0 * {z}) / (1.0e0 + abs({z}))"
+
+
+def _probe_z_sql(dim: int, walias: str = "w") -> str:
+    """Left-associative linear score — association order is part of the
+    cross-engine contract (mirrors operators.probe._z)."""
+    return f"{walias}.w0 + " + " + ".join(
+        f"{walias}.w{j} * f{j}" for j in range(1, dim + 1)
+    )
+
+
+def _probe_oracle(dim: int = 8, iters: int = 8, lr: float = 0.5) -> str:
+    """DuckDB oracle for q145: replays the ENTIRE logistic-probe fit —
+    floor-quantized features, every full-batch GD iteration (exact
+    DECIMAL(38,0) gradient sums of floor-quantized per-row terms, round-12
+    half-away weight updates), then the map-only scoring pass. Possible
+    because the fast-sigmoid link is pure +,*,/,abs — no exp() anywhere
+    (the q141 replay-the-fit pattern applied to a trained classifier)."""
+    feat_cols = ",\n             ".join(
+        f"floor(CAST(embedding[{j}] AS DOUBLE) * 1.0e6) / 1.0e6 AS f{j}"
+        for j in range(1, dim + 1)
+    )
+    blocks = [
+        f"""feat AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN label < 5 THEN 1.0e0 ELSE 0.0e0 END AS y,
+             {feat_cols}
+      FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM feat),
+    wt0 AS (SELECT {', '.join(f'0.0e0 AS w{j}' for j in range(dim + 1))})"""
+    ]
+    for i in range(1, iters + 1):
+        sig = _probe_sigma_sql("z")
+        gsums = ",\n             ".join(
+            f"sum(CAST(floor((({sig}) - y) * 1.0e9) AS DECIMAL(38,0))) AS g0"
+            if j == 0
+            else f"sum(CAST(floor(((({sig}) - y) * f{j}) * 1.0e9) AS DECIMAL(38,0))) AS g{j}"
+            for j in range(dim + 1)
+        )
+        wups = ",\n             ".join(
+            f"round(w.w{j} - ({lr!r}e0 * (CAST(g.g{j} AS DOUBLE) / 1.0e9)) / nn.n, 12) AS w{j}"
+            for j in range(dim + 1)
+        )
+        blocks.append(
+            f"""gt{i} AS MATERIALIZED (
+      SELECT {gsums}
+      FROM (SELECT y, {', '.join(f'f{j}' for j in range(1, dim + 1))},
+                   {_probe_z_sql(dim)} AS z
+            FROM feat CROSS JOIN wt{i - 1} w)),
+    wt{i} AS MATERIALIZED (
+      SELECT {wups}
+      FROM wt{i - 1} w CROSS JOIN gt{i} g CROSS JOIN nn)"""
+        )
+    sig_final = _probe_sigma_sql("z")
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT vec_id,
+           CAST(y AS INTEGER) AS label_true,
+           round({sig_final}, 6) AS score,
+           CAST(CASE WHEN round({sig_final}, 6) >= 0.5e0 THEN 1 ELSE 0 END
+                AS INTEGER) AS pred
+    FROM (SELECT vec_id, y, {_probe_z_sql(dim)} AS z
+          FROM feat CROSS JOIN wt{iters} w)"""
+    )
+
+
+@query(
+    "q145_logreg_probe",
+    _probe_oracle(),
+    tags=("embedding", "classifier", "logreg", "gd", "fit-replay"),
+)
+def q145(spark, sf):
+    """Linear-probe classifier over embeddings — the quality-classifier
+    stage of LLM curation (the fastText/DSIR discriminator role): predict
+    a binary target (label < 5) from the leading 8 embedding dims with
+    logistic regression fit by 8 full-batch GD iterations, the ENTIRE fit
+    replayed by the oracle.
+
+    Determinism: the fast-sigmoid link (0.5 + 0.5z/(1+|z|)) keeps every
+    step +,*,/,abs — no exp(); per-row gradient terms floor-quantize to
+    exact int64 summed as DECIMAL(38,0) (order-independent — partial
+    aggregation cannot flake the sums); weight updates are round-12
+    half-away on IEEE-identical doubles (operators/probe.py).
+
+    Scale shape: model state is 9 doubles on the driver; each GD
+    iteration is ONE map-side partial aggregate over the corpus (the
+    tree-aggregated-gradient layout mllib uses); scoring is map-only
+    against weight literals. The gate corpus's embeddings are near-uniform
+    noise, so the fitted probe is honestly weak there — the gate checks
+    the FIT arithmetic, not class separability (same posture as q56's
+    recall note)."""
+    from ..operators.probe import logreg_probe_fit, logreg_probe_score, probe_features
+
+    feats = probe_features(_t(spark, sf, "embeddings")).localCheckpoint()
+    w = logreg_probe_fit(feats)
+    return logreg_probe_score(feats, w)
+
+
 # q103's deterministic 80/20 hash split (training._doc_hash), restated so
 # the span-level incremental pass partitions the corpus identically
 _INC_HASH = "((doc_id % 100003) * 2654435761) % 1000"
