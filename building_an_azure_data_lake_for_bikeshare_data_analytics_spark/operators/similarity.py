@@ -475,6 +475,65 @@ def lsh_dup_pairs(
     )
 
 
+def semantic_dedup_cells(
+    emb: DataFrame,
+    centroids: list[list[int]],
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): assign every vector to its
+    nearest KMeans cell, compare pairs WITHIN each cell by exact cosine,
+    and keep one representative per near-dup relation — the
+    cluster-blocked alternative to hyperplane-LSH blocking (lsh_dup_pairs):
+    LSH recalls pairs that agree on sign bits, cells recall pairs that are
+    close in the learned cluster geometry (the paper's finding: semantic
+    dups concentrate inside k-means clusters of an embedding space).
+
+    Keep rule (deterministic lowest-id-wins, the q54/q137 keeper
+    discipline): a vector is dropped iff some LOWER-id vector in the same
+    cell scores round(cos,4) >= threshold against it. Returns every input
+    row as (vec_id, cell, kept 1/0).
+
+    Scale shape: cell assignment is map-only against centroid literals
+    (kmeans_fit trains on a bounded sample); the quadratic is confined to
+    within-cell pairs via one equi-join on the cell id over NARROW
+    (vec_id, cell) rows — embeddings and norms join back by id, once per
+    vector (the lsh_dup_pairs shuffle discipline). Production runs k
+    proportional to corpus size so cells stay ~constant-sized (the paper
+    uses 50k clusters for LAION); a hot cell is the same skew class as a
+    hot LSH band — the q128 salting applies unchanged."""
+    cells = emb.select(
+        "vec_id",
+        _argmax_cell(quantize_vec(F.col("embedding")), centroids).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    embn = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    ea, eb = embn.alias("ea"), embn.alias("eb")
+    cos = F.round(
+        dot(F.col("ea.embedding"), F.col("eb.embedding"))
+        / (F.col("ea.nrm") * F.col("eb.nrm")),
+        4,
+    )
+    dup = (
+        cand.join(ea, F.col("va") == F.col("ea.vec_id"))
+        .join(eb, F.col("vb") == F.col("eb.vec_id"))
+        .select(F.col("vb").alias("vec_id"), cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return cells.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.when(F.col("is_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Compressed-domain similarity: int8 scalar quantization
 # --------------------------------------------------------------------------

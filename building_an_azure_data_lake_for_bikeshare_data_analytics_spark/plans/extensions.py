@@ -1551,6 +1551,74 @@ def q145(spark, sf):
     return logreg_probe_score(feats, w)
 
 
+_SEMDEDUP_TAU = 0.45  # same verify threshold as the LSH variant (q100)
+
+
+def _semdedup_oracle(
+    k: int = 8, iters: int = 8, dim: int = 64, threshold: float = _SEMDEDUP_TAU
+) -> str:
+    """DuckDB oracle for q146: replays the kmeans fit (the q56 CTE chain
+    verbatim), the cell assignment, the within-cell pair comparison, and
+    the lowest-id-wins keep rule — the learned clusters are value-checked,
+    not just the final flags."""
+    cos = (
+        f"round({_DOT.format(a='ea.embedding', b='eb.embedding')}"
+        f" / (sqrt({_DOT.format(a='ea.embedding', b='ea.embedding')})"
+        f" * sqrt({_DOT.format(a='eb.embedding', b='eb.embedding')})), 4)"
+    )
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+    ptr AS MATERIALIZED (
+      SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT 100000),
+    {_kmeans_ctes(k, iters, dim)},
+    cand AS (
+      SELECT x.vec_id AS va, y.vec_id AS vb
+      FROM asn x JOIN asn y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+    dup AS (
+      SELECT DISTINCT c.vb AS vec_id
+      FROM cand c
+      JOIN pts ea ON ea.vec_id = c.va
+      JOIN pts eb ON eb.vec_id = c.vb
+      WHERE {cos} >= {threshold})
+    SELECT a.vec_id,
+           CAST(a.cell AS INTEGER) AS cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM asn a LEFT JOIN dup d USING (vec_id)"""
+
+
+@query(
+    "q146_semantic_dedup_cells",
+    _semdedup_oracle(),
+    tags=("dedup", "embedding", "semantic", "kmeans", "fit-replay"),
+)
+def q146(spark, sf):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup blocked by LEARNED
+    k-means cells instead of q100's literal hyperplane buckets: assign
+    every vector to its nearest cell (the q56 deterministic quantized
+    kmeans fit, fully oracle-replayed), compare only within-cell pairs by
+    exact cosine, drop a vector iff a lower-id cell-mate scores >= 0.45.
+    Emits every vector as (vec_id, cell, kept) — the curation gate's
+    keep/drop verdict plus WHICH semantic cluster it sits in.
+
+    The two blockers are complementary recall profiles: hyperplane bands
+    catch sign-pattern agreement, cells catch closeness in the learned
+    cluster geometry (the paper's observation that semantic dups
+    concentrate inside k-means clusters). Scale: quadratic confined to
+    within-cell narrow-row pairs; production scales k with the corpus
+    (SemDeDup uses 50k clusters for LAION) so cells stay bounded; a hot
+    cell is the q128 skew class, same salting applies. See
+    operators/similarity.semantic_dedup_cells."""
+    from ..operators.similarity import kmeans_fit, semantic_dedup_cells
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=8, max_iter=8)
+    return semantic_dedup_cells(emb, cents, threshold=_SEMDEDUP_TAU)
+
+
 # q103's deterministic 80/20 hash split (training._doc_hash), restated so
 # the span-level incremental pass partitions the corpus identically
 _INC_HASH = "((doc_id % 100003) * 2654435761) % 1000"
