@@ -502,10 +502,15 @@ def semantic_dedup_cells(
     proportional to corpus size so cells stay ~constant-sized (the paper
     uses 50k clusters for LAION); a hot cell is the same skew class as a
     hot LSH band — the q128 salting applies unchanged."""
+    # the narrow (vec_id, cell) relation is referenced three times (both
+    # pair sides + the final flag join); localCheckpoint runs the k x dim
+    # assignment expression ONCE per vector instead of three times
+    # (measured on the 40k stress corpus; at production scale the
+    # assignment table persists alongside the IVF index anyway)
     cells = emb.select(
         "vec_id",
         _argmax_cell(quantize_vec(F.col("embedding")), centroids).alias("cell"),
-    )
+    ).localCheckpoint()
     a, b = cells.alias("a"), cells.alias("b")
     cand = a.join(
         b,

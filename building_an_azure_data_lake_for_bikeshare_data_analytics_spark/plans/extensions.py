@@ -1552,10 +1552,15 @@ def q145(spark, sf):
 
 
 _SEMDEDUP_TAU = 0.45  # same verify threshold as the LSH variant (q100)
+# SemDeDup's scale lever is the CLUSTER COUNT: within-cell pairs ~ n^2/2k,
+# so k must grow with the corpus (the paper uses 50k cells for LAION).
+# k=8 measured 181.7 s on the 40k-vector stress corpus (~100M pairs);
+# k=64 bounds it to ~12.5M pairs — see SCALE_NOTES.
+_SEMDEDUP_K = 64
 
 
 def _semdedup_oracle(
-    k: int = 8, iters: int = 8, dim: int = 64, threshold: float = _SEMDEDUP_TAU
+    k: int = _SEMDEDUP_K, iters: int = 8, dim: int = 64, threshold: float = _SEMDEDUP_TAU
 ) -> str:
     """DuckDB oracle for q146: replays the kmeans fit (the q56 CTE chain
     verbatim), the cell assignment, the within-cell pair comparison, and
@@ -1598,9 +1603,10 @@ def _semdedup_oracle(
 def q146(spark, sf):
     """SemDeDup (Abbas et al. 2023) — semantic dedup blocked by LEARNED
     k-means cells instead of q100's literal hyperplane buckets: assign
-    every vector to its nearest cell (the q56 deterministic quantized
-    kmeans fit, fully oracle-replayed), compare only within-cell pairs by
-    exact cosine, drop a vector iff a lower-id cell-mate scores >= 0.45.
+    every vector to its nearest of 64 cells (the q56 deterministic
+    quantized kmeans fit, fully oracle-replayed), compare only
+    within-cell pairs by exact cosine, drop a vector iff a lower-id
+    cell-mate scores >= 0.45.
     Emits every vector as (vec_id, cell, kept) — the curation gate's
     keep/drop verdict plus WHICH semantic cluster it sits in.
 
@@ -1615,7 +1621,7 @@ def q146(spark, sf):
     from ..operators.similarity import kmeans_fit, semantic_dedup_cells
 
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_fit(emb, k=8, max_iter=8)
+    cents = kmeans_fit(emb, k=_SEMDEDUP_K, max_iter=8)
     return semantic_dedup_cells(emb, cents, threshold=_SEMDEDUP_TAU)
 
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from .base import REGISTRY, QuerySpec, QueryFn  # noqa: F401
 from . import core  # noqa: F401  (registers q01-q30)
-from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128, q135/q137-q139)
+from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128, q135/q137-q139, q144-q146)
 from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q127, q134, q136)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113)
@@ -34,17 +34,20 @@ from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
 #      (detect / keeper-preserving clean / incremental batch-vs-corpus),
 #      q136 (histogram quantiles — the value-checkable percentile that
 #      retires q81 from the gate the way q134 retired q46), q138
-#      (bigram-LM perplexity quality scoring), and the embedding-prep
+#      (bigram-LM perplexity quality scoring), the embedding-prep
 #      family q140-q143 (exact covariance + its BLAS twin + power-method
 #      top-PC and deflated two-component projections, all fully
-#      oracle-replayed);
+#      oracle-replayed), and the late-r4 curation trio q144 (DSIR
+#      importance weights), q145 (GD-fit logistic probe, fit
+#      oracle-replayed), q146 (SemDeDup cell-blocked semantic dedup);
 #   3. the stalest evidence: the q01-q22 reference-parity template family
 #      + q23 decimal + q54/q62/q66/q69 (all last green r1, three rounds
 #      ago);
-#   4. 12 r2-green queries covering the widest distinct surface among the
-#      r2 cohort: sessionize/pivot/JSON/asof/SQL-entry/percentile/graph +
-#      the fold twins of the kernels above (q37/q43/q56 also re-anchor
-#      the twin pairs in the same gate round).
+#   4. r2-green queries covering the widest distinct surface among the
+#      r2 cohort: the fold twins of the kernels above (q37/q43/q56
+#      re-anchor the twin pairs in the same gate round) + the LSH/CC
+#      verify chain q73/q98 (q57/q58/q67 were bumped to make room for
+#      q144-q146 and join the r5 cohort with the rest).
 # Deliberately NEVER in the prefix: q46/q81 — genuinely engine-private
 # sketch values (HLL / GK percentile); their value-checkable stand-ins
 # q134/q136 and exact twins q45/q67 carry the evidence. Remaining r2-green
@@ -69,6 +72,9 @@ _PRIORITY: tuple[str, ...] = (
     "q141_pca_project",
     "q142_embedding_covariance_vectorized",
     "q143_pca_project2",
+    "q144_dsir_weights",
+    "q145_logreg_probe",
+    "q146_semantic_dedup_cells",
     # -- 3: stalest (last green r1) --
     "q01_avg_price_by_dow",
     "q02_sum_price_by_dow",
@@ -107,9 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "q37_minhash_lsh_pairs",
     "q43_embedding_dup_pairs",
     "q56_ivf_ann",
-    "q57_sql_cte_subquery",
-    "q58_asof_last_order",
-    "q67_value_percentiles",
     "q73_dup_components",
     "q98_lsh_verified_pairs",
 )

@@ -445,3 +445,37 @@ def test_gate_prefix_contract():
     assert list(QUERIES)[:50] == list(_PRIORITY)
     missing = [n for n in _PRIORITY if n not in ORACLES]
     assert not missing, f"prefix entries without oracle SQL: {missing}"
+
+
+def test_dsir_scoring_single_pass(spark):
+    """q144: the checkpointed pair relation is scanned ONCE (ExistingRDD)
+    and every LM count-table join broadcasts (vocab-bounded sides) — the
+    corpus-sized pair relation must never sort-merge or re-tokenize in
+    the scoring pass."""
+    plan = _plan(spark, "q144_dsir_weights")
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_logreg_scoring_map_only(spark):
+    """q145: after the (bounded-state) GD fit, scoring must be a pure
+    projection against weight literals — no Exchange, no join (the q141
+    map-only contract for learned-parameter application)."""
+    plan = _plan(spark, "q145_logreg_probe")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed feature relation
+
+
+def test_semdedup_pair_join_keyed_on_cell(spark):
+    """q146: the within-cell pair comparison must be an equi-join keyed on
+    the cell id (the cluster-blocking contract — an unkeyed pair join
+    would be the all-pairs scale bug), with no cartesian product anywhere."""
+    plan = _plan(spark, "q146_semantic_dedup_cells")
+    assert "CartesianProduct" not in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ("Left keys" in ln or "Right keys" in ln) and "cell" in ln
+    ]
+    assert key_lines, "cell id must appear in the pair join keys"
