@@ -475,10 +475,51 @@ def lsh_dup_pairs(
     )
 
 
+def assign_cells_vectorized(
+    emb: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-cell assignment through a numpy int64 kernel — the
+    deployment twin of the `_argmax_cell` Column expression, which
+    Catalyst cannot codegen at useful k (64 centroids x 64-dim folds
+    measured 24.0 s for 40k rows vs sub-second here; SCALE_NOTES).
+
+    Value-identical to the fold BY CONSTRUCTION, not luck: the dots are
+    exact int64 (quantized vectors x integer centroids — integer matmul
+    has no summation-order sensitivity), each score is the same single
+    CAST-to-double divide by sqrt(|c|^2), and argmax's first-max tie rule
+    matches the fold's (s, -j) struct max — lowest cell wins ties. Same
+    twin contract as q142's covariance kernel: the kernel can carry the
+    fold's oracle verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(centroids, dtype=np.int64)  # (k, dim)
+    nrm = np.sqrt((C * C).sum(axis=1).astype(np.float64))  # (k,)
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.floor(
+                np.array([list(e) for e in pdf[vec_col]], dtype=np.float64)
+                * float(QUANT_SCALE)
+            ).astype(np.int64)
+            scores = (X @ C.T).astype(np.float64) / nrm[None, :]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": scores.argmax(axis=1).astype("int32")}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(part, f"{id_col} long, cell int")
+
+
 def semantic_dedup_cells(
     emb: DataFrame,
     centroids: list[list[int]],
     threshold: float = 0.45,
+    vectorized: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): assign every vector to its
@@ -504,13 +545,18 @@ def semantic_dedup_cells(
     hot LSH band — the q128 salting applies unchanged."""
     # the narrow (vec_id, cell) relation is referenced three times (both
     # pair sides + the final flag join); localCheckpoint runs the k x dim
-    # assignment expression ONCE per vector instead of three times
-    # (measured on the 40k stress corpus; at production scale the
-    # assignment table persists alongside the IVF index anyway)
-    cells = emb.select(
-        "vec_id",
-        _argmax_cell(quantize_vec(F.col("embedding")), centroids).alias("cell"),
-    ).localCheckpoint()
+    # assignment ONCE per vector instead of three times (measured on the
+    # 40k stress corpus; at production scale the assignment table
+    # persists alongside the IVF index anyway). vectorized=True swaps the
+    # Column-fold assignment for the value-identical int64 numpy kernel
+    # (assign_cells_vectorized) — the deployment path at real k.
+    if vectorized:
+        cells = assign_cells_vectorized(emb, centroids).localCheckpoint()
+    else:
+        cells = emb.select(
+            "vec_id",
+            _argmax_cell(quantize_vec(F.col("embedding")), centroids).alias("cell"),
+        ).localCheckpoint()
     a, b = cells.alias("a"), cells.alias("b")
     cand = a.join(
         b,

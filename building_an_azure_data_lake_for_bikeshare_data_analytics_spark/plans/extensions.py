@@ -1625,6 +1625,88 @@ def q146(spark, sf):
     return semantic_dedup_cells(emb, cents, threshold=_SEMDEDUP_TAU)
 
 
+@query(
+    "q147_semantic_dedup_cells_vectorized",
+    _semdedup_oracle(),  # q146's oracle VERBATIM: int64 cell dots are
+    # exact whatever computes them (the q142 twin contract)
+    tags=("dedup", "embedding", "semantic", "kmeans", "vectorized"),
+)
+def q147(spark, sf):
+    """q146 with the cell assignment through the numpy int64 kernel
+    (operators/similarity.assign_cells_vectorized) — the deployment path:
+    Catalyst interprets (cannot codegen) the 64-centroid x 64-dim fold
+    expression at ~600 us/row (24.0 s for the 40k stress corpus), while
+    the kernel's exact int64 matmul is sub-second for the same rows.
+    Value-identical by construction — integer dots have no
+    summation-order sensitivity, the divide and the argmax tie rule are
+    the fold's — so it carries q146's oracle verbatim and the gate checks
+    it value-for-value (not a rows-only twin)."""
+    from ..operators.similarity import kmeans_fit, semantic_dedup_cells
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, k=_SEMDEDUP_K, max_iter=8)
+    return semantic_dedup_cells(emb, cents, threshold=_SEMDEDUP_TAU, vectorized=True)
+
+
+@query(
+    "q148_char_entropy",
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                 FROM documents),
+       cnt AS (SELECT doc_id, ch, count(*) AS c
+               FROM ch WHERE ch <> '' GROUP BY 1, 2),
+       term AS (SELECT doc_id, c,
+                       CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                            AS DECIMAL(18,10)) AS t
+                FROM cnt)
+       SELECT doc_id,
+              CAST(sum(c) AS INTEGER) AS n_chars,
+              round(log2(CAST(sum(c) AS DOUBLE))
+                    - CAST(sum(t) AS DOUBLE) / sum(c), 6) AS entropy
+       FROM term GROUP BY doc_id""",
+    tags=("text", "quality", "entropy"),
+)
+def q148(spark, sf):
+    """Per-document Shannon character entropy — the classic gibberish /
+    boilerplate detector (encoding noise and base64 blobs score near the
+    uniform-alphabet maximum, keyboard-mash and repeated-char spam score
+    far below a language's ~4.0-4.5 bits/char band; pipelines band-pass
+    on it next to q32's ratio signals and q138's LM score).
+
+    Computed as entropy = log2(n) - (sum c*log2(c))/n over exact character
+    counts, so the ONLY aggregation over floats is the per-doc sum of
+    c*log2(c) terms quantized to DECIMAL(18,10) (the q138 discipline —
+    order/partition-independent); log2 is the accepted 1-ulp libm class
+    (q83/q138 precedent). Char segmentation via split('') matches DuckDB
+    code-point splitting for BMP text (the q62/q131 BPE equivalence,
+    gate-green three rounds).
+
+    Scale shape: the char explode compacts immediately in the map-side
+    partial agg (distinct (doc, char) pairs are alphabet-bounded per doc);
+    both aggregates are standard partial+final hash aggs keyed by doc —
+    no window, no join, no driver state."""
+    from pyspark.sql.types import DecimalType
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    ch = d.select("doc_id", F.explode(F.split("text", "")).alias("ch")).where(
+        F.col("ch") != ""
+    )
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    term = cnt.select(
+        "doc_id",
+        "c",
+        (F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+        .cast(DecimalType(18, 10))
+        .alias("t"),
+    )
+    n = F.sum("c")
+    return term.groupBy("doc_id").agg(
+        n.cast("int").alias("n_chars"),
+        F.round(F.log2(n.cast("double")) - F.sum("t").cast("double") / n, 6).alias(
+            "entropy"
+        ),
+    )
+
+
 # q103's deterministic 80/20 hash split (training._doc_hash), restated so
 # the span-level incremental pass partitions the corpus identically
 _INC_HASH = "((doc_id % 100003) * 2654435761) % 1000"

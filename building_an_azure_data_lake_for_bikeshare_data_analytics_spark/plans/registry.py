@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from .base import REGISTRY, QuerySpec, QueryFn  # noqa: F401
 from . import core  # noqa: F401  (registers q01-q30)
-from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128, q135/q137-q139, q144-q146)
+from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128, q135/q137-q139, q144-q148)
 from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q127, q134, q136)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113)
@@ -37,17 +37,20 @@ from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
 #      (bigram-LM perplexity quality scoring), the embedding-prep
 #      family q140-q143 (exact covariance + its BLAS twin + power-method
 #      top-PC and deflated two-component projections, all fully
-#      oracle-replayed), and the late-r4 curation trio q144 (DSIR
+#      oracle-replayed), and the late-r4 curation heads q144 (DSIR
 #      importance weights), q145 (GD-fit logistic probe, fit
-#      oracle-replayed), q146 (SemDeDup cell-blocked semantic dedup);
+#      oracle-replayed), q146/q147 (SemDeDup cell-blocked semantic
+#      dedup: Column-fold + its value-identical int64 kernel twin,
+#      both carrying the same full oracle), q148 (character-entropy
+#      quality signal);
 #   3. the stalest evidence: the q01-q22 reference-parity template family
 #      + q23 decimal + q54/q62/q66/q69 (all last green r1, three rounds
 #      ago);
 #   4. r2-green queries covering the widest distinct surface among the
 #      r2 cohort: the fold twins of the kernels above (q37/q43/q56
-#      re-anchor the twin pairs in the same gate round) + the LSH/CC
-#      verify chain q73/q98 (q57/q58/q67 were bumped to make room for
-#      q144-q146 and join the r5 cohort with the rest).
+#      re-anchor the twin pairs in the same gate round); q57/q58/q67/
+#      q73/q98 were bumped to make room for q144-q148 and join the r5
+#      cohort with the rest.
 # Deliberately NEVER in the prefix: q46/q81 — genuinely engine-private
 # sketch values (HLL / GK percentile); their value-checkable stand-ins
 # q134/q136 and exact twins q45/q67 carry the evidence. Remaining r2-green
@@ -75,6 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     "q144_dsir_weights",
     "q145_logreg_probe",
     "q146_semantic_dedup_cells",
+    "q147_semantic_dedup_cells_vectorized",
+    "q148_char_entropy",
     # -- 3: stalest (last green r1) --
     "q01_avg_price_by_dow",
     "q02_sum_price_by_dow",
@@ -103,18 +108,14 @@ _PRIORITY: tuple[str, ...] = (
     "q62_bpe_token_count",
     "q66_doc_chunks",
     "q69_source_stats",
-    # -- 4: stale r2 cohort, widest distinct surface + twin anchors
-    # (dropped to make room for the nine new r4 queries: q42 — its F2/A3
-    # surface is r3-green via q25 and r2-green via q96; q47 — lag-window
-    # surface rides q48/q126's family; q45 — distinct-agg surface rides
-    # q134 here; q48/q49/q50/q51 — sessionize/pivot/JSON/pricing, all
-    # r2-green and due anyway at their 2-round limit; all seven form the
-    # core of the r5 prefix with the rest of the r2 cohort) --
+    # -- 4: stale r2 cohort twin anchors (everything else r2-green was
+    # bumped to make room for the fourteen new r4 queries q135-q148:
+    # q42/q45/q47/q48/q49/q50/q51 and q57/q58/q67/q73/q98 — their
+    # surfaces ride this round's families where noted in the header
+    # comment, and ALL of them form the core of the r5 prefix) --
     "q37_minhash_lsh_pairs",
     "q43_embedding_dup_pairs",
     "q56_ivf_ann",
-    "q73_dup_components",
-    "q98_lsh_verified_pairs",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

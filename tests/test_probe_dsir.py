@@ -136,3 +136,35 @@ def test_semdedup_keep_rule_exact(spark, semdedup_rows):
                     has_dup = True
                     break
             assert kept[vb] == (0 if has_dup else 1), (cell, vb)
+
+
+def test_semdedup_kernel_twin_row_identical(spark, semdedup_rows):
+    """q147 (numpy int64 assignment kernel) must be ROW-IDENTICAL to q146
+    (Column-fold assignment) — the exact-integer twin contract that lets
+    it carry q146's oracle verbatim."""
+    kernel = QUERIES["q147_semantic_dedup_cells_vectorized"](spark, SF_SMOKE).collect()
+    key = lambda r: (r["vec_id"], r["cell"], r["kept"])
+    assert sorted(map(key, kernel)) == sorted(map(key, semdedup_rows))
+
+
+# --------------------------------------------------------------------------
+# q148 character entropy
+# --------------------------------------------------------------------------
+
+def test_char_entropy_matches_direct_computation(spark):
+    """Recompute entropy from raw text (smoke scale) and compare to the
+    engine's exact-count formulation; bounds: 0 <= H <= log2(alphabet)."""
+    import math
+    from collections import Counter
+
+    rows = {r["doc_id"]: r for r in QUERIES["q148_char_entropy"](spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        cnt = Counter(d["text"])
+        n = sum(cnt.values())
+        h = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        r = rows[d["doc_id"]]
+        assert r["n_chars"] == n
+        assert abs(r["entropy"] - h) < 1e-4, d["doc_id"]
+        assert 0.0 <= r["entropy"] <= math.log2(len(cnt)) + 1e-9
