@@ -168,3 +168,47 @@ def test_char_entropy_matches_direct_computation(spark):
         assert r["n_chars"] == n
         assert abs(r["entropy"] - h) < 1e-4, d["doc_id"]
         assert 0.0 <= r["entropy"] <= math.log2(len(cnt)) + 1e-9
+
+
+# --------------------------------------------------------------------------
+# partitioning invariance — the determinism claims under actual replans
+# --------------------------------------------------------------------------
+
+def test_probe_fit_invariant_under_repartition(spark):
+    """The probe fit's gradient sums are exact DECIMAL of int64 terms, so
+    the learned weights must be bit-identical under any partitioning —
+    the claim a 1000-executor cluster depends on."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.probe import (
+        logreg_probe_fit,
+        probe_features,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    w1 = logreg_probe_fit(probe_features(emb.repartition(3)).localCheckpoint())
+    w2 = logreg_probe_fit(probe_features(emb.repartition(13)).localCheckpoint())
+    assert w1 == w2
+
+
+def test_dsir_invariant_under_repartition(spark):
+    """Both LM fits and the scoring pass ride exact integer counts and
+    DECIMAL sums — identical weights whatever the partitioning."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.lm import (
+        lm_dsir_score_pairs,
+        lm_fit,
+        lm_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+
+    def run(dd):
+        pairs = lm_pairs(dd).localCheckpoint()
+        raw = lm_fit(dd, pairs=pairs)
+        tgt = lm_fit(dd.where(F.col("lang") == "en"))
+        rows = lm_dsir_score_pairs(pairs, tgt, raw).collect()
+        return sorted((r["doc_id"], r["n_pairs"], r["dsir_logw"]) for r in rows)
+
+    assert run(d.repartition(3)) == run(d.repartition(13))
