@@ -421,3 +421,50 @@ def lm_scored_docs_stream(
     q = writer.start()
     q.awaitTermination()
     return out
+
+
+def semantic_dedup_stream(
+    emb_stream: DataFrame,
+    centroids: list[list[int]],
+    index: DataFrame,
+    threshold: float = 0.45,
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """Streaming SemDeDup ingestion gate: each micro-batch of incoming
+    embeddings is cell-assigned (the q147 int64 kernel) and compared only
+    against the STATIC cleaned-corpus cell index
+    (operators/similarity.build_cell_index — persisted once per corpus
+    refresh, like the LM gate's count tables); a vector is rejected iff a
+    same-cell corpus vector scores round(cos,4) >= threshold.
+
+    Same contract as lm_scored_docs_stream: batch members are never
+    compared to each other, so a vector's verdict depends only on itself
+    and the static index — the union of all micro-batch outputs EQUALS
+    the batch scoring of the same vectors regardless of chunking (the
+    parity test's exact-equality contract). Kept vectors join the index
+    at the NEXT corpus refresh (the q103/q139 append-only incremental
+    posture), not mid-stream — deliberate: mid-stream index growth would
+    make verdicts chunking-dependent.
+
+    Returns (epoch_id, vec_id, cell, n_candidates, max_cos, kept) rows.
+    """
+    from ..operators.similarity import semantic_dedup_against_index
+
+    out: list[tuple] = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        for r in semantic_dedup_against_index(
+            batch_df, centroids, index, threshold
+        ).collect():
+            out.append(
+                (epoch_id, r["vec_id"], r["cell"], r["n_candidates"], r["max_cos"], r["kept"])
+            )
+
+    writer = emb_stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out

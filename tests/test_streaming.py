@@ -421,3 +421,77 @@ def test_lm_scored_stream_matches_batch(spark, docs_dir):
     # degenerate docs (no scorable pair) are present, unscored, rejected
     deg = {doc_id: (n, s, k) for _, doc_id, n, s, k in rows if doc_id >= 999000}
     assert deg == {999001: (0, None, False), 999002: (0, None, False)}, deg
+
+
+@pytest.fixture(scope="module")
+def emb_stream_dir(tmp_path_factory):
+    """Stage the 20% hash-tail of the embeddings table as 3 parquet chunk
+    files (the incoming crawl batches), plus a planted copy of a CORPUS
+    vector under a new id — the near-dup the gate must reject."""
+    import time
+
+    import duckdb
+
+    d = tmp_path_factory.mktemp("emb_stream")
+    out = d / "emb"
+    out.mkdir()
+    con = duckdb.connect()
+    src = f"{SF_SMOKE}/embeddings.parquet"
+    con.execute(
+        f"CREATE TABLE ee AS SELECT vec_id, embedding FROM read_parquet('{src}') "
+        f"WHERE vec_id % 5 = 0 ORDER BY vec_id"
+    )
+    n = con.execute("SELECT count(*) FROM ee").fetchone()[0]
+    step = (n + 2) // 3
+    for i in range(3):
+        extra = (
+            f" UNION ALL SELECT 999001 AS vec_id, embedding FROM read_parquet('{src}') WHERE vec_id = 1"
+            if i == 2
+            else ""
+        )
+        con.execute(
+            f"COPY (SELECT * FROM (SELECT * FROM ee ORDER BY vec_id LIMIT {step} OFFSET {i * step}){extra}) "
+            f"TO '{out}/part{i}.parquet' (FORMAT PARQUET)"
+        )
+        time.sleep(1.1)
+    yield str(out)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_semantic_dedup_stream_matches_batch(spark, emb_stream_dir):
+    """The streaming SemDeDup gate must produce EXACTLY the batch verdicts
+    regardless of micro-batch chunking (a vector's verdict depends only on
+    itself and the static cell index), and the planted corpus-copy must be
+    rejected while novel vectors pass."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        build_cell_index,
+        kmeans_fit,
+        semantic_dedup_against_index,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        semantic_dedup_stream,
+    )
+
+    emb = read_parquet_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    corpus = emb.where("vec_id % 5 != 0")
+    cents = kmeans_fit(corpus, k=16, max_iter=4)
+    index = build_cell_index(corpus, cents).localCheckpoint()
+
+    incoming = spark.read.parquet(emb_stream_dir)
+    batch = {
+        r["vec_id"]: (r["cell"], r["n_candidates"], r["max_cos"], r["kept"])
+        for r in semantic_dedup_against_index(incoming, cents, index).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_stream_dir)
+    )
+    rows = semantic_dedup_stream(stream, cents, index)
+    assert len({e for e, *_ in rows}) >= 2, "expected multiple micro-batches"
+    got = {vec_id: (c, n, m, k) for _, vec_id, c, n, m, k in rows}
+    assert got == batch
+    assert got[999001][3] is False, "planted corpus copy must be rejected"
+    kept_vals = [k for *_, k in rows]
+    assert any(kept_vals) and not all(kept_vals), "both outcomes"
