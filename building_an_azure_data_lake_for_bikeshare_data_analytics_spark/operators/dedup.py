@@ -105,8 +105,12 @@ def shingle_sets(docs_tokens: DataFrame, shingle_n: int = 3) -> DataFrame:
 
 def _banded_signatures(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc_id, shingle) -> exploded (doc_id, band, sig) band-bucket rows."""
+    return _bands_from_sigs(minhash_signature(sh, num_hashes), num_hashes, bands)
+
+
+def _bands_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, h0..h{k-1}) signature rows -> exploded (doc_id, band, sig)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(sh, num_hashes)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -186,6 +190,60 @@ def minhash_lsh_candidates_salted(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+def minhash_jaccard_estimates(
+    docs_tokens: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per LSH-candidate pair, the MinHash Jaccard ESTIMATE next to the
+    exact value — the sketch-calibration operator: est = (#agreeing
+    signature components)/k, exact = |A∩B|/|A∪B| restricted to candidates.
+
+    At 100 TB the exact column is what you sample to validate a corpus
+    before trusting the estimate for thresholding; here both are computed
+    for every candidate so the estimator's error is a first-class, gated
+    relation (E[est] = J and Var = J(1-J)/k per pair under the
+    permutation-min model).
+
+    Shape: signatures and the (doc, shingle) relation are localCheckpointed
+    once each — sigs feed BOTH the band join and the component comparison,
+    sh feeds the signature build and both sides of the exact verify (the
+    q135-measured rule: checkpoint any relation with >=2 shuffle
+    consumers). No all-pairs stage anywhere: candidates come from band
+    buckets, exact Jaccard joins only candidate pairs.
+    """
+    sh = shingle_sets(docs_tokens, shingle_n).localCheckpoint()
+    sigs = minhash_signature(sh, num_hashes).localCheckpoint()
+    banded = _bands_from_sigs(sigs, num_hashes, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)])
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(num_hashes)
+    )
+    # est is matches / num_hashes with num_hashes a power of two -- an exact
+    # dyadic rational, bit-identical in any engine, so the estimate column
+    # needs no rounding
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
+    )
+    exact = _verify_jaccard(cand, sh, threshold=0.0).withColumnRenamed(
+        "jaccard", "exact_jaccard"
+    )
+    return est.join(exact, ["doc_a", "doc_b"])
 
 
 def lsh_verified_jaccard_pairs(

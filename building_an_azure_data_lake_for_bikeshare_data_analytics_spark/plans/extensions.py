@@ -262,6 +262,79 @@ def q128(spark, sf):
     return minhash_lsh_candidates_salted(docs, num_hashes=32, bands=16, n_salts=8)
 
 
+def _minhash_estimate_oracle(num_hashes: int = 32, bands: int = 16) -> str:
+    """DuckDB oracle for q153: q37's hash family and band join, then per
+    candidate pair the component-agreement estimate NEXT TO the exact
+    candidate-restricted Jaccard (both engines compute the identical md5
+    signatures, so even the estimator's error is value-checkable)."""
+    r = num_hashes // bands
+    mins = ",\n                 ".join(
+        f"min((b1 + {j} * b2) % 2147483647) AS h{j}" for j in range(num_hashes)
+    )
+    band_selects = "\n           UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat({sig}) AS sig FROM sigs".format(
+            b=b,
+            sig=", ':', ".join(f"h{b * r + k}" for k in range(r)),
+        )
+        for b in range(bands)
+    )
+    match_terms = " + ".join(
+        f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(num_hashes)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL},
+         bases AS (SELECT doc_id,
+                          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS b1,
+                          CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT)
+                              % 36028797018963968 AS b2
+                   FROM sh),
+         sigs AS MATERIALIZED (SELECT doc_id,
+                 {mins}
+                  FROM bases GROUP BY doc_id),
+         banded AS ({band_selects}),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         est AS (SELECT doc_a, doc_b,
+                        CAST({match_terms} AS DOUBLE) / {num_hashes} AS est_jaccard
+                 FROM cand
+                 JOIN sigs sa ON doc_a = sa.doc_id
+                 JOIN sigs sb ON doc_b = sb.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.doc_a
+                   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                   GROUP BY 1, 2)
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           round(i / (na.n + nb.n - i), 4) AS exact_jaccard
+    FROM est e
+    JOIN inter USING (doc_a, doc_b)
+    JOIN sizes na ON e.doc_a = na.doc_id
+    JOIN sizes nb ON e.doc_b = nb.doc_id"""
+
+
+@query(
+    "q153_minhash_jaccard_estimate",
+    _minhash_estimate_oracle(),
+    tags=("dedup", "minhash", "sketch", "calibration"),
+)
+def q153(spark, sf):
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    Jaccard estimate (agreeing components / 32 — an exact dyadic rational,
+    so no rounding seam) NEXT TO the exact candidate-restricted Jaccard.
+    This is the relation you sample at 100 TB to pick the dedup threshold:
+    the estimator is unbiased with per-pair std sqrt(J(1-J)/k), and gating
+    both columns together makes the error itself reproducible evidence
+    (tests pin |est - exact| within the 4-sigma envelope). Signatures and
+    the shingle relation are each localCheckpointed once and feed all
+    downstream stages (operators/dedup.minhash_jaccard_estimates)."""
+    from ..operators.dedup import minhash_jaccard_estimates
+
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    return minhash_jaccard_estimates(docs, num_hashes=32, bands=16)
+
+
 @query(
     "q98_lsh_verified_pairs",
     # the EXHAUSTIVE exact-Jaccard oracle (same SQL as q36): value equality
@@ -473,6 +546,50 @@ def q40(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return lsh_topk(emb, qs, k=5, planes=_PLANES, bands=2)
+
+
+@query(
+    "q154_ann_recall",
+    f"""WITH ex AS ({_BRUTE_TOPK_ORACLE}),
+         ap AS ({_lsh_oracle()})
+    SELECT query_id, hits, CAST(hits AS DOUBLE) / 5 AS recall_at_5
+    FROM (SELECT e.query_id, count(a.neighbor_id) AS hits
+          FROM ex e LEFT JOIN ap a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY 1)
+    ORDER BY query_id""",
+    tags=("similarity", "ann", "recall", "evaluation"),
+)
+def q154(spark, sf):
+    """ANN quality as a first-class relation: per-query recall@5 of the
+    LSH index (q40) against the exact top-5 (q39) — the evaluation join a
+    deployment runs on a sampled query set before trusting an index, made
+    a gated operator so index-quality numbers are reproducible evidence
+    rather than log lines (SCALE_NOTES reports stress-scale recall from
+    exactly this computation; both inputs carry full oracles, so their
+    composition does too).
+
+    Shape: both sides are per-query top-5 relations (tiny — 5 rows per
+    sampled query regardless of corpus size); the overlap count is a
+    broadcast-joinable equi-join on (query_id, neighbor_id) and the
+    recall division by the literal k is exact."""
+    exact = q39(spark, sf).select("query_id", "neighbor_id")
+    approx = q40(spark, sf).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qids = exact.select("query_id").distinct()
+    return (
+        qids.join(hits, "query_id", "left_outer")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+        .withColumn("recall_at_5", F.col("hits").cast("double") / F.lit(5))
+        .orderBy("query_id")
+    )
 
 
 @query(

@@ -1,0 +1,365 @@
+"""Lakehouse table-maintenance and analytics extensions (q149-q152).
+
+The reference pipeline rebuilds its gold tables with full overwrites
+(SURVEY.md §2.1 S2/S3 — ``mode("overwrite")`` per notebook cell); a
+production lake at 100 TB cannot afford that, so this module adds the
+incremental-maintenance operators a real deployment layers on top:
+
+* q149 — CDC MERGE (upsert): apply a small change batch to a large fact
+  without shuffling the fact. The Delta-style ``MERGE INTO`` is
+  re-expressed as two broadcast hash joins (matched-update via left-outer,
+  insert detection via broadcast anti on the *matched key set*, never the
+  base table) — zero Exchange on the base relation.
+* q150 — SCD Type-2 history build: effective-dated attribute versions from
+  an event log via lag/lead windows (one shuffle, keyed by the entity).
+* q151 — BM25 ranking: the classic lexical retrieval scorer over the
+  documents table (Robertson/Spärck Jones k1/b form), extending the TF-IDF
+  family (q83) with document-length normalization.
+* q152 — per-group OLS trend: closed-form slope/intercept of value over
+  time from exact decimal power sums (the q77/q84 moment machinery applied
+  to regression) — deterministic cross-engine, unlike streaming
+  ``regr_slope`` whose float accumulation is order-dependent.
+
+All four carry full DuckDB value oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+from pyspark.sql.window import Window
+
+from .base import _t, query
+
+# --------------------------------------------------------------------------
+# q149 — CDC merge/upsert without shuffling the base table
+# --------------------------------------------------------------------------
+
+# Deterministic change batch derived from the orders table itself so every
+# scale factor exercises both MERGE arms: keys ≡ 0 (mod 7) become updates
+# (status -> 'R', 5% price uplift); keys ≡ 3 (mod 11) spawn inserts under
+# fresh negative keys (base keys are non-negative at every SF, so the
+# insert arm never collides with a real key).
+_MERGE_ORACLE = """
+WITH upd AS (
+  SELECT o_orderkey AS k, 'R' AS u_status, o_totalprice * 1.05 AS u_price
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT -o_orderkey - 1 AS k, 'N' AS u_status, o_totalprice AS u_price
+  FROM orders WHERE o_orderkey % 11 = 3),
+merged AS (
+  SELECT b.o_orderkey AS k,
+         COALESCE(u.u_status, b.o_orderstatus) AS status,
+         COALESCE(u.u_price, b.o_totalprice) AS price,
+         CASE WHEN u.k IS NOT NULL THEN 'update' ELSE 'keep' END AS action
+  FROM orders b LEFT JOIN upd u ON b.o_orderkey = u.k
+  UNION ALL
+  SELECT u.k, u.u_status, u.u_price, 'insert' AS action
+  FROM upd u LEFT JOIN orders b ON u.k = b.o_orderkey
+  WHERE b.o_orderkey IS NULL)
+SELECT k AS o_orderkey, status, price, action FROM merged"""
+
+
+def _merge_updates(spark, sf):
+    """The deterministic change batch (see _MERGE_ORACLE header comment)."""
+    o = _t(spark, sf, "orders")
+    upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("R").alias("u_status"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("u_price"),
+    )
+    ins = o.where(F.col("o_orderkey") % 11 == 3).select(
+        (-F.col("o_orderkey") - 1).alias("k"),
+        F.lit("N").alias("u_status"),
+        F.col("o_totalprice").alias("u_price"),
+    )
+    return upd.unionByName(ins)
+
+
+@query(
+    "q149_merge_upsert",
+    _MERGE_ORACLE,
+    tags=("lakehouse", "merge", "cdc", "broadcast"),
+)
+def q149(spark, sf):
+    """Delta-style MERGE INTO as a zero-base-shuffle broadcast plan.
+
+    The naive distributed MERGE is a full-outer join — at 100 TB that
+    shuffles the entire base table to apply a batch that is typically
+    <0.1% of it. This plan never moves the base:
+
+    1. matched-arm: ``base LEFT OUTER broadcast(changes)`` — a broadcast
+       hash join, base partitioning untouched; COALESCE picks updated
+       columns, the action tag distinguishes update vs keep.
+    2. insert-arm: the key set that DID match is computed as
+       ``changes ⋈ broadcast? no — base ⋈ broadcast(change keys)`` (an
+       inner broadcast join whose output is at most |changes| rows), and
+       inserts are ``changes ANTI broadcast(matched_keys)`` — both sides
+       of the anti join are change-batch-sized, so the existence check
+       never touches base partitioning either.
+
+    The union of the two arms is the merged table. (A real Delta MERGE
+    additionally prunes base *files* via the same broadcast inner join —
+    arm 2's matched-key relation is exactly the file-pruning driver.)
+    """
+    base = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = _merge_updates(spark, sf)
+
+    matched = (
+        base.select(F.col("o_orderkey").alias("k"))
+        .join(F.broadcast(upd.select("k")), "k")
+        .select("k")
+    )
+    upserted = base.join(F.broadcast(upd), base.o_orderkey == upd.k, "left_outer").select(
+        F.col("o_orderkey"),
+        F.coalesce("u_status", "o_orderstatus").alias("status"),
+        F.coalesce("u_price", "o_totalprice").alias("price"),
+        F.when(F.col("k").isNotNull(), F.lit("update")).otherwise(F.lit("keep")).alias("action"),
+    )
+    inserts = upd.join(F.broadcast(matched), "k", "left_anti").select(
+        F.col("k").alias("o_orderkey"),
+        F.col("u_status").alias("status"),
+        F.col("u_price").alias("price"),
+        F.lit("insert").alias("action"),
+    )
+    return upserted.unionByName(inserts)
+
+
+# --------------------------------------------------------------------------
+# q150 — SCD Type-2 effective-dated history
+# --------------------------------------------------------------------------
+
+@query(
+    "q150_scd2_history",
+    """WITH ordered AS (
+         SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events WHERE user_id < 200),
+       changes AS (
+         SELECT user_id, event_type, ts AS valid_from, event_id
+         FROM ordered
+         WHERE prev_type IS NULL OR event_type <> prev_type),
+       versioned AS (
+         SELECT user_id, event_type, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from, event_id) AS valid_to,
+                CAST(row_number() OVER (PARTITION BY user_id
+                                        ORDER BY valid_from, event_id) AS INTEGER) AS version
+         FROM changes)
+       SELECT user_id, event_type, valid_from, valid_to,
+              (valid_to IS NULL) AS is_current, version
+       FROM versioned""",
+    tags=("lakehouse", "scd2", "window"),
+)
+def q150(spark, sf):
+    """Slowly-changing-dimension Type 2: compress an event log into
+    effective-dated attribute versions. A change point is any row whose
+    event_type differs from the entity's previous row (ordered by ts with
+    the event_id tie-break); valid_to closes at the next change's
+    valid_from, the open row is current.
+
+    Scale shape: one Exchange keyed by user_id feeds BOTH window passes
+    (lag to find change points, lead/row_number to close intervals — the
+    second window re-sorts within the same partitioning, no second
+    shuffle), then a narrow filter. This is the standard 100 TB history
+    build: cost ∝ one shuffle of the event log, state ∝ nothing (no
+    driver-side iteration, unlike MERGE-per-change-batch approaches)."""
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 200)
+    w_scan = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w_scan).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    # event_id tie-break: two change points can share a timestamp, and
+    # lead/row_number must close intervals in the same order in both engines
+    w_ver = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_ver).alias("valid_to"),
+        F.row_number().over(w_ver).cast("int").alias("version"),
+    ).select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        "version",
+    )
+
+
+# --------------------------------------------------------------------------
+# q151 — BM25 lexical ranking
+# --------------------------------------------------------------------------
+
+#: fixed query-term set (drawn from the synthetic corpus vocabulary) and the
+#: standard Robertson parameters
+_BM25_TERMS = ("merge", "window", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return rf"""
+WITH tk AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents),
+dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+stats AS (SELECT count(*) AS nd, sum(len) AS total_len FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS f
+       FROM tk WHERE tok IN ({terms}) GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  -- per-term contribution rounded to 6dp then summed as an exact decimal:
+  -- the <=|terms|-element float sum would otherwise be order-dependent
+  SELECT tf.doc_id,
+         CAST(sum(CAST(round(
+             ln(1 + (nd - df + 0.5) / (df + 0.5))
+             * (f * ({k1} + 1))
+             / (f + {k1} * (1 - {b} + {b} * len
+                            / (CAST(total_len AS DOUBLE) / nd))), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS bm25
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM scored)
+WHERE rnk <= 20
+ORDER BY bm25 DESC, doc_id"""
+
+
+@query("q151_bm25_topk", _bm25_oracle(), tags=("retrieval", "bm25", "text"))
+def q151(spark, sf):
+    """BM25 top-20 documents for a fixed query-term set — the lexical
+    retrieval scorer (Robertson k1/b form) a RAG corpus pipeline runs
+    next to the embedding ANN family (q39/q40/q56).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score(d) = Σ_t idf · f·(k1+1) / (f + k1·(1 - b + b·len/avglen)).
+
+    Scale shape: the inverted-index term-frequency table is filtered to
+    the query terms AT THE AGGREGATE (tf rows exist only for query terms,
+    so the big relation after the explode is |docs|·|terms| bounded); df
+    and the corpus length stats are tiny broadcast aggregates; per-doc
+    score is one hash agg; the global top-20 is TakeOrderedAndProject
+    (map-side partial top-k, no full sort). The double expression tree
+    (counts and one division chain) is identical cross-engine. BM25 is
+    untyped in the reference (no text ops exist there, SURVEY §2.6) —
+    pure north-star surface like q83."""
+    from ..functions.text import tokens
+
+    tk = _t(spark, sf, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("len").alias("total_len")
+    )
+    tf = (
+        tk.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    avglen = F.col("total_len").cast("double") / F.col("nd")
+    idf = F.log(1 + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfpart = (F.col("f") * (_BM25_K1 + 1)) / (
+        F.col("f") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("len") / avglen)
+    )
+    # per-term contribution rounded to 6dp, summed through an exact decimal
+    # (order-independent — the q77/exact_sum rule applied to a float product)
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.round(idf * tfpart, 6).cast(DecimalType(18, 6)))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q152 — per-group OLS trend from exact power sums
+# --------------------------------------------------------------------------
+
+_TREND_EPOCH = "2024-01-01"  # fixed day-number origin shared by both engines
+
+
+@query(
+    "q152_value_trend_ols",
+    f"""WITH s AS (
+         SELECT event_type,
+                CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(x) AS DOUBLE) AS sx,
+                CAST(sum(x * x) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+                CAST(sum(x * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sxv
+         FROM (SELECT event_type,
+                      date_diff('day', DATE '{_TREND_EPOCH}', CAST(ts AS DATE)) AS x,
+                      CAST(value AS DECIMAL(10,2)) AS v
+               FROM events)
+         GROUP BY 1)
+       SELECT event_type,
+              round((n * sxv - sx * sv) / (n * sxx - sx * sx), 6) AS slope,
+              round((sv - ((n * sxv - sx * sv) / (n * sxx - sx * sx)) * sx) / n, 6)
+                  AS intercept
+       FROM s ORDER BY event_type""",
+    tags=("analytics", "regression", "trend"),
+)
+def q152(spark, sf):
+    """Per-event-type linear trend of value over time: closed-form OLS
+    slope/intercept from exact power sums (x = integer day number from a
+    fixed origin, v = value as DECIMAL(10,2); Σx, Σx², Σv, Σxv aggregate
+    as exact integers/decimals and cast to double once). Spark's own
+    ``regr_slope`` accumulates doubles in stream order — nondeterministic
+    across partitionings and engines — so a gate-checkable regression has
+    to go through the q77/q84 exact-moment machinery instead.
+
+    Scale shape: one partial+final hash aggregate over the fact table (five
+    sums, all associative), then a few-row projection — the cheapest
+    possible distributed regression, and the per-group fan-out version of
+    the global probe fit (q145) family."""
+    x = F.datediff(F.col("ts").cast("date"), F.lit(_TREND_EPOCH).cast("date")).cast("long")
+    v = F.col("value").cast(DecimalType(10, 2))
+    s = (
+        _t(spark, sf, "events")
+        .select("event_type", x.alias("x"), v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("v").cast(DecimalType(18, 2))).cast("double").alias("sv"),
+            F.sum(F.col("x") * F.col("v").cast(DecimalType(18, 2))).cast("double").alias("sxv"),
+        )
+    )
+    n, sx, sxx, sv, sxv = (F.col(c) for c in ("n", "sx", "sxx", "sv", "sxv"))
+    slope = (n * sxv - sx * sv) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        F.round(slope, 6).alias("slope"),
+        F.round((sv - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("event_type")

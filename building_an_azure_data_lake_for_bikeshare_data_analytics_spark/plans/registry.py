@@ -5,12 +5,13 @@ from __future__ import annotations
 
 from .base import REGISTRY, QuerySpec, QueryFn  # noqa: F401
 from . import core  # noqa: F401  (registers q01-q30)
-from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128, q135/q137-q139, q144-q148)
+from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128, q135/q137-q139, q144-q148, q153-q154)
 from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q127, q134, q136)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113)
 from . import quality  # noqa: F401  (registers q85-q97)
 from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
+from . import lakehouse  # noqa: F401  (registers q149-q152)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -45,17 +46,27 @@ from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
 #      quality signal);
 #   3. the stalest evidence: the q01-q22 reference-parity template family
 #      + q23 decimal + q54/q62/q66/q69 (all last green r1, three rounds
-#      ago);
+#      ago). Late-r4 amendment: the six sum-aggregate template twins
+#      q02/q04/q06/q08/q15/q17 were bumped to make room for the six
+#      NEVER-GREEN late-r4 queries q149-q154 (rule (a) outranks rule (b):
+#      a query with no green row ever beats re-greening one of a
+#      same-shape avg/sum pair whose sibling — identical plan, same join
+#      tree, same template factory — stays in the prefix);
 #   4. r2-green queries covering the widest distinct surface among the
 #      r2 cohort: the fold twins of the kernels above (q37/q43/q56
 #      re-anchor the twin pairs in the same gate round); q57/q58/q67/
 #      q73/q98 were bumped to make room for q144-q148 and join the r5
-#      cohort with the rest.
+#      cohort with the rest;
+#   5. late-r4 additions, never green: the lakehouse family q149 (CDC
+#      MERGE, zero base shuffle) / q150 (SCD2 history) / q151 (BM25) /
+#      q152 (exact-sum OLS trend), q153 (MinHash-estimate-vs-exact
+#      calibration), q154 (ANN recall@5 of q40 against q39).
 # Deliberately NEVER in the prefix: q46/q81 — genuinely engine-private
 # sketch values (HLL / GK percentile); their value-checkable stand-ins
 # q134/q136 and exact twins q45/q67 carry the evidence. Remaining r2-green
 # queries (q44/q52/q59-q61/q68/q70-q97 minus picks) hit their 2-round
-# staleness limit NEXT round and must form the core of the r5 prefix.
+# staleness limit NEXT round and must form the core of the r5 prefix,
+# together with the six bumped sum twins q02/q04/q06/q08/q15/q17.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # -- 1: newly-oracled vectorized twins, never gate-green --
@@ -82,22 +93,16 @@ _PRIORITY: tuple[str, ...] = (
     "q148_char_entropy",
     # -- 3: stalest (last green r1) --
     "q01_avg_price_by_dow",
-    "q02_sum_price_by_dow",
     "q03_avg_price_by_orderdate",
-    "q04_sum_price_by_orderdate",
     "q05_avg_extprice_by_supp",
-    "q06_sum_extprice_by_supp",
     "q07_avg_extprice_by_part",
-    "q08_sum_extprice_by_part",
     "q09_sum_price_by_acct_band",
     "q10_avg_price_by_acct_band",
     "q11_avg_price_by_membership",
     "q12_sum_price_by_membership",
     "q13_sum_amount_by_month",
     "q14_avg_amount_by_month",
-    "q15_sum_amount_by_quarter",
     "q16_avg_amount_by_quarter",
-    "q17_sum_amount_by_year",
     "q18_avg_amount_by_year",
     "q19_member_avg_by_acct_band",
     "q20_member_sum_by_acct_band",
@@ -116,6 +121,13 @@ _PRIORITY: tuple[str, ...] = (
     "q37_minhash_lsh_pairs",
     "q43_embedding_dup_pairs",
     "q56_ivf_ann",
+    # -- 5: late-r4 additions, never green --
+    "q149_merge_upsert",
+    "q150_scd2_history",
+    "q151_bm25_topk",
+    "q152_value_trend_ols",
+    "q153_minhash_jaccard_estimate",
+    "q154_ann_recall",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1,0 +1,208 @@
+"""Invariant tests for the late-r4 families: lakehouse maintenance
+(q149 MERGE / q150 SCD2 / q151 BM25 / q152 OLS trend) and the sketch/ANN
+evaluation pair (q153 / q154).
+
+Value-for-value parity is the DuckDB oracle gate (all six carry full
+oracles); these pin the semantic invariants that survive a data refresh.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.lakehouse import (
+    _BM25_TERMS,
+    _TREND_EPOCH,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
+
+from conftest import SF_SMOKE
+
+
+# --------------------------------------------------------------------------
+# q149 — MERGE upsert
+# --------------------------------------------------------------------------
+
+def test_merge_partitions_rows_into_three_actions(spark):
+    rows = QUERIES["q149_merge_upsert"](spark, SF_SMOKE).collect()
+    base = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n_base = base.count()
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r["action"], []).append(r)
+    # every base row survives exactly once (as update or keep)
+    assert len(by_action["update"]) + len(by_action["keep"]) == n_base
+    # update arm is exactly the keys ≡ 0 (mod 7); insert keys are negative
+    assert all(r["o_orderkey"] % 7 == 0 and r["o_orderkey"] >= 0 for r in by_action["update"])
+    assert all(r["o_orderkey"] < 0 for r in by_action["insert"])
+    assert all(r["status"] == "R" for r in by_action["update"])
+    assert all(r["status"] == "N" for r in by_action["insert"])
+
+
+def test_merge_update_applies_price_uplift(spark):
+    merged = QUERIES["q149_merge_upsert"](spark, SF_SMOKE)
+    base = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    joined = merged.where(F.col("action") == "update").join(base, "o_orderkey").collect()
+    assert joined
+    for r in joined:
+        assert r["price"] == r["o_totalprice"] * 1.05  # exact IEEE product
+
+
+def test_merge_plan_never_shuffles_base(spark):
+    """The MERGE contract: both arms are broadcast joins — no Exchange on
+    the base-table side, no SortMergeJoin anywhere."""
+    df = QUERIES["q149_merge_upsert"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    tree = plan.split("\n\n")[0]
+    # the only Exchanges are BroadcastExchanges (no hash-partition shuffle)
+    for line in tree.splitlines():
+        if "Exchange" in line:
+            assert "BroadcastExchange" in line, line
+
+
+# --------------------------------------------------------------------------
+# q150 — SCD Type 2
+# --------------------------------------------------------------------------
+
+def test_scd2_intervals_contiguous_and_one_current(spark):
+    rows = QUERIES["q150_scd2_history"](spark, SF_SMOKE).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # no gaps, no overlaps
+            assert a["event_type"] != b["event_type"]  # true change points
+
+
+def test_scd2_first_version_starts_at_first_event(spark):
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where(F.col("user_id") < 200)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    v1 = QUERIES["q150_scd2_history"](spark, SF_SMOKE).where(F.col("version") == 1)
+    joined = v1.join(ev, "user_id").collect()
+    assert joined
+    for r in joined:
+        assert r["valid_from"] == r["first_ts"]
+
+
+# --------------------------------------------------------------------------
+# q151 — BM25
+# --------------------------------------------------------------------------
+
+def test_bm25_topk_sorted_and_positive(spark):
+    rows = QUERIES["q151_bm25_topk"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["bm25"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_hits_contain_a_query_term(spark):
+    top = QUERIES["q151_bm25_topk"](spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    joined = top.join(docs, "doc_id").collect()
+    assert joined
+    for r in joined:
+        toks = set(r["text"].split())
+        assert toks & set(_BM25_TERMS), r["doc_id"]
+
+
+def test_bm25_length_normalization_downweights_long_docs(spark):
+    """Two docs with the same tf for a term: the longer one scores lower
+    on that term (b > 0). Checked synthetically through the same pipeline
+    parameters rather than the corpus (which can't guarantee such a pair)."""
+    k1, b = 1.2, 0.75
+
+    def term_score(f, length, avglen, idf=1.0):
+        return idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * length / avglen))
+
+    assert term_score(2, 200, 100) < term_score(2, 50, 100)
+
+
+# --------------------------------------------------------------------------
+# q152 — OLS trend
+# --------------------------------------------------------------------------
+
+def test_trend_matches_numpy_polyfit(spark):
+    rows = QUERIES["q152_value_trend_ols"](spark, SF_SMOKE).collect()
+    assert rows
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf["x"] = (pdf["ts"].dt.normalize() - pd.Timestamp(_TREND_EPOCH)).dt.days
+    pdf["v"] = pdf["value"].round(2)
+    for r in rows:
+        g = pdf[pdf["event_type"] == r["event_type"]]
+        slope, intercept = np.polyfit(g["x"].to_numpy(float), g["v"].to_numpy(float), 1)
+        assert math.isfinite(r["slope"]) and math.isfinite(r["intercept"])
+        assert abs(r["slope"] - slope) < 1e-4
+        assert abs(r["intercept"] - intercept) < 1e-3
+
+
+# --------------------------------------------------------------------------
+# q153 — MinHash estimate calibration
+# --------------------------------------------------------------------------
+
+def test_minhash_estimate_within_sampling_envelope(spark):
+    rows = QUERIES["q153_minhash_jaccard_estimate"](spark, SF_SMOKE).collect()
+    assert rows
+    k = 32
+    for r in rows:
+        est, exact = r["est_jaccard"], r["exact_jaccard"]
+        assert 0.0 <= est <= 1.0
+        assert 0.0 <= exact <= 1.0
+        # 4-sigma binomial envelope (+ slack for the hash-family
+        # approximation of true permutations)
+        sigma = math.sqrt(max(exact * (1 - exact), 1e-4) / k)
+        assert abs(est - exact) <= 4 * sigma + 0.05, (r["doc_a"], r["doc_b"], est, exact)
+
+
+def test_minhash_estimate_covers_lsh_candidates(spark):
+    est = QUERIES["q153_minhash_jaccard_estimate"](spark, SF_SMOKE)
+    cand = QUERIES["q37_minhash_lsh_pairs"](spark, SF_SMOKE)
+    # same candidate universe as q37 (minus hash-collision pairs with zero
+    # shingle overlap, which do not occur on this corpus)
+    assert est.count() == cand.count()
+
+
+# --------------------------------------------------------------------------
+# q154 — ANN recall
+# --------------------------------------------------------------------------
+
+def test_ann_recall_bounded_and_consistent(spark):
+    rows = QUERIES["q154_ann_recall"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hits"] <= 5
+        assert r["recall_at_5"] == r["hits"] / 5
+    # the smoke corpus is UNSTRUCTURED random vectors (cosines all near 0,
+    # "nearest" is arbitrary), so LSH recall is legitimately modest here —
+    # the high-recall evidence lives on the planted-dup stress corpus
+    # (SCALE_NOTES: recall 1.000). A zero mean would mean q40 broke.
+    mean_recall = sum(r["recall_at_5"] for r in rows) / len(rows)
+    assert mean_recall > 0.0
+
+
+def test_ann_recall_one_row_per_query(spark):
+    df = QUERIES["q154_ann_recall"](spark, SF_SMOKE)
+    n_queries = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .where(F.col("vec_id") % 50 == 0)
+        .count()
+    )
+    assert df.count() == n_queries
