@@ -676,3 +676,118 @@ def q136(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q155/q156 — product-analytics staples: ordered funnel, retention cohorts
+# --------------------------------------------------------------------------
+
+def _first_after_sql(etype: str, prev: str) -> str:
+    """CTE body: per user, the FIRST ``etype`` event strictly after the
+    (ts, event_id) anchor carried by relation ``prev`` — lexicographic
+    tie-break on event_id so equal timestamps order identically in both
+    engines."""
+    return f"""
+      SELECT user_id, ts, event_id
+      FROM (SELECT e.user_id, e.ts, e.event_id,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS rn
+            FROM events e JOIN {prev} p ON e.user_id = p.user_id
+            WHERE e.event_type = '{etype}'
+              AND (e.ts > p.ts OR (e.ts = p.ts AND e.event_id > p.event_id)))
+      WHERE rn = 1"""
+
+
+@query(
+    "q155_funnel_conversion",
+    f"""WITH v AS (
+      SELECT user_id, ts, event_id
+      FROM (SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view')
+      WHERE rn = 1),
+    c AS ({_first_after_sql('click', 'v')}),
+    p AS ({_first_after_sql('purchase', 'c')})
+    SELECT (SELECT count(*) FROM v) AS users_view,
+           (SELECT count(*) FROM c) AS users_view_click,
+           (SELECT count(*) FROM p) AS users_view_click_purchase""",
+    tags=("analytics", "funnel", "window"),
+)
+def q155(spark, sf):
+    """Ordered funnel: how many users did view -> click -> purchase IN
+    THAT ORDER (each stage strictly after the previous stage's first
+    qualifying event, (ts, event_id)-lexicographic). The product-analytics
+    staple every event engine ships; stage anchors are first-event rows
+    found by per-user row_number windows, so the whole funnel is
+    deterministic integer counting.
+
+    Scale shape: every stage is keyed by user_id — the event log shuffles
+    once per stage on the SAME key, so on a cluster the stages co-partition
+    (and with the log bucketed by user_id, zero shuffles); stage anchors
+    are one-row-per-user relations, and each later stage joins the
+    (already tiny) previous anchor, so the relation sizes only shrink down
+    the funnel. No collect, no cross product, fan-out bounded by 1."""
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+
+    def first_per_user(df):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "ts", "event_id")
+        )
+
+    def after(df, anchor):
+        a = anchor.select(
+            "user_id", F.col("ts").alias("a_ts"), F.col("event_id").alias("a_id")
+        )
+        return df.join(a, "user_id").where(
+            (F.col("ts") > F.col("a_ts"))
+            | ((F.col("ts") == F.col("a_ts")) & (F.col("event_id") > F.col("a_id")))
+        )
+
+    v = first_per_user(ev.where(F.col("event_type") == "view"))
+    c = first_per_user(after(ev.where(F.col("event_type") == "click"), v))
+    p = first_per_user(after(ev.where(F.col("event_type") == "purchase"), c))
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("users_view")),
+        c.agg(F.count(F.lit(1)).alias("users_view_click")),
+        p.agg(F.count(F.lit(1)).alias("users_view_click_purchase")),
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@query(
+    "q156_retention_cohorts",
+    """WITH first_seen AS (
+         SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+         FROM events GROUP BY 1)
+       SELECT f.cohort_week, date_trunc('week', e.ts) AS activity_week,
+              count(DISTINCT e.user_id) AS active_users
+       FROM events e JOIN first_seen f ON e.user_id = f.user_id
+       GROUP BY 1, 2
+       ORDER BY 1, 2""",
+    tags=("analytics", "retention", "cohort"),
+)
+def q156(spark, sf):
+    """Retention cohort matrix: users bucketed by first-seen ISO week,
+    counted distinct per (cohort_week, activity_week) — the second
+    product-analytics staple. Both engines truncate weeks to ISO Monday,
+    and every output is an integer count over exact timestamps.
+
+    Scale shape: first_seen is one hash-agg keyed by user_id; the join
+    back is user-keyed (co-partitioned with the agg's own shuffle under
+    AQE exchange reuse — and shuffle-free on a user-bucketed log); the
+    cohort matrix itself is tiny (weeks x weeks). distinct-count is the
+    only rekeying shuffle and its key space is bounded by the matrix."""
+    ev = _t(spark, sf, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy("cohort_week", F.date_trunc("week", F.col("ts")).alias("activity_week"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "activity_week")
+    )

@@ -2369,3 +2369,75 @@ def q109(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return quantized_int8_topk_vectorized(emb, qs, k=5)
+
+
+# --------------------------------------------------------------------------
+# q157 — token co-occurrence PMI over a bounded vocabulary
+# --------------------------------------------------------------------------
+
+_PMI_V = 30  # vocabulary cap: bounds the per-doc pair fan-out at V*(V-1)/2
+
+
+@query(
+    "q157_token_pmi_pairs",
+    f"""WITH tk AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok
+                    FROM documents),
+    dfreq AS (SELECT tok, count(*) AS d FROM tk GROUP BY 1),
+    vocab AS (SELECT tok, d
+              FROM (SELECT tok, d, row_number() OVER (ORDER BY d DESC, tok) AS rn
+                    FROM dfreq)
+              WHERE rn <= {_PMI_V}),
+    tkv AS (SELECT tk.doc_id, tk.tok, v.d FROM tk JOIN vocab v USING (tok)),
+    nd AS (SELECT count(*) AS n FROM documents),
+    cab AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   a.d AS da, b.d AS db, count(*) AS c_ab
+            FROM tkv a JOIN tkv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2, 3, 4)
+    SELECT tok_a, tok_b, c_ab,
+           round(ln(CAST(c_ab * n AS DOUBLE) / (da * db)), 6) AS pmi
+    FROM (SELECT tok_a, tok_b, c_ab, da, db, n,
+                 row_number() OVER (ORDER BY ln(CAST(c_ab * n AS DOUBLE) / (da * db)) DESC,
+                                    tok_a, tok_b) AS rn
+          FROM cab CROSS JOIN nd)
+    WHERE rn <= 50
+    ORDER BY pmi DESC, tok_a, tok_b""",
+    tags=("text", "pmi", "cooccurrence"),
+)
+def q157(spark, sf):
+    """Pointwise mutual information of token co-occurrence (doc-level):
+    pmi(a,b) = ln(df_ab * N / (df_a * df_b)) over the top-V (V=30)
+    vocabulary, top-50 pairs. The collocation/phrase-mining primitive of a
+    text pipeline (the signal behind merging "new york"-style bigrams
+    before tokenizer training).
+
+    Scale shape: the quadratic pair explosion is bounded STRUCTURALLY by
+    the vocabulary cap — after the broadcast vocab semi-join each doc
+    contributes at most V(V-1)/2 pairs regardless of its length, so the
+    self-join on doc_id is linear in docs (the same bounding idea as
+    LSH banding: never let a join key's fan-out follow the data's tail).
+    Vocabulary selection is a TakeOrderedAndProject over the token
+    doc-frequency agg; every count is an exact int and the single
+    ln/division tree is identical in both engines."""
+    d = _t(spark, sf, "documents")
+    tk = d.select("doc_id", F.explode(tokens("text")).alias("tok")).distinct()
+    dfreq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    vocab = dfreq.orderBy(F.desc("d"), F.asc("tok")).limit(_PMI_V)
+    tkv = tk.join(F.broadcast(vocab), "tok")
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    a = tkv.select("doc_id", F.col("tok").alias("tok_a"), F.col("d").alias("da"))
+    b = tkv.select("doc_id", F.col("tok").alias("tok_b"), F.col("d").alias("db"))
+    cab = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "da", "db")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    pmi = F.log((F.col("c_ab") * F.col("n")).cast("double") / (F.col("da") * F.col("db")))
+    return (
+        cab.crossJoin(F.broadcast(nd))
+        .withColumn("pmi_raw", pmi)
+        .orderBy(F.desc("pmi_raw"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(50)
+        .select("tok_a", "tok_b", "c_ab", F.round("pmi_raw", 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+    )

@@ -5,8 +5,8 @@ from __future__ import annotations
 
 from .base import REGISTRY, QuerySpec, QueryFn  # noqa: F401
 from . import core  # noqa: F401  (registers q01-q30)
-from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128, q135/q137-q139, q144-q148, q153-q154)
-from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q127, q134, q136)
+from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128, q135/q137-q139, q144-q148, q153-q154, q157)
+from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q127, q134, q136, q155-q156)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113)
 from . import quality  # noqa: F401  (registers q85-q97)
@@ -60,13 +60,18 @@ from . import lakehouse  # noqa: F401  (registers q149-q152)
 #   5. late-r4 additions, never green: the lakehouse family q149 (CDC
 #      MERGE, zero base shuffle) / q150 (SCD2 history) / q151 (BM25) /
 #      q152 (exact-sum OLS trend), q153 (MinHash-estimate-vs-exact
-#      calibration), q154 (ANN recall@5 of q40 against q39).
+#      calibration), q154 (ANN recall@5 of q40 against q39), and the
+#      product-analytics pair q155 (ordered funnel) / q156 (retention
+#      cohorts) plus q157 (bounded-vocabulary token-PMI collocations) —
+#      which bump q12/q14/q20, again the sum/avg twin of a sibling that
+#      stays (q11/q13/q19).
 # Deliberately NEVER in the prefix: q46/q81 — genuinely engine-private
 # sketch values (HLL / GK percentile); their value-checkable stand-ins
 # q134/q136 and exact twins q45/q67 carry the evidence. Remaining r2-green
 # queries (q44/q52/q59-q61/q68/q70-q97 minus picks) hit their 2-round
 # staleness limit NEXT round and must form the core of the r5 prefix,
-# together with the six bumped sum twins q02/q04/q06/q08/q15/q17.
+# together with the nine bumped template twins
+# q02/q04/q06/q08/q12/q14/q15/q17/q20.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # -- 1: newly-oracled vectorized twins, never gate-green --
@@ -99,13 +104,10 @@ _PRIORITY: tuple[str, ...] = (
     "q09_sum_price_by_acct_band",
     "q10_avg_price_by_acct_band",
     "q11_avg_price_by_membership",
-    "q12_sum_price_by_membership",
     "q13_sum_amount_by_month",
-    "q14_avg_amount_by_month",
     "q16_avg_amount_by_quarter",
     "q18_avg_amount_by_year",
     "q19_member_avg_by_acct_band",
-    "q20_member_sum_by_acct_band",
     "q21_member_spend_rides",
     "q22_member_spend_duration",
     "q23_format_orders",
@@ -128,6 +130,9 @@ _PRIORITY: tuple[str, ...] = (
     "q152_value_trend_ols",
     "q153_minhash_jaccard_estimate",
     "q154_ann_recall",
+    "q155_funnel_conversion",
+    "q156_retention_cohorts",
+    "q157_token_pmi_pairs",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -206,3 +206,65 @@ def test_ann_recall_one_row_per_query(spark):
         .count()
     )
     assert df.count() == n_queries
+
+
+# --------------------------------------------------------------------------
+# q155/q156/q157 — product analytics + collocations
+# --------------------------------------------------------------------------
+
+def test_funnel_counts_monotone_decreasing(spark):
+    r = QUERIES["q155_funnel_conversion"](spark, SF_SMOKE).collect()[0]
+    assert r["users_view"] >= r["users_view_click"] >= r["users_view_click_purchase"]
+    assert r["users_view"] > 0
+
+
+def test_funnel_stage_respects_order(spark):
+    """A user who clicked before ever viewing must not count as
+    view->click: recompute the second stage naively in pandas."""
+    pdf = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+    )
+    expected = 0
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        views = g[g["event_type"] == "view"]
+        if views.empty:
+            continue
+        v = views.iloc[0]
+        later = g[
+            (g["ts"] > v["ts"]) | ((g["ts"] == v["ts"]) & (g["event_id"] > v["event_id"]))
+        ]
+        if (later["event_type"] == "click").any():
+            expected += 1
+    r = QUERIES["q155_funnel_conversion"](spark, SF_SMOKE).collect()[0]
+    assert r["users_view_click"] == expected
+
+
+def test_retention_diagonal_covers_all_users(spark):
+    """Each user appears in their own cohort week's diagonal cell, so the
+    per-cohort max active_users equals the cohort size."""
+    rows = QUERIES["q156_retention_cohorts"](spark, SF_SMOKE).collect()
+    assert rows
+    cohort_sizes = {}
+    for r in rows:
+        if r["cohort_week"] == r["activity_week"]:
+            cohort_sizes[r["cohort_week"]] = r["active_users"]
+        assert r["activity_week"] >= r["cohort_week"]  # nothing before first-seen
+    for r in rows:
+        assert r["active_users"] <= cohort_sizes[r["cohort_week"]]
+
+
+def test_pmi_pairs_bounded_by_vocab(spark):
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.extensions import (
+        _PMI_V,
+    )
+
+    rows = QUERIES["q157_token_pmi_pairs"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 50
+    toks = {r["tok_a"] for r in rows} | {r["tok_b"] for r in rows}
+    assert len(toks) <= _PMI_V
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]  # canonical pair order
+        assert r["c_ab"] > 0
