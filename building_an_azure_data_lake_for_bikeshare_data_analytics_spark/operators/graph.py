@@ -136,3 +136,62 @@ def connected_components_star(
         nodes.join(comp, "id", "left")
         .select("id", F.coalesce("comp", "id").alias("comp"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+    scale: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list, deterministic
+    enough to value-check cross-engine.
+
+    Float PageRank is normally partition-order-dependent (the per-node sum
+    of neighbor contributions is a float reduction). Here each iteration's
+    contribution pr(u)/deg(u) is rounded to ``scale`` decimals and summed
+    as an exact DECIMAL (associative, order-independent — the q145/q152
+    exact-sum rule), then the damped update 0.15 + 0.85*s is one identical
+    IEEE expression, re-rounded to ``scale`` decimals. The quantization
+    error is bounded by deg*5e-10 per node per iteration — noise relative
+    to PageRank's own fixed-point tolerance — and in exchange every engine
+    (and every partitioning) computes the identical trajectory, so a DuckDB
+    oracle can replay all ``n_iter`` iterations as unrolled CTEs.
+
+    Scale shape: per iteration, one join of the rank relation with the edge
+    list (both keyed on node id — co-partitioned on a cluster, exchange
+    reused) plus one hash aggregation; ``localCheckpoint`` truncates
+    lineage per round (the q73 rule: without it the plan doubles per
+    iteration). Undirected graph => no dangling nodes (every node has
+    in-degree >= 1), so no mass-leak term is needed.
+    """
+    from pyspark.sql.types import DecimalType
+
+    e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint()
+    pr = (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("a").alias("id"), "deg", F.lit(1.0).alias("pr"))
+    )
+    base = 1.0 - damping
+    for _ in range(n_iter):
+        contrib = pr.join(e, pr.id == e.a).select(
+            F.col("b").alias("id"),
+            F.round(F.col("pr") / F.col("deg"), scale).cast(DecimalType(28, scale)).alias("q"),
+        )
+        sums = contrib.groupBy("id").agg(F.sum("q").cast("double").alias("s"))
+        pr = (
+            pr.select("id", "deg")
+            .join(sums, "id")
+            .select(
+                "id",
+                "deg",
+                F.round(F.lit(base) + F.lit(damping) * F.col("s"), scale).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select("id", "pr")

@@ -791,3 +791,113 @@ def q156(spark, sf):
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "activity_week")
     )
+
+
+# --------------------------------------------------------------------------
+# q159 — KMV sketch MERGE: the mergeability property, value-checked
+# --------------------------------------------------------------------------
+
+@query(
+    "q159_kmv_merge",
+    f"""WITH h AS (
+         SELECT DISTINCT event_id % 2 AS shard, event_type,
+                CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM events),
+       shard_sk AS (
+         SELECT shard, event_type, h
+         FROM (SELECT shard, event_type, h,
+                      row_number() OVER (PARTITION BY shard, event_type
+                                         ORDER BY h) AS rn
+               FROM h)
+         WHERE rn <= {_KMV_K}),
+       merged AS (
+         SELECT event_type, h
+         FROM (SELECT event_type, h,
+                      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM (SELECT DISTINCT event_type, h FROM shard_sk))
+         WHERE rn <= {_KMV_K}),
+       msk AS (
+         SELECT event_type, count(*) AS m, max(h) AS xk
+         FROM merged GROUP BY 1),
+       direct AS (
+         SELECT event_type, count(*) AS m, max(h) AS xk
+         FROM (SELECT event_type, h,
+                      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM (SELECT DISTINCT event_type, h FROM h))
+         WHERE rn <= {_KMV_K}
+         GROUP BY 1)
+       SELECT msk.event_type,
+              CAST(msk.m AS INTEGER) AS n_retained,
+              msk.xk AS kth_hash,
+              CASE WHEN msk.m < {_KMV_K} THEN CAST(msk.m AS DOUBLE)
+                   ELSE round({_KMV_K - 1} * {_KMV_SPACE} / CAST(msk.xk AS DOUBLE), 4)
+              END AS kmv_estimate,
+              (msk.m = direct.m AND msk.xk = direct.xk) AS merge_lossless
+       FROM msk JOIN direct USING (event_type)
+       ORDER BY msk.event_type""",
+    tags=("extension", "sketch", "kmv", "merge"),
+)
+def q159(spark, sf):
+    """KMV sketch MERGE — the property that makes sketches distributed
+    infrastructure: per-shard sketches (here two disjoint event_id-parity
+    shards standing in for two sites/days) merge by unioning retained
+    hashes and re-taking the k smallest, and the merged sketch is
+    IDENTICAL to the sketch of the union — provable (every global
+    k-smallest hash is k-smallest within its own shard) and asserted per
+    row by the merge_lossless column, which the oracle value-checks too.
+
+    This is why a 100 TB cardinality job never reshuffles raw keys: each
+    partition ships a k-row sketch to one reducer (or a tree of them —
+    merge is associative). Plan shape per stage is q134's: map-side
+    WindowGroupLimit partial top-k, ~k rows per (shard, group) crossing
+    the exchange."""
+    ev = _t(spark, sf, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = ev.select(
+        (F.col("event_id") % 2).alias("shard"), "event_type", h.alias("h")
+    ).distinct()
+
+    def k_smallest(df, part_cols):
+        w = Window.partitionBy(*part_cols).orderBy("h")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _KMV_K)
+            .drop("rn")
+        )
+
+    shard_sk = k_smallest(hashes, ["shard", "event_type"])
+    merged = k_smallest(
+        shard_sk.select("event_type", "h").distinct(), ["event_type"]
+    )
+    msk = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_retained"), F.max("h").alias("kth_hash")
+    )
+    direct = (
+        k_smallest(hashes.select("event_type", "h").distinct(), ["event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("int").alias("d_m"), F.max("h").alias("d_xk"))
+    )
+    est = F.when(
+        F.col("n_retained") < _KMV_K, F.col("n_retained").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("kth_hash").cast("double"),
+            4,
+        )
+    )
+    return (
+        msk.join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_retained",
+            "kth_hash",
+            est.alias("kmv_estimate"),
+            (
+                (F.col("n_retained") == F.col("d_m"))
+                & (F.col("kth_hash") == F.col("d_xk"))
+            ).alias("merge_lossless"),
+        )
+        .orderBy("event_type")
+    )

@@ -2441,3 +2441,79 @@ def q157(spark, sf):
         .select("tok_a", "tok_b", "c_ab", F.round("pmi_raw", 6).alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
     )
+
+
+# --------------------------------------------------------------------------
+# q158 — PageRank over the near-dup graph, every iteration oracle-replayed
+# --------------------------------------------------------------------------
+
+_PR_ITER = 5
+_PR_DAMP = 0.85
+_PR_SCALE = 9
+
+
+def _pagerank_oracle(n_iter: int = _PR_ITER) -> str:
+    """DuckDB oracle for q158: the exhaustive exact-Jaccard >=0.5 pair set
+    (q36/q98's SQL) as the edge list, then all n_iter PageRank iterations
+    unrolled as CTEs — contributions quantized to DECIMAL(28,9) so each
+    per-node sum is exact and the trajectory is engine-independent."""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(
+            f"""pr{i} AS (
+      SELECT d.id, d.deg,
+             round(0.15 + {_PR_DAMP} * CAST(t.s AS DOUBLE), {_PR_SCALE}) AS pr
+      FROM deg d
+      JOIN (SELECT e.b AS id,
+                   sum(CAST(round(p.pr / p.deg, {_PR_SCALE}) AS DECIMAL(28,{_PR_SCALE}))) AS s
+            FROM pr{i - 1} p JOIN e0 e ON p.id = e.a
+            GROUP BY 1) t ON d.id = t.id)"""
+        )
+    chain = ",\n    ".join(its)
+    return f"""WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+    vp AS (SELECT doc_a, doc_b
+           FROM prs JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+    e0 AS (SELECT doc_a AS a, doc_b AS b FROM vp
+           UNION
+           SELECT doc_b AS a, doc_a AS b FROM vp),
+    deg AS (SELECT a AS id, count(*) AS deg FROM e0 GROUP BY 1),
+    pr0 AS (SELECT id, deg, 1.0 AS pr FROM deg),
+    {chain}
+    SELECT id AS doc_id, pr AS pagerank FROM pr{n_iter} ORDER BY doc_id"""
+
+
+@query(
+    "q158_dup_graph_pagerank",
+    _pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative", "dedup"),
+)
+def q158(spark, sf):
+    """PageRank over the near-duplicate graph (edges = exact-verified
+    Jaccard >= 0.5 pairs, the same relation as q98/q73): rank documents by
+    duplication centrality — the boilerplate hub in a dup cluster outranks
+    its leaves, which is the signal for picking canonical representatives
+    and for prioritizing what a cleaning pass should look at first.
+
+    The iterative-join showpiece next to q73's connected components: five
+    damped iterations, each one edge-join + one hash agg, lineage
+    checkpointed per round. Gate-checkable because each iteration's
+    neighbor sum goes through quantized DECIMAL contributions
+    (operators/graph.pagerank) — the DuckDB oracle replays the entire
+    five-iteration trajectory value-for-value, like q145's GD fit."""
+    from ..operators.dedup import lsh_verified_jaccard_pairs
+    from ..operators.graph import pagerank
+
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    edges = lsh_verified_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return (
+        pagerank(edges, src="doc_a", dst="doc_b", n_iter=_PR_ITER)
+        .select(F.col("id").alias("doc_id"), F.col("pr").alias("pagerank"))
+        .orderBy("doc_id")
+    )

@@ -64,14 +64,18 @@ from . import lakehouse  # noqa: F401  (registers q149-q152)
 #      product-analytics pair q155 (ordered funnel) / q156 (retention
 #      cohorts) plus q157 (bounded-vocabulary token-PMI collocations) —
 #      which bump q12/q14/q20, again the sum/avg twin of a sibling that
-#      stays (q11/q13/q19).
+#      stays (q11/q13/q19); finally q158 (PageRank over the dup graph,
+#      all five iterations oracle-replayed via quantized-decimal neighbor
+#      sums) and q159 (KMV sketch merge with a value-checked
+#      merge_lossless bit) bump q10 (avg twin of q09, which stays) and
+#      q62 (its BPE-encode machinery is covered by q132, in group 2).
 # Deliberately NEVER in the prefix: q46/q81 — genuinely engine-private
 # sketch values (HLL / GK percentile); their value-checkable stand-ins
 # q134/q136 and exact twins q45/q67 carry the evidence. Remaining r2-green
 # queries (q44/q52/q59-q61/q68/q70-q97 minus picks) hit their 2-round
 # staleness limit NEXT round and must form the core of the r5 prefix,
 # together with the nine bumped template twins
-# q02/q04/q06/q08/q12/q14/q15/q17/q20.
+# q02/q04/q06/q08/q10/q12/q14/q15/q17/q20/q62.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # -- 1: newly-oracled vectorized twins, never gate-green --
@@ -102,7 +106,6 @@ _PRIORITY: tuple[str, ...] = (
     "q05_avg_extprice_by_supp",
     "q07_avg_extprice_by_part",
     "q09_sum_price_by_acct_band",
-    "q10_avg_price_by_acct_band",
     "q11_avg_price_by_membership",
     "q13_sum_amount_by_month",
     "q16_avg_amount_by_quarter",
@@ -112,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "q22_member_spend_duration",
     "q23_format_orders",
     "q54_dedup_keep_rows",
-    "q62_bpe_token_count",
     "q66_doc_chunks",
     "q69_source_stats",
     # -- 4: stale r2 cohort twin anchors (everything else r2-green was
@@ -133,6 +135,8 @@ _PRIORITY: tuple[str, ...] = (
     "q155_funnel_conversion",
     "q156_retention_cohorts",
     "q157_token_pmi_pairs",
+    "q158_dup_graph_pagerank",
+    "q159_kmv_merge",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -268,3 +268,66 @@ def test_pmi_pairs_bounded_by_vocab(spark):
     for r in rows:
         assert r["tok_a"] < r["tok_b"]  # canonical pair order
         assert r["c_ab"] > 0
+
+
+# --------------------------------------------------------------------------
+# q158 — dup-graph PageRank
+# --------------------------------------------------------------------------
+
+def test_pagerank_mass_and_floor(spark):
+    rows = QUERIES["q158_dup_graph_pagerank"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["pagerank"] >= 0.15  # damped floor
+    # symmetric graph, no dangling nodes: total mass stays ~n (quantization
+    # drift bounded by iters * n * deg * 5e-10)
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - len(rows)) < 0.01 * len(rows)
+
+
+def test_pagerank_invariant_under_partitioning(spark):
+    """The determinism contract: the quantized-decimal trajectory must not
+    depend on how the edge list is partitioned."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        lsh_verified_jaccard_pairs,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.graph import (
+        pagerank,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+        tokens,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", tokens("text").alias("ts"))
+    )
+    edges = lsh_verified_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    a = {(r["id"], r["pr"]) for r in pagerank(edges, "doc_a", "doc_b").collect()}
+    b = {
+        (r["id"], r["pr"])
+        for r in pagerank(edges.repartition(7, "doc_b"), "doc_a", "doc_b").collect()
+    }
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# q159 — KMV sketch merge
+# --------------------------------------------------------------------------
+
+def test_kmv_merge_is_lossless_and_accurate(spark):
+    rows = QUERIES["q159_kmv_merge"](spark, SF_SMOKE).collect()
+    assert rows
+    exact = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["merge_lossless"] is True  # the mergeability theorem, per row
+        # KMV error ~ 1/sqrt(k-1) = 13% at k=64; generous 4x envelope
+        assert abs(r["kmv_estimate"] - exact[r["event_type"]]) <= max(
+            0.5 * exact[r["event_type"]], 3
+        )
