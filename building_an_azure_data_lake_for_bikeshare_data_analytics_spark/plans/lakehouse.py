@@ -1,4 +1,4 @@
-"""Lakehouse table-maintenance and analytics extensions (q149-q152).
+"""Lakehouse table-maintenance and analytics extensions (q149-q152, q160).
 
 The reference pipeline rebuilds its gold tables with full overwrites
 (SURVEY.md §2.1 S2/S3 — ``mode("overwrite")`` per notebook cell); a
@@ -19,8 +19,11 @@ incremental-maintenance operators a real deployment layers on top:
   time from exact decimal power sums (the q77/q84 moment machinery applied
   to regression) — deterministic cross-engine, unlike streaming
   ``regr_slope`` whose float accumulation is order-dependent.
+* q160 — temporal join: facts assigned to the SCD2 version whose validity
+  interval contains their timestamp — a range join made an equi-join by
+  the entity key.
 
-All four carry full DuckDB value oracles.
+All five carry full DuckDB value oracles.
 """
 
 from __future__ import annotations
@@ -363,3 +366,80 @@ def q152(spark, sf):
         F.round(slope, 6).alias("slope"),
         F.round((sv - slope * sx) / n, 6).alias("intercept"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q160 — temporal join: assign facts to their SCD2 validity interval
+# --------------------------------------------------------------------------
+
+_SCD2_VERSIONS_SQL = """
+  SELECT user_id, event_type AS attr, valid_from, valid_to, version
+  FROM (SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, event_id) AS valid_to,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY valid_from, event_id) AS INTEGER) AS version
+        FROM (SELECT user_id, event_type, ts AS valid_from, event_id
+              FROM (SELECT user_id, event_type, ts, event_id,
+                           lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS prev_type
+                    FROM events WHERE user_id < 200)
+              WHERE prev_type IS NULL OR event_type <> prev_type))"""
+
+
+@query(
+    "q160_temporal_version_join",
+    f"""WITH v AS ({_SCD2_VERSIONS_SQL})
+       SELECT e.user_id, v.version, v.attr,
+              count(*) AS n_events,
+              CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       FROM events e
+       JOIN v ON e.user_id = v.user_id
+             AND e.ts >= v.valid_from
+             AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+       WHERE e.user_id < 200
+       GROUP BY 1, 2, 3
+       ORDER BY 1, 2""",
+    tags=("lakehouse", "scd2", "temporal-join", "range"),
+)
+def q160(spark, sf):
+    """Temporal join — the consumer of q150's SCD2 build: every event is
+    assigned to the dimension version whose half-open validity interval
+    [valid_from, valid_to) contains its timestamp, then aggregated per
+    (entity, version). This is how a lakehouse queries "state as of the
+    fact's own time" without snapshotting the dimension per day.
+
+    Containment is ts-granular and the intervals tile each user's
+    timeline ([first_event, null) partitioned at change points), so every
+    event lands in EXACTLY one version — pinned by a coverage test
+    (Σ n_events == the user-filtered event count).
+
+    Scale shape: this is a RANGE join, but never a nested-loop one — the
+    entity key makes it an equi-join on user_id with the interval
+    predicate as a cheap post-filter, and per-user version counts are
+    bounded (attribute change points, not events). Both sides hash by the
+    SAME key the SCD2 build already shuffled on, so on a cluster the
+    exchange is reused (and zero extra shuffles on a user-bucketed lake).
+    Compare q78, the keyless range join, where binning is the rescue —
+    here the key IS the bin."""
+    versions = q150(spark, sf).select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 200)
+    contained = (F.col("ts") >= F.col("valid_from")) & (
+        F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))
+    )
+    return (
+        ev.join(versions, "user_id")
+        .where(contained)
+        .groupBy("user_id", "version", "attr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DecimalType(18, 2))).cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id", "version")
+    )

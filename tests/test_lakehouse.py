@@ -331,3 +331,33 @@ def test_kmv_merge_is_lossless_and_accurate(spark):
         assert abs(r["kmv_estimate"] - exact[r["event_type"]]) <= max(
             0.5 * exact[r["event_type"]], 3
         )
+
+
+# --------------------------------------------------------------------------
+# q160 — temporal version join
+# --------------------------------------------------------------------------
+
+def test_temporal_join_covers_every_event_exactly_once(spark):
+    rows = QUERIES["q160_temporal_version_join"](spark, SF_SMOKE).collect()
+    assert rows
+    total = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where(F.col("user_id") < 200)
+        .count()
+    )
+    # half-open intervals tile each user's timeline: exactly-once assignment
+    assert sum(r["n_events"] for r in rows) == total
+
+
+def test_temporal_join_attr_matches_version(spark):
+    v = QUERIES["q150_scd2_history"](spark, SF_SMOKE).select(
+        "user_id", "version", F.col("event_type").alias("scd_attr")
+    )
+    j = (
+        QUERIES["q160_temporal_version_join"](spark, SF_SMOKE)
+        .join(v, ["user_id", "version"])
+        .collect()
+    )
+    assert j
+    for r in j:
+        assert r["attr"] == r["scd_attr"]
