@@ -132,6 +132,42 @@ def q149(spark, sf):
 # q150 — SCD Type-2 effective-dated history
 # --------------------------------------------------------------------------
 
+def scd2_versions(ev):
+    """The SCD2 build over an (user_id, event_type, ts, event_id) event
+    relation — shared by q150 (batch) and streaming.scd2_history_stream
+    (incremental affected-entity maintenance; parity asserted in
+    tests/test_streaming.py)."""
+    w_scan = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w_scan).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    # event_id tie-break: two change points can share a timestamp, and
+    # lead/row_number must close intervals in the same order in both engines
+    w_ver = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_ver).alias("valid_to"),
+        F.row_number().over(w_ver).cast("int").alias("version"),
+    ).select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        "version",
+    )
+
+
 @query(
     "q150_scd2_history",
     """WITH ordered AS (
@@ -166,38 +202,10 @@ def q150(spark, sf):
     (lag to find change points, lead/row_number to close intervals — the
     second window re-sorts within the same partitioning, no second
     shuffle), then a narrow filter. This is the standard 100 TB history
-    build: cost ∝ one shuffle of the event log, state ∝ nothing (no
-    driver-side iteration, unlike MERGE-per-change-batch approaches)."""
-    ev = _t(spark, sf, "events").where(F.col("user_id") < 200)
-    w_scan = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.select(
-            "user_id",
-            "event_type",
-            "ts",
-            "event_id",
-            F.lag("event_type").over(w_scan).alias("prev_type"),
-        )
-        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
-        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
-    )
-    # event_id tie-break: two change points can share a timestamp, and
-    # lead/row_number must close intervals in the same order in both engines
-    w_ver = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
-    return changes.select(
-        "user_id",
-        "event_type",
-        "valid_from",
-        F.lead("valid_from").over(w_ver).alias("valid_to"),
-        F.row_number().over(w_ver).cast("int").alias("version"),
-    ).select(
-        "user_id",
-        "event_type",
-        "valid_from",
-        "valid_to",
-        F.col("valid_to").isNull().alias("is_current"),
-        "version",
-    )
+    build: cost ∝ one shuffle of the event log, state ∝ nothing. The
+    build body is ``scd2_versions`` — shared with the streaming
+    incremental maintenance op (streaming.scd2_history_stream)."""
+    return scd2_versions(_t(spark, sf, "events").where(F.col("user_id") < 200))
 
 
 # --------------------------------------------------------------------------
@@ -443,3 +451,56 @@ def q160(spark, sf):
         )
         .orderBy("user_id", "version")
     )
+
+
+# --------------------------------------------------------------------------
+# q161 — zone-map data-skipping report
+# --------------------------------------------------------------------------
+
+_SKIP_THRESHOLD = 990.0  # the selective predicate: value > threshold
+
+
+@query(
+    "q161_zone_map_pruning",
+    f"""WITH z AS (
+         SELECT CAST(ts AS DATE) AS day,
+                count(*) AS n_rows,
+                min(value) AS mn,
+                max(value) AS mx
+         FROM events GROUP BY 1)
+       SELECT day, n_rows, mn, mx,
+              (mx <= {_SKIP_THRESHOLD}) AS prunable
+       FROM z ORDER BY day""",
+    tags=("lakehouse", "zone-map", "data-skipping", "stats"),
+)
+def q161(spark, sf):
+    """Zone-map (min/max statistics) data-skipping report: per
+    day-partition of the event log, the column statistics Delta/Iceberg
+    keep in table metadata, plus whether the partition is PRUNABLE for the
+    selective predicate ``value > 990`` — i.e. its max proves no row can
+    qualify, so a stats-aware scan skips the whole file without opening
+    it. This relation IS the data-skipping decision: at 100 TB the
+    difference between scanning 2 partitions and 300 is this query run
+    against metadata instead of data.
+
+    Scale shape: one partial+final hash agg over the fact (in a real lake
+    the stats already exist in the manifest — the agg is the bootstrap /
+    audit path), and the prune flag is a pure projection over the tiny
+    stats relation. Pairs with q149: a MERGE's matched-key relation tells
+    you which partitions' zone maps must be refreshed."""
+    ev = _t(spark, sf, "events")
+    z = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    return z.select(
+        "day",
+        "n_rows",
+        "mn",
+        "mx",
+        (F.col("mx") <= F.lit(_SKIP_THRESHOLD)).alias("prunable"),
+    ).orderBy("day")

@@ -11,7 +11,7 @@ from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113)
 from . import quality  # noqa: F401  (registers q85-q97)
 from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
-from . import lakehouse  # noqa: F401  (registers q149-q152, q160)
+from . import lakehouse  # noqa: F401  (registers q149-q152, q160-q161)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -71,14 +71,17 @@ from . import lakehouse  # noqa: F401  (registers q149-q152, q160)
 #      q62 (its BPE-encode machinery is covered by q132, in group 2);
 #      q160 (temporal join of facts into their SCD2 validity interval)
 #      bumps q22, the same fan-out join tree as q21 which stays (q22's
-#      division surface rides q127, green r3).
+#      division surface rides q127, green r3); q161 (zone-map
+#      data-skipping report) bumps q18 — the year-granularity avg twin
+#      whose date-part machinery q13 (month) and q16 (quarter) keep in
+#      the prefix.
 # Deliberately NEVER in the prefix: q46/q81 — genuinely engine-private
 # sketch values (HLL / GK percentile); their value-checkable stand-ins
 # q134/q136 and exact twins q45/q67 carry the evidence. Remaining r2-green
 # queries (q44/q52/q59-q61/q68/q70-q97 minus picks) hit their 2-round
 # staleness limit NEXT round and must form the core of the r5 prefix,
 # together with the nine bumped template twins
-# q02/q04/q06/q08/q10/q12/q14/q15/q17/q20/q22/q62.
+# q02/q04/q06/q08/q10/q12/q14/q15/q17/q18/q20/q22/q62.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # -- 1: newly-oracled vectorized twins, never gate-green --
@@ -112,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "q11_avg_price_by_membership",
     "q13_sum_amount_by_month",
     "q16_avg_amount_by_quarter",
-    "q18_avg_amount_by_year",
     "q19_member_avg_by_acct_band",
     "q21_member_spend_rides",
     "q23_format_orders",
@@ -140,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "q158_dup_graph_pagerank",
     "q159_kmv_merge",
     "q160_temporal_version_join",
+    "q161_zone_map_pruning",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -16,6 +16,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -468,3 +469,77 @@ def semantic_dedup_stream(
     q = writer.start()
     q.awaitTermination()
     return out
+
+
+def scd2_history_stream(
+    events: DataFrame,
+    store_path: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Incremental SCD Type-2 maintenance — the streaming counterpart of
+    q150 (plans/lakehouse.scd2_versions): each micro-batch updates the
+    versioned-history table for ONLY the entities present in the batch.
+
+    Per batch (foreachBatch, availableNow trigger):
+
+    1. append the batch's raw change events to a raw log under the store
+       (partition-append, no rewrite);
+    2. recompute ``scd2_versions`` for the batch's affected user_ids from
+       the accumulated raw log, filtered by a pushed-down ``user_id IN``
+       predicate (event_id-deduped, so source redelivery is harmless);
+    3. write versions = (previous versions minus affected users) UNION
+       (recomputed affected histories) as a new snapshot version of the
+       store (time travel of the dimension's own history for free).
+
+    Recompute-from-log makes the operator insensitive to event-time order
+    ACROSS batches — a late row for user u simply triggers a fresh rebuild
+    of u's (small) history, where a merge-the-interval-edits approach
+    would need delicate boundary surgery. Cost per batch ∝ affected
+    entities' history sizes, not the corpus: the raw-log read prunes on
+    user_id, the SCD2 window shuffles only affected rows, and the
+    untouched-users relation is a pass-through scan. Parity with the
+    batch build over the full log is asserted in tests/test_streaming.py
+    (including an out-of-order delivery case).
+
+    Returns the number of non-empty micro-batches processed.
+    """
+    from ..plans.lakehouse import scd2_versions
+    from ..sources import versioned as V
+
+    raw_dir = os.path.join(store_path, "_raw_log")
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.select("user_id", "event_type", "ts", "event_id")
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        batch.write.mode("append").parquet(raw_dir)
+        ids = batch.select("user_id").distinct()
+        # bounded-collect hybrid: literal IN-list when the batch touches few
+        # entities (predicate pushes into the raw-log parquet scan — row
+        # groups of untouched users are skipped), distributed semi/anti
+        # joins beyond that (no pushdown, but no driver state either)
+        affected = [r["user_id"] for r in ids.limit(10_001).collect()]
+        raw_all = spark.read.parquet(raw_dir)
+        prev = (
+            V.read_current(spark, store_path)
+            if V.current_version(store_path) is not None
+            else None
+        )
+        if len(affected) <= 10_000:
+            raw = raw_all.where(F.col("user_id").isin(affected))
+            kept = prev.where(~F.col("user_id").isin(affected)) if prev is not None else None
+        else:
+            raw = raw_all.join(F.broadcast(ids), "user_id", "left_semi")
+            kept = prev.join(F.broadcast(ids), "user_id", "left_anti") if prev is not None else None
+        rebuilt = scd2_versions(raw.dropDuplicates(["event_id"]))
+        V.write_version(rebuilt if kept is None else kept.unionByName(rebuilt), store_path)
+        n_batches["n"] += 1
+
+    writer = events.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return n_batches["n"]

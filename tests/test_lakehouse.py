@@ -361,3 +361,30 @@ def test_temporal_join_attr_matches_version(spark):
     assert j
     for r in j:
         assert r["attr"] == r["scd_attr"]
+
+
+# --------------------------------------------------------------------------
+# q161 — zone-map pruning
+# --------------------------------------------------------------------------
+
+def test_zone_map_prunable_partitions_have_no_qualifying_rows(spark):
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.lakehouse import (
+        _SKIP_THRESHOLD,
+    )
+
+    rows = QUERIES["q161_zone_map_pruning"](spark, SF_SMOKE).collect()
+    assert rows
+    qualifying_days = {
+        r["day"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where(F.col("value") > _SKIP_THRESHOLD)
+        .select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r["mn"] <= r["mx"]
+        # the data-skipping guarantee: a prunable partition contains NO
+        # qualifying row, and every non-prunable one contains at least one
+        # (max > threshold implies a witness row at the max)
+        assert r["prunable"] == (r["day"] not in qualifying_days)

@@ -495,3 +495,75 @@ def test_semantic_dedup_stream_matches_batch(spark, emb_stream_dir):
     assert got[999001][3] is False, "planted corpus copy must be rejected"
     kept_vals = [k for *_, k in rows]
     assert any(kept_vals) and not all(kept_vals), "both outcomes"
+
+
+def test_scd2_stream_matches_batch_with_out_of_order_batches(spark, tmp_path):
+    """Incremental SCD2 maintenance == the batch build over the full log,
+    even when a later micro-batch delivers EARLIER events for a user (the
+    recompute-from-log contract): final store rows equal
+    scd2_versions(all events) exactly."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.lakehouse import (
+        scd2_versions,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources import (
+        versioned as V,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        scd2_history_stream,
+    )
+
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    b1 = spark.createDataFrame(
+        [
+            (10, "2024-01-01 00:10:00", 1, "view", 0.0, "{}"),
+            (11, "2024-01-01 00:20:00", 1, "click", 0.0, "{}"),
+            (20, "2024-01-01 00:15:00", 2, "view", 0.0, "{}"),
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # batch 2: user 1 gets an EARLIER event (out-of-order) that inserts a
+    # version BEFORE the ones already written; user 3 appears fresh
+    b2 = spark.createDataFrame(
+        [
+            (9, "2024-01-01 00:05:00", 1, "signup", 0.0, "{}"),
+            (30, "2024-01-01 00:30:00", 3, "purchase", 0.0, "{}"),
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # batch 3: user 2 changes attr; user 1 untouched
+    b3 = spark.createDataFrame(
+        [
+            (21, "2024-01-01 00:40:00", 2, "error", 0.0, "{}"),
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    import time
+
+    for i, b in enumerate([b1, b2, b3]):
+        b.coalesce(1).write.parquet(str(src / f"f{i}"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    store = str(tmp_path / "scd2_store")
+    n = scd2_history_stream(stream, store, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert n == 3
+
+    all_events = b1.unionByName(b2).unionByName(b3).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    expect = {tuple(r) for r in scd2_versions(all_events).collect()}
+    got = {tuple(r) for r in V.read_current(spark, store).collect()}
+    assert got == expect
+    # user 1's history was rebuilt with the late signup as version 1
+    u1 = sorted(
+        (r for r in got if r[0] == 1), key=lambda r: r[5]
+    )
+    assert [r[1] for r in u1] == ["signup", "view", "click"]
