@@ -504,3 +504,83 @@ def q161(spark, sf):
         "mx",
         (F.col("mx") <= F.lit(_SKIP_THRESHOLD)).alias("prunable"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# q162 — change-data-feed: the diff between two table versions
+# --------------------------------------------------------------------------
+
+@query(
+    "q162_version_diff_cdf",
+    f"""WITH v1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+      FROM orders),
+    m AS ({_MERGE_ORACLE.strip()}),
+    v2 AS (SELECT o_orderkey AS k, status, price FROM m WHERE status <> 'F'
+           -- deletion arm: the merge result minus status-'F' rows, so the
+           -- diff exercises all three change types
+           ),
+    d AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             a.status AS before_status, a.price AS before_price,
+             b.status AS after_status,  b.price AS after_price,
+             CASE WHEN a.k IS NULL THEN 'insert'
+                  WHEN b.k IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type
+      FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+      WHERE a.k IS NULL OR b.k IS NULL
+         OR a.status <> b.status OR a.price <> b.price)
+    SELECT k AS o_orderkey, change_type,
+           before_status, before_price, after_status, after_price
+    FROM d""",
+    tags=("lakehouse", "cdf", "diff", "versioning"),
+)
+def q162(spark, sf):
+    """Change-data-feed between two table versions — Delta CDF re-expressed
+    as a snapshot diff: v1 = the orders base, v2 = the q149 MERGE result
+    minus its status-'F' rows (so inserts, updates AND deletes all appear).
+    Emits (key, change_type, before, after) — the relation a downstream
+    incremental consumer (q112-style gold refresh, streaming SCD2) reads
+    instead of re-scanning the table.
+
+    Scale shape: the one operator here that legitimately shuffles both
+    sides — a full-outer join on the key (unchanged rows are filtered
+    post-join). On a lake where both snapshots are bucketed by the key
+    the exchange disappears entirely; a log-backed CDF (Delta) avoids the
+    diff altogether by recording changes at write time — which is exactly
+    the q149 MERGE's action column, and the test pins that this diff
+    agrees with it."""
+    v1 = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    v2 = (
+        q149(spark, sf)
+        .where(F.col("status") != "F")
+        .select(F.col("o_orderkey").alias("k"), "status", "price")
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    ak, bk = F.col("a.k"), F.col("b.k")
+    changed = (
+        ak.isNull()
+        | bk.isNull()
+        | (F.col("a.status") != F.col("b.status"))
+        | (F.col("a.price") != F.col("b.price"))
+    )
+    return (
+        a.join(b, ak == bk, "full_outer")
+        .where(changed)
+        .select(
+            F.coalesce(ak, bk).alias("o_orderkey"),
+            F.when(ak.isNull(), F.lit("insert"))
+            .when(bk.isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.col("a.status").alias("before_status"),
+            F.col("a.price").alias("before_price"),
+            F.col("b.status").alias("after_status"),
+            F.col("b.price").alias("after_price"),
+        )
+    )

@@ -11,7 +11,7 @@ from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113)
 from . import quality  # noqa: F401  (registers q85-q97)
 from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
-from . import lakehouse  # noqa: F401  (registers q149-q152, q160-q161)
+from . import lakehouse  # noqa: F401  (registers q149-q152, q160-q162)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -81,7 +81,7 @@ from . import lakehouse  # noqa: F401  (registers q149-q152, q160-q161)
 # queries (q44/q52/q59-q61/q68/q70-q97 minus picks) hit their 2-round
 # staleness limit NEXT round and must form the core of the r5 prefix,
 # together with the nine bumped template twins
-# q02/q04/q06/q08/q10/q12/q14/q15/q17/q18/q20/q22/q62.
+# q02/q04/q05/q06/q08/q10/q12/q14/q15/q17/q18/q20/q22/q62.
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     # -- 1: newly-oracled vectorized twins, never gate-green --
@@ -109,7 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     # -- 3: stalest (last green r1) --
     "q01_avg_price_by_dow",
     "q03_avg_price_by_orderdate",
-    "q05_avg_extprice_by_supp",
     "q07_avg_extprice_by_part",
     "q09_sum_price_by_acct_band",
     "q11_avg_price_by_membership",
@@ -143,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "q159_kmv_merge",
     "q160_temporal_version_join",
     "q161_zone_map_pruning",
+    "q162_version_diff_cdf",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

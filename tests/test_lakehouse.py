@@ -388,3 +388,43 @@ def test_zone_map_prunable_partitions_have_no_qualifying_rows(spark):
         # qualifying row, and every non-prunable one contains at least one
         # (max > threshold implies a witness row at the max)
         assert r["prunable"] == (r["day"] not in qualifying_days)
+
+
+# --------------------------------------------------------------------------
+# q162 — version-diff CDF
+# --------------------------------------------------------------------------
+
+def test_cdf_diff_agrees_with_merge_actions(spark):
+    """The snapshot diff must recover exactly the changes the MERGE said it
+    made (minus the deletion arm, which the diff alone can see)."""
+    diff = {r["o_orderkey"]: r for r in QUERIES["q162_version_diff_cdf"](spark, SF_SMOKE).collect()}
+    merged = QUERIES["q149_merge_upsert"](spark, SF_SMOKE).collect()
+    for m in merged:
+        k, action, status = m["o_orderkey"], m["action"], m["status"]
+        if status == "F":
+            # dropped from v2 -> must appear as a delete (updates are 'R',
+            # inserts 'N', so only keeps can carry 'F')
+            assert diff[k]["change_type"] == "delete"
+            assert diff[k]["after_status"] is None
+        elif action == "insert":
+            assert diff[k]["change_type"] == "insert"
+            assert diff[k]["before_status"] is None
+        elif action == "update":
+            assert diff[k]["change_type"] == "update"
+            assert diff[k]["after_price"] == diff[k]["before_price"] * 1.05
+        else:  # unchanged non-F keeps must NOT appear in the feed
+            assert k not in diff
+
+
+def test_cdf_change_types_partition_the_feed(spark):
+    rows = QUERIES["q162_version_diff_cdf"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        ct = r["change_type"]
+        assert ct in ("insert", "update", "delete")
+        if ct == "insert":
+            assert r["before_status"] is None and r["after_status"] is not None
+        elif ct == "delete":
+            assert r["after_status"] is None and r["before_status"] is not None
+        else:
+            assert r["before_status"] is not None and r["after_status"] is not None
