@@ -301,6 +301,83 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     )
 
 
+def prefix_filter_jaccard_pairs(
+    docs_tokens: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact >=threshold Jaccard pairs via PPJoin-style prefix filtering
+    (Chaudhuri/Ganti/Kaushik SSJoin, Xiao et al. PPJoin) — the scalable
+    EXACT path that retires the naive shingle inverted-index self-join's
+    hot-shingle blowup (q36, `weak` since r1).
+
+    Candidate generation joins only each document's PREFIX: sort the
+    doc's shingles by (global document frequency, shingle) ascending —
+    rarest first, total order identical across docs — and keep the first
+    ``L = n - ceil(t*n) + 1`` entries. Any pair with Jaccard >= t shares
+    >= ceil(t*max(na,nb)) shingles (inter = J*union >= t*max), and with
+    only ``ceil(t*n) - 1`` elements outside each prefix the pigeonhole
+    forces a shared PREFIX shingle — no false negatives, so the output is
+    value-identical to the exhaustive formulation and carries its oracle.
+
+    Why this is the 100 TB shape: the hot shingles (stopword-only grams
+    shared by ~every doc) sort LAST and fall outside almost every prefix,
+    so the candidate equi-join's buckets are keyed by RARE shingles with
+    small document frequency — the quadratic bucket cost that kills the
+    naive join never materializes. Length filter ``least(na,nb) >=
+    t*greatest(na,nb)`` prunes cross-size candidates in the join
+    condition; exact Jaccard then runs only on surviving candidates
+    (same `_verify_jaccard` stage as the LSH pipeline, linear in
+    candidates x shingles-per-doc).
+
+    Shuffles: shingle-frequency agg, per-doc sort-array agg, prefix
+    self-join, verify joins — all hash-bucketed on bounded keys; no
+    all-pairs stage, no driver state.
+
+    Regime bound (measured, tools/stress_prefix_join.py): a shared shingle
+    is skipped only when it sorts into the doc's SUFFIX, i.e. while the
+    doc's globally-frequent shingles number <= ceil(t*n) - 1 — boilerplate
+    up to a ~t fraction of each doc. The realistic crawl shape (short
+    footer on a long page) is well inside the bound; a corpus that is
+    MOSTLY shared boilerplate at just-below-threshold similarity defeats
+    the prefix bound (the rarest shared shingle lands inside every prefix)
+    and degrades to the naive join's quadratic bucket — there, only
+    approximate candidates (MinHash q37/q98) break the quadratic.
+    """
+    # feeds the frequency agg, the prefix build, and both verify sides
+    sh = shingle_sets(docs_tokens, shingle_n).localCheckpoint()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(freq, "shingle")
+    # array<struct<df,shingle>> sorts by df then shingle: one global total
+    # order, deterministic across partitionings
+    arr = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ss")
+    )
+    n = F.size("ss")
+    pref_len = (n - F.ceil(F.lit(threshold) * n) + F.lit(1)).cast("int")
+    prefix = arr.select(
+        "doc_id",
+        n.alias("n"),
+        F.slice(F.transform("ss", lambda s: s["shingle"]), F.lit(1), pref_len).alias("pref"),
+    )
+    pj = prefix.select("doc_id", "n", F.explode("pref").alias("shingle"))
+    a, b = pj.alias("a"), pj.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
 def incremental_near_dedup(
     docs_tokens: DataFrame,
     is_new: Column,

@@ -149,9 +149,12 @@ _SHINGLES_SQL = f"""
                    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
             FROM sh0)"""
 
-@query(
-    "q36_ngram_jaccard_pairs",
-    f"""WITH {_SHINGLES_SQL},
+#: The EXHAUSTIVE exact-Jaccard formulation — the shared oracle for every
+#: operator whose contract is "all pairs with Jaccard >= 0.5": the naive
+#: inverted-index join (q36), the LSH-verified pipeline (q98), and the
+#: prefix-filtered join (q163). DuckDB runs the quadratic plan; the Spark
+#: side may take any candidate-generation path that provably loses no pair.
+_JACCARD_EXACT_SQL = f"""WITH {_SHINGLES_SQL},
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                    FROM sh a JOIN sh b
@@ -162,7 +165,12 @@ _SHINGLES_SQL = f"""
         FROM pairs
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE inter / (sa.n + sb.n - inter) >= 0.5""",
+        WHERE inter / (sa.n + sb.n - inter) >= 0.5"""
+
+
+@query(
+    "q36_ngram_jaccard_pairs",
+    _JACCARD_EXACT_SQL,
     tags=("dedup", "ngram", "jaccard"),
 )
 def q36(spark, sf):
@@ -339,18 +347,7 @@ def q153(spark, sf):
     "q98_lsh_verified_pairs",
     # the EXHAUSTIVE exact-Jaccard oracle (same SQL as q36): value equality
     # certifies the LSH candidate stage lost no >=threshold pair
-    f"""WITH {_SHINGLES_SQL},
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                   FROM sh a JOIN sh b
-                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-               round(inter / (sa.n + sb.n - inter), 4) AS jaccard
-        FROM pairs
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE inter / (sa.n + sb.n - inter) >= 0.5""",
+    _JACCARD_EXACT_SQL,
     tags=("dedup", "minhash", "lsh", "jaccard"),
 )
 def q98(spark, sf):
@@ -2517,3 +2514,27 @@ def q158(spark, sf):
         .select(F.col("id").alias("doc_id"), F.col("pr").alias("pagerank"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q163_jaccard_prefix_join",
+    _JACCARD_EXACT_SQL,
+    tags=("dedup", "jaccard", "prefix-filter", "exact"),
+)
+def q163(spark, sf):
+    """Exact Jaccard >= 0.5 pairs via PPJoin-style prefix filtering — the
+    scalable EXACT path that supersedes q36's naive inverted-index join
+    (q36 stays as the quadratic verifier-by-design; this is what a 100 TB
+    run would actually execute when exactness is required and MinHash
+    recall bounds (q98) are not acceptable).
+
+    Candidates come from an equi-join restricted to each doc's rarest
+    ``n - ceil(t*n) + 1`` shingles under a global (document-frequency,
+    shingle) order — hot stopword shingles sort last and drop out of the
+    prefixes, so no hot-shingle bucket blowup; the pigeonhole guarantees
+    zero false negatives (operators/dedup.prefix_filter_jaccard_pairs),
+    which is why this carries the exhaustive oracle verbatim."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    return prefix_filter_jaccard_pairs(docs, threshold=0.5)

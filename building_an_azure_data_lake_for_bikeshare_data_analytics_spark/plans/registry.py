@@ -53,7 +53,9 @@ from . import lakehouse  # noqa: F401  (registers q149-q152, q160-q162)
 #      same-shape avg/sum pair whose sibling — identical plan, same join
 #      tree, same template factory — stays in the prefix);
 #   4. r2-green queries covering the widest distinct surface among the
-#      r2 cohort: the fold twins of the kernels above (q37/q43/q56
+#      r2 cohort: the fold twins of the kernels above (q37/q56; q43 was
+#      later bumped for q163 — its oracle rides q65's gate row verbatim)
+#      (originally q37/q43/q56
 #      re-anchor the twin pairs in the same gate round); q57/q58/q67/
 #      q73/q98 were bumped to make room for q144-q148 and join the r5
 #      cohort with the rest;
@@ -126,7 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     # surfaces ride this round's families where noted in the header
     # comment, and ALL of them form the core of the r5 prefix) --
     "q37_minhash_lsh_pairs",
-    "q43_embedding_dup_pairs",
     "q56_ivf_ann",
     # -- 5: late-r4 additions, never green --
     "q149_merge_upsert",
@@ -143,6 +144,12 @@ _PRIORITY: tuple[str, ...] = (
     "q160_temporal_version_join",
     "q161_zone_map_pruning",
     "q162_version_diff_cdf",
+    # q163 (prefix-filtered exact Jaccard — the scalable exact-dedup path
+    # that retires q36's standing `weak` mark) bumps q43: q43's oracle SQL
+    # is carried VERBATIM by its vectorized twin q65 in group 1, so the
+    # oracle itself still gets a gate row this round, and the fold/kernel
+    # row-equality is pinned in tests; q43 joins the r5 cohort.
+    "q163_jaccard_prefix_join",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -191,3 +191,60 @@ def test_substring_dedup_detect_clean_consistency(spark):
     for r in cleaned:
         if r["doc_id"] not in docs_with_spans:
             assert r["n_kept"] == r["n_tokens"], r
+
+
+def test_prefix_filter_jaccard_equals_exhaustive_corpus(spark):
+    """q163's prefix-filtered join is EXACT: row-identical to q36's
+    exhaustive inverted-index formulation on the real corpus (the
+    pigeonhole no-false-negatives guarantee, operators/dedup.
+    prefix_filter_jaccard_pairs)."""
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in QUERIES["q36_ngram_jaccard_pairs"](spark, SF_SMOKE).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in QUERIES["q163_jaccard_prefix_join"](spark, SF_SMOKE).collect()
+    }
+    assert pref == exact and exact
+
+
+def test_prefix_filter_jaccard_hot_shingle_regime(spark):
+    """The regime q163 exists for: a boilerplate shingle shared by EVERY
+    doc (the hot-bucket killer for q36's self-join). Prefix filtering must
+    still return exactly the true >=0.5 pairs — the hot shingle sorts
+    last in every doc's frequency order and drops out of the prefixes,
+    but the pigeonhole still finds every qualifying pair via rare
+    shingles."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingle_sets,
+    )
+
+    boiler = "terms of service apply to all content"  # shared by all docs
+    rows = [
+        Row(doc_id=1, text=f"{BASE} {boiler}"),
+        Row(doc_id=2, text=f"{BASE} {boiler}"),  # exact dup of 1
+        Row(doc_id=3, text=f"{BASE.replace('lazy', 'sleepy')} {boiler}"),
+        Row(doc_id=4, text=f"unrelated spark shuffle partition skew essay words {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows).select("doc_id", tokens("text").alias("ts"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # brute-force truth over the tiny fixture
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in shingle_sets(docs).groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh")).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.5:
+                want[(a, b)] = round(j, 4)
+    assert got == want
+    assert (1, 2) in got and (4, 1) not in got and (1, 4) not in got

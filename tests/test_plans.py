@@ -479,3 +479,18 @@ def test_semdedup_pair_join_keyed_on_cell(spark):
         if ("Left keys" in ln or "Right keys" in ln) and "cell" in ln
     ]
     assert key_lines, "cell id must appear in the pair join keys"
+
+
+def test_prefix_jaccard_join_keyed_on_shingle_no_cartesian(spark):
+    """q163's candidate stage must be an equi-join keyed on the prefix
+    shingle — never a cartesian/BNLJ (the whole point is that candidates
+    come from hash buckets of RARE shingles). The length filter rides the
+    same join as a secondary condition."""
+    plan = _plan(spark, "q163_jaccard_prefix_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ("Left keys" in ln or "Right keys" in ln) and "shingle" in ln
+    ]
+    assert key_lines, "prefix shingle must appear in equi-join keys"
