@@ -584,3 +584,126 @@ def q162(spark, sf):
             F.col("b.price").alias("after_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q164 — Z-order clustering: multi-dimensional data-skipping layout
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8           # 8 bits per dimension -> 16-bit z-value, 1024 buckets
+_Z_BUCKET_SHIFT = 6   # bucket = z >> 6: up to 2^10 z-range buckets
+#: the 2-D probe is RELATIVE to the data range so it stays selective at
+#: every scale factor (the events value/user domains grow with sf):
+#: user_id < mn_u + 0.25*(span_u), value > mn_v + 0.8*(span_v)
+_Z_U_FRAC = 0.25
+_Z_V_FRAC = 0.8
+
+#: bit-interleave terms, generated once and shared verbatim by the Spark
+#: Column expression and the DuckDB oracle (same arithmetic, same operators)
+_Z_TERMS_SQL = " + ".join(
+    f"(((bx >> {i}) & 1) << {2 * i + 1}) + (((by >> {i}) & 1) << {2 * i})"
+    for i in range(_Z_BITS)
+)
+
+_Z_GRID_SQL = f"""
+    stats AS (SELECT min(user_id) AS mn_u, max(user_id) AS mx_u,
+                     min(value)   AS mn_v, max(value)   AS mx_v,
+                     min(user_id) + {_Z_U_FRAC} * (max(user_id) - min(user_id) + 1) AS u_thresh,
+                     min(value) + {_Z_V_FRAC} * (max(value) - min(value)) AS v_thresh
+              FROM events),
+    g AS (SELECT user_id, value, u_thresh, v_thresh,
+                 CAST(((user_id - mn_u) * 256) // (mx_u - mn_u + 1) AS BIGINT) AS bx,
+                 LEAST(255, CAST(floor((value - mn_v) * 256 / (mx_v - mn_v)) AS BIGINT)) AS by
+          FROM events, stats),
+    z AS (SELECT user_id, value, u_thresh, v_thresh,
+                 ({_Z_TERMS_SQL}) >> {_Z_BUCKET_SHIFT} AS zbucket FROM g)"""
+
+
+@query(
+    "q164_zorder_layout",
+    f"""WITH {_Z_GRID_SQL}
+       SELECT zbucket,
+              count(*) AS n_rows,
+              min(user_id) AS mn_user, max(user_id) AS mx_user,
+              min(value) AS mn_value, max(value) AS mx_value,
+              (max(value) <= min(v_thresh) OR min(user_id) >= min(u_thresh)) AS prunable
+       FROM z GROUP BY 1 ORDER BY 1""",
+    tags=("lakehouse", "zorder", "zone-map", "data-skipping", "layout"),
+)
+def q164(spark, sf):
+    """Z-order clustering report — the MULTI-dimensional data-skipping
+    layout q161's one-dimensional day zone maps cannot give: each event's
+    (user_id, value) is quantized to an 8-bit-per-dimension grid cell, the
+    cell coordinates are bit-interleaved into a 16-bit Morton z-value, and
+    rows are bucketed by z-range (bucket = z >> 6 — what OPTIMIZE ZORDER BY
+    does with a range-partition over the z-key before writing files). Per
+    bucket: the min/max stats of BOTH dimensions plus whether the bucket is
+    prunable for the 2-D probe ``user_id < lo-quartile AND value >
+    80th-percentile-of-range`` (thresholds derived from the same stats
+    aggregate, so the probe stays selective at every sf) — prunable iff
+    its stats prove no row can satisfy both conjuncts. Because z-order
+    keeps both dimensions locally tight, far more buckets are prunable
+    than under any single-dimension sort (pinned against the day layout in
+    tests/test_lakehouse.py).
+
+    Scale shape: the grid bounds are one scalar aggregate broadcast-cross-
+    joined onto the fact (never collected to the driver); z-values are
+    pure JVM bit arithmetic inside whole-stage codegen; the report is one
+    partial+final hash agg on the bucket key. At 100 TB this relation IS
+    the OPTIMIZE decision: rewrite data files in z-bucket order and the
+    manifest stats make every 2-D probe skip ~all files. The interleave
+    terms are generated ONCE (`_Z_TERMS_SQL`) and evaluated by both
+    engines verbatim, so the oracle checks the layout bit-for-bit."""
+    ev = _t(spark, sf, "events")
+    stats = ev.agg(
+        F.min("user_id").alias("mn_u"),
+        F.max("user_id").alias("mx_u"),
+        F.min("value").alias("mn_v"),
+        F.max("value").alias("mx_v"),
+        (F.min("user_id") + F.lit(_Z_U_FRAC) * (F.max("user_id") - F.min("user_id") + 1)).alias(
+            "u_thresh"
+        ),
+        (F.min("value") + F.lit(_Z_V_FRAC) * (F.max("value") - F.min("value"))).alias("v_thresh"),
+    )
+    g = ev.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        "value",
+        "u_thresh",
+        "v_thresh",
+        F.expr("CAST(((user_id - mn_u) * 256) DIV (mx_u - mn_u + 1) AS BIGINT)").alias("bx"),
+        F.least(
+            F.lit(255),
+            F.floor((F.col("value") - F.col("mn_v")) * 256 / (F.col("mx_v") - F.col("mn_v"))),
+        ).cast("long").alias("by"),
+    )
+    z = g.select(
+        "user_id",
+        "value",
+        "u_thresh",
+        "v_thresh",
+        F.expr(f"({_Z_TERMS_SQL}) >> {_Z_BUCKET_SHIFT}").alias("zbucket"),
+    )
+    return (
+        z.groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("mn_user"),
+            F.max("user_id").alias("mx_user"),
+            F.min("value").alias("mn_value"),
+            F.max("value").alias("mx_value"),
+            F.min("u_thresh").alias("ut"),
+            F.min("v_thresh").alias("vt"),
+        )
+        .select(
+            "zbucket",
+            "n_rows",
+            "mn_user",
+            "mx_user",
+            "mn_value",
+            "mx_value",
+            ((F.col("mx_value") <= F.col("vt")) | (F.col("mn_user") >= F.col("ut"))).alias(
+                "prunable"
+            ),
+        )
+        .orderBy("zbucket")
+    )

@@ -127,8 +127,10 @@ _PRIORITY: tuple[str, ...] = (
     # q42/q45/q47/q48/q49/q50/q51 and q57/q58/q67/q73/q98 — their
     # surfaces ride this round's families where noted in the header
     # comment, and ALL of them form the core of the r5 prefix) --
-    "q37_minhash_lsh_pairs",
-    "q56_ivf_ann",
+    # (q37/q56 were bumped late-r4 for q164/q165 — q37's signature+band
+    # machinery is exercised by q153's gate row and q56's fold carries the
+    # same oracle as q130's gate row; both hit the 2-round staleness limit
+    # after this round and are MANDATORY r5-prefix members)
     # -- 5: late-r4 additions, never green --
     "q149_merge_upsert",
     "q150_scd2_history",
@@ -150,6 +152,11 @@ _PRIORITY: tuple[str, ...] = (
     # oracle itself still gets a gate row this round, and the fold/kernel
     # row-equality is pinned in tests; q43 joins the r5 cohort.
     "q163_jaccard_prefix_join",
+    # late-r4: z-order multi-dim data-skipping layout and deterministic
+    # Efraimidis-Spirakis weighted sampling — both never-green, filling
+    # the two slots freed by q37/q56 above
+    "q164_zorder_layout",
+    "q165_weighted_sample",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

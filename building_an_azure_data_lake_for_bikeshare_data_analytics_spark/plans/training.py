@@ -1034,3 +1034,71 @@ def q113(spark, sf):
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# q165 — weighted sampling without replacement (Efraimidis-Spirakis)
+# --------------------------------------------------------------------------
+
+_ES_K = 20          # sample size per source stratum
+_ES_DENOM = (1 << 60) + 1  # md5-uniform denominator: u in (0, 1) exclusive
+
+_ES_U_SQL = (
+    "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)"
+    f" / {float(_ES_DENOM)}"
+)
+
+
+@query(
+    "q165_weighted_sample",
+    f"""WITH keyed AS (
+         SELECT source, doc_id, n_chars,
+                -ln({_ES_U_SQL}) / n_chars AS es_key
+         FROM documents WHERE n_chars > 0),
+       ranked AS (
+         SELECT source, doc_id, n_chars, es_key,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY es_key, doc_id) AS rank
+         FROM keyed)
+       SELECT source, rank, doc_id, n_chars,
+              round(es_key, 6) AS es_key
+       FROM ranked WHERE rank <= {_ES_K}
+       ORDER BY source, rank""",
+    tags=("training", "sample", "weighted", "without-replacement"),
+)
+def q165(spark, sf):
+    """Weighted sampling WITHOUT replacement, k per source stratum —
+    Efraimidis-Spirakis (IPL 2006) exponential-key sampling: each doc
+    draws key = -ln(u)/w with weight w = n_chars, and the k SMALLEST keys
+    per stratum are exactly a weight-proportional sample without
+    replacement. The training-mix use case: sample long documents
+    proportionally more often when building a fixed-size mixture, in ONE
+    distributed pass, with no sequential reservoir state.
+
+    Deterministic cross-engine: u is md5-derived from doc_id (the q37
+    trick), so both engines draw the IDENTICAL sample — the "random"
+    sample is value-for-value oracle-checkable, and re-running the
+    pipeline reproduces it exactly (the property a production corpus
+    build needs for auditability).
+
+    Scale shape: one map-side key computation (md5 + ln, pure JVM), one
+    window per stratum — and because only the k smallest ranks survive,
+    Spark plans the window as a map-side WindowGroupLimit before the
+    shuffle (the q134 KMV shape): each partition forwards at most k rows
+    per stratum, so the exchange carries O(k * n_sources * n_partitions)
+    rows regardless of corpus size."""
+    docs = _t(spark, sf, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        + 1
+    ) / F.lit(float(_ES_DENOM))
+    keyed = docs.select(
+        "source", "doc_id", "n_chars", (-F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    w = Window.partitionBy("source").orderBy("es_key", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _ES_K)
+        .select("source", "rank", "doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+        .orderBy("source", "rank")
+    )

@@ -428,3 +428,38 @@ def test_cdf_change_types_partition_the_feed(spark):
             assert r["after_status"] is None and r["before_status"] is not None
         else:
             assert r["before_status"] is not None and r["after_status"] is not None
+
+
+def test_zorder_layout_covers_all_rows_and_beats_day_layout(spark):
+    """q164's z-order claim, measured: (a) the z-buckets tile the fact
+    (Σ n_rows == |events|); (b) for the 2-D probe (user_id < 50 AND
+    value > 400) the fraction of ROWS sitting in prunable buckets under
+    the z-layout strictly beats the 1-D day layout (q161's shape) — the
+    reason OPTIMIZE ZORDER exists."""
+    z = QUERIES["q164_zorder_layout"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    total = ev.count()
+    assert sum(r["n_rows"] for r in z) == total
+    z_prunable_rows = sum(r["n_rows"] for r in z if r["prunable"])
+    # the probe thresholds q164 derives from the stats aggregate
+    s = ev.agg(
+        F.min("user_id").alias("mn_u"), F.max("user_id").alias("mx_u"),
+        F.min("value").alias("mn_v"), F.max("value").alias("mx_v"),
+    ).collect()[0]
+    ut = s["mn_u"] + 0.25 * (s["mx_u"] - s["mn_u"] + 1)
+    vt = s["mn_v"] + 0.8 * (s["mx_v"] - s["mn_v"])
+    day = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("mn_user"),
+            F.max("value").alias("mx_value"),
+        )
+        .collect()
+    )
+    day_prunable_rows = sum(
+        r["n_rows"] for r in day if r["mx_value"] <= vt or r["mn_user"] >= ut
+    )
+    assert z_prunable_rows / total > day_prunable_rows / total
+    # the z layout must make the probe mostly-skippable, not marginally
+    assert z_prunable_rows / total > 0.5

@@ -494,3 +494,19 @@ def test_prefix_jaccard_join_keyed_on_shingle_no_cartesian(spark):
         if ("Left keys" in ln or "Right keys" in ln) and "shingle" in ln
     ]
     assert key_lines, "prefix shingle must appear in equi-join keys"
+
+
+def test_weighted_sample_window_group_limit_before_exchange(spark):
+    """q165's top-k-per-stratum window must plan as a map-side
+    WindowGroupLimit BEFORE the exchange (each partition forwards at most
+    k rows per stratum) — a full window sort of the corpus would be the
+    scale bug. Same contract as q134's KMV k-smallest."""
+    import re
+
+    plan = _plan(spark, "q165_weighted_sample")
+    wgl = [int(m) for m in re.findall(r"\((\d+)\) WindowGroupLimit", plan)]
+    ex = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert wgl and ex
+    # formatted-plan node ids increase parent-ward: a WindowGroupLimit with
+    # an id below every Exchange runs on the map side, pre-shuffle
+    assert min(wgl) < min(ex)

@@ -246,3 +246,21 @@ def test_incremental_dedup_matches_exhaustive(spark):
         )
     }
     assert got == want and len(batch) > 0
+
+
+def test_weighted_sample_sizes_and_determinism(spark):
+    """q165: exactly min(k, |stratum|) rows per source with contiguous
+    ranks, and the md5-derived draw is run-to-run IDENTICAL (the
+    auditability property a production corpus build needs)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.training import _ES_K
+
+    a = registry.QUERIES["q165_weighted_sample"](spark, SF).collect()
+    strata = {}
+    for r in a:
+        strata.setdefault(r["source"], []).append(r["rank"])
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where("n_chars > 0")
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, ranks in strata.items():
+        assert sorted(ranks) == list(range(1, min(_ES_K, sizes[src]) + 1))
+    b = registry.QUERIES["q165_weighted_sample"](spark, SF).collect()
+    assert a == b
