@@ -1053,52 +1053,60 @@ _ES_U_SQL = (
     "q165_weighted_sample",
     f"""WITH keyed AS (
          SELECT source, doc_id, n_chars,
-                -ln({_ES_U_SQL}) / n_chars AS es_key
+                round(-ln({_ES_U_SQL}) / n_chars, 6) AS es_key
          FROM documents WHERE n_chars > 0),
        ranked AS (
          SELECT source, doc_id, n_chars, es_key,
                 row_number() OVER (PARTITION BY source
                                    ORDER BY es_key, doc_id) AS rank
          FROM keyed)
-       SELECT source, rank, doc_id, n_chars,
-              round(es_key, 6) AS es_key
+       SELECT source, rank, doc_id, n_chars, es_key
        FROM ranked WHERE rank <= {_ES_K}
        ORDER BY source, rank""",
-    tags=("training", "sample", "weighted", "without-replacement"),
+    tags=("training", "sample", "weighted", "without-replacement", "stratified"),
 )
 def q165(spark, sf):
-    """Weighted sampling WITHOUT replacement, k per source stratum —
-    Efraimidis-Spirakis (IPL 2006) exponential-key sampling: each doc
-    draws key = -ln(u)/w with weight w = n_chars, and the k SMALLEST keys
-    per stratum are exactly a weight-proportional sample without
-    replacement. The training-mix use case: sample long documents
-    proportionally more often when building a fixed-size mixture, in ONE
-    distributed pass, with no sequential reservoir state.
+    """STRATIFIED weighted sampling without replacement, k per source —
+    the third member of the sampling family: q72 draws per-stratum
+    UNweighted, q108 draws weighted but GLOBAL (one top-100 via
+    TakeOrderedAndProject); a training mixture wants both at once — k
+    docs per source, long docs proportionally more likely within each.
+    Efraimidis-Spirakis exponential keys: key = -ln(u)/w with w =
+    n_chars; the k smallest keys per stratum are exactly a
+    weight-proportional sample without replacement (the -ln(u)/w form is
+    order-equivalent to q108's u^(1/w) priorities — smallest exp-key =
+    largest priority).
 
     Deterministic cross-engine: u is md5-derived from doc_id (the q37
-    trick), so both engines draw the IDENTICAL sample — the "random"
-    sample is value-for-value oracle-checkable, and re-running the
-    pipeline reproduces it exactly (the property a production corpus
-    build needs for auditability).
+    trick) and the key is rounded to 6 dp BEFORE ranking with a doc_id
+    tie-break — q108's rule, so JVM-vs-libm ln() ulp differences can't
+    flip a selection boundary and both engines draw the IDENTICAL
+    sample (re-running the pipeline reproduces it exactly — the
+    auditability property a production corpus build needs).
 
     Scale shape: one map-side key computation (md5 + ln, pure JVM), one
     window per stratum — and because only the k smallest ranks survive,
     Spark plans the window as a map-side WindowGroupLimit before the
-    shuffle (the q134 KMV shape): each partition forwards at most k rows
-    per stratum, so the exchange carries O(k * n_sources * n_partitions)
-    rows regardless of corpus size."""
+    shuffle (the q134 KMV shape, pinned in test_plans): each partition
+    forwards at most k rows per stratum, so the exchange carries
+    O(k * n_sources * n_partitions) rows regardless of corpus size —
+    where q108's global-top-k shape would need a second pass to balance
+    sources."""
     docs = _t(spark, sf, "documents").where(F.col("n_chars") > 0)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
         + 1
     ) / F.lit(float(_ES_DENOM))
     keyed = docs.select(
-        "source", "doc_id", "n_chars", (-F.log(u) / F.col("n_chars")).alias("es_key")
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars"), 6).alias("es_key"),
     )
     w = Window.partitionBy("source").orderBy("es_key", "doc_id")
     return (
         keyed.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _ES_K)
-        .select("source", "rank", "doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+        .select("source", "rank", "doc_id", "n_chars", "es_key")
         .orderBy("source", "rank")
     )
