@@ -140,3 +140,45 @@ def test_nanos_conf_restored_after_events_read(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """The claim several plan docstrings make ('zero shuffles on a
+    user-bucketed lake'), PROVEN: write events and a user dim bucketed
+    by user_id into the warehouse catalog, join them, and the physical
+    plan must contain NO Exchange — both sides' bucketing satisfies the
+    join's distribution requirement, so the 100 TB fact-fact join runs
+    entirely map-side. This is the layout decision that amortizes ONE
+    bootstrap shuffle (the bucketed write) across every subsequent join
+    on the key."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    for name in ("bt_events", "bt_users"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    ev.write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable("bt_events")
+    users.write.bucketBy(8, "user_id").mode("overwrite").saveAsTable("bt_users")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the partitioned-join regime: at 100 TB neither fact side
+        # broadcasts, which is exactly when bucketing pays
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("bt_events")
+            .join(spark.table("bt_users"), "user_id")
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("v"), F.min("n_events").alias("n"))
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and it actually runs: every user appears exactly once
+        rows = joined.collect()
+        assert len(rows) == users.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for name in ("bt_events", "bt_users"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
