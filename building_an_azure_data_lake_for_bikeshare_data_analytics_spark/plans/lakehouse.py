@@ -22,8 +22,13 @@ incremental-maintenance operators a real deployment layers on top:
 * q160 — temporal join: facts assigned to the SCD2 version whose validity
   interval contains their timestamp — a range join made an equi-join by
   the entity key.
+* q161/q164/q166 — the maintenance-planning trio, all metadata-scale
+  relations: zone-map stats decide what a scan SKIPS, the z-order layout
+  decides how files CLUSTER, the compaction plan decides which small
+  files get REWRITTEN together.
+* q162 — change-data-feed as a snapshot diff (insert/update/delete).
 
-All five carry full DuckDB value oracles.
+All carry full DuckDB value oracles.
 """
 
 from __future__ import annotations
@@ -707,3 +712,68 @@ def q164(spark, sf):
         )
         .orderBy("zbucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q166 — OPTIMIZE compaction planner: bin-pack small files from metadata
+# --------------------------------------------------------------------------
+
+_COMPACT_BINS = 8  # target bin capacity = ceil(total_rows / 8)
+
+
+@query(
+    "q166_compaction_plan",
+    f"""WITH files AS (
+         SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+         FROM events GROUP BY 1),
+       cap AS (SELECT CAST(ceil(sum(n_rows) / {_COMPACT_BINS}.0) AS BIGINT) AS c
+               FROM files),
+       packed AS (
+         SELECT day, n_rows, c,
+                sum(n_rows) OVER (ORDER BY n_rows DESC, day
+                                  ROWS UNBOUNDED PRECEDING) - n_rows AS cum_before
+         FROM files, cap)
+       SELECT day, n_rows,
+              CAST(cum_before // c AS BIGINT) AS bin,
+              round(CAST(n_rows AS DOUBLE) / c, 6) AS fill_frac
+       FROM packed ORDER BY bin, n_rows DESC, day""",
+    tags=("lakehouse", "compaction", "bin-packing", "maintenance"),
+)
+def q166(spark, sf):
+    """OPTIMIZE file-compaction planner — the third leg of the lakehouse
+    maintenance story (q161 zone maps decide what to SKIP, q164 z-order
+    decides how to CLUSTER, this decides which small files to REWRITE
+    together): treat each day-partition of the event log as a data file
+    (day, n_rows), set the target bin capacity to ceil(total/8), and
+    assign files to rewrite groups by next-fit-decreasing — files sorted
+    by size descending, bin = floor(cumulative_rows_before / capacity).
+    The streaming relaxation of first-fit-decreasing: deterministic, one
+    window, each bin overfills by less than one file (the bound a
+    compaction job plans around), versus FFD's sequential driver state.
+
+    Scale shape: the input is MANIFEST-scale metadata (one row per file —
+    thousands of rows at 100 TB, from table metadata, not data), so the
+    single-partition window over it is a deliberate, bounded driver-side
+    decision — the same posture as Delta's own OPTIMIZE planner. The
+    expensive part (the rewrite itself) is what this relation schedules,
+    never what it performs."""
+    ev = _t(spark, sf, "events")
+    files = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    cap = files.agg(
+        F.ceil(F.sum("n_rows") / F.lit(float(_COMPACT_BINS))).cast("long").alias("c")
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = (
+        files.crossJoin(F.broadcast(cap))
+        .withColumn("cum_before", F.sum("n_rows").over(w) - F.col("n_rows"))
+    )
+    return packed.select(
+        "day",
+        "n_rows",
+        F.floor(F.col("cum_before") / F.col("c")).alias("bin"),
+        F.round(F.col("n_rows").cast("double") / F.col("c"), 6).alias("fill_frac"),
+    ).orderBy("bin", F.desc("n_rows"), "day")

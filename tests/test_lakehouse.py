@@ -463,3 +463,26 @@ def test_zorder_layout_covers_all_rows_and_beats_day_layout(spark):
     assert z_prunable_rows / total > day_prunable_rows / total
     # the z layout must make the probe mostly-skippable, not marginally
     assert z_prunable_rows / total > 0.5
+
+
+def test_compaction_plan_bins_bounded_and_cover_all_files(spark):
+    """q166's next-fit-decreasing guarantee: every file appears exactly
+    once, and no bin's total exceeds capacity + its own largest file (the
+    bounded-overflow property of streaming bin packing that makes the
+    plan safe to execute)."""
+    import math
+
+    rows = QUERIES["q166_compaction_plan"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_days = ev.select(F.col("ts").cast("date")).distinct().count()
+    assert len(rows) == n_days
+    total = sum(r["n_rows"] for r in rows)
+    cap = math.ceil(total / 8)
+    bins = {}
+    for r in rows:
+        bins.setdefault(r["bin"], []).append(r["n_rows"])
+    for sizes in bins.values():
+        assert sum(sizes) < cap + max(sizes)
+    # decreasing assignment: a bin's largest file is >= the next bin's
+    ordered = [max(bins[b]) for b in sorted(bins)]
+    assert ordered == sorted(ordered, reverse=True)
