@@ -354,7 +354,12 @@ def prefix_filter_jaccard_pairs(
         F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ss")
     )
     n = F.size("ss")
-    pref_len = (n - F.ceil(F.lit(threshold) * n) + F.lit(1)).cast("int")
+    # epsilon inside ceil: float t*n can land one ulp ABOVE an exact
+    # integer (e.g. 0.3*10 = 3.0000000000000004), which would shorten the
+    # prefix and break the no-false-negative bound; rounding down by 1e-9
+    # only ever LENGTHENS the prefix (safe direction). t = 0.5 is
+    # binary-exact and unaffected.
+    pref_len = (n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + F.lit(1)).cast("int")
     prefix = arr.select(
         "doc_id",
         n.alias("n"),
@@ -367,9 +372,11 @@ def prefix_filter_jaccard_pairs(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # -1e-9: same ulp guard as the prefix length — a boundary pair
+            # (least == t*greatest exactly) must survive the length filter
             & (
                 F.least(F.col("a.n"), F.col("b.n"))
-                >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(1e-9)
             ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

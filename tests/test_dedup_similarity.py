@@ -248,3 +248,37 @@ def test_prefix_filter_jaccard_hot_shingle_regime(spark):
                 want[(a, b)] = round(j, 4)
     assert got == want
     assert (1, 2) in got and (4, 1) not in got and (1, 4) not in got
+
+
+def test_prefix_filter_jaccard_nonbinary_threshold(spark):
+    """t = 0.3 exercises the ulp guards (0.3*n lands one ulp above exact
+    integers): output must still equal the brute-force >=0.3 pair set."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingle_sets,
+    )
+
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE.replace("lazy", "sleepy").replace("quick", "swift")),
+        Row(doc_id=3, text="some moderately overlapping text the quick brown fox appears here too"),
+        Row(doc_id=4, text="entirely disjoint content about query engines and window functions"),
+    ]
+    docs = spark.createDataFrame(rows).select("doc_id", tokens("text").alias("ts"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in shingle_sets(docs).groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh")).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.3:
+                want[(a, b)] = round(j, 4)
+    assert got == want and want
