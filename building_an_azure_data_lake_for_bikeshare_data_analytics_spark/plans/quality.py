@@ -1,6 +1,8 @@
 """Distribution/quality analytics beyond the reference surface: histograms,
 decile binning, grouping sets, set-valued profiles, corpus repetition
-scoring, edit-distance near-dup, and shuffle-light argmax.
+scoring, edit-distance near-dup, shuffle-light argmax, and the q167
+referential-integrity publish gate (FK/PK/domain/reconciliation checks
+as one metadata-scale relation).
 
 The reference's aggregate surface stops at plain groupBy+avg/sum
 (SURVEY.md §2.4; "not present" list §2.6 has zero set ops, zero analytic
@@ -491,3 +493,140 @@ def q97(spark, sf):
         F.col("sum_dec").cast("double").alias("sum_price"),
         "n_items",
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+# --------------------------------------------------------------------------
+# q167 — referential-integrity / constraint audit (the publish gate)
+# --------------------------------------------------------------------------
+
+#: reconciliation tolerance and the exact per-line charge expression: the
+#: double product is rounded to 6 dp per LINE and summed as DECIMAL(18,6),
+#: so the per-order total is order-independent and bit-identical in both
+#: engines (the functions/agg.exact_sum rule applied to a derived column)
+_CHARGE_SQL = "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))"
+
+
+@query(
+    "q167_integrity_audit",
+    f"""WITH fk AS (
+         SELECT count(*) AS v, (SELECT count(*) FROM lineitem) AS n
+         FROM lineitem l WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       childless AS (
+         SELECT count(*) AS v, (SELECT count(*) FROM orders) AS n
+         FROM orders o WHERE NOT EXISTS
+           (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)),
+       pk AS (
+         SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v,
+                (SELECT count(*) FROM lineitem) AS n
+         FROM (SELECT count(*) AS c FROM lineitem
+               GROUP BY l_orderkey, l_linenumber) g WHERE c > 1),
+       dom AS (
+         SELECT count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1
+                                 OR l_quantity <= 0 OR l_orderkey IS NULL) AS v,
+                count(*) AS n
+         FROM lineitem),
+       recon AS (
+         SELECT count(*) FILTER (
+                  WHERE abs(CAST(o.o_totalprice AS DECIMAL(18,6)) - s.t) > 0.01) AS v,
+                count(*) AS n
+         FROM orders o
+         JOIN (SELECT l_orderkey, sum({_CHARGE_SQL}) AS t
+               FROM lineitem GROUP BY 1) s
+           ON o.o_orderkey = s.l_orderkey)
+       SELECT 'fk_lineitem_has_order' AS check_name, v AS n_violations, n AS n_checked, v = 0 AS pass FROM fk
+       UNION ALL SELECT 'orders_have_lineitems', v, n, v = 0 FROM childless
+       UNION ALL SELECT 'pk_lineitem_unique', v, n, v = 0 FROM pk
+       UNION ALL SELECT 'domain_lineitem_valid', v, n, v = 0 FROM dom
+       UNION ALL SELECT 'reconcile_order_totals', v, n, v = 0 FROM recon
+       ORDER BY check_name""",
+    tags=("quality", "integrity", "audit", "constraints"),
+)
+def q167(spark, sf):
+    """Referential-integrity and constraint audit — the publish gate a
+    lakehouse runs before promoting a table version (dbt tests / Delta
+    constraints re-expressed as one relation): FK coverage (every
+    lineitem has its order), reverse coverage (childless orders), primary
+    key uniqueness on (l_orderkey, l_linenumber), domain checks
+    (discount in [0,1], positive quantity, non-null key), and the
+    financial reconciliation of o_totalprice against the lineitem-derived
+    charge — each as (check_name, n_violations, n_checked, pass).
+
+    On this corpus the audit FAILS usefully: the synthetic generator
+    leaves ~2% of orders childless, does not reconcile order totals
+    (every total mismatches), and emits genuine duplicate
+    (l_orderkey, l_linenumber) pairs — exactly what the gate exists to
+    catch, and all pinned as expected-failure facts in tests.
+
+    Scale shape: each check is the cheapest distributed form of its
+    constraint — FK/childless are broadcast-friendly anti-join counts
+    (AQE picks the build side), PK uniqueness is one hash agg on the key
+    pair, domain checks are one conditional-agg scan, and reconciliation
+    reuses the q51-style decimal-exact sum (per-line rounding to 6 dp,
+    DECIMAL(18,6) accumulation) so the pass/fail bit can never flip with
+    partitioning. The audit output is five rows — metadata-scale, like
+    q166's plan relation."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    charge = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+    ).cast("decimal(18,6)")
+
+    def audit_row(name, v, n, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            v.cast("long").alias("n_violations"),
+            n.cast("long").alias("n_checked"),
+            (v == 0).alias("pass"),
+        )
+
+    # FK / reverse coverage as ONE left-outer pass each (existence flag
+    # aggregated conditionally) — no separate count job, no driver action
+    okeys = o.select("o_orderkey").withColumn("__has_o", F.lit(1))
+    fk_joined = (
+        li.select("l_orderkey")
+        .join(okeys, li.l_orderkey == okeys.o_orderkey, "left_outer")
+        .agg(F.sum(F.col("__has_o").isNull().cast("long")).alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+    fk = audit_row("fk_lineitem_has_order", F.col("v"), F.col("n"), fk_joined)
+    lkeys = li.select("l_orderkey").distinct().withColumn("__has_l", F.lit(1))
+    childless_joined = (
+        o.select("o_orderkey")
+        .join(lkeys, o.o_orderkey == lkeys.l_orderkey, "left_outer")
+        .agg(F.sum(F.col("__has_l").isNull().cast("long")).alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+    childless = audit_row("orders_have_lineitems", F.col("v"), F.col("n"), childless_joined)
+    pk_grouped = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)).alias("v"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+        )
+    )
+    pk = audit_row("pk_lineitem_unique", F.col("v"), F.col("n"), pk_grouped)
+    bad_dom = (
+        (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1)
+        | (F.col("l_quantity") <= 0)
+        | F.col("l_orderkey").isNull()
+    )
+    dom_agg = li.agg(F.sum(bad_dom.cast("long")).alias("v"), F.count(F.lit(1)).alias("n"))
+    dom = audit_row("domain_lineitem_valid", F.col("v"), F.col("n"), dom_agg)
+    sums = li.groupBy("l_orderkey").agg(F.sum(charge).alias("t"))
+    recon_agg = o.join(sums, o.o_orderkey == sums.l_orderkey).agg(
+        F.sum(
+            (
+                F.abs(F.col("o_totalprice").cast("decimal(18,6)") - F.col("t")) > F.lit(0.01)
+            ).cast("long")
+        ).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    recon = audit_row("reconcile_order_totals", F.col("v"), F.col("n"), recon_agg)
+    return (
+        fk.unionByName(childless)
+        .unionByName(pk)
+        .unionByName(dom)
+        .unionByName(recon)
+        .orderBy("check_name")
+    )

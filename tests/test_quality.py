@@ -187,3 +187,32 @@ def test_lm_score_properties(spark):
     for g in groups:
         vals = {scores[i]["avg_logp"] for i in g["ids"] if i in scores}
         assert len(vals) <= 1, ("identical docs scored differently", g["ids"], vals)
+
+
+def test_integrity_audit_counts_match_direct_checks(spark):
+    """q167's five audit rows agree with independently-computed
+    violation counts, and the expected corpus defects fire: childless
+    orders exist and order totals do NOT reconcile (the synthetic
+    generator's documented gaps), while FK/PK/domain checks pass."""
+    rows = {r["check_name"]: r for r in QUERIES["q167_integrity_audit"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {
+        "fk_lineitem_has_order",
+        "orders_have_lineitems",
+        "pk_lineitem_unique",
+        "domain_lineitem_valid",
+        "reconcile_order_totals",
+    }
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    orphans = li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti").count()
+    childless = o.join(li.select("l_orderkey"), o.o_orderkey == li.l_orderkey, "left_anti").count()
+    assert rows["fk_lineitem_has_order"]["n_violations"] == orphans
+    assert rows["orders_have_lineitems"]["n_violations"] == childless
+    assert rows["fk_lineitem_has_order"]["n_checked"] == li.count()
+    assert rows["orders_have_lineitems"]["n_checked"] == o.count()
+    # corpus facts the audit exists to catch
+    assert not rows["orders_have_lineitems"]["pass"]
+    assert not rows["reconcile_order_totals"]["pass"]
+    assert not rows["pk_lineitem_unique"]["pass"]  # real duplicate pairs
+    assert rows["fk_lineitem_has_order"]["pass"]
+    assert rows["domain_lineitem_valid"]["pass"]

@@ -1,7 +1,8 @@
 """Stress measurements for the late-r4 families (SCALE_NOTES evidence):
 lakehouse maintenance (q149/q150/q152), product analytics (q155/q156),
 sketch merge (q159), retrieval/collocation (q151/q157), MinHash
-calibration (q153), and dup-graph PageRank (q158).
+calibration (q153), dup-graph PageRank (q158), z-order layout (q164),
+and the compaction planner (q166).
 
 Extends /tmp/stress (tools/build_stress.py: 100k docs with planted
 20-clique dup groups, 40k embeddings) with 20x replicas of the sf0.1
@@ -77,6 +78,8 @@ def main() -> None:
         "q157_token_pmi_pairs",
         "q153_minhash_jaccard_estimate",
         "q158_dup_graph_pagerank",
+        "q164_zorder_layout",
+        "q166_compaction_plan",
     ]
     for name in names:
         t0 = time.time()
@@ -98,6 +101,14 @@ def main() -> None:
                 "round(max(pagerank), 3) AS mx", "round(min(pagerank), 3) AS mn"
             ).first()
             extra = f"  pr_range=[{row['mn']}, {row['mx']}]"
+        if name == "q164_zorder_layout":
+            row = df.selectExpr(
+                "round(sum(CASE WHEN prunable THEN n_rows ELSE 0 END) / sum(n_rows), 3) AS frac"
+            ).first()
+            extra = f"  prunable_row_frac={row['frac']}"
+        if name == "q166_compaction_plan":
+            row = df.selectExpr("count(DISTINCT bin) AS nb").first()
+            extra = f"  bins={row['nb']}"
         print(f"{name}: {n} rows in {dt:.1f}s{extra}", flush=True)
 
 
