@@ -618,7 +618,7 @@ _Z_GRID_SQL = f"""
               FROM events),
     g AS (SELECT user_id, value, u_thresh, v_thresh,
                  CAST(((user_id - mn_u) * 256) // (mx_u - mn_u + 1) AS BIGINT) AS bx,
-                 LEAST(255, CAST(floor((value - mn_v) * 256 / (mx_v - mn_v)) AS BIGINT)) AS by
+                 LEAST(255, CAST(floor((value - mn_v) * 256 / greatest(mx_v - mn_v, 1e-12)) AS BIGINT)) AS by
           FROM events, stats),
     z AS (SELECT user_id, value, u_thresh, v_thresh,
                  ({_Z_TERMS_SQL}) >> {_Z_BUCKET_SHIFT} AS zbucket FROM g)"""
@@ -676,9 +676,16 @@ def q164(spark, sf):
         "u_thresh",
         "v_thresh",
         F.expr("CAST(((user_id - mn_u) * 256) DIV (mx_u - mn_u + 1) AS BIGINT)").alias("bx"),
+        # greatest(.., 1e-12): a constant-value slice must degrade to one
+        # by=0 grid row, not a 0/0 NaN that ANSI floor->BIGINT rejects
+        # (the user dimension's +1 denominator already guards its axis)
         F.least(
             F.lit(255),
-            F.floor((F.col("value") - F.col("mn_v")) * 256 / (F.col("mx_v") - F.col("mn_v"))),
+            F.floor(
+                (F.col("value") - F.col("mn_v"))
+                * 256
+                / F.greatest(F.col("mx_v") - F.col("mn_v"), F.lit(1e-12))
+            ),
         ).cast("long").alias("by"),
     )
     z = g.select(

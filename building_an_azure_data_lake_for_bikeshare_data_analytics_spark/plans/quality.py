@@ -582,7 +582,10 @@ def q167(spark, sf):
 
     # FK / reverse coverage as ONE left-outer pass each (existence flag
     # aggregated conditionally) — no separate count job, no driver action
-    okeys = o.select("o_orderkey").withColumn("__has_o", F.lit(1))
+    # distinct: a (hypothetically) duplicated o_orderkey must not fan the
+    # left join out — the FK row would inflate n_checked and diverge from
+    # the NOT EXISTS oracle (the childless check's lkeys already dedupes)
+    okeys = o.select("o_orderkey").distinct().withColumn("__has_o", F.lit(1))
     fk_joined = (
         li.select("l_orderkey")
         .join(okeys, li.l_orderkey == okeys.o_orderkey, "left_outer")

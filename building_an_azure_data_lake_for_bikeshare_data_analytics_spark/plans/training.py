@@ -1041,10 +1041,15 @@ def q113(spark, sf):
 # --------------------------------------------------------------------------
 
 _ES_K = 20          # sample size per source stratum
-_ES_DENOM = (1 << 60) + 1  # md5-uniform denominator: u in (0, 1) exclusive
+#: md5-uniform denominator. 52 bits, NOT 60: (1<<52)+1 is exactly
+#: representable as a double (< 2^53), so u = (b1+1)/denom is truly in
+#: (0, 1) EXCLUSIVE — with a 60-bit prefix, float((1<<60)+1) rounds back
+#: to 2^60 and the all-ones prefix would yield u == 1.0 exactly
+#: (es_key 0, an always-selected sentinel), falsifying the invariant.
+_ES_DENOM = (1 << 52) + 1
 
 _ES_U_SQL = (
-    "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)"
+    "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)"
     f" / {float(_ES_DENOM)}"
 )
 
@@ -1094,7 +1099,7 @@ def q165(spark, sf):
     sources."""
     docs = _t(spark, sf, "documents").where(F.col("n_chars") > 0)
     u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("long")
         + 1
     ) / F.lit(float(_ES_DENOM))
     keyed = docs.select(
