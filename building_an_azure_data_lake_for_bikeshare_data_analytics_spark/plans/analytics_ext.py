@@ -901,3 +901,127 @@ def q159(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q168 — Theta-sketch set intersection (audience overlap)
+# --------------------------------------------------------------------------
+
+_THETA_K = 256  # per-set sketch size; relative error ~ 1/sqrt(k-1) ~ 6%
+_THETA_SPACE = 1 << 60  # 60-bit md5 hash space (exact in double)
+
+
+@query(
+    "q168_theta_intersection",
+    f"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+       h AS (SELECT event_type, user_id,
+                    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+             FROM d),
+       r AS (SELECT event_type, h,
+                    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+             FROM h),
+       ks AS (SELECT event_type, h FROM r WHERE rn <= {_THETA_K}),
+       th AS (SELECT event_type,
+                     CASE WHEN count(*) < {_THETA_K} THEN {_THETA_SPACE}
+                          ELSE max(h) END AS theta
+              FROM ks GROUP BY 1),
+       pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                        least(a.theta, b.theta) AS theta
+                 FROM th a JOIN th b ON a.event_type < b.event_type),
+       common AS (SELECT p.type_a, p.type_b, count(*) AS s
+                  FROM pairs p
+                  JOIN ks ka ON ka.event_type = p.type_a
+                  JOIN ks kb ON kb.event_type = p.type_b AND kb.h = ka.h
+                  WHERE ka.h < p.theta
+                  GROUP BY 1, 2),
+       exact AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                        count(*) AS x
+                 FROM d a JOIN d b
+                   ON a.user_id = b.user_id AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+       SELECT p.type_a AS type_a, p.type_b AS type_b, p.theta AS theta,
+              round(coalesce(c.s, 0) * {float(_THETA_SPACE)} / p.theta, 4)
+                AS est_common_users,
+              CAST(coalesce(e.x, 0) AS BIGINT) AS exact_common_users
+       FROM pairs p
+       LEFT JOIN common c ON c.type_a = p.type_a AND c.type_b = p.type_b
+       LEFT JOIN exact e ON e.type_a = p.type_a AND e.type_b = p.type_b
+       ORDER BY p.type_a, p.type_b""",
+    tags=("extension", "sketch", "theta", "intersection", "distinct"),
+)
+def q168(spark, sf):
+    """Theta-sketch SET INTERSECTION — the audience-overlap estimator
+    (Apache DataSketches theta algebra) that completes the sketch family:
+    q134 estimates per-set cardinality (KMV), q159 proves the sketches
+    merge losslessly (union), and this estimates |A∩B| for every
+    event-type pair WITHOUT a distinct-count over the pair fan-out:
+    keep each set's k smallest 60-bit md5 user hashes, set
+    theta = min(theta_A, theta_B) (a set smaller than k retains
+    everything — its theta is the full hash space), count the common
+    retained hashes below theta, and scale by SPACE/theta. The exact
+    intersection rides in the same row (the q153 self-calibration
+    pattern), so the estimator's error is a gated, queryable relation.
+
+    Deterministic cross-engine: integer hash space end-to-end (the q134
+    machinery — no float u, no ln), one IEEE multiply/divide rounded to
+    4 dp at the end; DuckDB replays the sketch value-for-value.
+
+    Scale shape: the per-type k-smallest plans as a map-side
+    WindowGroupLimit (pinned for q134/q165 — same window); everything
+    downstream of the sketch build is k-bounded (|types| x k rows), so
+    pair overlap over a 100 TB event log costs one scan + tiny joins —
+    versus the exact pair fan-out, which shuffles (type,user) twice and
+    grows quadratically with the type count. At cluster scale the
+    retained sets are what you persist; new days merge in by re-taking
+    the k smallest of the union (q159's lossless-merge theorem)."""
+    ev = _t(spark, sf, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    d = ev.select("event_type", F.col("user_id")).distinct()
+    hashed = d.select("event_type", "user_id", h.alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    ks = hashed.select("event_type", "h").withColumn(
+        "rn", F.row_number().over(w)
+    ).where(F.col("rn") <= _THETA_K).select("event_type", "h")
+    th = ks.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < _THETA_K, F.lit(_THETA_SPACE))
+        .otherwise(F.max("h"))
+        .alias("theta")
+    )
+    ta = th.select(F.col("event_type").alias("type_a"), F.col("theta").alias("tha"))
+    tb = th.select(F.col("event_type").alias("type_b"), F.col("theta").alias("thb"))
+    pairs = (
+        ta.join(tb, F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", F.least("tha", "thb").alias("theta"))
+    )
+    ka = ks.select(F.col("event_type").alias("type_a"), "h")
+    kb = ks.select(F.col("event_type").alias("type_b"), "h")
+    common = (
+        pairs.join(ka, "type_a")
+        .join(kb, ["type_b", "h"])
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    da = d.select(F.col("event_type").alias("type_a"), "user_id")
+    db = d.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        da.join(db, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    est = F.round(
+        F.coalesce(F.col("s"), F.lit(0)) * F.lit(float(_THETA_SPACE)) / F.col("theta"), 4
+    )
+    return (
+        pairs.join(common, ["type_a", "type_b"], "left")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "theta",
+            est.alias("est_common_users"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("exact_common_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 from .base import REGISTRY, QuerySpec, QueryFn  # noqa: F401
 from . import core  # noqa: F401  (registers q01-q30)
 from . import extensions  # noqa: F401  (registers q31-q41, q53-q69, q98-q100, q104, q107-q109, q128, q135/q137-q139, q144-q148, q153-q154, q157, q163)
-from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q127, q134, q136, q155-q156)
+from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q127, q134, q136, q155-q156, q168)
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113, q165)
 from . import quality  # noqa: F401  (registers q85-q97, q167)
@@ -158,10 +158,10 @@ _PRIORITY: tuple[str, ...] = (
     "q164_zorder_layout",
     "q165_weighted_sample",
 )
-# q166 (compaction planner) and q167 (referential-integrity audit)
-# registered after the r4 prefix froze at 50 — never-green, so by rule
-# (a) they MUST lead the r5 prefix together with q37/q56 and the stale
-# r2 cohort listed above.
+# q166 (compaction planner), q167 (referential-integrity audit), and
+# q168 (theta-sketch intersection) registered after the r4 prefix froze
+# at 50 — never-green, so by rule (a) they MUST lead the r5 prefix
+# together with q37/q56 and the stale r2 cohort listed above.
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
 if _missing:  # fail loudly at import: a renamed query must update the prefix

@@ -251,3 +251,48 @@ def test_pca_two_components_deflation(spark):
     assert abs(p2.var() - lam2) / lam2 < 5e-2, (p2.var(), lam2)
     xc = np.cov(p1, p2, bias=True)[0, 1]
     assert abs(xc) < 0.05 * lam2, (xc, lam2)
+
+
+def test_theta_intersection_exact_mode_at_smoke(spark):
+    """q168: every event type at smoke scale has fewer than k=256 distinct
+    users, so every sketch retains its whole set (theta = full space) and
+    the estimate must equal the exact intersection EXACTLY."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
+
+    from conftest import SF_SMOKE
+
+    rows = QUERIES["q168_theta_intersection"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["est_common_users"] == float(r["exact_common_users"]), r
+
+
+def test_theta_intersection_estimator_within_envelope():
+    """The estimator math itself, at a scale where sketching is real:
+    5,000 users per type with a 2,000-user planted overlap (> k = 256, so
+    theta < space and est != exact). The relative error of a theta
+    intersection sketch is ~1/sqrt(k_eff) with k_eff the retained common
+    hashes below theta; assert a generous 5-sigma envelope. Runs the
+    registry oracle SQL against a synthetic DuckDB view — engine parity
+    is the driver gate's job, this pins the estimator design."""
+    import duckdb
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE VIEW events AS
+           SELECT 'a' AS event_type, CAST(i AS BIGINT) AS user_id
+           FROM range(0, 5000) t(i)
+           UNION ALL
+           SELECT 'b', CAST(i + 3000 AS BIGINT) FROM range(0, 5000) t(i)"""
+    )
+    row = con.execute(ORACLES["q168_theta_intersection"]).fetchone()
+    type_a, type_b, theta, est, exact = row
+    assert (type_a, type_b) == ("a", "b")
+    assert exact == 2000
+    assert est != exact  # genuinely estimating, not exact mode
+    import math
+
+    sigma = exact / math.sqrt(255)
+    assert abs(est - exact) < 5 * sigma, (est, exact)
