@@ -1,0 +1,702 @@
+"""Statistical-profiling, sketch-completion and optimizer-support operators
+(q169-q177) — the late-r4 batch closing the remaining "engine-private"
+seams and adding classic warehouse/curation heads the surface still lacked:
+
+* q169 — an **oracle-replayable HyperLogLog** (the value-checkable answer to
+  q46's engine-private HLL registers, completing the sketch family next to
+  KMV q134, CMS q107, theta q168 and histogram q136): registers are built
+  from the same md5-derived 60-bit integer hashes both engines compute
+  identically, and the register *sum* is carried as an exact integer so the
+  gate checks the sketch state itself, not a float echo.
+* q170 — per-column **data profiling** (null count / distinct / min / max in
+  long format): the lakehouse "analyze table" primitive.
+* q171 — **Pareto frontier** (2-D skyline) with a bounded-dimension window,
+  not an O(n^2) dominance self-join.
+* q172 — arbitrary **GROUPING SETS** (one shared ANSI string, both engines),
+  completing the family next to q30 ROLLUP / q68 CUBE.
+* q173 — first-order **Markov transition matrix** over per-user event
+  sequences (product-analytics path analysis).
+* q174 — **MAD robust outliers** (modified z-score, Iglewicz-Hoaglin): the
+  robust twin of q84's mean/stddev z-score.
+* q175 — **chi-square independence** test over a bounded contingency table
+  with order-independent exact-decimal summation.
+* q176 — **theta-sampled join-cardinality estimation** (the optimizer-stats
+  primitive): coordinated hash-sampling of the join key on both sides,
+  calibrated against the exact join size in the same result row.
+* q177 — **sorted-neighborhood dedup blocking** (Hernandez-Stolfo): the
+  third blocking paradigm next to LSH banding (q37) and prefix blocking
+  (q90) — global sort key, sliding window of adjacent rows.
+
+The reference notebook has no statistics/sketch surface (SURVEY.md §2.6
+"not present") — these are north-star training-pipeline extensions; no
+reference cite is possible. All nine carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..functions.text import normalized_text
+from ..sources.readers import load_star
+from .base import _t, query
+
+# ---------------------------------------------------------------------------
+# q169 — HyperLogLog with value-checkable registers
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8  # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+# 60-bit md5 hash: low 8 bits pick the register, the remaining 52 bits feed
+# the leading-zero rank, so rho in [1, 53].
+_HLL_REM_BITS = 60 - _HLL_P
+_HLL_RHO_MAX = _HLL_REM_BITS + 1  # rho when the remainder is all zeros
+# Exact-integer register sum: sum(2^(RHO_MAX - M_j)) over all m registers
+# (empty register => M_j = 0 => contributes 2^RHO_MAX). Max total
+# 256 * 2^53 = 2^61 < 2^63 — always exact in int64, order-independent.
+_HLL_POW0 = 1 << _HLL_RHO_MAX
+# E_raw = alpha * m^2 / sum(2^-M_j) = (alpha * m^2 * 2^RHO_MAX) / S_int
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(_HLL_POW0)
+_HLL_LC_CUT = 2.5 * _HLL_M  # below this, linear counting is more accurate
+
+
+@query(
+    "q169_hll_distinct",
+    f"""WITH h AS (
+         SELECT DISTINCT event_type,
+                CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM events),
+       b AS (
+         SELECT event_type,
+                h % {_HLL_M} AS bucket,
+                h // {_HLL_M} AS rem
+         FROM h),
+       reg AS (
+         SELECT event_type, bucket,
+                max(CASE WHEN rem = 0 THEN {_HLL_RHO_MAX}
+                         ELSE {_HLL_RHO_MAX} - length(bin(rem)) END) AS m_j,
+                count(*) AS nu
+         FROM b GROUP BY event_type, bucket),
+       s AS (
+         SELECT event_type,
+                CAST(count(*) AS INTEGER) AS n_buckets,
+                CAST(sum(CAST(power(2.0, {_HLL_RHO_MAX} - m_j) AS BIGINT))
+                     + ({_HLL_M} - count(*)) * CAST({_HLL_POW0} AS BIGINT)
+                     AS BIGINT) AS reg_sum,
+                CAST(sum(nu) AS BIGINT) AS n_exact
+         FROM reg GROUP BY event_type)
+       SELECT event_type, n_buckets, reg_sum, n_exact,
+              round(CASE WHEN {_HLL_M} - n_buckets > 0
+                          AND {_HLL_NUM!r} / CAST(reg_sum AS DOUBLE) <= {_HLL_LC_CUT!r}
+                         THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                                  / CAST({_HLL_M} - n_buckets AS DOUBLE))
+                         ELSE {_HLL_NUM!r} / CAST(reg_sum AS DOUBLE)
+                    END, 4) AS hll_estimate
+       FROM s ORDER BY event_type""",
+    tags=("extension", "sketch", "distinct", "hll"),
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-count whose register state is VALUE-CHECKABLE
+    cross-engine — the deterministic re-build of q46's approx_count_distinct
+    (whose HLL register layout is engine-private, forcing a rows-only gate
+    row; q134's KMV was the first stand-in, this is the real thing).
+
+    Flajolet et al.'s estimator over md5-derived 60-bit integer hashes: the
+    low p=8 bits pick one of m=256 registers, the register keeps
+    max(rho) = max leading-zero rank of the remaining 52 bits (computed as
+    53 - bit_length via ``length(bin(x))`` — identical string semantics in
+    Spark and DuckDB, no float log2 edge cases), and the harmonic-mean
+    denominator sum(2^-M_j) is carried as the EXACT integer
+    sum(2^(53-M_j)) — order-independent, so the gate hashes the sketch
+    state itself. The only float ops are one division (or ln for the
+    standard small-range linear-counting branch) and a round(4). n_exact
+    rides along as the per-group calibration column.
+
+    Scale shape: distinct (type, user) is one hash-agg; registers are a
+    second hash-agg to m=256 rows per group; the estimate is a third over
+    those bounded rows. No windows, no driver state; at 100 TB the partial
+    aggregation tree does all the work map-side — the same shape Spark's own
+    approx_count_distinct plans, but with a gate-checkable state."""
+    ev = _t(spark, sf, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    d = ev.select("event_type", h.alias("h")).distinct()
+    b = d.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        (F.col("h") / F.lit(_HLL_M)).cast("long").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(F.col("rem")))
+    )
+    reg = b.groupBy("event_type", "bucket").agg(
+        F.max(rho).alias("m_j"), F.count(F.lit(1)).alias("nu")
+    )
+    pow_term = F.pow(F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("m_j")).cast("long")
+    s = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        (
+            F.sum(pow_term)
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_POW0)
+        ).cast("long").alias("reg_sum"),
+        F.sum("nu").cast("long").alias("n_exact"),
+    )
+    e_raw = F.lit(_HLL_NUM) / F.col("reg_sum").cast("double")
+    v = F.lit(_HLL_M) - F.col("n_buckets")
+    est = F.when(
+        (v > 0) & (e_raw <= F.lit(_HLL_LC_CUT)),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return s.select(
+        "event_type", "n_buckets", "reg_sum", "n_exact",
+        F.round(est, 4).alias("hll_estimate"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q170 — per-column profile (ANALYZE TABLE primitive)
+# ---------------------------------------------------------------------------
+
+# (column, min/max expression template) — doubles go through the exact
+# DECIMAL(18,2) path so the string rendering is engine-independent
+# ('123.45' in both; a raw double would format as '1.2345E2' in one engine
+# and '123.45' in the other), dates/ints cast to string identically.
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "CAST({f}({c}) AS VARCHAR)"),
+    ("o_custkey", "CAST({f}({c}) AS VARCHAR)"),
+    ("o_orderstatus", "{f}({c})"),
+    ("o_totalprice", "CAST(CAST({f}({c}) AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderdate", "CAST({f}({c}) AS VARCHAR)"),
+    ("o_orderpriority", "{f}({c})"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, tpl in _PROFILE_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+                   count(*) AS n_rows,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   {tpl.format(f='min', c=c)} AS min_val,
+                   {tpl.format(f='max', c=c)} AS max_val
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@query(
+    "q170_column_profile",
+    _profile_oracle(),
+    tags=("extension", "profiling", "lakehouse"),
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column table profile — the ANALYZE TABLE / data-quality
+    primitive every lakehouse runs before trusting a feed: one row per
+    column with null count, distinct count and min/max (rendered through
+    the exact decimal path for doubles so both engines print the same
+    string).
+
+    Scale shape: ONE scan and ONE aggregate compute all 6x4 statistics
+    (count/count(col)/count_distinct/min/max per column are independent
+    aggregate expressions in the same hash-agg — Spark plans the distincts
+    via a single expand), then a ``stack`` unpivots the 1-row wide result
+    into long format driver-free. No per-column rescans: profiling a
+    100 TB table costs one pass."""
+    o = _t(spark, sf, "orders")
+    aggs = []
+    for c, _ in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+        ]
+        if c == "o_totalprice":
+            aggs += [
+                F.min(c).cast(DecimalType(18, 2)).cast("string").alias(f"{c}__min"),
+                F.max(c).cast(DecimalType(18, 2)).cast("string").alias(f"{c}__max"),
+            ]
+        else:
+            aggs += [
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__dist, {c}__min, {c}__max"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# q171 — Pareto frontier (2-D skyline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_pareto_frontier",
+    """WITH p AS (
+         SELECT o_orderdate AS d, max(o_totalprice) AS pmax
+         FROM orders GROUP BY 1),
+       r AS (
+         SELECT d, pmax,
+                max(pmax) OVER (ORDER BY d DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rb
+         FROM p)
+       SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+       FROM orders o JOIN r ON o.o_orderdate = r.d
+       WHERE o.o_totalprice = r.pmax AND (r.rb IS NULL OR r.pmax > r.rb)
+       ORDER BY o.o_orderdate, o.o_orderkey""",
+    tags=("extension", "skyline", "window"),
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto frontier (skyline): the orders not dominated in
+    (newer o_orderdate, higher o_totalprice) — i.e. every order for which
+    no other order is at least as recent AND at least as expensive with one
+    strict. The classic formulation is an O(n^2) NOT EXISTS dominance
+    self-join; this plan is the scalable one: group to per-date maxima
+    (parallel hash-agg over the BOUNDED date dimension — ~2.4k rows
+    whatever the fact size, so the desc-date running-max window costs
+    nothing even though it is single-partition), then one broadcast-able
+    join back tags each order. A row survives iff it carries its date's max
+    price and that max strictly beats every newer date's max. Ties (two
+    orders with identical date+price on the frontier) are both kept —
+    neither dominates the other."""
+    o = _t(spark, sf, "orders")
+    p = o.groupBy(F.col("o_orderdate").alias("d")).agg(F.max("o_totalprice").alias("pmax"))
+    w = Window.orderBy(F.col("d").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    r = p.withColumn("rb", F.max("pmax").over(w))
+    return (
+        o.join(F.broadcast(r), o["o_orderdate"] == r["d"])
+        .where(
+            (F.col("o_totalprice") == F.col("pmax"))
+            & (F.col("rb").isNull() | (F.col("pmax") > F.col("rb")))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 — arbitrary GROUPING SETS (shared ANSI string, both engines)
+# ---------------------------------------------------------------------------
+
+_Q172_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+@query(
+    "q172_grouping_sets",
+    _Q172_SQL,
+    tags=("extension", "grouping-sets", "sql-entry"),
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form completing the family
+    next to q30's ROLLUP and q68's CUBE: the (status, priority) detail,
+    the status subtotal, and the grand total in one aggregate, with
+    grouping() flags disambiguating real NULLs from subtotal rows. One
+    shared ANSI string runs through both engines (the q57 pattern), so the
+    oracle is the identical SQL. Spark plans this as a single
+    Expand + hash-aggregate — one scan, one shuffle, regardless of how
+    many sets are requested; the decimal path keeps the sums
+    order-independent."""
+    load_star(spark, sf, tables=("orders",), register_views=True)
+    return spark.sql(_Q172_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q173 — Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q173_event_transitions",
+    """WITH s AS (
+         SELECT event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS next_type
+         FROM events),
+       t AS (
+         SELECT event_type, next_type, count(*) AS n_transitions
+         FROM s WHERE next_type IS NOT NULL
+         GROUP BY event_type, next_type)
+       SELECT event_type, next_type, n_transitions,
+              round(CAST(n_transitions AS DOUBLE)
+                    / sum(n_transitions) OVER (PARTITION BY event_type), 6) AS p_next
+       FROM t ORDER BY event_type, next_type""",
+    tags=("extension", "product-analytics", "markov", "window"),
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the path-analysis primitive behind "what do users do after X" (next to
+    q155's funnel and q156's cohorts): P(next=b | current=a) estimated from
+    consecutive event pairs within each user's timeline.
+
+    Scale shape: the lead() window shuffles once on user_id (same exchange
+    q47/q48/q126 already pin), the pair count is a hash-agg, and the
+    row-probability normalization is a window over the BOUNDED type x type
+    matrix (|event_type|^2 rows — trivially small at any fact scale).
+    Ordering ties inside a user's timeline are broken by event_id, the
+    suite-wide determinism rule; the single division is one IEEE op,
+    rounded to 6."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+    t = (
+        s.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wt = Window.partitionBy("event_type")
+    return t.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wt), 6
+        ).alias("p_next"),
+    ).orderBy("event_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# q174 — MAD robust outliers (modified z-score)
+# ---------------------------------------------------------------------------
+
+_MAD_C = 0.6745  # Phi^-1(0.75): scales MAD to sigma-equivalent units
+_MAD_CUT = 3.5  # Iglewicz-Hoaglin recommended threshold
+
+
+@query(
+    "q174_mad_outliers",
+    f"""WITH med AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS med
+         FROM events GROUP BY 1),
+       dev AS (
+         SELECT e.event_type, e.value, m.med
+         FROM events e JOIN med m USING (event_type)),
+       mad AS (
+         SELECT event_type, med, quantile_cont(abs(value - med), 0.5) AS mad
+         FROM dev GROUP BY event_type, med)
+       SELECT d.event_type,
+              round(m.med, 4) AS med,
+              round(m.mad, 4) AS mad,
+              CAST(sum(CASE WHEN abs(round({_MAD_C!r} * (d.value - m.med) / m.mad, 6))
+                                 > {_MAD_CUT!r}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad m USING (event_type)
+       GROUP BY d.event_type, m.med, m.mad
+       ORDER BY d.event_type""",
+    tags=("extension", "quality", "outlier", "robust"),
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection via the modified z-score
+    0.6745*(x - median)/MAD > 3.5 (Iglewicz-Hoaglin) — the robust twin of
+    q84's mean/stddev z-score, which a single extreme value can drag far
+    enough to hide every other outlier; median and MAD have a 50%
+    breakdown point. Exact interpolated medians (the q67 percentile
+    semantics, quantile_cont oracle); the per-row score is rounded to 6
+    before the threshold compare so a boundary value cannot split engines.
+
+    Scale shape: two grouped percentile aggregates (per-group sort — the
+    q67 caveat: at 100 TB swap in approx_percentile, this is its
+    correctness anchor) and two BROADCAST join-backs of the tiny per-type
+    tables; the outlier count is a map-side conditional sum."""
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+    )
+    d = ev.join(F.broadcast(mad), "event_type")
+    score = F.round(
+        F.lit(_MAD_C) * (F.col("value") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        d.groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(F.when(F.abs(score) > _MAD_CUT, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175 — chi-square independence over a bounded contingency table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q175_chi_square_independence",
+    """WITH cells AS (
+         SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+         FROM events GROUP BY 1, 2),
+       tot AS (
+         SELECT event_type, dow, o,
+                sum(o) OVER (PARTITION BY event_type) AS rt,
+                sum(o) OVER (PARTITION BY dow) AS ct,
+                sum(o) OVER () AS n
+         FROM cells),
+       contrib AS (
+         SELECT event_type, dow, o, n,
+                CAST(round(
+                  power(o - CAST(rt AS DOUBLE) * ct / n, 2)
+                    / (CAST(rt AS DOUBLE) * ct / n), 12) AS DECIMAL(38,18)) AS c
+         FROM tot)
+       SELECT round(CAST(sum(c) AS DOUBLE), 6) AS chi_square,
+              CAST((count(DISTINCT event_type) - 1)
+                   * (count(DISTINCT dow) - 1) AS INTEGER) AS dof,
+              CAST(sum(o) AS BIGINT) AS n_events
+       FROM contrib""",
+    tags=("extension", "statistics", "chi-square"),
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square test of independence between event_type and
+    day-of-week — the drift/bias detector for "is activity mix uniform
+    across the week" (complements q119/q122's distribution-drift heads
+    with an actual test statistic). Expected counts E = row_tot*col_tot/N
+    from the observed margins; chi2 = sum (O-E)^2/E over cells.
+
+    Determinism: every count is an exact integer; each cell's contribution
+    is ONE double expression computed identically in both engines, rounded
+    to 12 decimals, and summed through DECIMAL(38,18) — order-independent,
+    so the statistic hashes equal cross-engine (the exact_sum discipline
+    applied to a derived float).
+
+    Scale shape: the only fact-sized work is the cells hash-agg; margins
+    and the statistic are windows/aggregates over the BOUNDED
+    |event_type| x 7 table (dozens of rows at any fact scale — the
+    unpartitioned sum(o) OVER () is over that tiny table, not the facts).
+    DuckDB's 0=Sunday dayofweek gets the suite-standard +1."""
+    ev = _t(spark, sf, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = F.sum("o").over(Window.partitionBy("event_type"))
+    ct = F.sum("o").over(Window.partitionBy("dow"))
+    n = F.sum("o").over(Window.partitionBy())
+    tot = cells.select("event_type", "dow", "o", rt.alias("rt"), ct.alias("ct"), n.alias("n"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    contrib = tot.select(
+        "event_type",
+        "dow",
+        "o",
+        F.round(F.pow(F.col("o") - e, 2) / e, 12).cast(DecimalType(38, 18)).alias("c"),
+    )
+    return contrib.agg(
+        F.round(F.sum("c").cast("double"), 6).alias("chi_square"),
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1))
+        .cast("int")
+        .alias("dof"),
+        F.sum("o").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — theta-sampled join-cardinality estimation
+# ---------------------------------------------------------------------------
+
+_JS_RATE = 64  # 1-in-64 coordinated key sample
+_JS_THETA = (1 << 60) // _JS_RATE  # hash threshold in the 60-bit md5 space
+
+
+@query(
+    "q176_join_size_estimate",
+    f"""WITH a AS (
+         SELECT o_custkey AS k, count(*) AS ca,
+                CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM orders GROUP BY 1),
+       b AS (
+         SELECT user_id AS k, count(*) AS cb
+         FROM events GROUP BY 1),
+       j AS (
+         SELECT a.k, a.h, a.ca * b.cb AS pairs
+         FROM a JOIN b USING (k))
+       SELECT CAST(sum(pairs) AS BIGINT) AS exact_pairs,
+              CAST({_JS_RATE} * sum(CASE WHEN h < {_JS_THETA} THEN pairs ELSE 0 END)
+                   AS BIGINT) AS est_pairs,
+              round(({_JS_RATE}.0 * sum(CASE WHEN h < {_JS_THETA} THEN pairs ELSE 0 END)
+                     - sum(pairs)) / sum(pairs), 6) AS rel_err
+       FROM j""",
+    tags=("extension", "optimizer", "sketch", "join-estimate"),
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation by coordinated theta-sampling of the
+    join key — the statistic a cost-based optimizer (or a pipeline
+    capacity-planner) needs BEFORE running a 100 TB join: hash the key with
+    the suite's 60-bit md5, keep keys with h < theta (a 1-in-64 universe
+    sample — the same key is sampled on BOTH sides because the hash is of
+    the key value, the property plain row-sampling lacks), sum
+    count_a * count_b over surviving keys and scale by 64. The exact join
+    size rides in the same row as calibration (the q153/q154 pattern:
+    estimator and ground truth in one gate row), with the signed relative
+    error. Every quantity is an exact integer until the one final division.
+
+    Scale shape: per-key counts are partial-aggregated map-side before the
+    key shuffle; in estimation-only mode the h < theta filter prunes ~98.4%
+    of keys BEFORE the join exchange (predicate on the build of the hash —
+    pushes to the scan), which is the whole point: the estimate costs a
+    64th of the join it prices."""
+    o = _t(spark, sf, "orders")
+    ev = _t(spark, sf, "events")
+    a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("ca")).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10).cast("long"),
+    )
+    b = ev.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    j = a.join(b, "k").select("h", (F.col("ca") * F.col("cb")).alias("pairs"))
+    sampled = F.sum(F.when(F.col("h") < _JS_THETA, F.col("pairs")).otherwise(F.lit(0)))
+    return j.agg(
+        F.sum("pairs").cast("long").alias("exact_pairs"),
+        (F.lit(_JS_RATE) * sampled).cast("long").alias("est_pairs"),
+        F.round(
+            (F.lit(float(_JS_RATE)) * sampled - F.sum("pairs")) / F.sum("pairs"), 6
+        ).alias("rel_err"),
+    )
+
+
+def join_size_estimate_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """The production (estimation-only) shape of q176: the h < theta key
+    filter is applied to RAW rows on both sides BEFORE the per-key count
+    aggregates, so ~63/64ths of both tables are dropped map-side before any
+    exchange — the estimate costs a 64th of the join it prices. Returns one
+    row {est_pairs} that the q176 gate query's est_pairs must equal
+    (pinned in tests/test_profiling.py)."""
+    h_o = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h_e = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    a = (
+        _t(spark, sf, "orders")
+        .where(h_o < _JS_THETA)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        _t(spark, sf, "events")
+        .where(h_e < _JS_THETA)
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    return a.join(b, "k").agg(
+        (
+            F.lit(_JS_RATE)
+            * F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        )
+        .cast("long")
+        .alias("est_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q177 — sorted-neighborhood dedup blocking
+# ---------------------------------------------------------------------------
+
+_SNM_W = 3  # window size: each record pairs with the next w-1 in sort order
+_SNM_PREFIX = 40  # chars of normalized text fed to the verify distance
+_SNM_MAXDIST = 15  # candidate-pair acceptance threshold
+_SNM_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+@query(
+    "q177_sorted_neighborhood",
+    f"""WITH d AS (
+         SELECT doc_id, lang,
+                substr({_SNM_NORM}, 1, {_SNM_PREFIX}) AS prefix,
+                substr({_SNM_NORM}, 1, 1) AS blk
+         FROM documents),
+       w AS (
+         SELECT doc_id, lang, blk, prefix,
+                lead(doc_id, 1) OVER win AS id1,
+                lead(prefix, 1) OVER win AS p1,
+                lead(doc_id, 2) OVER win AS id2,
+                lead(prefix, 2) OVER win AS p2
+         FROM d
+         WINDOW win AS (PARTITION BY lang, blk ORDER BY prefix, doc_id)),
+       pairs AS (
+         SELECT least(doc_id, id1) AS doc_a, greatest(doc_id, id1) AS doc_b,
+                CAST(levenshtein(prefix, p1) AS INTEGER) AS dist
+         FROM w WHERE id1 IS NOT NULL
+         UNION ALL
+         SELECT least(doc_id, id2), greatest(doc_id, id2),
+                CAST(levenshtein(prefix, p2) AS INTEGER)
+         FROM w WHERE id2 IS NOT NULL)
+       SELECT doc_a, doc_b, dist FROM pairs
+       WHERE dist <= {_SNM_MAXDIST}
+       ORDER BY doc_a, doc_b""",
+    tags=("extension", "dedup", "blocking", "sorted-neighborhood"),
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernandez-Stolfo): sort records
+    by a blocking key (normalized-text prefix) and emit each record paired
+    with the next w-1=2 records in sort order, verified by Levenshtein
+    distance — the third candidate-generation paradigm in the dedup family,
+    next to LSH banding (q37: hash buckets) and prefix blocking (q90:
+    exact-key groups). SNM catches near-dups whose edits fall INSIDE the
+    q90 block key (two docs differing at char 5 land in different q90
+    blocks but sort adjacently here whenever the first divergent char
+    still orders them together).
+
+    Scale shape: the sort window is PARTITIONED by (lang, first normalized
+    char) — deterministic blocks that bound each window partition to
+    ~1/(langs*alphabet) of the corpus, so no single-partition global sort;
+    at 100 TB tighten the block to the first 2-3 chars (the standard SNM
+    parallelization; cross-block boundary pairs are the scheme's documented
+    miss class, exactly like cross-bucket pairs in LSH). lead() windows are
+    one shuffle; the distance verify runs on the bounded 40-char prefix,
+    map-side."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring(normalized_text("text"), 1, _SNM_PREFIX).alias("prefix"),
+        F.substring(normalized_text("text"), 1, 1).alias("blk"),
+    )
+    win = Window.partitionBy("lang", "blk").orderBy("prefix", "doc_id")
+    w = d.select(
+        "doc_id",
+        "prefix",
+        F.lead("doc_id", 1).over(win).alias("id1"),
+        F.lead("prefix", 1).over(win).alias("p1"),
+        F.lead("doc_id", 2).over(win).alias("id2"),
+        F.lead("prefix", 2).over(win).alias("p2"),
+    )
+    p1 = w.where(F.col("id1").isNotNull()).select(
+        F.least("doc_id", "id1").alias("doc_a"),
+        F.greatest("doc_id", "id1").alias("doc_b"),
+        F.levenshtein("prefix", "p1").cast("int").alias("dist"),
+    )
+    p2 = w.where(F.col("id2").isNotNull()).select(
+        F.least("doc_id", "id2").alias("doc_a"),
+        F.greatest("doc_id", "id2").alias("doc_b"),
+        F.levenshtein("prefix", "p2").cast("int").alias("dist"),
+    )
+    return (
+        p1.unionAll(p2)
+        .where(F.col("dist") <= _SNM_MAXDIST)
+        .orderBy("doc_a", "doc_b")
+    )

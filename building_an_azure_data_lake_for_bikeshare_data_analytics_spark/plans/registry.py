@@ -12,6 +12,7 @@ from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113, 
 from . import quality  # noqa: F401  (registers q85-q97, q167)
 from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
 from . import lakehouse  # noqa: F401  (registers q149-q152, q160-q162, q164, q166)
+from . import profiling  # noqa: F401  (registers q169-q177)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -101,27 +102,25 @@ _PRIORITY: tuple[str, ...] = (
     "q139_incremental_span_dedup",
     "q140_embedding_covariance",
     "q141_pca_project",
-    "q142_embedding_covariance_vectorized",
+    # (q142/q147 bumped late-r4 for the profiling batch: their oracle SQL
+    # is VERBATIM identical to their fold twins q140/q146 which stay — the
+    # SQL still gets a gate row — and kernel-vs-fold row-equality is pinned
+    # in tests; both join the r5 cohort)
     "q143_pca_project2",
     "q144_dsir_weights",
     "q145_logreg_probe",
     "q146_semantic_dedup_cells",
-    "q147_semantic_dedup_cells_vectorized",
     "q148_char_entropy",
-    # -- 3: stalest (last green r1) --
+    # -- 3: stalest (last green r1) — cut to three representatives late-r4
+    # to make room for the never-green q166-q177 (rule (a) outranks (b)):
+    # q01 re-greens the dow-derive template head, q21 the 3-way fan-out
+    # join, q23 the decimal-cast surface (the one historical value
+    # mismatch). The bumped siblings (q03/q07/q09/q11/q13/q16/q19 — same
+    # template factory, same join trees — plus q54/q66/q69) are MANDATORY
+    # r5-prefix members together with the r2 cohort below. --
     "q01_avg_price_by_dow",
-    "q03_avg_price_by_orderdate",
-    "q07_avg_extprice_by_part",
-    "q09_sum_price_by_acct_band",
-    "q11_avg_price_by_membership",
-    "q13_sum_amount_by_month",
-    "q16_avg_amount_by_quarter",
-    "q19_member_avg_by_acct_band",
     "q21_member_spend_rides",
     "q23_format_orders",
-    "q54_dedup_keep_rows",
-    "q66_doc_chunks",
-    "q69_source_stats",
     # -- 4: stale r2 cohort twin anchors (everything else r2-green was
     # bumped to make room for the fourteen new r4 queries q135-q148:
     # q42/q45/q47/q48/q49/q50/q51 and q57/q58/q67/q73/q98 — their
@@ -157,11 +156,24 @@ _PRIORITY: tuple[str, ...] = (
     # the two slots freed by q37/q56 above
     "q164_zorder_layout",
     "q165_weighted_sample",
+    # -- 6: final-r4 additions, never green: the lakehouse maintenance /
+    # integrity / sketch tail (q166-q168) and the profiling batch
+    # (q169-q177: oracle-replayable HLL, column profile, Pareto skyline,
+    # GROUPING SETS, Markov transitions, MAD outliers, chi-square,
+    # theta-sampled join-size estimate, sorted-neighborhood blocking) --
+    "q166_compaction_plan",
+    "q167_integrity_audit",
+    "q168_theta_intersection",
+    "q169_hll_distinct",
+    "q170_column_profile",
+    "q171_pareto_frontier",
+    "q172_grouping_sets",
+    "q173_event_transitions",
+    "q174_mad_outliers",
+    "q175_chi_square_independence",
+    "q176_join_size_estimate",
+    "q177_sorted_neighborhood",
 )
-# q166 (compaction planner), q167 (referential-integrity audit), and
-# q168 (theta-sketch intersection) registered after the r4 prefix froze
-# at 50 — never-green, so by rule (a) they MUST lead the r5 prefix
-# together with q37/q56 and the stale r2 cohort listed above.
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
 if _missing:  # fail loudly at import: a renamed query must update the prefix
