@@ -1,5 +1,5 @@
 """Statistical-profiling, sketch-completion and optimizer-support operators
-(q169-q177) — the late-r4 batch closing the remaining "engine-private"
+(q169-q182) — the late-r4 batch closing the remaining "engine-private"
 seams and adding classic warehouse/curation heads the surface still lacked:
 
 * q169 — an **oracle-replayable HyperLogLog** (the value-checkable answer to
@@ -26,10 +26,19 @@ seams and adding classic warehouse/curation heads the surface still lacked:
 * q177 — **sorted-neighborhood dedup blocking** (Hernandez-Stolfo): the
   third blocking paradigm next to LSH banding (q37) and prefix blocking
   (q90) — global sort key, sliding window of adjacent rows.
+* q178 — **Johnson-Lindenstrauss random projection** with exact-int64
+  arithmetic (floor-quantized inputs, embedded Rademacher sign matrix):
+  the rare case where the fast numpy kernel IS the oracle-checkable path.
+* q179 — **last-touch purchase attribution** (30-minute lookback).
+* q180 — per-group **Pearson correlation** from exact decimal power sums.
+* q181 — **rendezvous (HRW) sharding** with the minimal-movement property
+  measured inside the gate row.
+* q182 — order-independent **table content checksum** (anti-entropy /
+  replication-verification primitive).
 
 The reference notebook has no statistics/sketch surface (SURVEY.md §2.6
 "not present") — these are north-star training-pipeline extensions; no
-reference cite is possible. All nine carry full DuckDB oracles.
+reference cite is possible. All fourteen carry full DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -700,3 +709,412 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("dist") <= _SNM_MAXDIST)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — Johnson-Lindenstrauss random projection (exact-integer kernel)
+# ---------------------------------------------------------------------------
+
+_JL_D_IN = 64
+_JL_D_OUT = 8
+_JL_QSCALE = 1_000_000  # micro-unit floor quantization (the q140 recipe)
+
+
+def _jl_signs() -> list[tuple[int, int, int]]:
+    """Deterministic Rademacher (+1/-1) sign matrix from md5 parity —
+    generated once in Python and embedded as LITERALS in both engines, so
+    the 'random' projection is value-for-value reproducible anywhere."""
+    import hashlib as _hl
+
+    out = []
+    for i in range(1, _JL_D_IN + 1):
+        for j in range(1, _JL_D_OUT + 1):
+            bit = int(_hl.md5(f"jl:{i}:{j}".encode()).hexdigest(), 16) & 1
+            out.append((i, j, 1 if bit else -1))
+    return out
+
+
+_JL_SIGN_ROWS = _jl_signs()
+_JL_SIGN_VALUES = ", ".join(f"({i},{j},{s})" for i, j, s in _JL_SIGN_ROWS)
+
+
+@query(
+    "q178_jl_projection",
+    f"""WITH q AS (
+         SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {_JL_QSCALE}) AS BIGINT)) AS qv
+         FROM embeddings),
+       ex AS (
+         SELECT vec_id, unnest(qv) AS xq, generate_subscripts(qv, 1) AS i
+         FROM q),
+       sgn(i, j, s) AS (VALUES {_JL_SIGN_VALUES})
+       SELECT ex.vec_id, CAST(sgn.j AS INTEGER) AS j,
+              CAST(sum(ex.xq * sgn.s) AS BIGINT) AS y
+       FROM ex JOIN sgn ON ex.i = sgn.i
+       GROUP BY ex.vec_id, sgn.j
+       ORDER BY vec_id, j""",
+    tags=("extension", "embedding", "dimension-reduction", "jl"),
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64-d -> 8-d with a
+    Rademacher (+1/-1) sign matrix (Achlioptas 2003: database-friendly
+    random projections) — the cheap dimensionality reducer that sits in
+    front of clustering / dedup when even PQ (q118) is too heavy. The JL
+    lemma guarantees pairwise distances survive within (1 +- eps) w.h.p.;
+    the preserved-geometry property is pinned against numpy in
+    tests/test_profiling.py.
+
+    Determinism: embedding components are floor-quantized to exact int64
+    micro-units (the q140 covariance recipe) and the sign matrix is
+    md5-parity generated ONCE in Python and embedded as literals in both
+    engines — so every projected coordinate is an exact integer sum and
+    the gate hashes the projection itself. No float ever appears.
+
+    Scale shape: a PURE MAP — an Arrow-batched mapInPandas kernel doing
+    one exact-int64 numpy matmul per batch (quantize -> X @ S -> melt);
+    because every operand is an integer, the kernel is VALUE-IDENTICAL to
+    the relational formulation (pinned in tests), so no fold/kernel twin
+    pair is needed — this is the rare case where the fast path IS the
+    oracle-checkable path. No explode (a 64x row blow-up), no join, no
+    aggregation: projecting a 100 TB embedding table shuffles NOTHING.
+    (Measured at sf0.1: posexplode + broadcast sign join + re-agg 8.3 s;
+    an unrolled 512-term Column fold 10.4 s — the expression tree falls
+    out of whole-stage codegen; this kernel 0.8 s.)"""
+    import numpy as np
+    import pandas as pd
+
+    S = np.zeros((_JL_D_IN, _JL_D_OUT), dtype=np.int64)
+    for i, j, s in _JL_SIGN_ROWS:
+        S[i - 1, j - 1] = s
+    j_idx = np.arange(1, _JL_D_OUT + 1, dtype=np.int32)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * _JL_QSCALE
+            ).astype(np.int64)
+            Y = X @ S  # exact: |y| <= 64 * 1e6 * max|x|, far below 2^63
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _JL_D_OUT),
+                    "j": np.tile(j_idx, n),
+                    "y": Y.reshape(-1),
+                }
+            )
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return emb.mapInPandas(kernel, "vec_id BIGINT, j INT, y BIGINT").orderBy(
+        "vec_id", "j"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179 — last-touch purchase attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW = "30"  # minutes
+
+
+@query(
+    "q179_last_touch_attribution",
+    f"""WITH l AS (
+         SELECT event_type, value, ts,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type,
+                lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_ts
+         FROM events)
+       SELECT CASE WHEN prev_ts IS NOT NULL
+                    AND prev_ts >= ts - INTERVAL '{_ATTR_WINDOW} minutes'
+                   THEN prev_type ELSE 'direct' END AS attributed_type,
+              count(*) AS n_purchases,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_revenue
+       FROM l WHERE event_type = 'purchase'
+       GROUP BY 1 ORDER BY attributed_type""",
+    tags=("extension", "product-analytics", "attribution", "window"),
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    immediately-preceding event IF it happened within a 30-minute lookback,
+    else to 'direct' — the marketing-analytics workhorse that q155's funnel
+    and q173's transition matrix don't cover (credit assignment, not path
+    counting), with decimal-exact revenue rollup per attributed channel.
+
+    Scale shape: one lag() window on the user_id exchange the suite already
+    pins (q47/q48/q126/q173 share it — at 100 TB these all reuse one
+    shuffle of the events table), then a tiny hash-agg over |event_type|+1
+    attribution buckets. The NTZ-safe interval comparison (ts - INTERVAL)
+    avoids the illegal long cast (SKILL gotcha)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = ev.select(
+        "event_type",
+        "value",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    attributed = F.when(
+        F.col("prev_ts").isNotNull()
+        & (F.col("prev_ts") >= F.col("ts") - F.expr(f"INTERVAL {_ATTR_WINDOW} MINUTES")),
+        F.col("prev_type"),
+    ).otherwise(F.lit("direct"))
+    from ..functions.agg import exact_sum
+
+    return (
+        l.where(F.col("event_type") == "purchase")
+        .groupBy(attributed.alias("attributed_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            exact_sum("value", "attributed_revenue"),
+        )
+        .orderBy("attributed_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — Pearson correlation from exact power sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q180_lineitem_correlation",
+    """WITH s AS (
+         SELECT l_returnflag,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+                CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+         FROM lineitem GROUP BY 1)
+       SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+              round((n * sxy - sx * sy)
+                    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                  AS corr_qty_price
+       FROM s ORDER BY l_returnflag""",
+    tags=("extension", "statistics", "correlation"),
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group Pearson correlation (quantity vs extended price) computed
+    from EXACT decimal power sums — the q152-OLS discipline applied to the
+    five moments corr needs: each product of 2-decimal measures has an
+    exact 4-decimal value that the double multiply recovers within half an
+    ulp, so the DECIMAL(38,4) casts agree cross-engine and the sums are
+    order-independent; corr is then ONE fixed double expression over six
+    exact scalars. (Spark's built-in corr() is a streaming float
+    accumulation — order-dependent, which is exactly what this avoids.)
+
+    Scale shape: a single partial-aggregated hash-agg — five decimal sums
+    and a count per group; nothing else. The same pattern extends to a
+    full correlation MATRIX by summing products per column pair (q140's
+    covariance does precisely that over embedding coordinates)."""
+    li = _t(spark, sf, "lineitem")
+    dec2 = lambda c: F.col(c).cast(DecimalType(18, 2))  # noqa: E731
+    dec4 = lambda e: e.cast(DecimalType(38, 4))  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec2("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dec4(F.col("l_quantity") * F.col("l_quantity"))).cast("double").alias("sxx"),
+        F.sum(dec4(F.col("l_extendedprice") * F.col("l_extendedprice")))
+        .cast("double")
+        .alias("syy"),
+        F.sum(dec4(F.col("l_quantity") * F.col("l_extendedprice")))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_items"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q181 — rendezvous (highest-random-weight) sharding
+# ---------------------------------------------------------------------------
+
+_RDV_N = 8  # baseline shard count; the probe measures the N -> N+1 reshuffle
+
+
+@query(
+    "q181_rendezvous_sharding",
+    f"""WITH ex AS (
+         SELECT doc_id, s,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                        CAST(s AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM documents, unnest(range(0, {_RDV_N + 1})) AS u(s)),
+       assign AS (
+         SELECT doc_id,
+                arg_max(CASE WHEN s < {_RDV_N} THEN s END,
+                        CASE WHEN s < {_RDV_N} THEN h ELSE -1 END) AS shard8,
+                arg_max(s, h) AS shard9
+         FROM ex GROUP BY doc_id),
+       summary AS (
+         SELECT count(*) AS n_docs,
+                sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) AS n_moved
+         FROM assign),
+       balance AS (
+         SELECT min(cnt) AS min_shard_n, max(cnt) AS max_shard_n
+         FROM (SELECT count(*) AS cnt FROM assign GROUP BY shard8))
+       SELECT CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(n_moved AS BIGINT) AS n_moved,
+              round(CAST(n_moved AS DOUBLE) / n_docs, 6) AS moved_frac,
+              CAST(min_shard_n AS BIGINT) AS min_shard_n,
+              CAST(max_shard_n AS BIGINT) AS max_shard_n
+       FROM summary CROSS JOIN balance""",
+    tags=("extension", "placement", "consistent-hashing"),
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler-Ravishankar):
+    each document goes to the shard maximizing md5(doc, shard) — the
+    placement scheme whose defining property is MINIMAL MOVEMENT on
+    resize: growing 8 -> 9 shards relocates only ~1/9 of documents (every
+    other scheme's mod-N would move ~8/9). The query computes both
+    assignments and measures the observed moved fraction plus the 8-shard
+    balance spread, so the gate value-checks the property itself
+    (expectation 0.1111; the measured value and the ~uniform balance are
+    also pinned in tests).
+
+    Scale shape: explode to 9 rows per doc (bounded fan-out), one
+    max_by/arg_max hash-agg back to one row per doc, then two bounded
+    aggregates. At 100 TB this is the shuffle-free way to route a corpus
+    into N bucketed outputs — the hash is of the KEY, so routing is
+    map-side and deterministic everywhere."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    ex = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_RDV_N))).alias("s")
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), F.col("s").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    in8 = F.col("s") < _RDV_N
+    assign = ex.groupBy("doc_id").agg(
+        F.max_by(
+            F.when(in8, F.col("s")), F.when(in8, F.col("h")).otherwise(F.lit(-1))
+        ).alias("shard8"),
+        F.max_by("s", "h").alias("shard9"),
+    )
+    summary = assign.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("shard8") != F.col("shard9")).cast("int")).cast("long").alias("n_moved"),
+    )
+    balance = (
+        assign.groupBy("shard8")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.min("cnt").cast("long").alias("min_shard_n"),
+            F.max("cnt").cast("long").alias("max_shard_n"),
+        )
+    )
+    return summary.crossJoin(F.broadcast(balance)).select(
+        "n_docs",
+        "n_moved",
+        F.round(F.col("n_moved").cast("double") / F.col("n_docs"), 6).alias("moved_frac"),
+        "min_shard_n",
+        "max_shard_n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q182 — order-independent table content checksum (anti-entropy primitive)
+# ---------------------------------------------------------------------------
+
+# canonical row renderings reuse the q170-proven cross-engine string casts;
+# doubles go through DECIMAL(18,2) (money columns carry 2-decimal data).
+# {S} is the engine's string type name: Spark's expression parser wants
+# STRING where DuckDB wants VARCHAR — same cast semantics, different keyword.
+_CK_TABLES: tuple[tuple[str, str], ...] = (
+    (
+        "orders",
+        "concat_ws('|', CAST(o_orderkey AS {S}), CAST(o_custkey AS {S}), "
+        "o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS {S}), "
+        "CAST(o_orderdate AS {S}), o_orderpriority)",
+    ),
+    (
+        "customer",
+        "concat_ws('|', CAST(c_custkey AS {S}), c_name, "
+        "CAST(c_nationkey AS {S}), "
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS {S}), c_mktsegment)",
+    ),
+    (
+        "nation",
+        "concat_ws('|', CAST(n_nationkey AS {S}), n_name, "
+        "CAST(n_regionkey AS {S}))",
+    ),
+)
+_CK_MOD = 10**18  # fold the exact decimal sum into a BIGINT-safe residue
+
+
+def _checksum_oracle() -> str:
+    parts = [
+        f"""SELECT '{t}' AS table_name, count(*) AS n_rows,
+                CAST(sum(CAST('0x' || substr(md5({expr.format(S='VARCHAR')}), 1, 15)
+                              AS BIGINT))
+                     % {_CK_MOD} AS BIGINT) AS checksum
+            FROM {t}"""
+        for t, expr in _CK_TABLES
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+@query(
+    "q182_table_checksum",
+    _checksum_oracle(),
+    tags=("extension", "lakehouse", "integrity", "checksum"),
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent table content checksum — the anti-entropy /
+    replication-verification primitive (compare a table across two
+    replicas, or before/after a migration, without sorting either side):
+    per-row canonical string -> 60-bit md5 integer -> EXACT decimal sum,
+    folded mod 1e18 into a BIGINT. Addition is commutative, so the digest
+    is independent of row order and partitioning — two lakes agree iff
+    (n_rows, checksum) agree, and the gate itself is the cross-engine
+    proof (DuckDB computes the identical digest from the same parquet).
+    Canonical renderings reuse the q170-proven string casts; doubles pass
+    through DECIMAL(18,2) so formatting can't split engines.
+
+    Scale shape: one scan + one partial-aggregated sum per table — the
+    checksum of a 100 TB table is a map-side fold with a single tiny
+    final merge, and never shuffles data."""
+    parts = []
+    for t, expr in _CK_TABLES:
+        df = _t(spark, sf, t)
+        h = F.conv(
+            F.substring(F.md5(F.expr(expr.format(S="STRING"))), 1, 15), 16, 10
+        ).cast("long")
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.sum(h.cast(DecimalType(38, 0))) % F.lit(_CK_MOD))
+                .cast("long")
+                .alias("checksum"),
+            ).select(F.lit(t).alias("table_name"), "n_rows", "checksum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("table_name")

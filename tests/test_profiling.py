@@ -301,3 +301,176 @@ def test_snm_window_is_partitioned(spark):
     assert "No Partition Defined" not in plan
     tree = plan.split("\n\n")[0]
     assert "Window" in tree
+
+
+# ---------------------------------------------------------------------------
+# q178 JL projection
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_matches_numpy(spark):
+    """Every projected coordinate replayed exactly in numpy int64."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.profiling import (
+        _JL_D_IN,
+        _JL_D_OUT,
+        _JL_QSCALE,
+        _JL_SIGN_ROWS,
+    )
+
+    S = np.zeros((_JL_D_IN, _JL_D_OUT), dtype=np.int64)
+    for i, j, s in _JL_SIGN_ROWS:
+        S[i - 1, j - 1] = s
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet", columns=["vec_id", "embedding"])
+    X = np.floor(
+        np.stack(emb["embedding"].values).astype(np.float64) * _JL_QSCALE
+    ).astype(np.int64)
+    Y = X @ S  # exact: values << 2^63
+    want = {
+        (int(v), j + 1): int(Y[r, j])
+        for r, v in enumerate(emb["vec_id"])
+        for j in range(_JL_D_OUT)
+    }
+    rows = QUERIES["q178_jl_projection"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(emb) * _JL_D_OUT
+    for r in rows:
+        assert want[(r["vec_id"], r["j"])] == r["y"], (r["vec_id"], r["j"])
+
+
+def test_jl_projection_preserves_geometry(spark):
+    """JL lemma in action: at d_out=8 the guarantee is a DISTORTION BAND,
+    not rank order (random 64-d points have concentrated distances, so
+    correlation is the wrong metric): the per-pair ratio ||Py-Px||/||y-x||
+    (after the 1/sqrt(d_out) scaling) follows sqrt(chi^2_8 / 8) —
+    >= 98% of pairs must land inside its [0.35, 1.7] central band."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.profiling import (
+        _JL_D_OUT,
+        _JL_SIGN_ROWS,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet", columns=["embedding"])
+    X = np.stack(emb["embedding"].values).astype(np.float64)[:100]
+    S = np.zeros((X.shape[1], _JL_D_OUT))
+    for i, j, s in _JL_SIGN_ROWS:
+        S[i - 1, j - 1] = s
+    Y = X @ S / np.sqrt(_JL_D_OUT)
+    dx = np.linalg.norm(X[:, None] - X[None, :], axis=2)[np.triu_indices(100, 1)]
+    dy = np.linalg.norm(Y[:, None] - Y[None, :], axis=2)[np.triu_indices(100, 1)]
+    ratio = dy / dx
+    assert np.mean((ratio > 0.35) & (ratio < 1.7)) >= 0.98
+    # unbiased in the median: the typical pair is barely distorted
+    assert 0.8 < np.median(ratio) < 1.2
+
+
+# ---------------------------------------------------------------------------
+# q179 attribution
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_counts_cover_all_purchases(spark):
+    rows = QUERIES["q179_last_touch_attribution"](spark, SF_SMOKE).collect()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_type", "value"])
+    n_purchases = int((ev["event_type"] == "purchase").sum())
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+    total_rev = round(float(ev.loc[ev["event_type"] == "purchase", "value"].sum()), 2)
+    assert abs(sum(r["attributed_revenue"] for r in rows) - total_rev) < 1e-6
+    assert {r["attributed_type"] for r in rows} <= {
+        "click", "error", "purchase", "signup", "view", "direct",
+    }
+
+
+# ---------------------------------------------------------------------------
+# q180 correlation
+# ---------------------------------------------------------------------------
+
+
+def test_correlation_vs_numpy(spark):
+    rows = {r["l_returnflag"]: r for r in QUERIES["q180_lineitem_correlation"](spark, SF_SMOKE).collect()}
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        want = np.corrcoef(grp["l_quantity"], grp["l_extendedprice"])[0, 1]
+        r = rows[flag]
+        assert r["n_items"] == len(grp)
+        assert abs(r["corr_qty_price"] - want) < 1e-5, flag
+
+
+# ---------------------------------------------------------------------------
+# q181 rendezvous sharding
+# ---------------------------------------------------------------------------
+
+
+def test_rendezvous_movement_and_balance(spark):
+    """Growing 8 -> 9 shards must move ~1/9 of docs (the rendezvous
+    property; mod-N would move ~8/9), and the 8-shard split stays
+    roughly balanced."""
+    r = QUERIES["q181_rendezvous_sharding"](spark, SF_SMOKE).collect()[0]
+    assert r["n_docs"] > 0
+    expect = 1.0 / 9.0
+    # binomial 3-sigma band around 1/9
+    sigma = (expect * (1 - expect) / r["n_docs"]) ** 0.5
+    assert abs(r["moved_frac"] - expect) < 3 * sigma + 1e-9
+    # balance: no shard more than 2x the smallest at 500 docs / 8 shards
+    assert r["max_shard_n"] <= 2 * r["min_shard_n"]
+
+
+def test_rendezvous_matches_python(spark):
+    """Shard assignment replayed in pure Python md5."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id"])
+    moved = 0
+    for d in docs["doc_id"]:
+        hs = [_py_hash60(f"{d}:{s}") for s in range(9)]
+        s8 = int(np.argmax(hs[:8]))
+        s9 = int(np.argmax(hs))
+        moved += s8 != s9
+    r = QUERIES["q181_rendezvous_sharding"](spark, SF_SMOKE).collect()[0]
+    assert r["n_moved"] == moved
+
+
+# ---------------------------------------------------------------------------
+# q182 table checksum
+# ---------------------------------------------------------------------------
+
+
+def test_checksum_is_order_independent(spark):
+    """The digest must not change under any re-ordering/partitioning:
+    recompute over a shuffled pandas replay and compare."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.profiling import _CK_MOD
+
+    rows = {r["table_name"]: r for r in QUERIES["q182_table_checksum"](spark, SF_SMOKE).collect()}
+    n = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    n = n.sample(frac=1.0, random_state=7)  # permute rows
+    total = 0
+    for _, row in n.iterrows():
+        canon = f"{row['n_nationkey']}|{row['n_name']}|{row['n_regionkey']}"
+        total += _py_hash60(canon)
+    assert rows["nation"]["checksum"] == total % _CK_MOD
+    assert rows["nation"]["n_rows"] == len(n)
+
+
+def test_checksum_detects_single_value_change(spark):
+    """One changed cell must change the digest (with overwhelming
+    probability) — the property replication verification relies on."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.profiling import _CK_MOD
+
+    n = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    base = sum(
+        _py_hash60(f"{r['n_nationkey']}|{r['n_name']}|{r['n_regionkey']}")
+        for _, r in n.iterrows()
+    ) % _CK_MOD
+    n2 = n.copy()
+    n2.loc[n2.index[0], "n_name"] = n2.loc[n2.index[0], "n_name"] + "X"
+    mut = sum(
+        _py_hash60(f"{r['n_nationkey']}|{r['n_name']}|{r['n_regionkey']}")
+        for _, r in n2.iterrows()
+    ) % _CK_MOD
+    assert base != mut
+
+
+def test_checksum_plan_has_no_shuffle_of_rows(spark):
+    """Partial-aggregated sums only: one Exchange per table (the 1-row
+    partial merge), no sort, no join."""
+    tree = _plan(spark, "q182_table_checksum").split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 3
