@@ -474,3 +474,25 @@ def test_checksum_plan_has_no_shuffle_of_rows(spark):
     tree = _plan(spark, "q182_table_checksum").split("\n\n")[0]
     assert "Join" not in tree
     assert tree.count("Scan parquet") == 3
+
+
+# ---------------------------------------------------------------------------
+# q183 rolling KMV
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_kmv_accuracy_and_coverage(spark):
+    """One row per observed day; when the merged sketch is not full the
+    estimate IS the exact count (all hashes retained); when full, the KMV
+    error bound (~1/sqrt(k-1) sigma) must hold at 4 sigma."""
+    rows = QUERIES["q183_rolling_distinct_kmv"](spark, SF_SMOKE).collect()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["ts"])
+    n_days = ev["ts"].dt.date.nunique()
+    assert len(rows) == n_days
+    k = 64
+    for r in rows:
+        if r["n_retained"] < k:
+            assert r["kmv_estimate"] == r["n_retained"] == r["n_exact"]
+        else:
+            rel = abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"]
+            assert rel < 4 / np.sqrt(k - 1), (r["wk_day"], rel)
