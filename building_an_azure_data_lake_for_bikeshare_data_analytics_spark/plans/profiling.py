@@ -55,55 +55,133 @@ from .base import _t, query
 # q169 — HyperLogLog with value-checkable registers
 # ---------------------------------------------------------------------------
 
-_HLL_P = 8  # 2^8 = 256 registers
-_HLL_M = 1 << _HLL_P
-# 60-bit md5 hash: low 8 bits pick the register, the remaining 52 bits feed
-# the leading-zero rank, so rho in [1, 53].
-_HLL_REM_BITS = 60 - _HLL_P
-_HLL_RHO_MAX = _HLL_REM_BITS + 1  # rho when the remainder is all zeros
-# Exact-integer register sum: sum(2^(RHO_MAX - M_j)) over all m registers
-# (empty register => M_j = 0 => contributes 2^RHO_MAX). Max total
-# 256 * 2^53 = 2^61 < 2^63 — always exact in int64, order-independent.
-_HLL_POW0 = 1 << _HLL_RHO_MAX
-# E_raw = alpha * m^2 / sum(2^-M_j) = (alpha * m^2 * 2^RHO_MAX) / S_int
-_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
-_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(_HLL_POW0)
-_HLL_LC_CUT = 2.5 * _HLL_M  # below this, linear counting is more accurate
+_HLL_P = 8  # default precision: 2^8 = 256 registers (the q169 gate shape)
 
 
-@query(
-    "q169_hll_distinct",
-    f"""WITH h AS (
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al.'s bias-correction constant per register count."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_params(p: int) -> dict:
+    """All derived constants for precision p over the 60-bit md5 space.
+
+    The low p bits pick the register, the remaining (60-p) bits feed the
+    leading-zero rank, so rho in [1, 61-p]. The exact-integer register sum
+    sum(2^(rho_max - M_j)) over all m registers (empty register => M_j=0
+    => contributes 2^rho_max) totals at most 2^p * 2^(61-p) = 2^61 < 2^63
+    for ANY p — always exact in int64, order-independent."""
+    m = 1 << p
+    rho_max = 60 - p + 1
+    pow0 = 1 << rho_max
+    alpha = _hll_alpha(m)
+    return {
+        "m": m,
+        "rho_max": rho_max,
+        "pow0": pow0,
+        # E_raw = alpha * m^2 / sum(2^-M_j) = (alpha * m^2 * 2^rho_max) / S_int
+        "num": alpha * m * m * float(pow0),
+        "lc_cut": 2.5 * m,  # below this, linear counting is more accurate
+    }
+
+
+_HLL8 = _hll_params(_HLL_P)
+# default-p aliases (the q169 oracle f-string and the register-replay tests
+# address these directly)
+_HLL_M = _HLL8["m"]
+_HLL_RHO_MAX = _HLL8["rho_max"]
+_HLL_POW0 = _HLL8["pow0"]
+_HLL_NUM = _HLL8["num"]
+_HLL_LC_CUT = _HLL8["lc_cut"]
+
+
+def hll_oracle(p: int = _HLL_P) -> str:
+    """DuckDB oracle replaying the sketch value-for-value at any p."""
+    c = _hll_params(p)
+    return f"""WITH h AS (
          SELECT DISTINCT event_type,
                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
          FROM events),
        b AS (
          SELECT event_type,
-                h % {_HLL_M} AS bucket,
-                h // {_HLL_M} AS rem
+                h % {c['m']} AS bucket,
+                h // {c['m']} AS rem
          FROM h),
        reg AS (
          SELECT event_type, bucket,
-                max(CASE WHEN rem = 0 THEN {_HLL_RHO_MAX}
-                         ELSE {_HLL_RHO_MAX} - length(bin(rem)) END) AS m_j,
+                max(CASE WHEN rem = 0 THEN {c['rho_max']}
+                         ELSE {c['rho_max']} - length(bin(rem)) END) AS m_j,
                 count(*) AS nu
          FROM b GROUP BY event_type, bucket),
        s AS (
          SELECT event_type,
                 CAST(count(*) AS INTEGER) AS n_buckets,
-                CAST(sum(CAST(power(2.0, {_HLL_RHO_MAX} - m_j) AS BIGINT))
-                     + ({_HLL_M} - count(*)) * CAST({_HLL_POW0} AS BIGINT)
+                CAST(sum(CAST(power(2.0, {c['rho_max']} - m_j) AS BIGINT))
+                     + ({c['m']} - count(*)) * CAST({c['pow0']} AS BIGINT)
                      AS BIGINT) AS reg_sum,
                 CAST(sum(nu) AS BIGINT) AS n_exact
          FROM reg GROUP BY event_type)
        SELECT event_type, n_buckets, reg_sum, n_exact,
-              round(CASE WHEN {_HLL_M} - n_buckets > 0
-                          AND {_HLL_NUM!r} / CAST(reg_sum AS DOUBLE) <= {_HLL_LC_CUT!r}
-                         THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
-                                  / CAST({_HLL_M} - n_buckets AS DOUBLE))
-                         ELSE {_HLL_NUM!r} / CAST(reg_sum AS DOUBLE)
+              round(CASE WHEN {c['m']} - n_buckets > 0
+                          AND {c['num']!r} / CAST(reg_sum AS DOUBLE) <= {c['lc_cut']!r}
+                         THEN {float(c['m'])!r} * ln({float(c['m'])!r}
+                                  / CAST({c['m']} - n_buckets AS DOUBLE))
+                         ELSE {c['num']!r} / CAST(reg_sum AS DOUBLE)
                     END, 4) AS hll_estimate
-       FROM s ORDER BY event_type""",
+       FROM s ORDER BY event_type"""
+
+
+def hll_distinct_users(spark: SparkSession, sf: str, p: int = _HLL_P) -> DataFrame:
+    """The HLL sketch body at a caller-chosen precision (the r3 KMV-k
+    lesson applied from day one: stderr ~ 1.04/sqrt(2^p) — 13% at p=6,
+    6.5% at p=8, 3.3% at p=10; the measured curve is pinned at stress
+    scale in tests/test_profiling.py). Plan shape is p-independent: three
+    hash-aggs, the last two over at most 2^p rows per group."""
+    c = _hll_params(p)
+    ev = _t(spark, sf, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    d = ev.select("event_type", h.alias("h")).distinct()
+    b = d.select(
+        "event_type",
+        (F.col("h") % c["m"]).alias("bucket"),
+        (F.col("h") / F.lit(c["m"])).cast("long").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(c["rho_max"])).otherwise(
+        F.lit(c["rho_max"]) - F.length(F.bin(F.col("rem")))
+    )
+    reg = b.groupBy("event_type", "bucket").agg(
+        F.max(rho).alias("m_j"), F.count(F.lit(1)).alias("nu")
+    )
+    pow_term = F.pow(F.lit(2.0), F.lit(c["rho_max"]) - F.col("m_j")).cast("long")
+    s = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        (
+            F.sum(pow_term)
+            + (F.lit(c["m"]) - F.count(F.lit(1))) * F.lit(c["pow0"])
+        ).cast("long").alias("reg_sum"),
+        F.sum("nu").cast("long").alias("n_exact"),
+    )
+    e_raw = F.lit(c["num"]) / F.col("reg_sum").cast("double")
+    v = F.lit(c["m"]) - F.col("n_buckets")
+    est = F.when(
+        (v > 0) & (e_raw <= F.lit(c["lc_cut"])),
+        F.lit(float(c["m"])) * F.log(F.lit(float(c["m"])) / v.cast("double")),
+    ).otherwise(e_raw)
+    return s.select(
+        "event_type", "n_buckets", "reg_sum", "n_exact",
+        F.round(est, 4).alias("hll_estimate"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q169_hll_distinct",
+    hll_oracle(_HLL_P),
     tags=("extension", "sketch", "distinct", "hll"),
 )
 def q169(spark: SparkSession, sf: str) -> DataFrame:
@@ -123,44 +201,16 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
     standard small-range linear-counting branch) and a round(4). n_exact
     rides along as the per-group calibration column.
 
+    Precision is a parameter of ``hll_distinct_users`` (the r3 KMV-k
+    lesson, applied from day one); the gate pins p=8, the p-sweep error
+    curve is pinned at stress scale in tests/test_profiling.py.
+
     Scale shape: distinct (type, user) is one hash-agg; registers are a
     second hash-agg to m=256 rows per group; the estimate is a third over
     those bounded rows. No windows, no driver state; at 100 TB the partial
     aggregation tree does all the work map-side — the same shape Spark's own
     approx_count_distinct plans, but with a gate-checkable state."""
-    ev = _t(spark, sf, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
-    d = ev.select("event_type", h.alias("h")).distinct()
-    b = d.select(
-        "event_type",
-        (F.col("h") % _HLL_M).alias("bucket"),
-        (F.col("h") / F.lit(_HLL_M)).cast("long").alias("rem"),
-    )
-    rho = F.when(F.col("rem") == 0, F.lit(_HLL_RHO_MAX)).otherwise(
-        F.lit(_HLL_RHO_MAX) - F.length(F.bin(F.col("rem")))
-    )
-    reg = b.groupBy("event_type", "bucket").agg(
-        F.max(rho).alias("m_j"), F.count(F.lit(1)).alias("nu")
-    )
-    pow_term = F.pow(F.lit(2.0), F.lit(_HLL_RHO_MAX) - F.col("m_j")).cast("long")
-    s = reg.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("int").alias("n_buckets"),
-        (
-            F.sum(pow_term)
-            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_POW0)
-        ).cast("long").alias("reg_sum"),
-        F.sum("nu").cast("long").alias("n_exact"),
-    )
-    e_raw = F.lit(_HLL_NUM) / F.col("reg_sum").cast("double")
-    v = F.lit(_HLL_M) - F.col("n_buckets")
-    est = F.when(
-        (v > 0) & (e_raw <= F.lit(_HLL_LC_CUT)),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
-    ).otherwise(e_raw)
-    return s.select(
-        "event_type", "n_buckets", "reg_sum", "n_exact",
-        F.round(est, 4).alias("hll_estimate"),
-    ).orderBy("event_type")
+    return hll_distinct_users(spark, sf, _HLL_P)
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,6 @@ import pandas as pd
 
 from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.profiling import (
     _HLL_M,
-    _HLL_REM_BITS,
     _HLL_RHO_MAX,
     _JS_RATE,
     _JS_THETA,
@@ -496,3 +495,43 @@ def test_rolling_kmv_accuracy_and_coverage(spark):
         else:
             rel = abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"]
             assert rel < 4 / np.sqrt(k - 1), (r["wk_day"], rel)
+
+
+def test_hll_precision_sweep_error_curve(spark):
+    """p is a parameter (the KMV-k lesson): at p in {6, 8, 10} the
+    estimate must track the exact count within 4 x the published stderr
+    1.04/sqrt(2^p), and the p-sweep must be internally consistent (every
+    p sees the same n_exact). Run at sf0.01 for a 1.5k-user domain."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.profiling import (
+        hll_distinct_users,
+    )
+    from conftest import SF_ORACLE
+
+    for p in (6, 8, 10):
+        rows = hll_distinct_users(spark, SF_ORACLE, p).collect()
+        assert rows, p
+        for r in rows:
+            rel = abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"]
+            assert rel < 4 * 1.04 / np.sqrt(1 << p), (p, r["event_type"], rel)
+
+
+def test_hll_oracle_replays_at_nondefault_p(spark):
+    """The DuckDB oracle replays the sketch value-for-value at p != 8
+    too — parameterization does not break the cross-engine contract."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.profiling import (
+        hll_distinct_users,
+        hll_oracle,
+    )
+
+    got = {
+        (r["event_type"], r["n_buckets"], r["reg_sum"], r["hll_estimate"])
+        for r in hll_distinct_users(spark, SF_SMOKE, 6).collect()
+    }
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')")
+    want = {
+        (et, nb, rs, est)
+        for et, nb, rs, _, est in con.execute(hll_oracle(6)).fetchall()
+    }
+    assert got == want
