@@ -543,3 +543,81 @@ def scd2_history_stream(
     q = writer.start()
     q.awaitTermination()
     return n_batches["n"]
+
+
+def hll_register_stream(
+    events: DataFrame,
+    p: int = 8,
+    checkpoint_dir: str | None = None,
+) -> tuple[list[tuple], dict]:
+    """Streaming HyperLogLog maintenance: each micro-batch's registers
+    (the q169 sketch — md5-derived bucket + max leading-zero rank) are
+    merged into a running register table by MAX, and the per-type distinct
+    estimate is re-issued after every batch — the "live distinct users"
+    counter a production ingest keeps, maintained incrementally because
+    register-max merge is associative, commutative and idempotent (late or
+    REPLAYED data cannot corrupt it, unlike a count).
+
+    foreachBatch + availableNow like drift_monitor_stream. The merged
+    state is bounded at |event_type| * 2^p rows — tiny per-type scalars by
+    construction, kept driver-side exactly like the suite's other
+    streaming monitors; the per-batch distributed work is one register
+    hash-agg over the batch. Returns (per-epoch estimate rows, final
+    register dict {(event_type, bucket): m_j}); the union-equals-batch
+    parity (final registers == q169's registers over the whole corpus) is
+    pinned in tests/test_streaming.py."""
+    from ..plans.profiling import _hll_params
+
+    c = _hll_params(p)
+    state: dict[tuple[str, int], int] = {}
+    out: list[tuple] = []
+
+    def _estimates(epoch_id: int) -> None:
+        by_type: dict[str, dict[int, int]] = {}
+        for (et, bucket), m_j in state.items():
+            by_type.setdefault(et, {})[bucket] = m_j
+        for et in sorted(by_type):
+            regs = by_type[et]
+            s = sum(1 << (c["rho_max"] - m) for m in regs.values())
+            s += (c["m"] - len(regs)) * c["pow0"]
+            e_raw = c["num"] / float(s)
+            v = c["m"] - len(regs)
+            if v > 0 and e_raw <= c["lc_cut"]:
+                import math
+
+                est = c["m"] * math.log(c["m"] / float(v))
+            else:
+                est = e_raw
+            out.append((epoch_id, et, len(regs), s, round(est, 4)))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        h = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        b = batch_df.select(
+            "event_type",
+            (h % c["m"]).alias("bucket"),
+            (h / F.lit(c["m"])).cast("long").alias("rem"),
+        )
+        rho = F.when(F.col("rem") == 0, F.lit(c["rho_max"])).otherwise(
+            F.lit(c["rho_max"]) - F.length(F.bin(F.col("rem")))
+        )
+        reg = (
+            b.groupBy("event_type", "bucket")
+            .agg(F.max(rho).alias("m_j"))
+            .collect()  # bounded: <= |event_type| * 2^p rows
+        )
+        for r in reg:
+            key = (r["event_type"], r["bucket"])
+            if r["m_j"] > state.get(key, 0):
+                state[key] = r["m_j"]
+        _estimates(epoch_id)
+
+    writer = events.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out, state

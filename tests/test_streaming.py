@@ -567,3 +567,42 @@ def test_scd2_stream_matches_batch_with_out_of_order_batches(spark, tmp_path):
         (r for r in got if r[0] == 1), key=lambda r: r[5]
     )
     assert [r[1] for r in u1] == ["signup", "view", "click"]
+
+
+def test_hll_register_stream_matches_batch(spark, events_dir):
+    """Union-equals-batch for the streaming HLL: after replaying the
+    corpus as 3 micro-batches, the merged register state and the final
+    estimate must EQUAL q169's batch sketch over the whole table —
+    register-max merge is associative/commutative/idempotent, so the
+    micro-batch boundaries cannot leak into the result. Estimates must
+    also be monotonically non-decreasing per type across epochs (registers
+    only grow)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+        QUERIES,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        hll_register_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(read_parquet_table(spark, SF_SMOKE, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    rows, state = hll_register_stream(stream, p=8)
+    epochs = sorted({r[0] for r in rows})
+    assert len(epochs) == 3  # one register merge per micro-batch
+
+    batch = {r["event_type"]: r for r in QUERIES["q169_hll_distinct"](spark, SF_SMOKE).collect()}
+    final = {r[1]: r for r in rows if r[0] == epochs[-1]}
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        _, _, n_buckets, reg_sum, est = final[et]
+        assert n_buckets == b["n_buckets"], et
+        assert reg_sum == b["reg_sum"], et
+        assert est == b["hll_estimate"], et
+
+    # estimates never decrease as registers accumulate
+    for et in final:
+        series = [r[4] for r in rows if r[1] == et]
+        assert all(a <= b + 1e-9 for a, b in zip(series, series[1:])), et
