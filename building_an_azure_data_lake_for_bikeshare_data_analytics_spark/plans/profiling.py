@@ -682,9 +682,9 @@ _SNM_MAXDIST = 15  # candidate-pair acceptance threshold
 _SNM_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 
 
-@query(
-    "q177_sorted_neighborhood",
-    f"""WITH d AS (
+# the SNM candidate-pair CTE chain, shared VERBATIM by the q177 oracle and
+# q185's triangle-count oracle (so the edge sets can never diverge)
+_SNM_PAIRS_CTE = f"""WITH d AS (
          SELECT doc_id, lang,
                 substr({_SNM_NORM}, 1, {_SNM_PREFIX}) AS prefix,
                 substr({_SNM_NORM}, 1, 1) AS blk
@@ -697,38 +697,21 @@ _SNM_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
                 lead(prefix, 2) OVER win AS p2
          FROM d
          WINDOW win AS (PARTITION BY lang, blk ORDER BY prefix, doc_id)),
-       pairs AS (
+       allpairs AS (
          SELECT least(doc_id, id1) AS doc_a, greatest(doc_id, id1) AS doc_b,
                 CAST(levenshtein(prefix, p1) AS INTEGER) AS dist
          FROM w WHERE id1 IS NOT NULL
          UNION ALL
          SELECT least(doc_id, id2), greatest(doc_id, id2),
                 CAST(levenshtein(prefix, p2) AS INTEGER)
-         FROM w WHERE id2 IS NOT NULL)
-       SELECT doc_a, doc_b, dist FROM pairs
-       WHERE dist <= {_SNM_MAXDIST}
-       ORDER BY doc_a, doc_b""",
-    tags=("extension", "dedup", "blocking", "sorted-neighborhood"),
-)
-def q177(spark: SparkSession, sf: str) -> DataFrame:
-    """Sorted-neighborhood dedup blocking (Hernandez-Stolfo): sort records
-    by a blocking key (normalized-text prefix) and emit each record paired
-    with the next w-1=2 records in sort order, verified by Levenshtein
-    distance — the third candidate-generation paradigm in the dedup family,
-    next to LSH banding (q37: hash buckets) and prefix blocking (q90:
-    exact-key groups). SNM catches near-dups whose edits fall INSIDE the
-    q90 block key (two docs differing at char 5 land in different q90
-    blocks but sort adjacently here whenever the first divergent char
-    still orders them together).
+         FROM w WHERE id2 IS NOT NULL),
+       pairs AS (
+         SELECT doc_a, doc_b, dist FROM allpairs WHERE dist <= {_SNM_MAXDIST})"""
 
-    Scale shape: the sort window is PARTITIONED by (lang, first normalized
-    char) — deterministic blocks that bound each window partition to
-    ~1/(langs*alphabet) of the corpus, so no single-partition global sort;
-    at 100 TB tighten the block to the first 2-3 chars (the standard SNM
-    parallelization; cross-block boundary pairs are the scheme's documented
-    miss class, exactly like cross-bucket pairs in LSH). lead() windows are
-    one shuffle; the distance verify runs on the bounded 40-char prefix,
-    map-side."""
+
+def snm_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The SNM candidate-pair relation (doc_a < doc_b, dist) — q177's body
+    without the output sort, shared with q185's triangle count."""
     d = _t(spark, sf, "documents").select(
         "doc_id",
         "lang",
@@ -754,11 +737,34 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
         F.greatest("doc_id", "id2").alias("doc_b"),
         F.levenshtein("prefix", "p2").cast("int").alias("dist"),
     )
-    return (
-        p1.unionAll(p2)
-        .where(F.col("dist") <= _SNM_MAXDIST)
-        .orderBy("doc_a", "doc_b")
-    )
+    return p1.unionAll(p2).where(F.col("dist") <= _SNM_MAXDIST)
+
+
+@query(
+    "q177_sorted_neighborhood",
+    _SNM_PAIRS_CTE + "\n       SELECT doc_a, doc_b, dist FROM pairs ORDER BY doc_a, doc_b",
+    tags=("extension", "dedup", "blocking", "sorted-neighborhood"),
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernandez-Stolfo): sort records
+    by a blocking key (normalized-text prefix) and emit each record paired
+    with the next w-1=2 records in sort order, verified by Levenshtein
+    distance — the third candidate-generation paradigm in the dedup family,
+    next to LSH banding (q37: hash buckets) and prefix blocking (q90:
+    exact-key groups). SNM catches near-dups whose edits fall INSIDE the
+    q90 block key (two docs differing at char 5 land in different q90
+    blocks but sort adjacently here whenever the first divergent char
+    still orders them together).
+
+    Scale shape: the sort window is PARTITIONED by (lang, first normalized
+    char) — deterministic blocks that bound each window partition to
+    ~1/(langs*alphabet) of the corpus, so no single-partition global sort;
+    at 100 TB tighten the block to the first 2-3 chars (the standard SNM
+    parallelization; cross-block boundary pairs are the scheme's documented
+    miss class, exactly like cross-bucket pairs in LSH). lead() windows are
+    one shuffle; the distance verify runs on the bounded 40-char prefix,
+    map-side."""
+    return snm_candidate_pairs(spark, sf).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1168,3 +1174,164 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# q184 — bitmap-index set intersection (the EXACT twin of q168's theta
+# estimate)
+# ---------------------------------------------------------------------------
+
+# 62-bit words: DuckDB raises on 1 << 63 (sign-bit overflow), so words use
+# bits 0..61 only — both engines stay in non-negative int64 territory and
+# bit_count/& semantics cannot diverge.
+_BM_BITS = 62
+
+
+@query(
+    "q184_bitmap_intersection",
+    f"""WITH m AS (
+         SELECT DISTINCT event_type, user_id FROM events),
+       bm AS (
+         SELECT event_type,
+                user_id // {_BM_BITS} AS word_idx,
+                bit_or(1::BIGINT << CAST(user_id % {_BM_BITS} AS INTEGER)) AS w
+         FROM m GROUP BY 1, 2),
+       tot AS (
+         SELECT event_type, sum(bit_count(w)) AS n_users
+         FROM bm GROUP BY 1),
+       inter AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                sum(bit_count(a.w & b.w)) AS n_common
+         FROM bm a JOIN bm b
+           ON a.word_idx = b.word_idx AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT i.type_a, i.type_b,
+              CAST(i.n_common AS BIGINT) AS n_common,
+              CAST(ta.n_users AS BIGINT) AS n_a,
+              CAST(tb.n_users AS BIGINT) AS n_b,
+              round(CAST(i.n_common AS DOUBLE)
+                    / (ta.n_users + tb.n_users - i.n_common), 6) AS jaccard
+       FROM inter i
+       JOIN tot ta ON ta.event_type = i.type_a
+       JOIN tot tb ON tb.event_type = i.type_b
+       ORDER BY type_a, type_b""",
+    tags=("extension", "bitmap", "set-intersection", "index"),
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitmap-index set intersection: per-type audience bitmaps (one
+    62-bit word per user_id block, built with a bit_or aggregate) joined
+    word-by-word, intersection cardinality = sum of popcounts of ANDed
+    words — EXACT pairwise audience overlap plus Jaccard, the precise twin
+    that calibrates q168's theta-sketch estimate (same question, sketch vs
+    index). This is the roaring-bitmap/bitmap-index pattern every
+    warehouse uses for segment-overlap queries.
+
+    Scale shape: the bitmap compresses |users| memberships into
+    |users|/62 words per type — the word build is one partial-aggregated
+    hash-agg (bit_or is associative/commutative, so map-side combine
+    applies), and the pairwise AND join touches words, never user rows.
+    For a 10^9-user space that is ~16M words per segment: the intersection
+    join is over manifest-scale data however large the fact table.
+    62-bit words keep both engines off the int64 sign bit (DuckDB raises
+    on 1 << 63)."""
+    ev = _t(spark, sf, "events")
+    m = ev.select("event_type", "user_id").distinct()
+    bm = m.groupBy(
+        "event_type", (F.col("user_id") / _BM_BITS).cast("long").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, CAST(user_id % {_BM_BITS} AS INT))")
+        ).alias("w")
+    )
+    tot = bm.groupBy("event_type").agg(F.sum(F.bit_count("w")).alias("n_users"))
+    a, b = bm.alias("a"), bm.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word_idx") == F.col("b.word_idx"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.sum(F.bit_count(F.col("a.w").bitwiseAND(F.col("b.w")))).alias("n_common"))
+    )
+    ta = tot.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    tb = tot.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — triangle count over the SNM dup-candidate graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q185_dup_graph_triangles",
+    _SNM_PAIRS_CTE
+    + """,
+       e AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+       wedge AS (
+         SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a),
+       tri AS (
+         SELECT w.a, w.b, w.c
+         FROM wedge w JOIN e e3 ON w.a = e3.doc_a AND w.c = e3.doc_b)
+       SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+              CAST((SELECT count(*) FROM wedge) AS BIGINT) AS n_wedges,
+              CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles""",
+    tags=("extension", "graph", "triangles"),
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting over the SNM dup-candidate graph — the third
+    graph-analytics head next to connected components (q73) and PageRank
+    (q158): triangle density separates tight dup CLUSTERS (every copy
+    near every other — triangles everywhere) from accidental CHAINS
+    (A~B~C where A and C are unrelated — wedges without closure), which
+    is exactly the signal that decides whether a dup group can be
+    collapsed to one canonical doc or needs pairwise review.
+
+    The classic two-join formulation on the oriented edge list (doc_a <
+    doc_b, deduped): wedges from E joined with E on the middle vertex,
+    closed by a second join probing (a, c) — every triangle counted
+    exactly once because vertex order a < b < c is forced by the edge
+    orientation. The edge CTE is shared VERBATIM with q177's oracle, so
+    the graph can never diverge from the gated pair set.
+
+    Scale shape: both joins shuffle on a vertex key; the skew risk is a
+    high-degree hub (a 20-copy dup group is a 20-clique) — bounded here
+    by the SNM window (degree <= 2(w-1) = 4 by construction), which is
+    the quiet reason SNM graphs triangle-count cheaply where LSH-candidate
+    graphs need the q128 salting treatment first."""
+    e = snm_candidate_pairs(spark, sf).select("doc_a", "doc_b").distinct()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedge = e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a")).select(
+        F.col("e1.doc_a").alias("a"),
+        F.col("e1.doc_b").alias("b"),
+        F.col("e2.doc_b").alias("c"),
+    )
+    tri = wedge.join(
+        e3,
+        (F.col("a") == F.col("e3.doc_a")) & (F.col("c") == F.col("e3.doc_b")),
+    )
+    n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_w = wedge.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+    n_t = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_e.crossJoin(F.broadcast(n_w)).crossJoin(F.broadcast(n_t))

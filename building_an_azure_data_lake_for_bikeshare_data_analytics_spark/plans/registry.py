@@ -174,11 +174,12 @@ _PRIORITY: tuple[str, ...] = (
     "q176_join_size_estimate",
     "q177_sorted_neighborhood",
 )
-# q178-q183 (JL projection, last-touch attribution, exact-power-sum
-# correlation, rendezvous sharding, table checksum, trailing-window KMV)
-# registered after the 50-slot prefix refilled with q166-q177 —
-# never-green, so by rule (a) they MUST lead the r5 prefix together with
-# the stale r2 cohort and the bumped template twins documented above.
+# q178-q185 (JL projection, last-touch attribution, exact-power-sum
+# correlation, rendezvous sharding, table checksum, trailing-window KMV,
+# bitmap-index intersection, dup-graph triangle count) registered after
+# the 50-slot prefix refilled with q166-q177 — never-green, so by rule (a)
+# they MUST lead the r5 prefix together with the stale r2 cohort and the
+# bumped template twins documented above.
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
 if _missing:  # fail loudly at import: a renamed query must update the prefix

@@ -535,3 +535,67 @@ def test_hll_oracle_replays_at_nondefault_p(spark):
         for et, nb, rs, _, est in con.execute(hll_oracle(6)).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q184 bitmap intersection / q185 triangles
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_intersection_vs_pandas_sets(spark):
+    """Exact pairwise audience overlap replayed with plain Python sets."""
+    rows = QUERIES["q184_bitmap_intersection"](spark, SF_SMOKE).collect()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_type", "user_id"])
+    sets = {et: set(g["user_id"]) for et, g in ev.groupby("event_type")}
+    types = sorted(sets)
+    want = {
+        (a, b): (
+            len(sets[a] & sets[b]),
+            len(sets[a]),
+            len(sets[b]),
+        )
+        for i, a in enumerate(types)
+        for b in types[i + 1:]
+    }
+    assert len(rows) == len(want)
+    for r in rows:
+        ncom, na, nb = want[(r["type_a"], r["type_b"])]
+        assert (r["n_common"], r["n_a"], r["n_b"]) == (ncom, na, nb)
+        assert abs(r["jaccard"] - round(ncom / (na + nb - ncom), 6)) < 1e-9
+
+
+def test_bitmap_build_is_partial_aggregated(spark):
+    """bit_or words must build through a partial+final hash-agg (map-side
+    combine) and the intersection join must touch words, not user rows."""
+    tree = _plan(spark, "q184_bitmap_intersection").split("\n\n")[0]
+    assert "HashAggregate" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_triangle_count_vs_brute_force(spark):
+    """Triangles recounted from the gated q177 pair set with plain
+    Python adjacency."""
+    import itertools
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q177_sorted_neighborhood"](spark, SF_SMOKE).collect()
+    }
+    nbrs: dict[int, set] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a in nbrs
+        for b, c in itertools.combinations(sorted(nbrs[a]), 2)
+        if a < b and (b, c) in pairs
+    )
+    wedges = sum(
+        1 for (a, b) in pairs for c in nbrs[b] if c > b
+    )
+    r = QUERIES["q185_dup_graph_triangles"](spark, SF_SMOKE).collect()[0]
+    assert r["n_edges"] == len(pairs)
+    assert r["n_wedges"] == wedges
+    assert r["n_triangles"] == tri
+    assert r["n_triangles"] <= r["n_wedges"]
