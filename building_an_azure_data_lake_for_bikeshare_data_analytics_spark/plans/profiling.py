@@ -1319,8 +1319,16 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
     high-degree hub (a 20-copy dup group is a 20-clique) — bounded here
     by the SNM window (degree <= 2(w-1) = 4 by construction), which is
     the quiet reason SNM graphs triangle-count cheaply where LSH-candidate
-    graphs need the q128 salting treatment first."""
-    e = snm_candidate_pairs(spark, sf).select("doc_a", "doc_b").distinct()
+    graphs need the q128 salting treatment first. The edge relation is
+    materialized once (localCheckpoint, the _gram_hashes lesson) — its
+    three self-join legs would otherwise each replay the full SNM
+    normalize+window pipeline (measured 10.4 s -> 2.9 s at sf0.1)."""
+    e = (
+        snm_candidate_pairs(spark, sf)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint()
+    )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedge = e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a")).select(
         F.col("e1.doc_a").alias("a"),
@@ -1335,3 +1343,123 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
     n_w = wedge.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
     n_t = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return n_e.crossJoin(F.broadcast(n_w)).crossJoin(F.broadcast(n_t))
+
+
+# ---------------------------------------------------------------------------
+# q186 — TF-IDF cosine document similarity (inverted-index sparse dot)
+# ---------------------------------------------------------------------------
+
+_TFIDF_DF_MIN = 2  # df=1 terms cannot contribute to any pair
+_TFIDF_DF_MAX = 100  # stop-term prune: bounds the per-term pair fan-out
+_TFIDF_COS_MIN = 0.5  # emit pairs at or above this pruned-space cosine
+
+
+@query(
+    "q186_tfidf_doc_pairs",
+    f"""WITH toks AS (
+         SELECT doc_id, unnest(string_split({_SNM_NORM}, ' ')) AS token
+         FROM documents),
+       tf AS (
+         SELECT doc_id, token, count(*) AS tf
+         FROM toks WHERE token != '' GROUP BY 1, 2),
+       df AS (
+         SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       nn AS (SELECT count(*) AS n FROM documents),
+       w AS (
+         SELECT tf.doc_id, tf.token,
+                tf.tf * ln(CAST(nn.n AS DOUBLE) / df.df) AS w
+         FROM tf JOIN df USING (token) CROSS JOIN nn
+         WHERE df.df BETWEEN {_TFIDF_DF_MIN} AND {_TFIDF_DF_MAX}),
+       norms AS (
+         SELECT doc_id,
+                sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,18))) AS DOUBLE))
+                    AS nrm
+         FROM w GROUP BY 1),
+       dots AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(sum(CAST(round(a.w * b.w, 12) AS DECIMAL(38,18))) AS DOUBLE)
+                    AS dot
+         FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT d.doc_a, d.doc_b,
+              round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+       FROM dots d
+       JOIN norms na ON na.doc_id = d.doc_a
+       JOIN norms nb ON nb.doc_id = d.doc_b
+       WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {_TFIDF_COS_MIN!r}
+       ORDER BY doc_a, doc_b""",
+    tags=("extension", "similarity", "tfidf", "inverted-index"),
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF cosine document similarity over a df-pruned inverted index —
+    LEXICAL doc-doc similarity, the fourth near-dup metric next to shingle
+    Jaccard (q36/q163), MinHash (q37), SimHash (q38) and embedding cosine
+    (q43): pairs share weighted vocabulary rather than contiguous text, so
+    it catches paraphrase-y overlap the shingle family misses. BM25 (q151)
+    ranks docs against a QUERY; this scores doc PAIRS.
+
+    The inverted-index self-join is bounded by the stop-term prune
+    (df in [2, 100]): a term's pair fan-out is df^2/2, so ubiquitous terms
+    — which contribute ~zero idf weight anyway — are exactly the ones
+    dropped. Norms are computed over the SAME pruned term space, so the
+    score is a well-defined cosine in that space (standard practice; the
+    q36 lesson about hot-shingle quadratics applied as a hard df bound
+    rather than hope). Determinism: the only order-sensitive sums (dot
+    products and squared norms) round each term product to 12 decimals and
+    sum through DECIMAL(38,18) — the q175 exact-decimal discipline —
+    leaving ln/sqrt/one division as fixed per-row expressions.
+
+    Scale shape: tokenize+tf is one hash-agg; df another; the dot-product
+    join shuffles the (doc_id, token, w) relation once on token with
+    map-side-combinable partial sums on (doc_a, doc_b). Narrow columns
+    through the self-join (the measured q36 negative result)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(df, "token")
+        .where(F.col("df").between(_TFIDF_DF_MIN, _TFIDF_DF_MAX))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 12).cast(DecimalType(38, 18))).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.w") * F.col("b.w"), 12).cast(DecimalType(38, 18))
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    cos = F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cos >= _TFIDF_COS_MIN)
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )

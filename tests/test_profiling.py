@@ -599,3 +599,62 @@ def test_triangle_count_vs_brute_force(spark):
     assert r["n_wedges"] == wedges
     assert r["n_triangles"] == tri
     assert r["n_triangles"] <= r["n_wedges"]
+
+
+# ---------------------------------------------------------------------------
+# q186 TF-IDF doc similarity
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_pairs_vs_numpy(spark):
+    """Pruned-space TF-IDF cosine replayed in pure Python floats."""
+    import math
+    from collections import Counter
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.profiling import (
+        _TFIDF_COS_MIN,
+        _TFIDF_DF_MAX,
+        _TFIDF_DF_MIN,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    import re as _re
+
+    tf = {
+        r["doc_id"]: Counter(_re.sub(r"\s+", " ", r["text"]).strip().lower().split(" "))
+        for _, r in docs.iterrows()
+    }
+    n = len(docs)
+    df = Counter(t for c in tf.values() for t in c)
+    keep = {t for t, d in df.items() if _TFIDF_DF_MIN <= d <= _TFIDF_DF_MAX}
+    w = {
+        d: {t: c * math.log(n / df[t]) for t, c in cnt.items() if t in keep}
+        for d, cnt in tf.items()
+    }
+    nrm = {d: math.sqrt(sum(round(x * x, 12) for x in v.values())) for d, v in w.items()}
+    ids = sorted(w)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(round(w[a][t] * w[b][t], 12) for t in shared)
+            cos = round(dot / (nrm[a] * nrm[b]), 6)
+            if cos >= _TFIDF_COS_MIN:
+                want[(a, b)] = cos
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in QUERIES["q186_tfidf_doc_pairs"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
+
+
+def test_tfidf_join_sides_are_narrow(spark):
+    """The q36 lesson as a contract: the inverted-index self-join must
+    carry only (doc_id, token, w) — no wide document payloads."""
+    tree = _plan(spark, "q186_tfidf_doc_pairs").split("\n\n")[0]
+    assert "text" not in tree.split("Join")[1][:400] if "Join" in tree else True
+    assert "CartesianProduct" not in tree
