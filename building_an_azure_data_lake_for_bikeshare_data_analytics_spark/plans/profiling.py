@@ -1356,12 +1356,17 @@ _TFIDF_COS_MIN = 0.5  # emit pairs at or above this pruned-space cosine
 
 @query(
     "q186_tfidf_doc_pairs",
-    f"""WITH toks AS (
-         SELECT doc_id, unnest(string_split({_SNM_NORM}, ' ')) AS token
+    f"""WITH d AS (
+         SELECT doc_id, string_split({_SNM_NORM}, ' ') AS ts
          FROM documents),
+       toks AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS token
+         FROM d WHERE len(ts) >= 3),
        tf AS (
          SELECT doc_id, token, count(*) AS tf
-         FROM toks WHERE token != '' GROUP BY 1, 2),
+         FROM toks GROUP BY 1, 2),
        df AS (
          SELECT token, count(*) AS df FROM tf GROUP BY 1),
        nn AS (SELECT count(*) AS n FROM documents),
@@ -1392,11 +1397,14 @@ _TFIDF_COS_MIN = 0.5  # emit pairs at or above this pruned-space cosine
 )
 def q186(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF cosine document similarity over a df-pruned inverted index —
-    LEXICAL doc-doc similarity, the fourth near-dup metric next to shingle
-    Jaccard (q36/q163), MinHash (q37), SimHash (q38) and embedding cosine
-    (q43): pairs share weighted vocabulary rather than contiguous text, so
-    it catches paraphrase-y overlap the shingle family misses. BM25 (q151)
-    ranks docs against a QUERY; this scores doc PAIRS.
+    weighted lexical doc-doc similarity next to shingle Jaccard (q36/q163,
+    set overlap, unweighted), MinHash (q37), SimHash (q38) and embedding
+    cosine (q43); BM25 (q151) ranks docs against a QUERY, this scores doc
+    PAIRS. Terms are 3-word shingles, not unigrams: the synthetic corpus
+    has a 31-word vocabulary, so every unigram is a stop-term at any real
+    scale (measured: the unigram index goes EMPTY under the df cap at
+    sf0.1) — and weighted-shingle cosine is also what production dedup
+    actually computes.
 
     The inverted-index self-join is bounded by the stop-term prune
     (df in [2, 100]): a term's pair fan-out is df^2/2, so ubiquitous terms
@@ -1414,9 +1422,19 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
     map-side-combinable partial sums on (doc_a, doc_b). Narrow columns
     through the self-join (the measured q36 negative result)."""
     docs = _t(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("token")
-    ).where(F.col("token") != "")
+    toks = (
+        docs.select("doc_id", F.split(normalized_text("text"), " ").alias("ts"))
+        .where(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 2), "
+                    "i -> concat_ws(' ', slice(ts, i, 3)))"
+                )
+            ).alias("token"),
+        )
+    )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     nn = docs.agg(F.count(F.lit(1)).alias("n"))

@@ -620,10 +620,13 @@ def test_tfidf_pairs_vs_numpy(spark):
     docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
     import re as _re
 
-    tf = {
-        r["doc_id"]: Counter(_re.sub(r"\s+", " ", r["text"]).strip().lower().split(" "))
-        for _, r in docs.iterrows()
-    }
+    def _shingles(text):
+        ws = _re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        return Counter(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        ) if len(ws) >= 3 else Counter()
+
+    tf = {r["doc_id"]: _shingles(r["text"]) for _, r in docs.iterrows()}
     n = len(docs)
     df = Counter(t for c in tf.values() for t in c)
     keep = {t for t, d in df.items() if _TFIDF_DF_MIN <= d <= _TFIDF_DF_MAX}

@@ -102,6 +102,21 @@ def main() -> None:
     print(f"q183 rolling-kmv 2M events: {dt:.2f}s  days={len(rows)}  "
           f"max_rel_err={max(errs):.4f} mean_rel_err={sum(errs)/len(errs):.4f}")
 
+    # q184 bitmap intersection at 2M events (10 type pairs)
+    rows, dt = t(lambda: QUERIES["q184_bitmap_intersection"](spark, stress).collect())
+    print(f"q184 bitmap 2M events: {dt:.2f}s  pairs={len(rows)}  "
+          f"max_jaccard={max(r['jaccard'] for r in rows):.4f}")
+
+    # q185 triangles over the 100k-doc SNM graph (20-cliques planted)
+    rows, dt = t(lambda: QUERIES["q185_dup_graph_triangles"](spark, stress).collect())
+    r = rows[0]
+    print(f"q185 triangles 100k docs: {dt:.2f}s  edges={r['n_edges']}  "
+          f"wedges={r['n_wedges']}  triangles={r['n_triangles']}")
+
+    # q186 TF-IDF pairs on 100k docs (planted dup groups share vocabulary)
+    rows, dt = t(lambda: QUERIES["q186_tfidf_doc_pairs"](spark, stress).collect())
+    print(f"q186 tfidf-pairs 100k docs: {dt:.2f}s  pairs={len(rows)}")
+
 
 if __name__ == "__main__":
     main()
