@@ -1481,3 +1481,257 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — pairwise Kolmogorov-Smirnov distance on a shared histogram grid
+# ---------------------------------------------------------------------------
+
+_KS_B = 256  # grid buckets; KS error bound = max per-bucket mass
+
+
+@query(
+    "q187_ks_distance_pairs",
+    f"""WITH s AS (
+         SELECT min(value) AS mn, max(value) AS mx FROM events),
+       b AS (
+         SELECT e.event_type,
+                CASE WHEN s.mx = s.mn THEN 0
+                     ELSE CAST(least(floor((e.value - s.mn) / ((s.mx - s.mn) / {_KS_B}.0)),
+                               {_KS_B - 1}) AS INTEGER)
+                END AS bucket
+         FROM events e CROSS JOIN s),
+       h AS (
+         SELECT event_type, bucket, count(*) AS cnt
+         FROM b GROUP BY 1, 2),
+       spine AS (
+         SELECT t.event_type, g.bucket
+         FROM (SELECT DISTINCT event_type FROM h) t
+         CROSS JOIN (SELECT unnest(range({_KS_B})) AS bucket) g),
+       c AS (
+         SELECT sp.event_type, sp.bucket,
+                sum(coalesce(h.cnt, 0)) OVER (PARTITION BY sp.event_type
+                                              ORDER BY sp.bucket) AS cum,
+                sum(coalesce(h.cnt, 0)) OVER (PARTITION BY sp.event_type) AS n
+         FROM spine sp LEFT JOIN h
+           ON h.event_type = sp.event_type AND h.bucket = sp.bucket)
+       SELECT a.event_type AS type_a, b.event_type AS type_b,
+              round(max(abs(CAST(a.cum AS DOUBLE) / a.n
+                            - CAST(b.cum AS DOUBLE) / b.n)), 6) AS ks_d
+       FROM c a JOIN c b
+         ON a.bucket = b.bucket AND a.event_type < b.event_type
+       GROUP BY 1, 2
+       ORDER BY type_a, type_b""",
+    tags=("extension", "statistics", "ks-test", "histogram"),
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise two-sample Kolmogorov-Smirnov distance between the value
+    distributions of every event-type pair, computed on a SHARED 256-bucket
+    histogram grid — the continuous-distribution drift test completing the
+    statistics family next to chi-square (q175: categorical independence)
+    and the TV-distance drift heads (q119/q122): D = max |F_a - F_b| over
+    the grid, with approximation error bounded by the largest per-bucket
+    mass (the q136 histogram-quantile trade).
+
+    An EXACT KS needs a total order over both samples merged — a global
+    sort per pair, the one shape that does not scale; the gridded variant
+    is one fact-sized hash-agg (type, bucket) and then windows/joins over
+    the BOUNDED |types| x 256 relation (the dense bucket spine makes the
+    cumulative fractions well-defined in empty buckets for both engines
+    identically). Every count is exact; per-bucket fractions are one
+    deterministic division each; round(6) seals the max."""
+    ev = _t(spark, sf, "events")
+    s = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / float(_KS_B)
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / width), F.lit(_KS_B - 1)
+        ).cast("int")
+    )
+    h = (
+        ev.crossJoin(F.broadcast(s))
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    types = h.select("event_type").distinct()
+    grid = spark.range(_KS_B).select(F.col("id").cast("int").alias("bucket"))
+    spine = types.crossJoin(F.broadcast(grid))
+    dense = spine.join(h, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("bucket")
+    w_tot = Window.partitionBy("event_type")
+    c = dense.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("n"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("a.cum").cast("double") / F.col("a.n")
+                        - F.col("b.cum").cast("double") / F.col("b.n")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — Gini concentration of customer spend per market segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q188_spend_gini",
+    """WITH spend AS (
+         SELECT c.c_mktsegment, c.c_custkey,
+                sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2),
+       r AS (
+         SELECT c_mktsegment, x,
+                row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY x, c_custkey) AS rk
+         FROM spend),
+       g AS (
+         SELECT c_mktsegment,
+                count(*) AS n,
+                CAST(sum(x) AS DOUBLE) AS sx,
+                CAST(sum(rk * x) AS DOUBLE) AS srx
+         FROM r GROUP BY 1)
+       SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+              round(2.0 * srx / (n * sx) - (n + 1.0) / n, 6) AS gini
+       FROM g ORDER BY c_mktsegment""",
+    tags=("extension", "statistics", "gini", "concentration"),
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    revenue-concentration measure ("do 20% of customers carry 80% of
+    revenue?") behind quota/priority decisions, from the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over spend sorted ascending.
+
+    Determinism: per-customer spend is an exact decimal sum; rank is total
+    (ties broken by custkey); rank*spend stays decimal-exact through the
+    sum, so the only float work is the final closed-form expression,
+    rounded to 6. Scale shape: one fact hash-agg to per-customer spend, a
+    rank window PARTITIONED by segment (Spark's sort-based window spills
+    gracefully; for a truly huge single segment the binned approximation —
+    Gini over the q136 histogram — is the fallback), one bounded
+    aggregate."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    spend = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DecimalType(18, 2))).alias("x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    r = spend.withColumn("rk", F.row_number().over(w))
+    g = r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("rk") * F.col("x")).cast("double").alias("srx"),
+    )
+    gini = 2.0 * F.col("srx") / (F.col("n") * F.col("sx")) - (
+        F.col("n") + 1.0
+    ) / F.col("n")
+    return g.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q189 — lift / calibration curve over the q145 probe scores
+# ---------------------------------------------------------------------------
+
+
+def _lift_oracle() -> str:
+    from .extensions import _probe_oracle
+
+    return f"""SELECT CAST(decile AS INTEGER) AS decile,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(label_true) AS BIGINT) AS n_pos,
+              round(CAST(sum(label_true) AS DOUBLE) / count(*), 6) AS pos_rate,
+              round((CAST(sum(label_true) AS DOUBLE) / count(*))
+                    / ((SELECT CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                               / count(*) FROM embeddings)), 6) AS lift
+       FROM (SELECT label_true,
+                    ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile
+             FROM ({_probe_oracle()}) p) d
+       GROUP BY decile ORDER BY decile"""
+
+
+@query(
+    "q189_probe_lift_curve",
+    _lift_oracle(),
+    tags=("extension", "evaluation", "lift", "classifier"),
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift / calibration curve over the q145 linear-probe scores —
+    the model-evaluation head that turns a classifier into a curation
+    decision ("keep the top-k score deciles"): rank all scored rows by
+    score (ties broken by vec_id for a total order), split into 10
+    ntile deciles, and report each decile's positive rate against the
+    corpus base rate as lift. Composes the ENTIRE oracle-replayed q145
+    fit+score pipeline as a subquery, so the curve is as value-checkable
+    as the probe itself.
+
+    Scale shape: everything up to scoring is q145's (per-iteration
+    map-side gradient aggregates); the global ntile is the one
+    full-order window — at 100 TB replace with percentile-grid decile
+    edges (q136) and a broadcast range join, the standard trade. The
+    gate corpus's embeddings are near-uniform noise, so lift hovers
+    around 1.0 — the gate checks the CURVE arithmetic, not separability
+    (q145's own posture)."""
+    from ..operators.probe import logreg_probe_fit, logreg_probe_score, probe_features
+
+    emb = _t(spark, sf, "embeddings")
+    feats = probe_features(emb).localCheckpoint()
+    w = logreg_probe_fit(feats)
+    scored = logreg_probe_score(feats, w)
+    base = emb.agg(
+        (
+            F.sum(F.when(F.col("label") < 5, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("base_rate")
+    )
+    win = Window.orderBy(F.col("score").desc(), "vec_id")
+    d = scored.withColumn("decile", F.ntile(10).over(win))
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label_true").cast("long").alias("n_pos"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("pos_rate"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n")) / F.col("base_rate"), 6
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )

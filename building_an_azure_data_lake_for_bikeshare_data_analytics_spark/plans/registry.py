@@ -174,12 +174,13 @@ _PRIORITY: tuple[str, ...] = (
     "q176_join_size_estimate",
     "q177_sorted_neighborhood",
 )
-# q178-q186 (JL projection, last-touch attribution, exact-power-sum
+# q178-q189 (JL projection, last-touch attribution, exact-power-sum
 # correlation, rendezvous sharding, table checksum, trailing-window KMV,
 # bitmap-index intersection, dup-graph triangle count, TF-IDF doc-pair
-# cosine) registered after the 50-slot prefix refilled with q166-q177 —
-# never-green, so by rule (a) they MUST lead the r5 prefix together with
-# the stale r2 cohort and the bumped template twins documented above.
+# cosine, gridded KS distance, spend Gini, probe lift curve) registered
+# after the 50-slot prefix refilled with q166-q177 — never-green, so by
+# rule (a) they MUST lead the r5 prefix together with the stale r2 cohort
+# and the bumped template twins documented above.
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
 if _missing:  # fail loudly at import: a renamed query must update the prefix

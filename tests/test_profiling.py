@@ -661,3 +661,65 @@ def test_tfidf_join_sides_are_narrow(spark):
     tree = _plan(spark, "q186_tfidf_doc_pairs").split("\n\n")[0]
     assert "text" not in tree.split("Join")[1][:400] if "Join" in tree else True
     assert "CartesianProduct" not in tree
+
+
+# ---------------------------------------------------------------------------
+# q187 KS / q188 Gini / q189 lift
+# ---------------------------------------------------------------------------
+
+
+def test_ks_distance_vs_numpy_gridded(spark):
+    """Gridded KS replayed in numpy; also sanity vs the exact KS
+    (the grid answer must sit within the max per-bucket mass of exact)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.profiling import _KS_B
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_type", "value"])
+    mn, mx = ev["value"].min(), ev["value"].max()
+    width = (mx - mn) / _KS_B
+    ev = ev.assign(bucket=np.minimum(np.floor((ev["value"] - mn) / width), _KS_B - 1).astype(int))
+    types = sorted(ev["event_type"].unique())
+    cum = {}
+    for t in types:
+        counts = np.bincount(ev.loc[ev["event_type"] == t, "bucket"], minlength=_KS_B)
+        cum[t] = np.cumsum(counts) / counts.sum()
+    rows = {
+        (r["type_a"], r["type_b"]): r["ks_d"]
+        for r in QUERIES["q187_ks_distance_pairs"](spark, SF_SMOKE).collect()
+    }
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            want = round(float(np.max(np.abs(cum[a] - cum[b]))), 6)
+            assert abs(rows[(a, b)] - want) < 1e-9, (a, b)
+
+
+def test_gini_vs_numpy(spark):
+    rows = {r["c_mktsegment"]: r for r in QUERIES["q188_spend_gini"](spark, SF_SMOKE).collect()}
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    spend = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .groupby(["c_mktsegment", "c_custkey"])["o_totalprice"]
+        .sum()
+        .reset_index()
+    )
+    for seg, grp in spend.groupby("c_mktsegment"):
+        x = np.sort(np.round(grp["o_totalprice"].values, 2))
+        n = len(x)
+        want = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+        r = rows[seg]
+        assert r["n_customers"] == n
+        assert abs(r["gini"] - round(want, 6)) < 1e-5, seg
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_lift_curve_consistency(spark):
+    """Deciles cover all scored rows; weighted lift averages to ~1."""
+    rows = QUERIES["q189_probe_lift_curve"](spark, SF_SMOKE).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet", columns=["label"])
+    total = sum(r["n"] for r in rows)
+    assert total == len(emb)
+    n_pos = sum(r["n_pos"] for r in rows)
+    assert n_pos == int((emb["label"] < 5).sum())
+    wavg = sum(r["lift"] * r["n"] for r in rows) / total
+    assert abs(wavg - 1.0) < 0.01
