@@ -1735,3 +1735,65 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — incremental JOIN-view maintenance (IVM for joins; q112 is the
+# aggregate-view case)
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOVER = "1996-01-01"  # stored view covers orders before; delta after
+
+
+@query(
+    "q190_incremental_join_view",
+    """SELECT c.c_mktsegment, o.o_orderstatus,
+              CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              count(*) AS n_rows
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderstatus""",
+    tags=("extension", "incremental", "ivm", "join-view"),
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the join-side counterpart
+    of q112's aggregate-view IVM, the mechanism behind declarative
+    pipeline engines: for an insert-only delta, the view delta is simply
+    delta_orders JOIN customer (the algebraic derivative of the join), so
+    a refresh touches only the new fact rows, never the already-enriched
+    history. Here the "materialized" half is the pre-1996 enriched view
+    (built once, localCheckpoint standing in for the stored table), the
+    delta is everything after the cutover, and the maintained view is
+    their union. The oracle recomputes the full join from scratch — a
+    green row certifies the derivative-based refresh loses nothing.
+
+    Output is the view's per-(segment, status) revenue rollup through the
+    exact decimal path (compact, and what a gold view is consumed as).
+    Scale shape: the delta branch is a broadcast join over only the new
+    partition's rows — with date-partitioned facts the scan prunes to the
+    delta partitions, which is the entire point of IVM at 100 TB."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    cut = F.to_date(F.lit(_IVM_CUTOVER))
+    enrich_cols = ["c_mktsegment", "o_orderstatus", "o_totalprice"]
+    stored = (
+        o.where(F.col("o_orderdate") < cut)
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(*enrich_cols)
+        .localCheckpoint()  # the previously-materialized view
+    )
+    delta_view = (
+        o.where(F.col("o_orderdate") >= cut)
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(*enrich_cols)
+    )
+    maintained = stored.unionByName(delta_view)
+    return (
+        maintained.groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )

@@ -723,3 +723,14 @@ def test_lift_curve_consistency(spark):
     assert n_pos == int((emb["label"] < 5).sum())
     wavg = sum(r["lift"] * r["n"] for r in rows) / total
     assert abs(wavg - 1.0) < 0.01
+
+
+def test_incremental_join_view_covers_all_orders(spark):
+    """The maintained view's rollup must account for every order exactly
+    once (no dup/loss at the cutover boundary)."""
+    rows = QUERIES["q190_incremental_join_view"](spark, SF_SMOKE).collect()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet", columns=["c_custkey"])
+    joined = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    assert sum(r["n_rows"] for r in rows) == len(joined)
+    assert abs(sum(r["revenue"] for r in rows) - round(joined["o_totalprice"].sum(), 2)) < 1e-4
