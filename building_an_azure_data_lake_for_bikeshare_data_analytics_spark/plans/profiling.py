@@ -1797,3 +1797,148 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — CUSUM changepoint detection on the daily event-volume series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q191_cusum_changepoint",
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1),
+       m AS (
+         SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mean_n,
+                count(*) AS n_days
+         FROM daily),
+       c AS (
+         SELECT d.day, d.n,
+                round(sum(d.n - m.mean_n) OVER (ORDER BY d.day), 6) AS cusum
+         FROM daily d CROSS JOIN m)
+       SELECT day AS change_day, n AS day_volume, cusum AS cusum_peak
+       FROM c ORDER BY abs(cusum) DESC, day LIMIT 1""",
+    tags=("extension", "detection", "changepoint", "cusum"),
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint detection on daily event volume — the classic
+    level-shift detector (Page 1954): the cumulative sum of deviations
+    from the global mean peaks in magnitude exactly at the day the series
+    changes level, which is the monitoring signal behind "when did this
+    source's volume regime change" (complements the distribution-drift
+    heads q119/q122/q187 with a WHEN, not just a whether).
+
+    Scale shape: the fact-sized work is one (day) hash-agg; the running
+    sum is a window over the BOUNDED day dimension (~2.4k rows at any
+    fact scale — the q171/q175 bounded-window argument), and the argmax
+    is a LIMIT 1 with a |cusum| sort carrying the day tie-break. Counts
+    are exact; mean and deviations are one deterministic double
+    expression, rounded before the comparison sort."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n")
+    )
+    w = Window.orderBy("day")
+    c = (
+        daily.crossJoin(F.broadcast(m))
+        .select(
+            "day",
+            "n",
+            F.round(F.sum(F.col("n") - F.col("mean_n")).over(w), 6).alias("cusum"),
+        )
+    )
+    return (
+        c.orderBy(F.abs(F.col("cusum")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("n").alias("day_volume"),
+            F.col("cusum").alias("cusum_peak"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — signup -> first-purchase conversion lag percentiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q192_time_to_convert",
+    """WITH s AS (
+         SELECT user_id, min(ts) AS signup_ts
+         FROM events WHERE event_type = 'signup' GROUP BY 1),
+       p AS (
+         SELECT e.user_id, min(e.ts) AS first_purchase_ts
+         FROM events e JOIN s ON s.user_id = e.user_id
+         WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+         GROUP BY 1),
+       lag_h AS (
+         SELECT s.user_id,
+                CAST(date_diff('second', s.signup_ts, p.first_purchase_ts)
+                     AS DOUBLE) / 3600.0 AS hours
+         FROM s JOIN p USING (user_id))
+       SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signups,
+              CAST(count(*) AS BIGINT) AS n_converted,
+              round(CAST(count(*) AS DOUBLE)
+                    / (SELECT count(*) FROM s), 6) AS conversion_rate,
+              round(quantile_cont(hours, 0.5), 4) AS p50_hours,
+              round(quantile_cont(hours, 0.9), 4) AS p90_hours
+       FROM lag_h""",
+    tags=("extension", "product-analytics", "conversion", "percentile"),
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert: for every user whose first 'signup' is followed by
+    a 'purchase', the lag from signup to FIRST subsequent purchase, with
+    the overall conversion rate and exact interpolated P50/P90 lag hours —
+    the activation metric q155's step-ordered funnel (did they convert)
+    does not give (how LONG it took).
+
+    Scale shape: two per-user min() hash-aggs (signup anchor, first
+    qualifying purchase) and one join on user_id — no windows over raw
+    events; the percentiles run over the converted-user lag relation (one
+    row per converted user). The NTZ-safe lag uses unix-second
+    subtraction (the SKILL gotcha: no long cast of NTZ), and the only
+    float ops are the /3600 and the interpolation, both rounded."""
+    ev = _t(spark, sf, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    lag_h = (
+        s.join(p, "user_id")
+        .select(
+            (
+                (
+                    F.unix_timestamp("first_purchase_ts")
+                    - F.unix_timestamp("signup_ts")
+                ).cast("double")
+                / 3600.0
+            ).alias("hours")
+        )
+    )
+    n_signups = s.agg(F.count(F.lit(1)).cast("long").alias("n_signups"))
+    agg = lag_h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("hours", 0.5), 4).alias("p50_hours"),
+        F.round(F.percentile("hours", 0.9), 4).alias("p90_hours"),
+    )
+    return agg.crossJoin(F.broadcast(n_signups)).select(
+        "n_signups",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_signups"), 6).alias(
+            "conversion_rate"
+        ),
+        "p50_hours",
+        "p90_hours",
+    )

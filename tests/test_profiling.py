@@ -734,3 +734,35 @@ def test_incremental_join_view_covers_all_orders(spark):
     joined = o.merge(c, left_on="o_custkey", right_on="c_custkey")
     assert sum(r["n_rows"] for r in rows) == len(joined)
     assert abs(sum(r["revenue"] for r in rows) - round(joined["o_totalprice"].sum(), 2)) < 1e-4
+
+
+def test_cusum_changepoint_vs_numpy(spark):
+    r = QUERIES["q191_cusum_changepoint"](spark, SF_SMOKE).collect()[0]
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["ts"])
+    daily = ev["ts"].dt.date.value_counts().sort_index()
+    cusum = np.round(np.cumsum(daily.values - daily.values.mean()), 6)
+    # argmax of |cusum| with earliest-day tie-break
+    peak = int(np.argmax(np.abs(cusum)))
+    assert r["change_day"] == daily.index[peak]
+    assert r["day_volume"] == int(daily.values[peak])
+    assert abs(r["cusum_peak"] - cusum[peak]) < 1e-9
+
+
+def test_time_to_convert_vs_pandas(spark):
+    r = QUERIES["q192_time_to_convert"](spark, SF_SMOKE).collect()[0]
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["user_id", "event_type", "ts"])
+    s = ev[ev["event_type"] == "signup"].groupby("user_id")["ts"].min()
+    lags = []
+    pur = ev[ev["event_type"] == "purchase"]
+
+    def _epoch_s(t):  # unix_timestamp semantics: floor each ts to whole seconds
+        return t.value // 10**9
+
+    for uid, ts0 in s.items():
+        later = pur[(pur["user_id"] == uid) & (pur["ts"] >= ts0)]["ts"]
+        if len(later):
+            lags.append((_epoch_s(later.min()) - _epoch_s(ts0)) / 3600.0)
+    assert r["n_signups"] == len(s)
+    assert r["n_converted"] == len(lags)
+    assert abs(r["p50_hours"] - round(float(np.percentile(lags, 50)), 4)) < 1e-6
+    assert abs(r["p90_hours"] - round(float(np.percentile(lags, 90)), 4)) < 1e-6
