@@ -1942,3 +1942,172 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
         "p50_hours",
         "p90_hours",
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — kNN majority-vote classification over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _knn_oracle() -> str:
+    from .base import REGISTRY
+
+    knn = REGISTRY["q39_embedding_topk"].oracle
+    return f"""WITH knn AS ({knn}),
+       votes AS (
+         SELECT k.query_id, e.label, count(*) AS n_votes
+         FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+         GROUP BY 1, 2),
+       pick AS (
+         SELECT query_id, label AS pred_label
+         FROM (SELECT query_id, label,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY n_votes DESC, label) AS rn
+               FROM votes)
+         WHERE rn = 1)
+       SELECT p.query_id,
+              CAST(p.pred_label AS INTEGER) AS pred_label,
+              CAST(t.label AS INTEGER) AS true_label,
+              CAST(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END
+                   AS INTEGER) AS correct
+       FROM pick p JOIN embeddings t ON t.vec_id = p.query_id
+       ORDER BY p.query_id"""
+
+
+@query(
+    "q193_knn_classify",
+    _knn_oracle(),
+    tags=("extension", "classification", "knn", "evaluation"),
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    """k-nearest-neighbor classification: each held-out query vector
+    (the vec_id % 50 sample) is labeled by MAJORITY VOTE of its exact
+    top-5 cosine neighbors' labels (ties broken toward the smaller
+    label), scored against the true label per row — the non-parametric
+    classifier head next to the trained probe (q145/q189): zero fit, the
+    index IS the model, which is why kNN-over-ANN is the standard cheap
+    baseline for data-labeling pipelines.
+
+    Composes q39's gated exact top-k verbatim (same Spark body, same
+    oracle CTE — the q189 composition pattern), so the neighbor relation
+    is value-checked once and reused; the vote is a bounded count/argmax
+    over 5 rows per query. At scale, swap the q39 baseline for the IVF-PQ
+    stack (q125/q129) — the vote plumbing is identical; recall-vs-exact
+    for that swap is exactly what q154 measures. The gate corpus is
+    near-uniform noise, so accuracy hovers near the 1/|labels| floor —
+    the gate checks the vote arithmetic, not separability (the q145
+    posture)."""
+    from .base import REGISTRY
+
+    knn = REGISTRY["q39_embedding_topk"].fn(spark, sf)
+    emb = _t(spark, sf, "embeddings").select("vec_id", "label")
+    votes = (
+        knn.join(emb, knn["neighbor_id"] == emb["vec_id"])
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "label")
+    pick = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pick.join(truth, "query_id")
+        .select(
+            "query_id",
+            F.col("pred_label").cast("int").alias("pred_label"),
+            F.col("true_label").cast("int").alias("true_label"),
+            (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — linear multi-touch attribution (the q179 last-touch counterpart)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q194_multi_touch_attribution",
+    """WITH p AS (
+         SELECT event_id, user_id, ts, value FROM events
+         WHERE event_type = 'purchase'),
+       touch AS (
+         SELECT p.event_id AS purchase_id, t.event_type AS touch_type
+         FROM p JOIN events t
+           ON t.user_id = p.user_id
+          AND t.ts < p.ts
+          AND t.ts >= p.ts - INTERVAL '30 minutes'),
+       n AS (
+         SELECT purchase_id, count(*) AS n_touches
+         FROM touch GROUP BY 1),
+       credit AS (
+         SELECT t.touch_type AS attributed_type,
+                CAST(round(1.0 / n.n_touches, 12) AS DECIMAL(38,18)) AS c
+         FROM touch t JOIN n USING (purchase_id)
+         UNION ALL
+         SELECT 'direct', CAST(1 AS DECIMAL(38,18))
+         FROM p WHERE NOT EXISTS
+           (SELECT 1 FROM touch WHERE touch.purchase_id = p.event_id))
+       SELECT attributed_type,
+              round(CAST(sum(c) AS DOUBLE), 6) AS credit,
+              count(*) AS n_touches
+       FROM credit GROUP BY 1 ORDER BY attributed_type""",
+    tags=("extension", "product-analytics", "attribution", "multi-touch"),
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits ONE unit of
+    credit equally across ALL the user's events in the preceding
+    30-minute window (purchases with no preceding touch credit 'direct')
+    — the counterpart of q179's winner-takes-all last-touch, and the two
+    disagreeing is precisely the attribution-model debate every growth
+    team has. Total credit across channels equals the purchase count by
+    construction (pinned in tests).
+
+    Determinism: per-touch credit 1/n is one IEEE division rounded to 12
+    decimals, summed through DECIMAL(38,18) — order-independent. Scale
+    shape: the touch relation is a per-user interval self-join (equi on
+    user_id + a time-band predicate — the q58/q160 band-join shape, NOT a
+    cross join: the user_id equi-key shuffles once and the band filters
+    within), then two bounded aggregates."""
+    ev = _t(spark, sf, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.select("user_id", F.col("event_type").alias("touch_type"), "ts")
+    touch = p.join(
+        t,
+        (t["user_id"] == p["p_user"])
+        & (t["ts"] < p["p_ts"])
+        & (t["ts"] >= p["p_ts"] - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "touch_type")
+    n = touch.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_touches"))
+    credited = touch.join(n, "purchase_id").select(
+        F.col("touch_type").alias("attributed_type"),
+        F.round(F.lit(1.0) / F.col("n_touches"), 12)
+        .cast(DecimalType(38, 18))
+        .alias("c"),
+    )
+    direct = (
+        p.join(touch, "purchase_id", "left_anti")
+        .select(
+            F.lit("direct").alias("attributed_type"),
+            F.lit(1).cast(DecimalType(38, 18)).alias("c"),
+        )
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("attributed_type")
+        .agg(
+            F.round(F.sum("c").cast("double"), 6).alias("credit"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+        .orderBy("attributed_type")
+    )

@@ -766,3 +766,40 @@ def test_time_to_convert_vs_pandas(spark):
     assert r["n_converted"] == len(lags)
     assert abs(r["p50_hours"] - round(float(np.percentile(lags, 50)), 4)) < 1e-6
     assert abs(r["p90_hours"] - round(float(np.percentile(lags, 90)), 4)) < 1e-6
+
+
+def test_knn_classify_majority_vote_replayed(spark):
+    """The vote must be exactly the majority (tie -> smaller label) of
+    the gated q39 neighbor relation."""
+    from collections import Counter
+
+    knn = QUERIES["q39_embedding_topk"](spark, SF_SMOKE).collect()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet", columns=["vec_id", "label"])
+    lab = emb.set_index("vec_id")["label"]
+    by_q: dict[int, list] = {}
+    for r in knn:
+        by_q.setdefault(r["query_id"], []).append(int(lab[r["neighbor_id"]]))
+    want = {}
+    for q, labels in by_q.items():
+        cnt = Counter(labels)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        want[q] = best
+    rows = QUERIES["q193_knn_classify"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert r["pred_label"] == want[r["query_id"]], r["query_id"]
+        assert r["true_label"] == int(lab[r["query_id"]])
+        assert r["correct"] == int(r["pred_label"] == r["true_label"])
+
+
+def test_multi_touch_credit_conserved(spark):
+    """Linear attribution must conserve credit: the channel credits sum
+    to exactly the purchase count (each purchase hands out one unit)."""
+    rows = QUERIES["q194_multi_touch_attribution"](spark, SF_SMOKE).collect()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_type"])
+    n_purchases = int((ev["event_type"] == "purchase").sum())
+    total_credit = sum(r["credit"] for r in rows)
+    assert abs(total_credit - n_purchases) < 1e-3  # 1e-12-rounded shares
+    assert {r["attributed_type"] for r in rows} <= {
+        "click", "error", "purchase", "signup", "view", "direct",
+    }

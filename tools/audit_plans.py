@@ -109,6 +109,7 @@ BNLJ_WHITELIST = {
     "q83_tfidf_top_terms": "1-row corpus doc count for idf",
     "q155_funnel_conversion": "1-row step totals",
     "q185_dup_graph_triangles": "three 1-row counts cross-joined",
+    "q193_knn_classify": "inherits q39 bounded query set x corpus",
 }
 
 
