@@ -1,5 +1,5 @@
 """Statistical-profiling, sketch-completion and optimizer-support operators
-(q169-q182) — the late-r4 batch closing the remaining "engine-private"
+(q169-q194) — the late-r4 batch closing the remaining "engine-private"
 seams and adding classic warehouse/curation heads the surface still lacked:
 
 * q169 — an **oracle-replayable HyperLogLog** (the value-checkable answer to
@@ -35,10 +35,26 @@ seams and adding classic warehouse/curation heads the surface still lacked:
   measured inside the gate row.
 * q182 — order-independent **table content checksum** (anti-entropy /
   replication-verification primitive).
+* q184 — **bitmap-index exact set intersection** (62-bit words), the
+  exact twin of q168's theta estimate.
+* q185 — **triangle count** over the SNM dup-candidate graph (shared
+  edge CTE with q177).
+* q186 — **TF-IDF cosine doc pairs** over a df-pruned shingle inverted
+  index.
+* q187/q188 — **gridded pairwise KS distance** and per-segment
+  **spend Gini**.
+* q189 — **decile lift curve** composing the oracle-replayed q145 probe.
+* q190 — **incremental JOIN-view maintenance** (delta-join IVM).
+* q191/q192 — **CUSUM changepoint** on daily volume and
+  **time-to-convert** lag percentiles.
+* q193/q194 — **kNN majority-vote classification** (composes q39) and
+  credit-conserving **linear multi-touch attribution**.
+(q183, trailing-window KMV, lives with the KMV machinery in
+analytics_ext.)
 
 The reference notebook has no statistics/sketch surface (SURVEY.md §2.6
 "not present") — these are north-star training-pipeline extensions; no
-reference cite is possible. All fourteen carry full DuckDB oracles.
+reference cite is possible. All carry full DuckDB oracles.
 """
 
 from __future__ import annotations

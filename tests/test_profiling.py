@@ -1,4 +1,4 @@
-"""Value/property tests for the profiling batch (q169-q177): brute-force
+"""Value/property tests for the profiling batch (q169-q194): brute-force
 re-computation in numpy/pandas/DuckDB, estimator-accuracy bounds, and
 physical-plan contracts for the scale-critical shapes."""
 
