@@ -63,6 +63,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
+from ..functions.hashing import h60
 from ..functions.text import normalized_text
 from ..sources.readers import load_star
 from .base import _t, query
@@ -107,14 +108,9 @@ def _hll_params(p: int) -> dict:
     }
 
 
-_HLL8 = _hll_params(_HLL_P)
-# default-p aliases (the q169 oracle f-string and the register-replay tests
-# address these directly)
-_HLL_M = _HLL8["m"]
-_HLL_RHO_MAX = _HLL8["rho_max"]
-_HLL_POW0 = _HLL8["pow0"]
-_HLL_NUM = _HLL8["num"]
-_HLL_LC_CUT = _HLL8["lc_cut"]
+# default-p aliases addressed by the register-replay tests
+_HLL_M = _hll_params(_HLL_P)["m"]
+_HLL_RHO_MAX = _hll_params(_HLL_P)["rho_max"]
 
 
 def hll_oracle(p: int = _HLL_P) -> str:
@@ -161,12 +157,16 @@ def hll_distinct_users(spark: SparkSession, sf: str, p: int = _HLL_P) -> DataFra
     hash-aggs, the last two over at most 2^p rows per group."""
     c = _hll_params(p)
     ev = _t(spark, sf, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
-    d = ev.select("event_type", h.alias("h")).distinct()
+    d = ev.select("event_type", h60("user_id").alias("h")).distinct()
+    # rem MUST be exact integer division ("h div m"): the double round-trip
+    # (h / m).cast("long") loses precision for h >= 2^53 and lands on
+    # floor(h/m) +- 1, flipping a register whenever the true remainder sits
+    # next to a power of two (review-confirmed divergence on real hashes —
+    # rare enough to pass a 1.5k-user gate by luck, certain at scale)
     b = d.select(
         "event_type",
         (F.col("h") % c["m"]).alias("bucket"),
-        (F.col("h") / F.lit(c["m"])).cast("long").alias("rem"),
+        F.expr(f"h div {c['m']}").alias("rem"),
     )
     rho = F.when(F.col("rem") == 0, F.lit(c["rho_max"])).otherwise(
         F.lit(c["rho_max"]) - F.length(F.bin(F.col("rem")))
@@ -233,23 +233,29 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
 # q170 — per-column profile (ANALYZE TABLE primitive)
 # ---------------------------------------------------------------------------
 
-# (column, min/max expression template) — doubles go through the exact
-# DECIMAL(18,2) path so the string rendering is engine-independent
-# ('123.45' in both; a raw double would format as '1.2345E2' in one engine
-# and '123.45' in the other), dates/ints cast to string identically.
-_PROFILE_COLS: tuple[tuple[str, str], ...] = (
-    ("o_orderkey", "CAST({f}({c}) AS VARCHAR)"),
-    ("o_custkey", "CAST({f}({c}) AS VARCHAR)"),
-    ("o_orderstatus", "{f}({c})"),
-    ("o_totalprice", "CAST(CAST({f}({c}) AS DECIMAL(18,2)) AS VARCHAR)"),
-    ("o_orderdate", "CAST({f}({c}) AS VARCHAR)"),
-    ("o_orderpriority", "{f}({c})"),
+# (column, is_decimal) — doubles go through the exact DECIMAL(18,2) path so
+# the string rendering is engine-independent ('123.45' in both; a raw
+# double would format as '1.2345E2' in one engine and '123.45' in the
+# other), dates/ints cast to string identically. ONE flag drives BOTH
+# engines' rendering so a new column cannot silently diverge them.
+_PROFILE_COLS: tuple[tuple[str, bool], ...] = (
+    ("o_orderkey", False),
+    ("o_custkey", False),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
 )
 
 
 def _profile_oracle() -> str:
     parts = []
-    for c, tpl in _PROFILE_COLS:
+    for c, is_dec in _PROFILE_COLS:
+        tpl = (
+            "CAST(CAST({f}({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+            if is_dec
+            else "CAST({f}({c}) AS VARCHAR)"
+        )
         parts.append(
             f"""SELECT '{c}' AS col_name,
                    count(*) AS n_rows,
@@ -282,22 +288,20 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     100 TB table costs one pass."""
     o = _t(spark, sf, "orders")
     aggs = []
-    for c, _ in _PROFILE_COLS:
+    for c, is_dec in _PROFILE_COLS:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
             F.countDistinct(c).alias(f"{c}__dist"),
         ]
-        if c == "o_totalprice":
-            aggs += [
-                F.min(c).cast(DecimalType(18, 2)).cast("string").alias(f"{c}__min"),
-                F.max(c).cast(DecimalType(18, 2)).cast("string").alias(f"{c}__max"),
-            ]
-        else:
-            aggs += [
-                F.min(c).cast("string").alias(f"{c}__min"),
-                F.max(c).cast("string").alias(f"{c}__max"),
-            ]
+        def _render(col):
+            return (
+                col.cast(DecimalType(18, 2)).cast("string") if is_dec else col.cast("string")
+            )
+        aggs += [
+            _render(F.min(c)).alias(f"{c}__min"),
+            _render(F.max(c)).alias(f"{c}__max"),
+        ]
     wide = o.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', {c}__rows, {c}__null, {c}__dist, {c}__min, {c}__max"
@@ -471,7 +475,8 @@ _MAD_CUT = 3.5  # Iglewicz-Hoaglin recommended threshold
        SELECT d.event_type,
               round(m.med, 4) AS med,
               round(m.mad, 4) AS mad,
-              CAST(sum(CASE WHEN abs(round({_MAD_C!r} * (d.value - m.med) / m.mad, 6))
+              CAST(sum(CASE WHEN m.mad != 0
+                             AND abs(round({_MAD_C!r} * (d.value - m.med) / m.mad, 6))
                                  > {_MAD_CUT!r}
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
        FROM dev d JOIN mad m USING (event_type)
@@ -502,13 +507,15 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
     score = F.round(
         F.lit(_MAD_C) * (F.col("value") - F.col("med")) / F.col("mad"), 6
     )
+    # nested WHEN so the division is never evaluated when mad == 0 (a
+    # constant-valued metric): Spark 4 ANSI throws DIVIDE_BY_ZERO even for
+    # doubles, where the oracle's NULL CASE arm counts 0 outliers
+    is_out = F.when(F.col("mad") == 0, F.lit(0)).otherwise(
+        F.when(F.abs(score) > _MAD_CUT, 1).otherwise(0)
+    )
     return (
         d.groupBy("event_type", "med", "mad")
-        .agg(
-            F.sum(F.when(F.abs(score) > _MAD_CUT, 1).otherwise(0))
-            .cast("long")
-            .alias("n_outliers")
-        )
+        .agg(F.sum(is_out).cast("long").alias("n_outliers"))
         .select(
             "event_type",
             F.round("med", 4).alias("med"),
@@ -637,9 +644,10 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     64th of the join it prices."""
     o = _t(spark, sf, "orders")
     ev = _t(spark, sf, "events")
-    a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("ca")).withColumn(
-        "h",
-        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10).cast("long"),
+    a = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .withColumn("h", h60("k"))
     )
     b = ev.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("cb"))
     j = a.join(b, "k").select("h", (F.col("ca") * F.col("cb")).alias("pairs"))
@@ -660,12 +668,8 @@ def join_size_estimate_sampled(spark: SparkSession, sf: str) -> DataFrame:
     exchange — the estimate costs a 64th of the join it prices. Returns one
     row {est_pairs} that the q176 gate query's est_pairs must equal
     (pinned in tests/test_profiling.py)."""
-    h_o = F.conv(
-        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    h_e = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h_o = h60("o_custkey")
+    h_e = h60("user_id")
     a = (
         _t(spark, sf, "orders")
         .where(h_o < _JS_THETA)
@@ -965,9 +969,10 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
                 CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
          FROM lineitem GROUP BY 1)
        SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
-              round((n * sxy - sx * sy)
-                    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-                  AS corr_qty_price
+              CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                   THEN round((n * sxy - sx * sy)
+                        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+              END AS corr_qty_price
        FROM s ORDER BY l_returnflag""",
     tags=("extension", "statistics", "correlation"),
 )
@@ -1001,14 +1006,21 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
         .alias("sxy"),
     )
     n = F.col("n").cast("double")
-    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # zero-variance guard: Spark 4 ANSI throws on double division by zero
+    # where the oracle CASE yields NULL — degenerate groups report NULL corr
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (F.sqrt(vx) * F.sqrt(vy)),
+            6,
+        ),
     )
     return s.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n_items"),
-        F.round(corr, 6).alias("corr_qty_price"),
+        corr.alias("corr_qty_price"),
     ).orderBy("l_returnflag")
 
 
@@ -1068,19 +1080,7 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_RDV_N))).alias("s")
     ).withColumn(
         "h",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"), F.lit(":"), F.col("s").cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
+        h60(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("s").cast("string"))),
     )
     in8 = F.col("s") < _RDV_N
     assign = ex.groupBy("doc_id").agg(
@@ -1175,9 +1175,7 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     parts = []
     for t, expr in _CK_TABLES:
         df = _t(spark, sf, t)
-        h = F.conv(
-            F.substring(F.md5(F.expr(expr.format(S="STRING"))), 1, 15), 16, 10
-        ).cast("long")
+        h = h60(F.expr(expr.format(S="STRING")))
         parts.append(
             df.agg(
                 F.count(F.lit(1)).alias("n_rows"),
@@ -1253,7 +1251,7 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events")
     m = ev.select("event_type", "user_id").distinct()
     bm = m.groupBy(
-        "event_type", (F.col("user_id") / _BM_BITS).cast("long").alias("word_idx")
+        "event_type", F.expr(f"user_id div {_BM_BITS}").alias("word_idx")
     ).agg(
         F.bit_or(
             F.expr(f"shiftleft(1L, CAST(user_id % {_BM_BITS} AS INT))")
@@ -1463,6 +1461,9 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
             "token",
             (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("w"),
         )
+        # three consumers (norms + both self-join legs) — materialize once,
+        # the q185/_gram_hashes lesson
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(
@@ -1831,7 +1832,8 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
          FROM daily),
        c AS (
          SELECT d.day, d.n,
-                round(sum(d.n - m.mean_n) OVER (ORDER BY d.day), 6) AS cusum
+                CAST(sum(CAST(round(d.n - m.mean_n, 6) AS DECIMAL(18,6)))
+                     OVER (ORDER BY d.day) AS DOUBLE) AS cusum
          FROM daily d CROSS JOIN m)
        SELECT day AS change_day, n AS day_volume, cusum AS cusum_peak
        FROM c ORDER BY abs(cusum) DESC, day LIMIT 1""",
@@ -1849,21 +1851,23 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
     sum is a window over the BOUNDED day dimension (~2.4k rows at any
     fact scale — the q171/q175 bounded-window argument), and the argmax
     is a LIMIT 1 with a |cusum| sort carrying the day tie-break. Counts
-    are exact; mean and deviations are one deterministic double
-    expression, rounded before the comparison sort."""
+    are exact; each deviation is one deterministic double expression
+    rounded to 6 and the running sum accumulates through an exact
+    DECIMAL(18,6) window — order-independent, so the argmax cannot flip
+    on an engine's window-accumulation strategy."""
     ev = _t(spark, sf, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
     m = daily.agg(
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n")
     )
     w = Window.orderBy("day")
+    # each deviation rounds to 6 and accumulates through an exact decimal
+    # window sum (the q175 discipline applied to the running sum) — a raw
+    # double prefix sum would lean on both engines associating identically
+    dev = F.round(F.col("n") - F.col("mean_n"), 6).cast(DecimalType(18, 6))
     c = (
         daily.crossJoin(F.broadcast(m))
-        .select(
-            "day",
-            "n",
-            F.round(F.sum(F.col("n") - F.col("mean_n")).over(w), 6).alias("cusum"),
-        )
+        .select("day", "n", F.sum(dev).over(w).cast("double").alias("cusum"))
     )
     return (
         c.orderBy(F.abs(F.col("cusum")).desc(), "day")

@@ -593,13 +593,14 @@ def hll_register_stream(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
-        h = F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        b = batch_df.select(
+        from ..functions.hashing import h60
+
+        # exact integer division for rem (the q169 fix): the double
+        # round-trip loses precision for h >= 2^53
+        b = batch_df.select("event_type", h60("user_id").alias("h")).selectExpr(
             "event_type",
-            (h % c["m"]).alias("bucket"),
-            (h / F.lit(c["m"])).cast("long").alias("rem"),
+            f"h % {c['m']} AS bucket",
+            f"h div {c['m']} AS rem",
         )
         rho = F.when(F.col("rem") == 0, F.lit(c["rho_max"])).otherwise(
             F.lit(c["rho_max"]) - F.length(F.bin(F.col("rem")))

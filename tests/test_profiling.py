@@ -740,7 +740,9 @@ def test_cusum_changepoint_vs_numpy(spark):
     r = QUERIES["q191_cusum_changepoint"](spark, SF_SMOKE).collect()[0]
     ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["ts"])
     daily = ev["ts"].dt.date.value_counts().sort_index()
-    cusum = np.round(np.cumsum(daily.values - daily.values.mean()), 6)
+    # per-deviation round-to-6 then exact accumulation (the query's
+    # decimal-window discipline)
+    cusum = np.cumsum(np.round(daily.values - daily.values.mean(), 6))
     # argmax of |cusum| with earliest-day tie-break
     peak = int(np.argmax(np.abs(cusum)))
     assert r["change_day"] == daily.index[peak]
