@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.agg import exact_avg, exact_sum
+from ..functions.hashing import h60
 from .base import _t, query
 
 _SUM = "CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
@@ -521,7 +522,7 @@ def kmv_distinct_users(spark, sf, k: int = _KMV_K):
     rank window plans a map-side WindowGroupLimit partial top-k, so ~k
     rows per group ride the final exchange whatever k is."""
     ev = _t(spark, sf, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    h = h60("user_id")
     d = ev.select("event_type", h.alias("h")).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
     topk = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
@@ -852,9 +853,7 @@ def q159(spark, sf):
     WindowGroupLimit partial top-k, ~k rows per (shard, group) crossing
     the exchange."""
     ev = _t(spark, sf, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = h60("user_id")
     hashes = ev.select(
         (F.col("event_id") % 2).alias("shard"), "event_type", h.alias("h")
     ).distinct()
@@ -975,7 +974,7 @@ def q168(spark, sf):
     retained sets are what you persist; new days merge in by re-taking
     the k smallest of the union (q159's lossless-merge theorem)."""
     ev = _t(spark, sf, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    h = h60("user_id")
     d = ev.select("event_type", F.col("user_id")).distinct()
     hashed = d.select("event_type", "user_id", h.alias("h"))
     w = Window.partitionBy("event_type").orderBy("h")
@@ -1099,9 +1098,7 @@ def q183(spark, sf):
     calibration. Overhanging anchors past the last observed day are
     dropped via one broadcast max-day scalar."""
     ev = _t(spark, sf, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = h60("user_id")
     # three consumers (sketch branch, exact branch, max-day bound) — the
     # _gram_hashes lesson: materialize the narrow distinct relation once
     # instead of recomputing 1M md5+conv per branch (sf0.1: 9.6 s

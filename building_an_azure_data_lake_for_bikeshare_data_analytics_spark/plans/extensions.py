@@ -31,6 +31,7 @@ from ..functions.vectors import dot, norm
 from ..operators.dedup import minhash_lsh_candidates, simhash64
 from ..operators.multimodal import attach_binary, extract_features
 from ..operators.similarity import hyperplanes, lsh_topk
+from ..functions.hashing import h60
 from .base import _t, query
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
@@ -998,7 +999,7 @@ def _gram_hashes(docs, k: int = _SPAN_K, extra_cols: tuple = (), checkpoint: boo
         "doc_id",
         *extra_cols,
         (F.col("pos0") + 1).alias("pos"),
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
+        h60("gram").alias("gh"),
     )
     return g.localCheckpoint() if checkpoint else g
 

@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 from ..functions.agg import exact_sum
 from ..functions.text import EMAIL_RE, PHONE_RE, redact_pii, token_count, tokens, word_shingles
 from ..operators.graph import connected_components
+from ..functions.hashing import h60
 from .base import _t, query
 from .extensions import _SHINGLES_SQL
 
@@ -788,9 +789,7 @@ def q106(spark, sf):
     corpus writer wants (one output file group per shard, each internally
     hash-ordered). Epoch reshuffles = salt the md5 input with the epoch
     number."""
-    oh = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    oh = h60("doc_id")
     w = Window.partitionBy("shard").orderBy("oh", "doc_id")
     return (
         _t(spark, sf, "documents")
