@@ -2131,3 +2131,154 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("attributed_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — autocorrelation function of the daily volume series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "q195_daily_volume_acf",
+    f"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1),
+       m AS (
+         SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mean_n FROM daily),
+       dev AS (
+         SELECT d.day, CAST(round(d.n - m.mean_n, 6) AS DECIMAL(18,6)) AS dv
+         FROM daily d CROSS JOIN m),
+       den AS (
+         SELECT sum(CAST(dv AS DECIMAL(38,12)) * dv) AS s0 FROM dev),
+       lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+       num AS (
+         SELECT l.lag,
+                sum(CAST(a.dv AS DECIMAL(38,12)) * b.dv) AS sk,
+                count(*) AS n_pairs
+         FROM lags l
+         JOIN dev a ON TRUE
+         JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER)
+         GROUP BY 1)
+       SELECT CAST(num.lag AS INTEGER) AS lag,
+              CAST(num.n_pairs AS BIGINT) AS n_pairs,
+              round(CAST(num.sk AS DOUBLE) / CAST(den.s0 AS DOUBLE), 6) AS acf
+       FROM num CROSS JOIN den
+       ORDER BY lag""",
+    tags=("extension", "statistics", "time-series", "acf"),
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation function of daily event volume at lags 1..7 — the
+    time-series diagnostic that makes weekly seasonality VISIBLE as a
+    number (a lag-7 peak) where q42's hourly rollup only tabulates it,
+    completing the series toolkit next to CUSUM (q191, level shifts) and
+    the drift heads (distribution change). Standard biased-denominator
+    ACF: r_k = sum(dv_t * dv_{t+k}) / sum(dv_t^2) over mean-centered
+    daily counts.
+
+    Determinism: deviations round to 6 and become exact decimals, so
+    every numerator/denominator is an exact decimal product-sum
+    (order-independent); one double division per lag, rounded. Scale
+    shape: the fact-sized work is one (day) hash-agg; the lag join and
+    both sums run over the BOUNDED day dimension (~2.4k rows x 7 lags) —
+    the q171/q175/q191 bounded-window argument."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.agg((F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n"))
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "day", F.round(F.col("n") - F.col("mean_n"), 6).cast(DecimalType(18, 6)).alias("dv")
+    ).localCheckpoint()  # three consumers: denominator + both join legs
+    den = dev.agg(
+        F.sum(F.col("dv").cast(DecimalType(38, 12)) * F.col("dv")).alias("s0")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = dev.select(F.col("day").alias("day_a"), F.col("dv").alias("dv_a"))
+    b = dev.select(F.col("day").alias("day_b"), F.col("dv").alias("dv_b"))
+    num = (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.col("day_b") == F.expr("date_add(day_a, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("dv_a").cast(DecimalType(38, 12)) * F.col("dv_b")).alias("sk"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("sk").cast("double") / F.col("s0").cast("double"), 6).alias(
+                "acf"
+            ),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — Benford first-digit conformance of order totals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q196_benford_digits",
+    """WITH d AS (
+         SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                     AS INTEGER) AS digit
+         FROM orders WHERE o_totalprice >= 1),
+       o AS (
+         SELECT digit, count(*) AS n FROM d GROUP BY 1),
+       t AS (SELECT sum(n) AS total FROM o)
+       SELECT o.digit,
+              CAST(o.n AS BIGINT) AS n,
+              round(CAST(o.n AS DOUBLE) / t.total, 6) AS observed_p,
+              round(log10(1.0 + 1.0 / o.digit), 6) AS benford_p,
+              CAST(round(CAST(round(
+                    power(o.n - t.total * log10(1.0 + 1.0 / o.digit), 2)
+                      / (t.total * log10(1.0 + 1.0 / o.digit)), 12)
+                    AS DECIMAL(38,18)), 6) AS DOUBLE) AS chi2_term
+       FROM o CROSS JOIN t
+       ORDER BY digit""",
+    tags=("extension", "statistics", "benford", "fraud"),
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit conformance of order totals — the
+    classic forensic-accounting screen (fabricated amounts rarely follow
+    log10(1 + 1/d)): observed first-digit frequencies against the Benford
+    expectation with the per-digit chi-square contribution, so an analyst
+    reads both the distribution and which digits drive any deviation.
+    (Synthetic uniform-ish prices are EXPECTED to flunk Benford — the
+    gate checks the test arithmetic; the test exists for real ledgers.)
+
+    Determinism: the first digit comes from the integer part's string
+    rendering (cross-engine identical for BIGINT), counts are exact, and
+    each chi-square term is one fixed double expression rounded to 12
+    then carried as decimal (the q175 discipline). Scale shape: one
+    hash-agg to 9 digit rows, everything after is bounded."""
+    o = _t(spark, sf, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    d = o.where(F.col("o_totalprice") >= 1).select(digit.alias("digit"))
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = obs.agg(F.sum("n").alias("total"))
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    e = F.col("total") * ben
+    return (
+        obs.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_p"),
+            F.round(ben, 6).alias("benford_p"),
+            F.round(
+                F.round(F.pow(F.col("n") - e, 2) / e, 12).cast(DecimalType(38, 18)), 6
+            )
+            .cast("double")
+            .alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -805,3 +805,37 @@ def test_multi_touch_credit_conserved(spark):
     assert {r["attributed_type"] for r in rows} <= {
         "click", "error", "purchase", "signup", "view", "direct",
     }
+
+
+def test_acf_vs_numpy(spark):
+    rows = {r["lag"]: r for r in QUERIES["q195_daily_volume_acf"](spark, SF_SMOKE).collect()}
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["ts"])
+    daily = ev["ts"].dt.date.value_counts().sort_index().values.astype(float)
+    dv = np.round(daily - daily.mean(), 6)
+    s0 = np.sum(dv * dv)
+    for k in range(1, 8):
+        want = round(float(np.sum(dv[:-k] * dv[k:]) / s0), 6)
+        r = rows[k]
+        assert r["n_pairs"] == len(dv) - k
+        assert abs(r["acf"] - want) < 1e-6, k
+
+
+def test_benford_terms_vs_numpy(spark):
+    import math
+
+    rows = {r["digit"]: r for r in QUERIES["q196_benford_digits"](spark, SF_SMOKE).collect()}
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_totalprice"])
+    v = o.loc[o["o_totalprice"] >= 1, "o_totalprice"]
+    digits = v.apply(lambda x: int(str(int(math.floor(x)))[0]))
+    counts = digits.value_counts()
+    total = int(counts.sum())
+    assert set(rows) == set(counts.index)
+    for d, n in counts.items():
+        r = rows[d]
+        assert r["n"] == n
+        ben = math.log10(1 + 1 / d)
+        assert abs(r["benford_p"] - round(ben, 6)) < 1e-9
+        e = total * ben
+        assert abs(r["chi2_term"] - round(round((n - e) ** 2 / e, 12), 6)) < 1e-9
+    # probabilities form a distribution
+    assert abs(sum(r["observed_p"] for r in rows.values()) - 1.0) < 1e-4
