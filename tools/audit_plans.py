@@ -110,6 +110,8 @@ BNLJ_WHITELIST = {
     "q155_funnel_conversion": "1-row step totals",
     "q185_dup_graph_triangles": "three 1-row counts cross-joined",
     "q193_knn_classify": "inherits q39 bounded query set x corpus",
+    "q195_daily_volume_acf": "7-lag spine x bounded day dimension",
+    "q196_benford_digits": "1-row total scalar",
 }
 
 
