@@ -2282,3 +2282,126 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — stratified k-fold assignment (deterministic CV splits)
+# ---------------------------------------------------------------------------
+
+_KFOLD = 5
+
+
+@query(
+    "q197_stratified_kfold",
+    f"""WITH r AS (
+         SELECT vec_id, label,
+                row_number() OVER (
+                  PARTITION BY label
+                  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                                AS BIGINT), vec_id) AS rn
+         FROM embeddings),
+       f AS (
+         SELECT label, CAST((rn - 1) % {_KFOLD} AS INTEGER) AS fold, count(*) AS n
+         FROM r GROUP BY 1, 2)
+       SELECT label, fold, CAST(n AS BIGINT) AS n
+       FROM f ORDER BY label, fold""",
+    tags=("extension", "training", "cross-validation", "split"),
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified k-fold assignment for cross-validation: within each
+    label stratum, rows are ordered by their 60-bit hash (a deterministic
+    'random' order — the q165 sampling trick) and dealt round-robin into
+    k=5 folds, so every fold carries each label in proportion |stratum|/k
+    +- 1 — the guarantee plain hash-mod splits (q71) lack when a label is
+    rare, and the reason sklearn's StratifiedKFold exists. Output is the
+    (label, fold) census; balance is pinned in tests.
+
+    Scale shape: one rank window partitioned by label (the stratum
+    dimension bounds partition count; within-stratum sort is Spark's
+    standard window path), one hash-agg. Assignment of individual rows is
+    the same relation before the census agg — a caller joins it back by
+    (vec_id)."""
+    emb = _t(spark, sf, "embeddings")
+    w = Window.partitionBy("label").orderBy(h60("vec_id"), "vec_id")
+    r = emb.select("vec_id", "label", F.row_number().over(w).alias("rn"))
+    return (
+        r.select("label", ((F.col("rn") - 1) % _KFOLD).cast("int").alias("fold"))
+        .groupBy("label", "fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("label", "fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 — information gain of a categorical feature (decision-tree split score)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_information_gain",
+    """WITH cells AS (
+         SELECT o_orderpriority AS feat, o_orderstatus AS cls, count(*) AS n
+         FROM orders GROUP BY 1, 2),
+       tot AS (SELECT sum(n) AS total FROM cells),
+       h_cls AS (
+         SELECT CAST(sum(CAST(round(
+                  -(CAST(cn AS DOUBLE) / total) * ln(CAST(cn AS DOUBLE) / total), 12)
+                AS DECIMAL(38,18))) AS DOUBLE) AS h
+         FROM (SELECT cls, sum(n) AS cn FROM cells GROUP BY 1) c CROSS JOIN tot),
+       h_cond AS (
+         SELECT CAST(sum(CAST(round(
+                  (CAST(fn AS DOUBLE) / total)
+                  * (-(CAST(n AS DOUBLE) / fn) * ln(CAST(n AS DOUBLE) / fn)), 12)
+                AS DECIMAL(38,18))) AS DOUBLE) AS h
+         FROM cells
+         JOIN (SELECT feat, sum(n) AS fn FROM cells GROUP BY 1) f USING (feat)
+         CROSS JOIN tot)
+       SELECT round(h_cls.h, 6) AS class_entropy,
+              round(h_cond.h, 6) AS conditional_entropy,
+              round(h_cls.h - h_cond.h, 6) AS information_gain
+       FROM h_cls CROSS JOIN h_cond""",
+    tags=("extension", "statistics", "entropy", "information-gain"),
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    """Information gain of order priority with respect to order status —
+    the decision-tree split-scoring primitive (ID3/C4.5) and the
+    feature-selection measure chi-square (q175) complements with an
+    information-theoretic one: IG = H(class) - H(class | feature), both
+    entropies in nats from exact counts.
+
+    Determinism: every probability is a ratio of exact integers; each
+    -p*ln(p) term rounds to 12 decimals and sums through DECIMAL(38,18)
+    (the q175 discipline), so the entropies are order-independent and one
+    subtraction apart cross-engine. Scale shape: the only fact-sized work
+    is the (feature, class) cell hash-agg; everything downstream runs
+    over the bounded 5x3 contingency relation."""
+    o = _t(spark, sf, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("feat"), F.col("o_orderstatus").alias("cls")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    cls_tot = cells.groupBy("cls").agg(F.sum("n").alias("cn"))
+    p_c = F.col("cn").cast("double") / F.col("total")
+    h_cls = (
+        cls_tot.crossJoin(F.broadcast(tot))
+        .select(F.round(-p_c * F.log(p_c), 12).cast(DecimalType(38, 18)).alias("t"))
+        .agg(F.sum("t").cast("double").alias("h_cls"))
+    )
+    feat_tot = cells.groupBy("feat").agg(F.sum("n").alias("fn"))
+    p_cf = F.col("n").cast("double") / F.col("fn")
+    w_f = F.col("fn").cast("double") / F.col("total")
+    h_cond = (
+        cells.join(F.broadcast(feat_tot), "feat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(w_f * (-p_cf * F.log(p_cf)), 12)
+            .cast(DecimalType(38, 18))
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("h_cond"))
+    )
+    return h_cls.crossJoin(F.broadcast(h_cond)).select(
+        F.round(F.col("h_cls"), 6).alias("class_entropy"),
+        F.round(F.col("h_cond"), 6).alias("conditional_entropy"),
+        F.round(F.col("h_cls") - F.col("h_cond"), 6).alias("information_gain"),
+    )

@@ -12,7 +12,7 @@ from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113, 
 from . import quality  # noqa: F401  (registers q85-q97, q167)
 from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
 from . import lakehouse  # noqa: F401  (registers q149-q152, q160-q162, q164, q166)
-from . import profiling  # noqa: F401  (registers q169-q196)
+from . import profiling  # noqa: F401  (registers q169-q198)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -174,13 +174,13 @@ _PRIORITY: tuple[str, ...] = (
     "q176_join_size_estimate",
     "q177_sorted_neighborhood",
 )
-# q178-q196 (JL projection, last-touch attribution, exact-power-sum
+# q178-q198 (JL projection, last-touch attribution, exact-power-sum
 # correlation, rendezvous sharding, table checksum, trailing-window KMV,
 # bitmap-index intersection, dup-graph triangle count, TF-IDF doc-pair
 # cosine, gridded KS distance, spend Gini, probe lift curve,
 # incremental join-view maintenance, CUSUM changepoint, time-to-convert
 # percentiles, kNN classification, multi-touch attribution, daily-volume
-# ACF, Benford digits) registered
+# ACF, Benford digits, stratified k-fold, information gain) registered
 # after the 50-slot prefix refilled with q166-q177 — never-green, so by
 # rule (a) they MUST lead the r5 prefix together with the stale r2 cohort
 # and the bumped template twins documented above.

@@ -839,3 +839,37 @@ def test_benford_terms_vs_numpy(spark):
         assert abs(r["chi2_term"] - round(round((n - e) ** 2 / e, 12), 6)) < 1e-9
     # probabilities form a distribution
     assert abs(sum(r["observed_p"] for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_stratified_kfold_balance(spark):
+    """Every (label, fold) census cell must be |stratum|/k rounded: fold
+    sizes within a stratum differ by at most 1, and fold totals cover
+    the corpus exactly."""
+    rows = QUERIES["q197_stratified_kfold"](spark, SF_SMOKE).collect()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet", columns=["label"])
+    strata = emb["label"].value_counts()
+    df = pd.DataFrame([r.asDict() for r in rows])
+    assert df["n"].sum() == len(emb)
+    for label, grp in df.groupby("label"):
+        assert grp["n"].sum() == strata[label]
+        assert grp["n"].max() - grp["n"].min() <= 1, label
+        assert len(grp) == min(5, strata[label])
+
+
+def test_information_gain_vs_numpy(spark):
+    r = QUERIES["q198_information_gain"](spark, SF_SMOKE).collect()[0]
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"])
+    tab = pd.crosstab(o["o_orderpriority"], o["o_orderstatus"]).values.astype(float)
+    total = tab.sum()
+    pc = tab.sum(axis=0) / total
+    h_cls = float(np.sum(np.round(-pc * np.log(pc), 12)))
+    fn = tab.sum(axis=1)
+    h_cond = 0.0
+    for i in range(tab.shape[0]):
+        p = tab[i][tab[i] > 0] / fn[i]
+        h_cond += float(np.sum(np.round((fn[i] / total) * (-p * np.log(p)), 12)))
+    assert abs(r["class_entropy"] - round(h_cls, 6)) < 1e-9
+    assert abs(r["conditional_entropy"] - round(h_cond, 6)) < 1e-9
+    assert abs(r["information_gain"] - round(h_cls - h_cond, 6)) < 2e-6
+    # IG is non-negative and bounded by the class entropy
+    assert -1e-6 <= r["information_gain"] <= r["class_entropy"] + 1e-9

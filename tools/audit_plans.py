@@ -112,6 +112,7 @@ BNLJ_WHITELIST = {
     "q193_knn_classify": "inherits q39 bounded query set x corpus",
     "q195_daily_volume_acf": "7-lag spine x bounded day dimension",
     "q196_benford_digits": "1-row total scalar",
+    "q198_information_gain": "1-row totals over the bounded contingency",
 }
 
 
