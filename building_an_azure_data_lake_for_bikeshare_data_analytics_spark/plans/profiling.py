@@ -1938,10 +1938,15 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
     lag_h = (
         s.join(p, "user_id")
         .select(
+            # timestampdiff on NTZ columns is timezone-free (wall-clock),
+            # unlike unix_timestamp which reads the session timezone and
+            # can be off by ±3600 s across a DST boundary (r4 advice).
+            # DuckDB's date_diff('second', ...) counts second-BOUNDARY
+            # crossings, so truncate both ends to the second first.
             (
-                (
-                    F.unix_timestamp("first_purchase_ts")
-                    - F.unix_timestamp("signup_ts")
+                F.expr(
+                    "timestampdiff(SECOND, date_trunc('second', signup_ts),"
+                    " date_trunc('second', first_purchase_ts))"
                 ).cast("double")
                 / 3600.0
             ).alias("hours")

@@ -565,7 +565,15 @@ def hll_register_stream(
     hash-agg over the batch. Returns (per-epoch estimate rows, final
     register dict {(event_type, bucket): m_j}); the union-equals-batch
     parity (final registers == q169's registers over the whole corpus) is
-    pinned in tests/test_streaming.py."""
+    pinned in tests/test_streaming.py.
+
+    CAVEAT (shared with the suite's other driver-side monitors): the merged
+    register dict lives in driver memory only. If ``checkpoint_dir`` is set
+    and the stream RESTARTS, Spark skips already-committed batches while
+    this dict starts empty, so a restarted run under-counts — the replay
+    safety above holds only within a single run. A restart-safe deployment
+    must rebuild ``state`` from a persisted register table (e.g. the q169
+    batch registers over the already-ingested prefix) before starting."""
     from ..plans.profiling import _hll_params
 
     c = _hll_params(p)

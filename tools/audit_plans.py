@@ -58,10 +58,8 @@ BNLJ_WHITELIST = {
     "q165_weighted_sample": "1-row per-stratum k scalar",
     "q167_integrity_audit": "1-row reconciliation totals",
     "q168_theta_intersection": "1-row theta scalar",
-    "q169_hll_distinct": "none expected",
     "q175_chi_square_independence": "bounded contingency margins",
     "q176_join_size_estimate": "1-row sampled/exact totals",
-    "q179_last_touch_attribution": "none expected",
     "q181_rendezvous_sharding": "1-row summary x 1-row balance",
     "q182_table_checksum": "1-row per-table digests unioned",
     "q183_rolling_distinct_kmv": "1-row max-day bound",
@@ -94,9 +92,6 @@ BNLJ_WHITELIST = {
     "q162_version_diff_cdf": "1-row snapshot versions",
     "q164_zorder_layout": "1-row dimension bounds",
     "q166_compaction_plan": "manifest-scale file list (metadata)",
-    "q170_column_profile": "none expected",
-    "q172_grouping_sets": "none expected",
-    "q190_incremental_join_view": "none expected",
     # bounded-query-set exact/compressed scoring baselines: the loop side
     # is the ~1.6% query sample (vec_id % 50 = 0), guarded at 100k rows —
     # the documented oracle-vehicle posture; deployments use the LSH/IVF/

@@ -69,7 +69,7 @@ def main() -> int:
         spark = get_spark("verify-oracle")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SVELECT * FROM read_parquet('{sf_dir}/{t}.parquet')".replace("SVELECT", "SELECT"))
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = 0
