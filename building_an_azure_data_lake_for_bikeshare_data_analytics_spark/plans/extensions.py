@@ -169,19 +169,18 @@ _JACCARD_EXACT_SQL = f"""WITH {_SHINGLES_SQL},
         WHERE inter / (sa.n + sb.n - inter) >= 0.5"""
 
 
-@query(
-    "q36_ngram_jaccard_pairs",
-    _JACCARD_EXACT_SQL,
-    tags=("dedup", "ngram", "jaccard"),
-)
-def q36(spark, sf):
-    """Near-dup detection: word-3-gram shingle sets, candidate pairs via
-    shingle equi-join (inverted index), exact Jaccard >= 0.5.
+def exhaustive_jaccard_pairs(spark, sf):
+    """TEST VERIFIER ONLY (formerly registered as q36_ngram_jaccard_pairs,
+    retired from the registry in round 5 per the r4 verdict): word-3-gram
+    shingle sets, candidate pairs via shingle equi-join (inverted index),
+    exact Jaccard >= 0.5.
 
-    Scale shape: explode to (doc, shingle), self-equi-join on shingle —
-    a hash join on the shingle key, no cross product; Jaccard from
-    |A∩B| and precomputed set sizes. Hot shingles (stopword-only grams)
-    are the skew risk at 100 TB — MinHash (q37) is the scale path."""
+    The shingle self-join is quadratic in hot-shingle document frequency —
+    a known scale-killer at 100 TB. It stays ONLY as the exhaustive ground
+    truth that tests/test_dedup_similarity.py pins q37 (MinHash recall),
+    q98 (LSH-verified) and q163 (prefix-filtered exact, the production
+    path) against; ``_JACCARD_EXACT_SQL`` remains those queries' shared
+    DuckDB oracle."""
     docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
     sh = docs.select("doc_id", F.explode(word_shingles(F.col("ts"), 3)).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

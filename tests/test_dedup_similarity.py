@@ -10,6 +10,9 @@ from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.de
     minhash_lsh_candidates,
     simhash64,
 )
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.extensions import (
+    exhaustive_jaccard_pairs,
+)
 from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
 
 from conftest import SF_SMOKE
@@ -100,7 +103,7 @@ def test_lsh_candidates_superset_exact_jaccard_pairs(spark):
     (1-s^2)^16 — ~1e-12 at the s>=0.89 this corpus's dups sit at."""
     exact = {
         (r["doc_a"], r["doc_b"])
-        for r in QUERIES["q36_ngram_jaccard_pairs"](spark, SF_SMOKE).collect()
+        for r in exhaustive_jaccard_pairs(spark, SF_SMOKE).collect()
     }
     cand = {
         (r["doc_a"], r["doc_b"])
@@ -200,7 +203,7 @@ def test_prefix_filter_jaccard_equals_exhaustive_corpus(spark):
     prefix_filter_jaccard_pairs)."""
     exact = {
         (r["doc_a"], r["doc_b"], r["jaccard"])
-        for r in QUERIES["q36_ngram_jaccard_pairs"](spark, SF_SMOKE).collect()
+        for r in exhaustive_jaccard_pairs(spark, SF_SMOKE).collect()
     }
     pref = {
         (r["doc_a"], r["doc_b"], r["jaccard"])
