@@ -1,0 +1,231 @@
+"""Machine-readable gate-evidence ledger and prefix scheduler (r4 verdict
+item 2: replace the registry's prose rotation comment with data a tool can
+check).
+
+The grading driver gates exactly the FIRST 50 registry entries each round
+against their DuckDB oracles and records per-query green rows in
+``CORRECTNESS_r{N}.json`` at the repo root. Those committed files ARE the
+evidence ledger — nothing here duplicates them; this module derives
+everything from (a) the JSON files and (b) oracle-string identity:
+
+* **Twin groups** — queries whose oracle SQL strings are VERBATIM
+  identical (a vectorized kernel and its Column-fold twin, or a scalable
+  path and the exhaustive formulation it provably equals). A gate row for
+  either member re-greens the shared oracle; the members' row-for-row
+  equality is separately pinned in tests/test_plans.py. Twin groups are
+  COMPUTED from ``REGISTRY[q].oracle`` equality — a "rides its twin" claim
+  that stops being literally true stops existing.
+
+* **Effective last-green round** ``eff(q)`` — the newest round in which q
+  or any oracle-twin of q had a fully green driver row (rows + schema +
+  value-hash, no err); ``-1`` if q itself AND its twins have never been
+  gated.
+
+* **The rotation policy**, enforced by ``tools/check_rotation.py`` and
+  ``tests/test_rotation.py``:
+
+  1. (never-green first) every oracled query that has NO green driver row
+     of its own in any round leads the prefix, in registry insertion
+     order — a query's own gate row is strictly stronger evidence than
+     its twin's, so twin coverage does not waive this rule;
+  2. (oldest next) remaining slots are filled by ascending ``eff(q)``,
+     ties broken by registry insertion order;
+  3. (staleness bound) at the close of each round R — assuming the
+     round-R prefix goes green — every oracled query must satisfy
+     ``eff(q) >= R - (STALENESS_BOUND - 1)``. With ~193 oracled queries
+     and a 50-slot gate, a full rotation takes ceil(193/50) = 4 rounds,
+     so the tightest feasible bound is STALENESS_BOUND = 4 (evidence at
+     most 3 rounds old at close). The checker fails when the mandatory
+     set (never-green + would-age-out) exceeds 50 — the signal to trim
+     the registry or split a round.
+
+  Rows-only queries (``oracle is None``: q46/q81, engine-private sketch
+  values) are deliberately never scheduled — their value-checkable
+  stand-ins (q134/q136) and exact twins carry the evidence; a rows-only
+  gate row would spend a slot on strictly weaker evidence.
+
+``plans/registry.py`` keeps the prefix as a static, reviewable tuple (the
+driver path stays free of file I/O); the checker recomputes the schedule
+from this module and fails CI on any drift.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from collections import defaultdict
+
+from .base import REGISTRY, QuerySpec
+
+#: evidence must be at most (STALENESS_BOUND - 1) rounds old at the close
+#: of every round; see module docstring for why 4 is the floor.
+STALENESS_BOUND = 4
+
+#: number of registry entries the grading driver gates per round
+GATE_SLOTS = 50
+
+
+def repo_root() -> str:
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def load_green_history(root: str | None = None) -> dict[str, list[int]]:
+    """query -> sorted rounds with a fully green driver row (rows_match,
+    schema_match, hash_match all true, err null), from the committed
+    ``CORRECTNESS_r*.json`` files. Queries no longer registered (e.g. the
+    retired q36) are kept — callers filter against REGISTRY."""
+    root = root or repo_root()
+    hist: dict[str, list[int]] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        with open(f) as fh:
+            for q, v in json.load(fh).items():
+                ok = (
+                    v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match")
+                    and not v.get("err")
+                )
+                if ok:
+                    hist.setdefault(q, []).append(rnd)
+    return {q: sorted(rs) for q, rs in hist.items()}
+
+
+def latest_gated_round(root: str | None = None) -> int:
+    root = root or repo_root()
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds) if rounds else 0
+
+
+def oracle_twin_groups(
+    registry: dict[str, QuerySpec] | None = None,
+) -> dict[str, list[str]]:
+    """query -> its oracle twins (other registered queries whose oracle SQL
+    is VERBATIM identical). Computed, never hand-maintained."""
+    registry = registry if registry is not None else REGISTRY
+    by_sql: dict[str, list[str]] = defaultdict(list)
+    for q, spec in registry.items():
+        if spec.oracle is not None:
+            by_sql[spec.oracle].append(q)
+    return {
+        q: [t for t in by_sql[registry[q].oracle] if t != q]
+        for q, spec in registry.items()
+        if spec.oracle is not None
+    }
+
+
+def effective_green(
+    green: dict[str, list[int]],
+    twins: dict[str, list[str]],
+) -> dict[str, int]:
+    """query -> newest green round of itself or any oracle twin; -1 never."""
+    out: dict[str, int] = {}
+    for q, ts in twins.items():
+        rounds = list(green.get(q, []))
+        for t in ts:
+            rounds += green.get(t, [])
+        out[q] = max(rounds) if rounds else -1
+    return out
+
+
+def build_prefix(
+    registry: dict[str, QuerySpec] | None = None,
+    green: dict[str, list[int]] | None = None,
+    k: int = GATE_SLOTS,
+) -> list[str]:
+    """The deterministic round-N gate prefix: never-self-green oracled
+    queries in registry insertion order, then ascending effective-green
+    round (insertion order tie-break)."""
+    registry = registry if registry is not None else REGISTRY
+    green = green if green is not None else load_green_history()
+    order = list(registry)
+    twins = oracle_twin_groups(registry)
+    eff = effective_green(green, twins)
+    oracled = [q for q in order if registry[q].oracle is not None]
+    never_self = [q for q in oracled if q not in green]
+    rest = sorted(
+        (q for q in oracled if q in green),
+        key=lambda q: (eff[q], order.index(q)),
+    )
+    return (never_self + rest)[:k]
+
+
+def check(
+    prefix: tuple[str, ...] | list[str],
+    registry: dict[str, QuerySpec] | None = None,
+    root: str | None = None,
+) -> tuple[list[str], dict]:
+    """Validate a committed prefix against the policy. Returns
+    (violations, report). Empty violations == compliant."""
+    registry = registry if registry is not None else REGISTRY
+    green_all = load_green_history(root)
+    green = {q: rs for q, rs in green_all.items() if q in registry}
+    twins = oracle_twin_groups(registry)
+    eff = effective_green(green, twins)
+    this_round = latest_gated_round(root) + 1
+    violations: list[str] = []
+
+    expected = build_prefix(registry, green)
+    if list(prefix) != expected:
+        drift = [
+            f"slot {i}: have {a}, schedule says {b}"
+            for i, (a, b) in enumerate(zip(prefix, expected))
+            if a != b
+        ]
+        violations.append(
+            "prefix drifts from the deterministic schedule: "
+            + "; ".join(drift[:8])
+            + (f" (+{len(drift) - 8} more)" if len(drift) > 8 else "")
+        )
+
+    in_prefix = set(prefix)
+    oracled = [q for q in registry if registry[q].oracle is not None]
+    floor = this_round - (STALENESS_BOUND - 1)
+    post = {
+        q: (
+            this_round
+            if q in in_prefix or any(t in in_prefix for t in twins[q])
+            else eff[q]
+        )
+        for q in oracled
+    }
+    for q in oracled:
+        if post[q] < floor:
+            violations.append(
+                f"{q}: evidence would still be round {post[q]} after a green "
+                f"round-{this_round} gate (floor r{floor}) and it is not in "
+                "the prefix"
+            )
+    mandatory = [q for q in oracled if q not in green or eff[q] < floor]
+    if len(mandatory) > GATE_SLOTS:
+        violations.append(
+            f"mandatory set ({len(mandatory)}) exceeds {GATE_SLOTS} gate "
+            "slots — trim the registry or split the round"
+        )
+
+    report = {
+        "round": this_round,
+        "staleness_bound": STALENESS_BOUND,
+        "gate_slots": GATE_SLOTS,
+        "oracled": len(oracled),
+        "prefix": list(prefix),
+        "queries": {
+            q: {
+                "green_rounds": green.get(q, []),
+                "oracle_twins": twins[q],
+                "effective_last_green": eff[q],
+                "in_prefix": q in in_prefix,
+                "post_gate_effective": post[q],
+            }
+            for q in oracled
+        },
+        "violations": violations,
+    }
+    return violations, report

@@ -1,0 +1,53 @@
+"""Gate-rotation policy, machine-checked (r4 verdict item 2).
+
+The registry's 50-slot gate prefix must equal the deterministic schedule
+computed from the committed CORRECTNESS_r*.json green-row history and the
+oracle-twin groups derived from verbatim oracle-SQL identity; after a
+green gate this round, no oracled query's effective evidence may be older
+than the staleness bound. No SparkSession needed.
+"""
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans import evidence
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+    REGISTRY,
+    _PRIORITY,
+)
+
+
+def test_prefix_matches_schedule_and_staleness_bound():
+    violations, report = evidence.check(_PRIORITY)
+    assert not violations, violations
+    assert len(report["prefix"]) == evidence.GATE_SLOTS
+
+
+def test_twin_groups_are_verbatim_oracle_identity():
+    twins = evidence.oracle_twin_groups()
+    for q, ts in twins.items():
+        for t in ts:
+            assert REGISTRY[q].oracle == REGISTRY[t].oracle
+            assert q != t
+    # the known kernel/fold pairs must still be twinned — a drive-by edit
+    # to one oracle string would silently break the rides relationship
+    for a, b in [
+        ("q39_embedding_topk", "q64_embedding_topk_vectorized"),
+        ("q43_embedding_dup_pairs", "q65_embedding_dup_pairs_vectorized"),
+        ("q104_quantized_topk", "q109_quantized_topk_vectorized"),
+        ("q118_pq_adc_topk", "q120_pq_adc_topk_vectorized"),
+        ("q125_ivf_pq_rerank", "q129_ivf_pq_rerank_vectorized"),
+        ("q56_ivf_ann", "q130_ivf_ann_vectorized"),
+        ("q140_embedding_covariance", "q142_embedding_covariance_vectorized"),
+        ("q146_semantic_dedup_cells", "q147_semantic_dedup_cells_vectorized"),
+        ("q98_lsh_verified_pairs", "q163_jaccard_prefix_join"),
+        ("q37_minhash_lsh_pairs", "q128_lsh_candidates_salted"),
+    ]:
+        assert b in twins[a], f"{a} lost its oracle twin {b}"
+
+
+def test_never_green_queries_lead_the_prefix():
+    green = evidence.load_green_history()
+    oracled = [q for q in REGISTRY if REGISTRY[q].oracle is not None]
+    never = [q for q in oracled if q not in green]
+    assert set(never) <= set(_PRIORITY), (
+        "never-driver-gated oracled queries missing from the gate prefix: "
+        f"{sorted(set(never) - set(_PRIORITY))}"
+    )
