@@ -81,23 +81,26 @@ def test_pipeline_versioned_mode(spark, tmp_path):
     assert V.read_version(spark, os.path.join(lake, "trips"), 1).count() == 1
 
 
-def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_upsert_updates_and_inserts(spark, tmp_path, backend):
     p = str(tmp_path / "t")
     base = spark.createDataFrame([(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "tag", "x"])
-    V.write_version(base, p)
+    V.write_version(base, p, backend=backend)
     updates = spark.createDataFrame([(2, "B", 99), (4, "d", 40)], ["id", "tag", "x"])
+    v0 = V.current_version(p)
     v = V.merge_upsert(spark, p, updates, key="id")
-    assert v == 2
+    assert v == v0 + 1
     got = {r["id"]: (r["tag"], r["x"]) for r in V.read_current(spark, p).collect()}
     assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
-    # time travel: v1 still has the pre-merge row
-    old = {r["id"]: r["tag"] for r in V.read_version(spark, p, 1).collect()}
+    # time travel: the pre-merge snapshot still has the old row
+    old = {r["id"]: r["tag"] for r in V.read_version(spark, p, v0).collect()}
     assert old[2] == "b" and 4 not in old
 
 
-def test_merge_upsert_schema_evolution(spark, tmp_path):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_upsert_schema_evolution(spark, tmp_path, backend):
     p = str(tmp_path / "t")
-    V.write_version(spark.createDataFrame([(1, "a")], ["id", "tag"]), p)
+    V.write_version(spark.createDataFrame([(1, "a")], ["id", "tag"]), p, backend=backend)
     updates = spark.createDataFrame([(2, "b", 7)], ["id", "tag", "extra"])
     V.merge_upsert(spark, p, updates, key="id", allow_new_columns=True)
     got = {r["id"]: r["extra"] for r in V.read_current(spark, p).collect()}
@@ -116,3 +119,51 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
         V.merge_upsert(spark, p, dup_updates, key="id")
     # table unchanged (no new version was written)
     assert V.current_version(p) == 1
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_lake_roundtrip_parity_merge_cdf_optimize(spark, tmp_path, backend):
+    """One small lake driven end-to-end per backend — the r4 verdict's
+    MERGE / change-feed / OPTIMIZE parity leg. The parquet manifest store
+    runs everywhere; the delta leg runs for real wherever delta-spark is
+    installed, asserting the SAME logical outcomes through real Delta
+    MERGE / versionAsOf / vacuum. Change-data-feed is derived the
+    backend-neutral way (full-outer join of two time-travel snapshots),
+    so the assertion is on the change set itself, not a backend API."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "tag", "x"]
+    )
+    V.write_version(base, p, backend=backend)
+    v0 = V.current_version(p)
+
+    # MERGE: update id=2, insert id=4
+    updates = spark.createDataFrame([(2, "B", 99), (4, "d", 40)], ["id", "tag", "x"])
+    v1 = V.merge_upsert(spark, p, updates, key="id")
+    assert v1 == v0 + 1
+
+    # CDF between the two snapshots via time travel (both backends)
+    old = V.read_version(spark, p, v0).select("id", "tag", "x")
+    new = V.read_version(spark, p, v1).select("id", "tag", "x")
+    o = old.select(*(F.col(c).alias(f"o_{c}") for c in old.columns))
+    n = new.select(*(F.col(c).alias(f"n_{c}") for c in new.columns))
+    diff = o.join(n, o.o_id == n.n_id, "full_outer").select(
+        F.coalesce("o_id", "n_id").alias("id"),
+        F.when(F.col("o_id").isNull(), "insert")
+        .when(F.col("n_id").isNull(), "delete")
+        .when((F.col("o_tag") != F.col("n_tag")) | (F.col("o_x") != F.col("n_x")), "update_postimage")
+        .alias("change"),
+    )
+    changes = {r["id"]: r["change"] for r in diff.collect()}
+    assert changes == {1: None, 2: "update_postimage", 3: None, 4: "insert"}
+
+    # OPTIMIZE/vacuum: old snapshots reclaimable, current survives
+    for i in range(3):
+        V.merge_upsert(
+            spark, p, spark.createDataFrame([(1, f"t{i}", i)], ["id", "tag", "x"]), key="id"
+        )
+    V.vacuum(p, keep=1)
+    got = {r["id"]: (r["tag"], r["x"]) for r in V.read_current(spark, p).collect()}
+    assert got == {1: ("t2", 2), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
