@@ -57,9 +57,24 @@ def main() -> None:
     # and leaves `parsed` null, so round-over-round comparison needs a
     # committed artifact: write the full payload (summary keys first,
     # per-query map included) for each round to commit (r3 verdict item 8)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"), "w") as f:
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "BENCH_SUMMARY.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=False)
         f.write("\n")
+    # ALSO archive per round (r4 verdict item 8: r4's summary overwrote
+    # r3's, losing the per-query deltas) — round = newest gated round + 1,
+    # read from the committed CORRECTNESS_r*.json history
+    try:
+        from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.evidence import (
+            latest_gated_round,
+        )
+
+        rnd = latest_gated_round(root) + 1
+        with open(os.path.join(root, f"BENCH_SUMMARY_r{rnd}.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=False)
+            f.write("\n")
+    except Exception as e:  # noqa: BLE001 — archival must never fail the bench
+        print(f"bench archive skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

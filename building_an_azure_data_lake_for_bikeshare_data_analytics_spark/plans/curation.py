@@ -1135,3 +1135,96 @@ def q132(spark, sf):
         F.count(F.lit(1)).cast("int").alias("n_words"),
         F.sum("n").cast("int").alias("n_bpe_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — temperature-scaled source-mixture weights
+# --------------------------------------------------------------------------
+
+_MIX_ALPHAS = (0.3, 0.7, 1.0)  # the multilingual-LM sampling temperatures
+_MIX_TOKEN_BUDGET = 100_000  # tokens the mixture is materialized against
+
+
+@query(
+    "q201_temperature_mix",
+    rf"""WITH tc AS (
+         SELECT source,
+                CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                    AS n_tok
+         FROM documents GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS t FROM tc),
+       a AS (SELECT CAST(unnest([{", ".join(str(a) for a in _MIX_ALPHAS)}]) AS DOUBLE) AS alpha),
+       raw AS (
+         SELECT tc.source, a.alpha, tc.n_tok,
+                exp(a.alpha * ln(tc.n_tok / tot.t)) AS w
+         FROM tc CROSS JOIN tot CROSS JOIN a),
+       z AS (SELECT alpha, sum(w) AS z FROM raw GROUP BY 1)
+       SELECT r.source, r.alpha, r.n_tok AS corpus_tokens,
+              round(r.w / z.z, 6) AS p,
+              CAST(floor({_MIX_TOKEN_BUDGET} * r.w / z.z) AS BIGINT)
+                  AS budget_tokens,
+              round({_MIX_TOKEN_BUDGET} * r.w / z.z / r.n_tok, 6) AS epochs
+       FROM raw r JOIN z USING (alpha)
+       ORDER BY alpha, source""",
+    tags=("curation", "mixture", "temperature", "sampling"),
+)
+def q201(spark, sf):
+    """Temperature-scaled mixture weights: p_i(alpha) proportional to
+    (corpus-token share)^alpha for alpha in {0.3, 0.7, 1.0} — the
+    multilingual-LM sampling-temperature family (alpha=1 is proportional
+    sampling, alpha->0 uniform; 0.3/0.7 are the standard upsampling
+    temperatures for low-resource sources). For each (source, alpha):
+    the normalized probability, the token budget it implies at a fixed
+    total, and the implied epochs over that source (budget/corpus —
+    >1 means the source is repeated, the oversampling signal a curation
+    run monitors). q110 then materializes any chosen row into a concrete
+    document set via its greedy token-budget fill.
+
+    Determinism: the share^alpha power is expressed as exp(alpha*ln(x))
+    IDENTICALLY in both engines (one exp + one ln per row, the q138/q144
+    libm posture); the normalizer z sums |sources| doubles in a per-alpha
+    hash agg over a metadata-scale relation (|sources| x |alphas| rows),
+    then every output is rounded at 6dp.
+
+    Scale shape: one map-side-combinable token-count agg over documents
+    (the only big-data pass), then literal-sized arithmetic; the alpha
+    grid is an exploded literal array."""
+    from ..functions.text import token_count
+
+    tc = (
+        _t(spark, sf, "documents")
+        .select("source", token_count("text").cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tok"))
+    )
+    tot = tc.agg(F.sum("n_tok").cast("double").alias("t"))
+    alphas = F.explode(
+        F.array(*[F.lit(float(a)) for a in _MIX_ALPHAS])
+    ).alias("alpha")
+    raw = (
+        tc.crossJoin(F.broadcast(tot))
+        .select("source", "n_tok", "t", alphas)
+        .select(
+            "source",
+            "alpha",
+            "n_tok",
+            F.exp(F.col("alpha") * F.log(F.col("n_tok") / F.col("t"))).alias("w"),
+        )
+    )
+    z = raw.groupBy("alpha").agg(F.sum("w").alias("z"))
+    return (
+        raw.join(F.broadcast(z), "alpha")
+        .select(
+            "source",
+            "alpha",
+            F.col("n_tok").alias("corpus_tokens"),
+            F.round(F.col("w") / F.col("z"), 6).alias("p"),
+            F.floor(_MIX_TOKEN_BUDGET * F.col("w") / F.col("z"))
+            .cast("bigint")
+            .alias("budget_tokens"),
+            F.round(
+                _MIX_TOKEN_BUDGET * F.col("w") / F.col("z") / F.col("n_tok"), 6
+            ).alias("epochs"),
+        )
+        .orderBy("alpha", "source")
+    )

@@ -27,6 +27,8 @@ incremental-maintenance operators a real deployment layers on top:
   decides how files CLUSTER, the compaction plan decides which small
   files get REWRITTEN together.
 * q162 — change-data-feed as a snapshot diff (insert/update/delete).
+* q199 — reciprocal-rank fusion of the BM25 lexical ranking and a vector
+  cosine ranking (the hybrid-retrieval head of a RAG corpus pipeline).
 
 All carry full DuckDB value oracles.
 """
@@ -258,24 +260,11 @@ WHERE rnk <= 20
 ORDER BY bm25 DESC, doc_id"""
 
 
-@query("q151_bm25_topk", _bm25_oracle(), tags=("retrieval", "bm25", "text"))
-def q151(spark, sf):
-    """BM25 top-20 documents for a fixed query-term set — the lexical
-    retrieval scorer (Robertson k1/b form) a RAG corpus pipeline runs
-    next to the embedding ANN family (q39/q40/q56).
-
-    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
-    score(d) = Σ_t idf · f·(k1+1) / (f + k1·(1 - b + b·len/avglen)).
-
-    Scale shape: the inverted-index term-frequency table is filtered to
-    the query terms AT THE AGGREGATE (tf rows exist only for query terms,
-    so the big relation after the explode is |docs|·|terms| bounded); df
-    and the corpus length stats are tiny broadcast aggregates; per-doc
-    score is one hash agg; the global top-20 is TakeOrderedAndProject
-    (map-side partial top-k, no full sort). The double expression tree
-    (counts and one division chain) is identical cross-engine. BM25 is
-    untyped in the reference (no text ops exist there, SURVEY §2.6) —
-    pure north-star surface like q83."""
+def _bm25_scores(spark, sf):
+    """(doc_id, score) for every document matching >= 1 fixed query term —
+    q151's scorer, shared with the q199 RRF fusion. Per-term contribution
+    rounded to 6dp, summed through an exact decimal (order-independent —
+    the q77/exact_sum rule applied to a float product)."""
     from ..functions.text import tokens
 
     tk = _t(spark, sf, "documents").select(
@@ -296,9 +285,7 @@ def q151(spark, sf):
     tfpart = (F.col("f") * (_BM25_K1 + 1)) / (
         F.col("f") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("len") / avglen)
     )
-    # per-term contribution rounded to 6dp, summed through an exact decimal
-    # (order-independent — the q77/exact_sum rule applied to a float product)
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "tok")
         .join(F.broadcast(dl), "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -309,8 +296,28 @@ def q151(spark, sf):
             .alias("score")
         )
     )
+
+
+@query("q151_bm25_topk", _bm25_oracle(), tags=("retrieval", "bm25", "text"))
+def q151(spark, sf):
+    """BM25 top-20 documents for a fixed query-term set — the lexical
+    retrieval scorer (Robertson k1/b form) a RAG corpus pipeline runs
+    next to the embedding ANN family (q39/q40/q56).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score(d) = Σ_t idf · f·(k1+1) / (f + k1·(1 - b + b·len/avglen)).
+
+    Scale shape: the inverted-index term-frequency table is filtered to
+    the query terms AT THE AGGREGATE (tf rows exist only for query terms,
+    so the big relation after the explode is |docs|·|terms| bounded); df
+    and the corpus length stats are tiny broadcast aggregates; per-doc
+    score is one hash agg; the global top-20 is TakeOrderedAndProject
+    (map-side partial top-k, no full sort). The double expression tree
+    (counts and one division chain) is identical cross-engine. BM25 is
+    untyped in the reference (no text ops exist there, SURVEY §2.6) —
+    pure north-star surface like q83."""
     return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        _bm25_scores(spark, sf).orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
         .select("doc_id", F.round("score", 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -784,3 +791,107 @@ def q166(spark, sf):
         F.floor(F.col("cum_before") / F.col("c")).alias("bin"),
         F.round(F.col("n_rows").cast("double") / F.col("c"), 6).alias("fill_frac"),
     ).orderBy("bin", F.desc("n_rows"), "day")
+
+
+# --------------------------------------------------------------------------
+# q199 — reciprocal-rank fusion of lexical (BM25) and vector retrieval
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard Cormack/Clarke/Buettcher constant
+_RRF_DEPTH = 100  # per-system candidate depth fused
+_RRF_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _rrf_oracle() -> str:
+    bm25 = _bm25_oracle()
+    scored_cte = bm25[bm25.index("WITH ") + 5 : bm25.index(")\nSELECT doc_id") + 1]
+    dot_qe = _RRF_DOT.format(a="qe", b="e.embedding")
+    nq = _RRF_DOT.format(a="qe", b="qe")
+    ne = _RRF_DOT.format(a="e.embedding", b="e.embedding")
+    return f"""
+WITH {scored_cte},
+lexr AS (SELECT doc_id, CAST(rnk AS INTEGER) AS bm25_rank
+         FROM (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+               FROM scored)
+         WHERE rnk <= {_RRF_DEPTH}),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cosd AS (SELECT e.vec_id,
+                round({dot_qe} / (sqrt({nq}) * sqrt({ne})), 4) AS cos
+         FROM embeddings e, qv WHERE e.vec_id <> 0),
+vecr AS (SELECT vec_id AS doc_id, CAST(rnk AS INTEGER) AS cos_rank
+         FROM (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk
+               FROM cosd)
+         WHERE rnk <= {_RRF_DEPTH}),
+fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 round(COALESCE(1.0 / ({_RRF_K} + l.bm25_rank), 0)
+                       + COALESCE(1.0 / ({_RRF_K} + v.cos_rank), 0), 6) AS rrf,
+                 COALESCE(l.bm25_rank, 0) AS bm25_rank,
+                 COALESCE(v.cos_rank, 0) AS cos_rank
+          FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+SELECT doc_id, rrf, bm25_rank, cos_rank FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 20"""
+
+
+@query("q199_rrf_fusion", _rrf_oracle(), tags=("retrieval", "rrf", "hybrid", "vector"))
+def q199(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    the BM25 lexical ranking (q151's scorer, same fixed term set) and a
+    vector ranking (cosine of every corpus embedding against the fixed
+    query vector vec_id=0, the q39 cosine discipline: round-4 + id
+    tie-break) — rrf(d) = sum over systems of 1/(60 + rank_d), ranks
+    capped at depth 100, absent-from-a-system contributing 0 (rank
+    reported as 0). The standard RAG-corpus retrieval head a training
+    pipeline runs next to q151/q39/q40.
+
+    Scale shape: each system's candidate list is produced by
+    TakeOrderedAndProject (distributed partial top-k — the global
+    row_number windows below run over the ALREADY-LIMITED <=100-row
+    relations, never the corpus); the fusion is a full-outer join of two
+    <=100-row relations, broadcastable by construction. At 100 TB the
+    lexical side is bounded by the term-filtered tf relation (q151) and
+    the vector side by the ANN index probe (q40/q56 replace brute force;
+    brute cosine here is the oracle vehicle, the q39 posture)."""
+    from ..functions.vectors import dot, norm
+
+    lex100 = (
+        _bm25_scores(spark, sf)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lexr = lex100.select(
+        "doc_id", F.row_number().over(wl).cast("int").alias("bm25_rank")
+    )
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cos = F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 4)
+    vec100 = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_RRF_DEPTH)
+    )
+    wv = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    vecr = vec100.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).cast("int").alias("cos_rank"),
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("cos_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+        F.coalesce("cos_rank", F.lit(0)).cast("int").alias("cos_rank"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)

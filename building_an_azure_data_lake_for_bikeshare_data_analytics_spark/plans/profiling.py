@@ -2410,3 +2410,91 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("h_cond"), 6).alias("conditional_entropy"),
         F.round(F.col("h_cls") - F.col("h_cond"), 6).alias("information_gain"),
     )
+
+
+# --------------------------------------------------------------------------
+# q200 — cross-source shingle-overlap matrix (corpus forensics)
+# --------------------------------------------------------------------------
+
+@query(
+    "q200_source_overlap",
+    f"""WITH d AS (
+         SELECT source, string_split({_SNM_NORM}, ' ') AS ts
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT source,
+                unnest(list_transform(range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS shingle
+         FROM d WHERE len(ts) >= 3),
+       sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT i.source_a, i.source_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+              CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+              round(i.n_shared / (sa.n + sb.n - i.n_shared), 6) AS jaccard
+       FROM inter i
+       JOIN sizes sa ON i.source_a = sa.source
+       JOIN sizes sb ON i.source_b = sb.source
+       ORDER BY source_a, source_b""",
+    tags=("forensics", "dedup", "source", "jaccard"),
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source content-overlap matrix: per SOURCE pair, how many
+    distinct normalized 3-word shingles the two sources share, and the
+    set-level Jaccard — the corpus-forensics view behind mixture decisions
+    (two crawls of the same site, a mirrored dump, benchmark bleed between
+    sources) that doc-pair dedup (q37/q163) and doc-level contamination
+    (q76) don't aggregate.
+
+    Scale shape: the DISTINCT (source, shingle) projection first — after
+    it, a shingle's fan-out in the self-join is bounded by |sources| (not
+    document frequency), so even a boilerplate shingle appearing in every
+    document contributes at most C(|sources|, 2) pairs: the hot-shingle
+    quadratic that killed q36 is structurally impossible here. Join keyed
+    on the shingle; per-pair counts are map-side-combinable partial sums;
+    output is |sources|^2-bounded (metadata-scale)."""
+    d = _t(spark, sf, "documents").select(
+        "source", F.split(normalized_text("text"), " ").alias("ts")
+    )
+    sh = (
+        d.where(F.size("ts") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 2), "
+                    "i -> concat_ws(' ', slice(ts, i, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

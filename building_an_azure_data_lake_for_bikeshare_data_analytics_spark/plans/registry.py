@@ -10,9 +10,9 @@ from . import analytics_ext  # noqa: F401  (registers q42-q52, q59-q70, q126-q12
 from . import sql_entry  # noqa: F401  (registers q57-q58)
 from . import training  # noqa: F401  (registers q71-q84, q101-q106, q110-q113, q165)
 from . import quality  # noqa: F401  (registers q85-q97, q167)
-from . import curation  # noqa: F401  (registers q114-q125, q129-q132)
-from . import lakehouse  # noqa: F401  (registers q149-q152, q160-q162, q164, q166)
-from . import profiling  # noqa: F401  (registers q169-q198)
+from . import curation  # noqa: F401  (registers q114-q125, q129-q132, q201)
+from . import lakehouse  # noqa: F401  (registers q149-q152, q160-q162, q164, q166, q199)
+from . import profiling  # noqa: F401  (registers q169-q198, q200)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -25,16 +25,22 @@ from . import profiling  # noqa: F401  (registers q169-q198)
 # CORRECTNESS_r*.json history and fail on any drift from this tuple —
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-5 prefix = the 23 never-driver-gated oracled queries (kernel
-# twins q142/q147, then q178-q198) + the 24 queries whose only green row
-# is round 1 (q02-q22 template cohort, q54/q62/q66/q69) + the 3 oldest
-# round-2 entries (q42/q44/q45). Deliberately never scheduled: q46/q81
-# (rows-only sketch values; q134/q136 carry their evidence).
+# Round-5 prefix = the 26 never-driver-gated oracled queries (kernel
+# twins q142/q147, q178-q198, and the new-this-round q199 RRF fusion /
+# q200 source-overlap / q201 temperature-mix) + the 24 queries whose only
+# green row is round 1 (q02-q22 template cohort, q54/q62/q66/q69). The 3
+# oldest round-2 entries (q42/q44/q45) rotated out when q199-q201
+# registered — compliant, their age at the r5 close is 3 (= the bound's
+# floor), and the scheduler makes them lead the r6 cohort. Deliberately
+# never scheduled: q46/q81 (rows-only sketch values; q134/q136 carry
+# their evidence).
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     "q142_embedding_covariance_vectorized",
     "q147_semantic_dedup_cells_vectorized",
     "q183_rolling_distinct_kmv",
+    "q201_temperature_mix",
+    "q199_rrf_fusion",
     "q178_jl_projection",
     "q179_last_touch_attribution",
     "q180_lineitem_correlation",
@@ -55,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q196_benford_digits",
     "q197_stratified_kfold",
     "q198_information_gain",
+    "q200_source_overlap",
     "q02_sum_price_by_dow",
     "q03_avg_price_by_orderdate",
     "q04_sum_price_by_orderdate",
@@ -79,9 +86,6 @@ _PRIORITY: tuple[str, ...] = (
     "q62_bpe_token_count",
     "q66_doc_chunks",
     "q69_source_stats",
-    "q42_hourly_event_stats",
-    "q44_top_tokens",
-    "q45_distinct_users_by_type",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

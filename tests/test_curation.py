@@ -301,3 +301,27 @@ def test_salted_batching_preserves_batch_contract(spark):
     plain = {(r["bucket"], r["batch_id"]) for r in QUERIES[
         "q115_length_bucket_batches"](spark, SF_SMOKE).collect()}
     assert len(rows) >= len(plain)
+
+
+def test_temperature_mix_weights(spark):
+    """q201: per alpha the probabilities sum to 1; alpha=1.0 reproduces
+    proportional sampling exactly; lower alpha compresses the spread
+    (max p decreases, min p increases — the low-resource upsampling
+    contract)."""
+    from collections import defaultdict
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q201_temperature_mix"](spark, SF_SMOKE).collect()
+    by_alpha = defaultdict(list)
+    for r in rows:
+        by_alpha[r["alpha"]].append(r)
+    assert set(by_alpha) == {0.3, 0.7, 1.0}
+    total = sum(r["corpus_tokens"] for r in by_alpha[1.0])
+    for alpha, rs in by_alpha.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4
+    for r in by_alpha[1.0]:
+        assert abs(r["p"] - r["corpus_tokens"] / total) < 1e-5
+    for lo, hi in ((0.3, 0.7), (0.7, 1.0)):
+        assert max(r["p"] for r in by_alpha[lo]) <= max(r["p"] for r in by_alpha[hi]) + 1e-9
+        assert min(r["p"] for r in by_alpha[lo]) >= min(r["p"] for r in by_alpha[hi]) - 1e-9

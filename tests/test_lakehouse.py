@@ -486,3 +486,23 @@ def test_compaction_plan_bins_bounded_and_cover_all_files(spark):
     # decreasing assignment: a bin's largest file is >= the next bin's
     ordered = [max(bins[b]) for b in sorted(bins)]
     assert ordered == sorted(ordered, reverse=True)
+
+
+def test_rrf_fusion_ranks_and_scores(spark, sf_dir):
+    """q199: rrf recomputes from the reported per-system ranks (rank 0 =
+    absent contributes nothing); every bm25 top-20 doc carries the same
+    rank q151 assigns; output is top-20 by fused score."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q199_rrf_fusion"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        expect = (1.0 / (60 + r["bm25_rank"]) if r["bm25_rank"] else 0.0) + (
+            1.0 / (60 + r["cos_rank"]) if r["cos_rank"] else 0.0
+        )
+        assert abs(r["rrf"] - expect) < 1e-6, r
+        assert r["rrf"] > 0
+    bm25 = {r["doc_id"]: i + 1 for i, r in enumerate(QUERIES["q151_bm25_topk"](spark, sf_dir).collect())}
+    fused_lex = {r["doc_id"]: r["bm25_rank"] for r in rows if 0 < r["bm25_rank"] <= 20}
+    for doc_id, rnk in fused_lex.items():
+        assert bm25.get(doc_id) == rnk, (doc_id, rnk, bm25.get(doc_id))

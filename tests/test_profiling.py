@@ -873,3 +873,22 @@ def test_information_gain_vs_numpy(spark):
     assert abs(r["information_gain"] - round(h_cls - h_cond, 6)) < 2e-6
     # IG is non-negative and bounded by the class entropy
     assert -1e-6 <= r["information_gain"] <= r["class_entropy"] + 1e-9
+
+
+def test_source_overlap_matrix_bounds(spark):
+    """q200: at most C(|sources|, 2) rows, Jaccard in [0, 1], shared-count
+    never exceeds either side's distinct-shingle size, and the relation is
+    produced from DISTINCT (source, shingle) so a boilerplate shingle
+    cannot fan out beyond the source count."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q200_source_overlap"](spark, SF_SMOKE).collect()
+    srcs = {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    n = len(srcs)
+    assert 0 < len(rows) <= n * (n - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["n_shared"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+        # Jaccard recomputes from the counts (round-trip check)
+        assert abs(r["jaccard"] - r["n_shared"] / (r["n_a"] + r["n_b"] - r["n_shared"])) < 1e-6

@@ -108,6 +108,8 @@ BNLJ_WHITELIST = {
     "q195_daily_volume_acf": "7-lag spine x bounded day dimension",
     "q196_benford_digits": "1-row total scalar",
     "q198_information_gain": "1-row totals over the bounded contingency",
+    "q199_rrf_fusion": "1-row query vector x 1-row corpus stats; fused sides <=100 rows",
+    "q201_temperature_mix": "1-row total-tokens scalar x 3-alpha literal grid",
 }
 
 

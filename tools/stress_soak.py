@@ -1,0 +1,157 @@
+"""10x scale soak for the r4 heavy hitters (r4 verdict item 5): q163
+prefix-filtered exact Jaccard, q139 incremental span dedup, q186 TF-IDF
+doc pairs, and SemDeDup through the q147 int64 kernel — the queries whose
+boundedness arguments (df cap, cell sizes, prefix regime) most deserve a
+measured second point.
+
+Two corpora from tools/build_stress.build, identical density:
+
+* 20 copies x 1 shard   = 100,000 docs / 40,000 vectors (the r2-r4 corpus)
+* 20 copies x 10 shards = 1,000,000 docs / 400,000 vectors (10x)
+
+The shard axis grows the corpus while keeping dup-group SIZE and density
+constant (per-shard token prefixes / embedding sign-flips — see
+build_stress), so wall-time and shuffle-byte scaling exponents
+``log(t_10x / t_1x) / log(10)`` are clean: ~1.0 = linear, 2.0 = a hidden
+quadratic.
+
+SemDeDup runs k = 64 cells at 1x and k = 640 at 10x — the documented
+production lever (k proportional to corpus so cells stay ~constant-sized;
+SemDeDup uses 50k cells for LAION) — through the deployment-path int64
+kernel (the q146 Column-fold is the oracle vehicle; at real k the fold's
+~600 us/row interpretation cost is exactly what the kernel twin exists to
+avoid). Note the quantizer still trains on the 100k lowest-id vectors
+(KMEANS_TRAIN_ROWS): at 10x that sample covers the first shards only, so
+later shards are assigned to cells of a quantizer that never saw their
+(sign-flipped) region — the realistic drift posture; cell sizes stay
+bounded because argmax spreads unseen regions across cells.
+
+Shuffle bytes come from the Spark UI REST API (stages endpoint, summed
+deltas per query), so each number is the real Exchange traffic of the
+measured plan, not an estimate.
+
+Usage: python tools/stress_soak.py [sf_dir] [workdir]
+(defaults /root/testdata/sf0.1, /tmp/soak; ~30-60 min at 10x)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from build_stress import build  # noqa: E402
+
+SCALES = ((1, 64), (10, 640))  # (shards, semdedup cells)
+
+
+def shuffle_totals(spark) -> tuple[int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over all completed
+    stages, via the UI REST API."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as r:
+        stages = json.load(r)
+    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return rd, wr
+
+
+def measure(spark, label: str, thunk) -> dict:
+    rd0, wr0 = shuffle_totals(spark)
+    t0 = time.time()
+    out = thunk()
+    dt = time.time() - t0
+    rd1, wr1 = shuffle_totals(spark)
+    row = {
+        "label": label,
+        "sec": round(dt, 1),
+        "shuffle_read_mb": round((rd1 - rd0) / 1e6, 1),
+        "shuffle_write_mb": round((wr1 - wr0) / 1e6, 1),
+        **out,
+    }
+    print(
+        f"  {label}: {row['sec']}s  shuffle r/w {row['shuffle_read_mb']}/"
+        f"{row['shuffle_write_mb']} MB  {out}"
+    )
+    return row
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak"
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+        QUERIES,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup_cells,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import get_spark
+
+    spark = get_spark(
+        "stress-soak",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict[int, dict]] = {}
+    for shards, k_cells in SCALES:
+        corpus = os.path.join(work, f"x{shards}")
+        if not os.path.exists(os.path.join(corpus, "embeddings.parquet")):
+            t0 = time.time()
+            nd, ne = build(sf_dir, corpus, copies=20, shards=shards)
+            print(f"built {corpus}: {nd} docs / {ne} vectors [{time.time()-t0:.0f}s]")
+        print(f"--- scale {shards}x ---")
+
+        def count_rows(name):
+            def thunk():
+                df = QUERIES[name](spark, corpus)
+                return {"rows": df.count()}
+
+            return thunk
+
+        rows = {}
+        rows["q163"] = measure(spark, f"q163 prefix-join {shards}x", count_rows("q163_jaccard_prefix_join"))
+        rows["q139"] = measure(spark, f"q139 span-dedup {shards}x", count_rows("q139_incremental_span_dedup"))
+        rows["q186"] = measure(spark, f"q186 tfidf-pairs {shards}x", count_rows("q186_tfidf_doc_pairs"))
+
+        def semdedup():
+            from pyspark.sql import functions as F
+
+            emb = spark.read.parquet(os.path.join(corpus, "embeddings.parquet")).select(
+                "vec_id", "embedding"
+            )
+            cents = kmeans_fit(emb, k=k_cells, max_iter=8)
+            out = semantic_dedup_cells(emb, cents, threshold=0.45, vectorized=True)
+            agg = out.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("kept").alias("kept")
+            ).collect()[0]
+            return {"rows": agg["n"], "kept": int(agg["kept"]), "cells": k_cells}
+
+        rows["semdedup"] = measure(spark, f"semdedup kernel k={k_cells} {shards}x", semdedup)
+        results[shards] = rows
+
+    print("\n=== scaling exponents (wall / shuffle-write), 1x -> 10x ===")
+    for key in ("q163", "q139", "q186", "semdedup"):
+        a, b = results[1][key], results[10][key]
+        ew = math.log(b["sec"] / a["sec"]) / math.log(10)
+        es = (
+            math.log(max(b["shuffle_write_mb"], 0.1) / max(a["shuffle_write_mb"], 0.1))
+            / math.log(10)
+        )
+        print(
+            f"{key}: {a['sec']}s -> {b['sec']}s (exp {ew:.2f}); shuffle "
+            f"{a['shuffle_write_mb']} -> {b['shuffle_write_mb']} MB (exp {es:.2f}); "
+            f"rows {a['rows']} -> {b['rows']}"
+        )
+
+
+if __name__ == "__main__":
+    main()
