@@ -27,6 +27,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.text import word_shingles
 
@@ -343,16 +344,38 @@ def prefix_filter_jaccard_pairs(
     the prefix bound (the rarest shared shingle lands inside every prefix)
     and degrades to the naive join's quadratic bucket — there, only
     approximate candidates (MinHash q37/q98) break the quadratic.
+
+    r5 soak hardening (the 1M-doc measurement's findings, SCALE_NOTES):
+
+    * **PPJoin positional filter** — via a shared shingle at 0-based
+      sorted positions (pa, pb), the intersection is bounded above by
+      1 + min(na - pa - 1, nb - pb - 1) (all further common shingles sit
+      strictly after it in both sorted sets), while J >= t forces
+      inter >= ceil(t/(1+t)(na+nb)). No false negatives: for a true pair
+      the FIRST common shingle's occurrence satisfies the bound, and
+      every qualifying occurrence is kept (a superset of PPJoin's
+      canonical first-occurrence check). Measured 2.5x candidate
+      reduction on the frequent-shingle soak corpus.
+    * **Dictionary-encoded shingles** — every relation after the
+      frequency agg carries a dense int64 rank in the (df, shingle)
+      total order instead of the shingle string, so the candidate join
+      and the verify relation (candidates x shingles-per-doc, the
+      dominant shuffle) move ~24-byte rows, not ~60-byte strings.
+      Sorting by the rank alone IS the (df, shingle) order, so prefix
+      semantics are unchanged. The rank is assigned by a row_number over
+      the DISTINCT-shingle dictionary (vocabulary-scale); at a corpus
+      scale where the vocabulary itself is huge, swap in a distributed
+      sortBy+zipWithIndex — the encode is one dictionary join either way.
     """
-    # feeds the frequency agg, the prefix build, and both verify sides
-    sh = shingle_sets(docs_tokens, shingle_n).localCheckpoint()
+    sh = shingle_sets(docs_tokens, shingle_n)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(freq, "shingle")
-    # array<struct<df,shingle>> sorts by df then shingle: one global total
-    # order, deterministic across partitionings
-    arr = ranked.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ss")
+    dic = freq.select(
+        "shingle",
+        F.row_number().over(W.orderBy("df", "shingle")).cast("long").alias("sid"),
     )
+    # feeds the prefix build and both verify sides: narrow (doc_id, sid)
+    enc = sh.join(dic, "shingle").select("doc_id", "sid").localCheckpoint()
+    arr = enc.groupBy("doc_id").agg(F.sort_array(F.collect_list("sid")).alias("ss"))
     n = F.size("ss")
     # epsilon inside ceil: float t*n can land one ulp ABOVE an exact
     # integer (e.g. 0.3*10 = 3.0000000000000004), which would shorten the
@@ -361,28 +384,39 @@ def prefix_filter_jaccard_pairs(
     # binary-exact and unaffected.
     pref_len = (n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + F.lit(1)).cast("int")
     prefix = arr.select(
-        "doc_id",
-        n.alias("n"),
-        F.slice(F.transform("ss", lambda s: s["shingle"]), F.lit(1), pref_len).alias("pref"),
+        "doc_id", n.alias("n"), F.slice("ss", F.lit(1), pref_len).alias("pref")
     )
-    pj = prefix.select("doc_id", "n", F.explode("pref").alias("shingle"))
+    # posexplode keeps each prefix entry's 0-based position in the global
+    # total order (the prefix is exactly the first pref_len elements) —
+    # the positional filter's input
+    pj = prefix.select("doc_id", "n", F.posexplode("pref").alias("pos", "sid"))
     a, b = pj.alias("a"), pj.alias("b")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
+    )
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sid") == F.col("b.sid"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # -1e-9: same ulp guard as the prefix length — a boundary pair
             # (least == t*greatest exactly) must survive the length filter
             & (
                 F.least(F.col("a.n"), F.col("b.n"))
                 >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(1e-9)
-            ),
+            )
+            & (ubound >= alpha),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, sh, threshold)
+    # int-keyed verify: same _verify_jaccard contract, sid standing in for
+    # the shingle (a bijection — intersection counts are identical)
+    return _verify_jaccard(cand, enc.select("doc_id", F.col("sid").alias("shingle")), threshold)
 
 
 def incremental_near_dedup(

@@ -4,16 +4,36 @@ doc pairs, and SemDeDup through the q147 int64 kernel — the queries whose
 boundedness arguments (df cap, cell sizes, prefix regime) most deserve a
 measured second point.
 
-Two corpora from tools/build_stress.build, identical density:
-
-* 20 copies x 1 shard   = 100,000 docs / 40,000 vectors (the r2-r4 corpus)
-* 20 copies x 10 shards = 1,000,000 docs / 400,000 vectors (10x)
-
-The shard axis grows the corpus while keeping dup-group SIZE and density
-constant (per-shard token prefixes / embedding sign-flips — see
+Two corpus FAMILIES from tools/build_stress.build, each measured at 1x
+and 10x; the shard axis grows a corpus while keeping dup-group SIZE and
+density constant (per-shard token prefixes / embedding sign-flips — see
 build_stress), so wall-time and shuffle-byte scaling exponents
 ``log(t_10x / t_1x) / log(10)`` are clean: ~1.0 = linear, 2.0 = a hidden
 quadratic.
+
+* **replica** (20 copies): 100,000 docs / 40,000 vectors at x1 (the
+  r2-r4 stress corpus), 10 shards = 1,000,000 / 400,000 at x10 — the
+  planted-dup regime q139 (duplicated spans), q186 (dup-group cosine
+  pairs) and SemDeDup (replica vectors at cos 0.999) exist for.
+* **organic** (1 copy): the base docs sharded 20x / 200x with no
+  replicas — q163's DEPLOYMENT regime. The replica corpus is the
+  documented prefix-filter degradation regime (every doc shares ~all
+  shingles with its 19 replicas, so prefix pruning saves nothing and
+  the verify relation is ~pairs x shingles). An x1-replica measurement
+  attempt confirmed the degradation in practice — the verify stage was
+  still running after 18 minutes — so q163's scaling points run on the
+  organic family; on a replica-shaped corpus the documented posture is
+  q37/q98 (LSH candidates + verify), not the prefix join.
+
+The first 10x q163 attempt ALSO filled the box's ~90 GB temp disk: the
+31-token synthetic vocabulary makes every shingle mid-frequency, so
+prefixes prune little and the string-keyed candidate/verify shuffles
+blew past the disk. That finding drove two exact operator hardenings
+(operators/dedup.prefix_filter_jaccard_pairs): the PPJoin positional
+filter (measured 2.5x candidate reduction on this corpus: 6.24M ->
+2.48M pairs at 100k docs) and dictionary-encoded int64 shingle ranks
+(~2.5x narrower rows through the dominant shuffles) — after which the
+1M-doc point fits.
 
 SemDeDup runs k = 64 cells at 1x and k = 640 at 10x — the documented
 production lever (k proportional to corpus so cells stay ~constant-sized;
@@ -47,7 +67,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from build_stress import build  # noqa: E402
 
-SCALES = ((1, 64), (10, 640))  # (shards, semdedup cells)
+SCALES = ((1, 64), (10, 640))  # (shard multiplier, semdedup cells)
 
 
 def shuffle_totals(spark) -> tuple[int, int]:
@@ -101,26 +121,31 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    results: dict[str, dict[int, dict]] = {}
-    for shards, k_cells in SCALES:
-        corpus = os.path.join(work, f"x{shards}")
+    results: dict[int, dict[str, dict]] = {}
+    for mult, k_cells in SCALES:
+        corpus = os.path.join(work, f"x{mult}")
+        organic = os.path.join(work, f"org{mult}")
         if not os.path.exists(os.path.join(corpus, "embeddings.parquet")):
             t0 = time.time()
-            nd, ne = build(sf_dir, corpus, copies=20, shards=shards)
+            nd, ne = build(sf_dir, corpus, copies=20, shards=mult)
             print(f"built {corpus}: {nd} docs / {ne} vectors [{time.time()-t0:.0f}s]")
-        print(f"--- scale {shards}x ---")
+        if not os.path.exists(os.path.join(organic, "documents.parquet")):
+            t0 = time.time()
+            nd, ne = build(sf_dir, organic, copies=1, shards=20 * mult)
+            print(f"built {organic}: {nd} docs (organic) [{time.time()-t0:.0f}s]")
+        print(f"--- scale {mult}x ---")
 
-        def count_rows(name):
+        def count_rows(name, d):
             def thunk():
-                df = QUERIES[name](spark, corpus)
+                df = QUERIES[name](spark, d)
                 return {"rows": df.count()}
 
             return thunk
 
         rows = {}
-        rows["q163"] = measure(spark, f"q163 prefix-join {shards}x", count_rows("q163_jaccard_prefix_join"))
-        rows["q139"] = measure(spark, f"q139 span-dedup {shards}x", count_rows("q139_incremental_span_dedup"))
-        rows["q186"] = measure(spark, f"q186 tfidf-pairs {shards}x", count_rows("q186_tfidf_doc_pairs"))
+        rows["q163"] = measure(spark, f"q163 prefix-join organic {mult}x", count_rows("q163_jaccard_prefix_join", organic))
+        rows["q139"] = measure(spark, f"q139 span-dedup {mult}x", count_rows("q139_incremental_span_dedup", corpus))
+        rows["q186"] = measure(spark, f"q186 tfidf-pairs {mult}x", count_rows("q186_tfidf_doc_pairs", corpus))
 
         def semdedup():
             from pyspark.sql import functions as F
@@ -135,8 +160,8 @@ def main() -> None:
             ).collect()[0]
             return {"rows": agg["n"], "kept": int(agg["kept"]), "cells": k_cells}
 
-        rows["semdedup"] = measure(spark, f"semdedup kernel k={k_cells} {shards}x", semdedup)
-        results[shards] = rows
+        rows["semdedup"] = measure(spark, f"semdedup kernel k={k_cells} {mult}x", semdedup)
+        results[mult] = rows
 
     print("\n=== scaling exponents (wall / shuffle-write), 1x -> 10x ===")
     for key in ("q163", "q139", "q186", "semdedup"):

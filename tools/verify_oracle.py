@@ -74,7 +74,8 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in sorted(qs.items()):
-        if only and name not in only:
+        # accept both full names and bare qNN prefixes (q05 == q05_...)
+        if only and name not in only and name.split("_", 1)[0] not in only:
             continue
         t0 = time.time()
         try:
