@@ -1,4 +1,5 @@
-"""Lakehouse table-maintenance and analytics extensions (q149-q152, q160).
+"""Lakehouse table-maintenance and analytics extensions
+(q149-q152, q160-q162, q164, q166, q199).
 
 The reference pipeline rebuilds its gold tables with full overwrites
 (SURVEY.md §2.1 S2/S3 — ``mode("overwrite")`` per notebook cell); a

@@ -87,6 +87,11 @@ def measure(spark, label: str, thunk) -> dict:
     t0 = time.time()
     out = thunk()
     dt = time.time() - t0
+    # the REST status store is fed by an ASYNC listener bus — for a query
+    # whose stages finish right before the read, the post-snapshot can
+    # miss the tail (observed: a 3-Exchange plan reporting 0 bytes). Let
+    # the bus drain before the delta.
+    time.sleep(3)
     rd1, wr1 = shuffle_totals(spark)
     row = {
         "label": label,
