@@ -84,7 +84,15 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         df = QUERIES[name](spark, stress_dir)
-        n = df.count()
+        # hash-forced, not a bare count: count() lets Catalyst eliminate
+        # an outer-join-vs-unique-keys tail (q149's matched arm is one);
+        # referencing every output column keeps the full plan timed.
+        from pyspark.sql import functions as F
+
+        n = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+        ).collect()[0]["n"]
         dt = time.time() - t0
         extra = ""
         if name == "q153_minhash_jaccard_estimate":

@@ -141,9 +141,22 @@ def main() -> None:
         print(f"--- scale {mult}x ---")
 
         def count_rows(name, d):
+            # NOT df.count(): a bare count lets Catalyst ELIMINATE a
+            # left-join-against-unique-keys tail (it cannot change the
+            # row count), and q139's whole dup-detection subtree hangs
+            # off exactly such a join — the first soak pass timed only
+            # its map-side gram build (0 shuffle stages, measured).
+            # Hashing every output column references the full plan, so
+            # nothing is elimination-eligible; one job, no driver rows.
             def thunk():
+                from pyspark.sql import functions as F
+
                 df = QUERIES[name](spark, d)
-                return {"rows": df.count()}
+                row = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+                ).collect()[0]
+                return {"rows": row["n"]}
 
             return thunk
 
