@@ -35,9 +35,16 @@ everything from (a) the JSON files and (b) oracle-string identity:
      ``eff(q) >= R - (STALENESS_BOUND - 1)``. With ~193 oracled queries
      and a 50-slot gate, a full rotation takes ceil(193/50) = 4 rounds,
      so the tightest feasible bound is STALENESS_BOUND = 4 (evidence at
-     most 3 rounds old at close). The checker fails when the mandatory
-     set (never-green + would-age-out) exceeds 50 — the signal to trim
-     the registry or split a round.
+     most 3 rounds old at close).
+  4. (overflow) when never-green registrations plus would-age-out
+     queries exceed the 50 slots, the NEWEST never-green entries are
+     deferred to lead the next round (they have no evidence that can go
+     stale; aged-out queries do, so the bound takes the slots) — the
+     same scheduling the late-r4 q178-q198 batch got. The checker fails
+     only when the would-age-out set ALONE exceeds 50: then no deferral
+     can save the bound and the registry must shrink (capacity math:
+     bound 4 sustains at most 200 oracled queries; deferral handles
+     transient bunching, not over-capacity).
 
   Rows-only queries (``oracle is None``: q46/q81, engine-private sketch
   values) are deliberately never scheduled — their value-checkable
@@ -139,12 +146,21 @@ def build_prefix(
     registry: dict[str, QuerySpec] | None = None,
     green: dict[str, list[int]] | None = None,
     k: int = GATE_SLOTS,
+    root: str | None = None,
 ) -> list[str]:
     """The deterministic round-N gate prefix: never-self-green oracled
     queries in registry insertion order, then ascending effective-green
-    round (insertion order tie-break)."""
+    round (insertion order tie-break).
+
+    Overflow rule: when never-green registrations plus would-age-out
+    queries exceed the k slots, the NEWEST never-green entries (registry
+    insertion order = registration order; new query modules import last)
+    are deferred — a brand-new query has no evidence that can go stale,
+    while an aged-out one does, so the staleness bound takes the slots.
+    Rule 1 makes every deferred query lead the next round's prefix; this
+    is exactly how the late-r4 q178-q198 batch was scheduled into r5."""
     registry = registry if registry is not None else REGISTRY
-    green = green if green is not None else load_green_history()
+    green = green if green is not None else load_green_history(root)
     order = list(registry)
     twins = oracle_twin_groups(registry)
     eff = effective_green(green, twins)
@@ -154,6 +170,10 @@ def build_prefix(
         (q for q in oracled if q in green),
         key=lambda q: (eff[q], order.index(q)),
     )
+    floor = latest_gated_round(root) + 1 - (STALENESS_BOUND - 1)
+    n_aged = sum(1 for q in rest if eff[q] < floor)
+    if len(never_self) + n_aged > k:
+        never_self = never_self[: max(0, k - n_aged)]
     return (never_self + rest)[:k]
 
 
@@ -172,7 +192,7 @@ def check(
     this_round = latest_gated_round(root) + 1
     violations: list[str] = []
 
-    expected = build_prefix(registry, green)
+    expected = build_prefix(registry, green, root=root)
     if list(prefix) != expected:
         drift = [
             f"slot {i}: have {a}, schedule says {b}"
@@ -197,18 +217,26 @@ def check(
         for q in oracled
     }
     for q in oracled:
+        if q not in green and q not in in_prefix:
+            # a deferred never-green query has no evidence to go stale;
+            # legitimacy (the prefix really was full of mandatory work) is
+            # covered by the drift check against build_prefix's overflow
+            # rule, and rule 1 forces it to lead the next round's prefix
+            continue
         if post[q] < floor:
             violations.append(
                 f"{q}: evidence would still be round {post[q]} after a green "
                 f"round-{this_round} gate (floor r{floor}) and it is not in "
                 "the prefix"
             )
-    mandatory = [q for q in oracled if q not in green or eff[q] < floor]
-    if len(mandatory) > GATE_SLOTS:
+    aged_out = [q for q in oracled if q in green and eff[q] < floor]
+    if len(aged_out) > GATE_SLOTS:
         violations.append(
-            f"mandatory set ({len(mandatory)}) exceeds {GATE_SLOTS} gate "
-            "slots — trim the registry or split the round"
+            f"aged-out set ({len(aged_out)}) exceeds {GATE_SLOTS} gate "
+            "slots — unschedulable even deferring every new query; trim "
+            "the registry or split the round"
         )
+    deferred = [q for q in oracled if q not in green and q not in in_prefix]
 
     report = {
         "round": this_round,
@@ -226,6 +254,7 @@ def check(
             }
             for q in oracled
         },
+        "deferred_new": deferred,
         "violations": violations,
     }
     return violations, report

@@ -44,10 +44,29 @@ def test_twin_groups_are_verbatim_oracle_identity():
 
 
 def test_never_green_queries_lead_the_prefix():
+    """Every never-driver-gated oracled query is in the prefix UNLESS the
+    overflow rule deferred it (never-green + would-age-out > 50 slots, the
+    newest registrations wait and lead next round) — in which case it must
+    be exactly what the deterministic schedule deferred, and the prefix
+    must be completely full of mandatory work."""
     green = evidence.load_green_history()
     oracled = [q for q in REGISTRY if REGISTRY[q].oracle is not None]
     never = [q for q in oracled if q not in green]
-    assert set(never) <= set(_PRIORITY), (
-        "never-driver-gated oracled queries missing from the gate prefix: "
-        f"{sorted(set(never) - set(_PRIORITY))}"
-    )
+    deferred = sorted(set(never) - set(_PRIORITY))
+    if deferred:
+        expected = evidence.build_prefix()
+        assert len(expected) == evidence.GATE_SLOTS
+        assert sorted(set(never) - set(expected)) == deferred, (
+            "hand-deferred never-green queries drift from the schedule's "
+            f"overflow rule: {deferred} vs {sorted(set(never) - set(expected))}"
+        )
+        # deferral is only legitimate when mandatory work fills the gate
+        twins = evidence.oracle_twin_groups()
+        eff = evidence.effective_green(green, twins)
+        floor = evidence.latest_gated_round() + 1 - (evidence.STALENESS_BOUND - 1)
+        n_aged = sum(1 for q in oracled if q in green and eff[q] < floor)
+        n_never_kept = len(set(never) & set(_PRIORITY))
+        assert n_aged + n_never_kept >= evidence.GATE_SLOTS, (
+            f"{deferred} deferred while the prefix had free non-mandatory "
+            f"slots ({n_aged} aged + {n_never_kept} never-green kept)"
+        )
