@@ -513,3 +513,89 @@ def simhash64(col: Column) -> Column:
     active SparkSession.
     """
     return F.pandas_udf(_simhash_batch, "long")(col)
+
+
+def prefix_filter_containment_pairs(
+    docs_tokens: DataFrame,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact >=threshold set-CONTAINMENT pairs: every directed (doc_a,
+    doc_b) with ``|A ∩ B| / |A| >= t`` — doc_a's shingle set mostly inside
+    doc_b's. The asymmetric relative of q163's Jaccard join: Jaccard
+    misses a short quote embedded in a long page (the union term dilutes
+    it), while containment is exactly the "is A quoted/subsumed by B"
+    question a training-data pipeline asks before dropping sub-documents.
+
+    Prefix filtering is ONE-SIDED here, which is the structural difference
+    from the symmetric join: containment needs ``inter >= ceil(t*|A|)``,
+    and only A's set size appears in the bound — so A joins through its
+    rarest ``|A| - ceil(t*|A|) + 1`` shingles (pigeonhole: fewer than
+    ceil(t*|A|) shingles sit outside that prefix, so some common shingle
+    is in it), while B must index its FULL set (the common shingle can sit
+    anywhere in B; there is no B-prefix with the no-false-negative
+    property). Candidate cost is sum over shingles of
+    prefix_df * full_df — still rare-shingle-keyed on the A side, the side
+    the bound lets us prune. Two extra exact prunes ride the join: the
+    size filter ``|B| >= ceil(t*|A|)`` (B must have room for the required
+    intersection) and the positional filter ``1 + min(|A|-pa-1, |B|-pb-1)
+    >= ceil(t*|A|)`` (both sets sorted in the same global (df, shingle)
+    order; a first common occurrence always satisfies it). Same int64
+    dictionary encoding as the Jaccard join — strings never ride the
+    candidate or verify shuffles.
+
+    Returns (doc_a, doc_b, containment) — directed; a near-exact dup pair
+    appears in both directions, a quote only as (quote, page).
+    """
+    sh = shingle_sets(docs_tokens, shingle_n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dic = freq.select(
+        "shingle",
+        F.row_number().over(W.orderBy("df", "shingle")).cast("long").alias("sid"),
+    )
+    enc = sh.join(dic, "shingle").select("doc_id", "sid").localCheckpoint()
+    arr = enc.groupBy("doc_id").agg(F.sort_array(F.collect_list("sid")).alias("ss"))
+    n = F.size("ss")
+    # same 1e-9 ulp guard as the Jaccard join: only ever LENGTHENS the
+    # prefix / LOOSENS a filter — the safe direction for exactness
+    need = F.ceil(F.lit(threshold) * n - F.lit(1e-9))  # required intersection
+    pref_len = (n - need + F.lit(1)).cast("int")
+    a = arr.select(
+        "doc_id", n.alias("na"), F.posexplode(F.slice("ss", F.lit(1), pref_len)).alias("pa", "sid")
+    )
+    b = arr.select("doc_id", n.alias("nb"), F.posexplode("ss").alias("pb", "sid"))
+    need_a = F.ceil(F.lit(threshold) * F.col("a.na") - F.lit(1e-9))
+    cand = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.nb") >= need_a)
+            & (
+                1
+                + F.least(
+                    F.col("a.na") - F.col("a.pa") - 1, F.col("b.nb") - F.col("b.pb") - 1
+                )
+                >= need_a
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ea = enc.select(F.col("doc_id").alias("doc_a"), "sid")
+    eb = enc.select(F.col("doc_id").alias("doc_b"), "sid")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "sid"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = arr.select("doc_id", n.alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cont = F.col("inter") / F.col("na")
+    return (
+        inter.join(sa, "doc_a")
+        .where(cont >= threshold)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )

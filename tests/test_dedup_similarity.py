@@ -285,3 +285,94 @@ def test_prefix_filter_jaccard_nonbinary_threshold(spark):
             if j >= 0.3:
                 want[(a, b)] = round(j, 4)
     assert got == want and want
+
+
+def _containment_truth(docs, threshold):
+    """Brute-force directed containment over a tokenized docs df."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in shingle_sets(docs).groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh")).collect()
+    }
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b:
+                c = len(sa & sb) / len(sa)
+                if c >= threshold:
+                    want[(a, b)] = round(c, 4)
+    return want
+
+
+def test_containment_equals_exhaustive_corpus(spark):
+    """q204's one-sided prefix-filtered containment join is EXACT: equal
+    to the brute-force directed |A∩B|/|A| >= 0.9 pair set on the real
+    corpus (operators/dedup.prefix_filter_containment_pairs)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.base import _t
+
+    docs = _t(spark, SF_SMOKE, "documents").select("doc_id", tokens("text").alias("ts"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in QUERIES["q204_containment_join"](spark, SF_SMOKE).collect()
+    }
+    assert got == _containment_truth(docs, 0.9) and got
+
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    """The operator's reason to exist: a short passage quoted inside a
+    long page has high containment but low Jaccard. The directed pair
+    (quote, page) must appear WITHOUT its reverse, and the same pair must
+    be invisible to the symmetric >=0.5 Jaccard join."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        prefix_filter_containment_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    page = (
+        "intro paragraph about storage engines and columnar layouts "
+        + BASE
+        + " closing thoughts compare shuffle hash join and sort merge join strategies"
+    )
+    rows = [
+        Row(doc_id=1, text=BASE),  # the quote
+        Row(doc_id=2, text=page),  # the page embedding it
+        Row(doc_id=3, text="unrelated essay on watermark semantics in streaming systems today"),
+    ]
+    docs = spark.createDataFrame(rows).select("doc_id", tokens("text").alias("ts"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in prefix_filter_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == _containment_truth(docs, 0.9)
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # directed: the page is NOT inside the quote
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_containment_nonbinary_threshold(spark):
+    """t = 0.7 exercises the ulp guards on the containment bound
+    (ceil(0.7*n) sits one ulp above exact integers for n % 10 == 0)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        prefix_filter_containment_pairs,
+    )
+
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE.replace("lazy", "sleepy")),
+        Row(doc_id=3, text=BASE + " extra trailing commentary appended at the end here"),
+        Row(doc_id=4, text="entirely disjoint content about query engines and window functions"),
+    ]
+    docs = spark.createDataFrame(rows).select("doc_id", tokens("text").alias("ts"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in prefix_filter_containment_pairs(docs, threshold=0.7).collect()
+    }
+    assert got == _containment_truth(docs, 0.7) and got
