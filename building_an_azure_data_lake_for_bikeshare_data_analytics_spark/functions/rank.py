@@ -1,0 +1,64 @@
+"""Distributed global row numbering.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY plans as a
+single-partition window — every row through one task, the classic scale
+ceiling. When the ordered relation is bounded (distinct days, k
+centroids, a top-k'd head) that is fine and this module is NOT needed;
+when it is data-scale (a shingle vocabulary, a fact table), use
+``distributed_row_number``: a two-level scheme that keeps every
+per-row pass distributed.
+
+1. bucket each row by an ORDER-CONSISTENT coarsening of the sort key
+   (``b1 < b2  =>  every row in b1 sorts before every row in b2``);
+2. per-bucket counts -> one cumulative-sum window over the BUCKET
+   relation only (coarse by construction; recurse if even that is huge);
+3. global number = bucket offset + row_number within the bucket — the
+   per-bucket windows run in parallel across the cluster.
+
+The result is row-for-row IDENTICAL to the single-partition
+``row_number`` (both realize the same total order), so swapping one for
+the other can never change query output — pinned in
+tests/test_functions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: columns injected into the input relation during numbering
+_BKT, _OFF, _RN = "__rank_bkt", "__rank_off", "__rank_rn"
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    bucket: Column,
+    out: str = "rn",
+) -> DataFrame:
+    """Append ``out`` = the global 1-based row number of each row under
+    ``ORDER BY order_cols`` (which must be a total order — include a
+    tie-breaking key), computed without any single-partition pass over
+    the data.
+
+    ``bucket`` must be an order-consistent coarsening of ``order_cols``:
+    comparing buckets must agree with comparing sort keys whenever the
+    buckets differ (e.g. for ORDER BY (df, shingle): ``struct(df,
+    substring(shingle, 1, 8))`` — a string prefix can only tie or agree
+    with the full string). Granularity is the scale lever: the offset
+    cumsum runs over one row per DISTINCT bucket, the per-bucket windows
+    over one bucket each.
+    """
+    b = df.withColumn(_BKT, bucket)
+    counts = b.groupBy(_BKT).agg(F.count(F.lit(1)).alias("__n"))
+    # the only ordered global pass — over DISTINCT buckets, not rows
+    cum = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _BKT, F.coalesce(F.sum("__n").over(cum), F.lit(0)).alias(_OFF)
+    )
+    win = Window.partitionBy(_BKT).orderBy(*order_cols)
+    return (
+        b.join(offsets, _BKT)
+        .withColumn(out, (F.row_number().over(win) + F.col(_OFF)).cast("long"))
+        .drop(_BKT, _OFF)
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.rank import distributed_row_number
 from ..functions.text import word_shingles
 
 
@@ -362,17 +363,24 @@ def prefix_filter_jaccard_pairs(
       and the verify relation (candidates x shingles-per-doc, the
       dominant shuffle) move ~24-byte rows, not ~60-byte strings.
       Sorting by the rank alone IS the (df, shingle) order, so prefix
-      semantics are unchanged. The rank is assigned by a row_number over
-      the DISTINCT-shingle dictionary (vocabulary-scale); at a corpus
-      scale where the vocabulary itself is huge, swap in a distributed
-      sortBy+zipWithIndex — the encode is one dictionary join either way.
+      semantics are unchanged. The rank is assigned by
+      functions/rank.distributed_row_number (r5: replaced the naive
+      global row_number, whose single-partition window was the last
+      vocabulary-scale serial pass in this path) — the encode is one
+      dictionary join either way.
     """
     sh = shingle_sets(docs_tokens, shingle_n)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    dic = freq.select(
-        "shingle",
-        F.row_number().over(W.orderBy("df", "shingle")).cast("long").alias("sid"),
-    )
+    # the (df, shingle) dense rank is VOCABULARY-scale, so it must not run
+    # as a single-partition window: distributed_row_number buckets by
+    # (df, 8-char shingle prefix) — an order-consistent coarsening — and
+    # the result is row-identical to the naive global row_number
+    dic = distributed_row_number(
+        freq,
+        ["df", "shingle"],
+        F.struct("df", F.substring("shingle", 1, 8)),
+        out="sid",
+    ).select("shingle", "sid")
     # feeds the prefix build and both verify sides: narrow (doc_id, sid)
     enc = sh.join(dic, "shingle").select("doc_id", "sid").localCheckpoint()
     arr = enc.groupBy("doc_id").agg(F.sort_array(F.collect_list("sid")).alias("ss"))
@@ -549,10 +557,16 @@ def prefix_filter_containment_pairs(
     """
     sh = shingle_sets(docs_tokens, shingle_n)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    dic = freq.select(
-        "shingle",
-        F.row_number().over(W.orderBy("df", "shingle")).cast("long").alias("sid"),
-    )
+    # the (df, shingle) dense rank is VOCABULARY-scale, so it must not run
+    # as a single-partition window: distributed_row_number buckets by
+    # (df, 8-char shingle prefix) — an order-consistent coarsening — and
+    # the result is row-identical to the naive global row_number
+    dic = distributed_row_number(
+        freq,
+        ["df", "shingle"],
+        F.struct("df", F.substring("shingle", 1, 8)),
+        out="sid",
+    ).select("shingle", "sid")
     enc = sh.join(dic, "shingle").select("doc_id", "sid").localCheckpoint()
     arr = enc.groupBy("doc_id").agg(F.sort_array(F.collect_list("sid")).alias("ss"))
     n = F.size("ss")

@@ -112,3 +112,45 @@ def test_cosine_known_values(spark):
     df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[0.0, 1.0]), Row(a=[1.0, 1.0], b=[1.0, 1.0])])
     got = [r["c"] for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 9).alias("c")).collect()]
     assert got == [0.0, 1.0]
+
+
+def test_distributed_row_number_equals_global_window(spark):
+    """functions/rank.distributed_row_number is row-identical to the
+    single-partition row_number() OVER (ORDER BY ...) it replaces — on
+    the real shingle vocabulary (with genuine df ties) and under a
+    deliberately coarse bucket."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.rank import (
+        distributed_row_number,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+        tokens,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        shingle_sets,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.base import _t
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    freq = shingle_sets(docs).groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    want = {
+        r["shingle"]: r["rn"]
+        for r in freq.select(
+            "shingle", F.row_number().over(Window.orderBy("df", "shingle")).alias("rn")
+        ).collect()
+    }
+    for bucket in (
+        F.struct("df", F.substring("shingle", 1, 8)),
+        F.struct("df", F.substring("shingle", 1, 1)),  # coarse: big buckets
+        F.lit(1),  # degenerate: one bucket = the naive window itself
+    ):
+        got = {
+            r["shingle"]: r["rn"]
+            for r in distributed_row_number(freq, ["df", "shingle"], bucket).collect()
+        }
+        assert got == want
+    assert len(want) > 1000  # the vocabulary actually exercised ties/buckets
