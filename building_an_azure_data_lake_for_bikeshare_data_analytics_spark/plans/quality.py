@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.agg import exact_sum
+from ..functions.rank import distributed_row_number
 from ..functions.text import normalized_text, tokens
 from .base import _t, query
 
@@ -67,16 +68,39 @@ def q85(spark, sf):
     tags=("quality", "ntile", "window"),
 )
 def q86(spark, sf):
-    """Equi-depth decile binning via ntile — the quantile-bucket operator
+    """Equi-depth decile binning — the quantile-bucket operator
     (data-profiling / outlier-capping primitive). The ORDER BY carries
     o_orderkey as total tie-break so both engines assign identical
-    buckets. Scale note: a global ntile is a single-partition sort; at
-    100 TB compute cut points with approx_percentile (t-digest) and
-    assign buckets map-side instead — q67/q81 hold that path."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    buckets.
+
+    r5: no longer a global ntile window (single-partition sort over the
+    fact table). The EXACT same assignment now computes distributed:
+    functions/rank.distributed_row_number gives each order its global
+    (price, key) rank with only a distinct-bucket-sized serial pass
+    (bucket = floor(price), order-consistent), and ntile's documented
+    split — the first n % k tiles get ceil(n/k) rows, the rest
+    floor(n/k) — is closed-form from (rank, n). Value-identical to the
+    window ntile by construction (same total order, same split rule);
+    the oracle keeps DuckDB's native ntile as the cross-check. For
+    APPROXIMATE quantiles at even lower cost, q67/q81 hold the
+    approx_percentile path."""
+    orders = _t(spark, sf, "orders")
+    ranked = distributed_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        F.floor("o_totalprice"),
+        out="rn",
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("__n"))
+    k = F.lit(10)
+    q, r = F.floor(F.col("__n") / k), F.col("__n") % k
+    head = r * (q + 1)  # rows living in the first r (bigger) tiles
+    decile = F.when(
+        F.col("rn") <= head, F.ceil(F.col("rn") / (q + 1))
+    ).otherwise(r + F.ceil((F.col("rn") - head) / q)).cast("int")
     return (
-        _t(spark, sf, "orders")
-        .select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.crossJoin(F.broadcast(n))
+        .select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

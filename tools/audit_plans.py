@@ -35,6 +35,7 @@ BNLJ_WHITELIST = {
     "q74_pack_sequences": "1-row scalar (bin capacity) broadcast",
     "q77_moment_stats": "1-row global moment scalars",
     "q84_value_outliers": "1-row per-type stats broadcast",
+    "q86_price_deciles": "1-row total-count scalar (exact distributed ntile)",
     "q96_trailing_hour_stats": "RANGE frame spine (bounded)",
     "q101_source_quota_cap": "1-row quota scalar",
     "q107_cms_heavy_hitters": "1-row total-count scalar",
