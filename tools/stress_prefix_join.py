@@ -118,6 +118,44 @@ def main() -> None:
         f"speedup {t_exh / t_pref:.1f}x"
     )
 
+    # same regime for the DIRECTED containment join (q204): the exhaustive
+    # formulation pays the identical footer-bucket blowup; the one-sided
+    # prefix join keys candidates only on A-side rare body shingles
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (  # noqa: E402
+        prefix_filter_containment_pairs,
+    )
+
+    def exhaustive_containment(docs, threshold=0.9):
+        sh = shingle_sets(docs, 3)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        cont = F.col("inter") / F.col("na")
+        return (
+            pairs.join(sa, "doc_a")
+            .where(cont >= threshold)
+            .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        )
+
+    t0 = time.time()
+    c_exact = sorted(map(tuple, exhaustive_containment(docs).collect()))
+    t_cexh = time.time() - t0
+    t0 = time.time()
+    c_pref = sorted(map(tuple, prefix_filter_containment_pairs(docs, threshold=0.9).collect()))
+    t_cpref = time.time() - t0
+    assert c_pref == c_exact, f"containment differs: {len(c_pref)} vs {len(c_exact)}"
+    assert len(c_exact) >= 2 * n_dup, "planted dups must qualify in both directions"
+    print(
+        f"containment>=0.9 directed_pairs={len(c_exact)} | "
+        f"exhaustive {t_cexh:.1f}s | prefix-filtered {t_cpref:.1f}s | "
+        f"speedup {t_cexh / t_cpref:.1f}x"
+    )
+
 
 if __name__ == "__main__":
     main()
