@@ -166,3 +166,74 @@ def lm_score_pairs_smoothed(
         F.count(F.lit(1)).cast("int").alias("n_pairs"),
         F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
     )
+
+
+def lm_fit_kn(
+    pairs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train the interpolated Kneser-Ney bigram model (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.24, absolute discount D = 0.75): returns
+
+    * ``bg`` (w1, w2, c12)   — the bigram count table every other model
+      table derives from (callers checkpoint it once and reuse),
+    * ``fw`` (w1, c1p, n1fw) — per-history pair total and distinct-follower
+      count (the forward continuation fan-out),
+    * ``bw`` (w2, n1bw)      — distinct-predecessor count (the backward
+      continuation count that replaces the raw unigram),
+    * ``nb`` (nbig)          — total distinct bigram types (1-row scalar).
+
+    Everything derives from ONE aggregation of the pair relation; the
+    model tables are vocab-bounded, so fitting costs a single corpus pass
+    + metadata-scale reaggregation — the same shape that lets n-gram
+    models train over petabyte corpora.
+    """
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    fw = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1p"), F.count(F.lit(1)).alias("n1fw")
+    )
+    bw = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bw"))
+    nb = bg.agg(F.count(F.lit(1)).alias("nbig"))
+    return bg, fw, bw, nb
+
+
+def lm_score_pairs_kn(
+    pairs: DataFrame,
+    bg: DataFrame,
+    fw: DataFrame,
+    bw: DataFrame,
+    nb: DataFrame,
+) -> DataFrame:
+    """Score a (doc_id, w1, w2) pair relation under the fitted KN model:
+
+        p(w2|w1) = (c(w1,w2) - D  +  D * n1+(w1,.) * pcont(w2)) / c(w1,.)
+        pcont(w2) = n1+(.,w2) / n1+(..),  D = 0.75
+
+    Determinism (the q138 discipline, with the decimal-literal trap
+    handled): every int count is cast to double EXPLICITLY on both
+    engines, D = 0.75 is dyadic-exact, and the numerator is evaluated in
+    one fixed parenthesization — (c12 - 0.75) + (0.75 * n1fw) *
+    (n1bw / nbig) — so both engines round identically at each IEEE step.
+    The single ln() is quantized to DECIMAL(18,12) making per-doc sums
+    exact integer arithmetic (order-independent), then one double
+    division + round-6. Train-on-self scoring keeps the joins inner
+    (every pair is in the model); c12 >= 1 means c12 - D >= 0.25 > 0, so
+    the max(.,0) clamp of the general formula is a provable no-op here.
+
+    Scale shape: joins keyed (w1, w2) / w1 / w2 against vocab-bounded
+    model tables; ``nbig`` broadcast as the one whitelisted 1-row scalar.
+    """
+    num = (F.col("c12").cast("double") - F.lit(0.75)) + (
+        F.lit(0.75) * F.col("n1fw").cast("double")
+    ) * (F.col("n1bw").cast("double") / F.col("nbig").cast("double"))
+    lp = F.log(num / F.col("c1p").cast("double")).cast(DecimalType(18, 12))
+    term = (
+        pairs.join(bg, ["w1", "w2"])
+        .join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_pairs"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp_kn"),
+    )

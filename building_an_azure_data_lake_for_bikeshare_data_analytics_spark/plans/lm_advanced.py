@@ -1,0 +1,148 @@
+"""Advanced language-model curation heads — q206 Kneser-Ney perplexity
+scoring, q208 vocabulary coverage curve.
+
+No reference counterpart (the bikeshare notebook has zero text ops,
+SURVEY.md §2.6); these extend the q138 bigram-LM quality-filter family
+with the smoothing actually used by CCNet-class filters and the
+coverage diagnostic used to size tokenizer vocabularies (q131's BPE).
+
+Registered after plans/timeseries.py in plans/registry.py: registry
+insertion order is registration order, which the gate scheduler's
+overflow rule depends on (plans/evidence.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.rank import distributed_row_number
+from ..functions.text import tokens
+from ..operators.lm import lm_fit_kn, lm_pairs, lm_score_pairs_kn
+from .base import _t, query
+
+
+@query(
+    "q206_kneser_ney_lm_score",
+    r"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                   FROM documents),
+       pairs AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                 FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+                       FROM tok WHERE len(ts) >= 2)),
+       bg AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+       fw AS (SELECT w1, sum(c12) AS c1p, count(*) AS n1fw FROM bg GROUP BY 1),
+       bw AS (SELECT w2, count(*) AS n1bw FROM bg GROUP BY 1),
+       nb AS (SELECT count(*) AS nbig FROM bg),
+       term AS (SELECT p.doc_id,
+                       CAST(ln(((CAST(c12 AS DOUBLE) - 0.75)
+                                + (0.75 * CAST(n1fw AS DOUBLE))
+                                  * (CAST(n1bw AS DOUBLE) / CAST(nbig AS DOUBLE)))
+                               / CAST(c1p AS DOUBLE)) AS DECIMAL(18,12)) AS lp
+                FROM pairs p JOIN bg USING (w1, w2) JOIN fw USING (w1)
+                     JOIN bw USING (w2) CROSS JOIN nb)
+       SELECT doc_id,
+              CAST(count(*) AS INTEGER) AS n_pairs,
+              round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp_kn
+       FROM term GROUP BY doc_id""",
+    tags=("text", "quality", "lm", "kneser-ney", "perplexity"),
+)
+def q206(spark, sf):
+    """Interpolated Kneser-Ney bigram scoring — the smoothing CCNet-class
+    quality filters actually ship (Chen & Goodman 1999 eq. 4.24,
+    D = 0.75): p(w2|w1) backs off to the CONTINUATION probability
+    n1+(.,w2)/n1+(..) rather than the raw unigram, so boilerplate tokens
+    that follow only one history stop looking probable. Upgrades q138's
+    add-one model; same output contract (per-doc mean log-prob).
+
+    Determinism: the q138 discipline plus the decimal-literal trap
+    handled — every int count is EXPLICITLY cast to double in both
+    engines (DuckDB parses bare 0.75 as DECIMAL(3,2); mixed int-decimal
+    arithmetic there would not match Spark's double path), the numerator
+    keeps one fixed parenthesization, and the single ln() is quantized
+    to DECIMAL(18,12) so per-doc sums are exact integer arithmetic.
+    c12 >= 1 implies c12 - D >= 0.25, so the max(.,0) clamp of the
+    general formula is a provable no-op for train-on-self scoring.
+
+    Scale shape: ONE pass over the checkpointed pair relation builds the
+    bigram table; the three model tables reaggregate that vocab-bounded
+    relation (metadata-scale); scoring joins are keyed (w1,w2)/w1/w2 and
+    ``nbig`` is the one whitelisted 1-row broadcast scalar. No driver
+    state, no per-group sort — the petabyte n-gram-filter shape."""
+    d = _t(spark, sf, "documents")
+    pairs = lm_pairs(d).localCheckpoint()
+    bg, fw, bw, nb = lm_fit_kn(pairs)
+    return lm_score_pairs_kn(pairs, bg, fw, bw, nb)
+
+
+@query(
+    "q208_vocab_coverage_curve",
+    r"""WITH tok AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+                   FROM documents),
+       t AS (SELECT unnest(ts) AS token FROM tok),
+       c AS (SELECT token, count(*) AS c FROM t GROUP BY 1),
+       r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rn FROM c),
+       tot AS (SELECT sum(c) AS total FROM c),
+       sizes AS (SELECT unnest([4, 16, 64, 256, 4096]) AS k)
+       SELECT CAST(s.k AS INTEGER) AS vocab_size,
+              CAST(sum(CASE WHEN r.rn <= s.k THEN r.c ELSE 0 END) AS BIGINT)
+                  AS covered_tokens,
+              CAST(max(tot.total) AS BIGINT) AS total_tokens,
+              round(CAST(sum(CASE WHEN r.rn <= s.k THEN r.c ELSE 0 END) AS DOUBLE)
+                    / CAST(max(tot.total) AS DOUBLE), 6) AS coverage
+       FROM sizes s CROSS JOIN r CROSS JOIN tot
+       GROUP BY s.k""",
+    tags=("text", "tokenizer", "vocabulary", "coverage"),
+)
+def q208(spark, sf):
+    """Vocabulary coverage curve: what fraction of all corpus tokens the
+    top-k most frequent token types cover, for a ladder of candidate
+    vocabulary sizes — the diagnostic that sizes a tokenizer vocabulary
+    (q131's BPE) and quantifies the OOV tail before training.
+
+    Ranking is (count DESC, token ASC) — a total order, so ranks are
+    deterministic. The rank over the token VOCABULARY is data-scale for
+    web corpora (billions of shingle types at 100 TB), so it uses
+    ``distributed_row_number`` (functions/rank.py): bucket by
+    (-count, 4-char prefix), cumulative offsets over distinct buckets
+    only, per-bucket windows in parallel — row-for-row identical to the
+    single-partition ``row_number`` the oracle runs, with no
+    single-partition pass. Coverage sums are exact int64; the one double
+    division happens after aggregation, identically in both engines.
+
+    Scale shape: one corpus pass (explode + count), then everything
+    downstream is vocab-bounded; the 5-row size spine and 1-row total are
+    the whitelisted broadcast scalars (fan-out x5 on the vocab relation,
+    never on the corpus)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("token"))
+    c = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    r = distributed_row_number(
+        c,
+        [F.col("c").desc(), F.col("token").asc()],
+        bucket=F.struct(
+            (-F.col("c")).alias("nc"), F.substring("token", 1, 4).alias("p4")
+        ),
+        out="rn",
+    )
+    tot = c.agg(F.sum("c").alias("total"))
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (4, 16, 64, 256, 4096)])).alias("k")
+    )
+    covered = F.sum(
+        F.when(F.col("rn") <= F.col("k"), F.col("c")).otherwise(F.lit(0))
+    )
+    return (
+        r.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "total")
+        .agg(covered.alias("covered_tokens"))
+        .select(
+            F.col("k").cast("int").alias("vocab_size"),
+            F.col("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            F.round(
+                F.col("covered_tokens").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -108,6 +108,8 @@ BNLJ_WHITELIST = {
     "q193_knn_classify": "inherits q39 bounded query set x corpus",
     "q195_daily_volume_acf": "7-lag spine x bounded day dimension",
     "q196_benford_digits": "1-row total scalar",
+    "q206_kneser_ney_lm_score": "1-row bigram-type total (nbig)",
+    "q208_vocab_coverage_curve": "1-row token total x 5-row size spine",
     "q198_information_gain": "1-row totals over the bounded contingency",
     "q199_rrf_fusion": "1-row query vector x 1-row corpus stats; fused sides <=100 rows",
     "q201_temperature_mix": "1-row total-tokens scalar x 3-alpha literal grid",
