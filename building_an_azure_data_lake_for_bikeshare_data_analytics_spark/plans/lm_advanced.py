@@ -1,5 +1,5 @@
 """Advanced language-model curation heads — q206 Kneser-Ney perplexity
-scoring, q208 vocabulary coverage curve.
+scoring, q208 vocabulary coverage curve, q209 CCNet perplexity buckets.
 
 No reference counterpart (the bikeshare notebook has zero text ops,
 SURVEY.md §2.6); these extend the q138 bigram-LM quality-filter family
@@ -14,16 +14,17 @@ overflow rule depends on (plans/evidence.py).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 from ..functions.rank import distributed_row_number
 from ..functions.text import tokens
 from ..operators.lm import lm_fit_kn, lm_pairs, lm_score_pairs_kn
 from .base import _t, query
 
-
-@query(
-    "q206_kneser_ney_lm_score",
-    r"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+#: the q206 model-fit + scoring pipeline as a DuckDB CTE prefix, shared by
+#: q206 (per-doc scores) and q209 (bucketed corpus split) so the two oracles
+#: can never drift apart.
+_KN_SCORED_CTE = r"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
                    FROM documents),
        pairs AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
                  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
@@ -38,11 +39,16 @@ from .base import _t, query
                                   * (CAST(n1bw AS DOUBLE) / CAST(nbig AS DOUBLE)))
                                / CAST(c1p AS DOUBLE)) AS DECIMAL(18,12)) AS lp
                 FROM pairs p JOIN bg USING (w1, w2) JOIN fw USING (w1)
-                     JOIN bw USING (w2) CROSS JOIN nb)
-       SELECT doc_id,
-              CAST(count(*) AS INTEGER) AS n_pairs,
-              round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp_kn
-       FROM term GROUP BY doc_id""",
+                     JOIN bw USING (w2) CROSS JOIN nb),
+       scored AS (SELECT doc_id,
+                         CAST(count(*) AS INTEGER) AS n_pairs,
+                         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp_kn
+                  FROM term GROUP BY doc_id)"""
+
+
+@query(
+    "q206_kneser_ney_lm_score",
+    _KN_SCORED_CTE + "\n       SELECT doc_id, n_pairs, avg_logp_kn FROM scored",
     tags=("text", "quality", "lm", "kneser-ney", "perplexity"),
 )
 def q206(spark, sf):
@@ -71,6 +77,99 @@ def q206(spark, sf):
     pairs = lm_pairs(d).localCheckpoint()
     bg, fw, bw, nb = lm_fit_kn(pairs)
     return lm_score_pairs_kn(pairs, bg, fw, bw, nb)
+
+
+@query(
+    "q209_perplexity_buckets",
+    _KN_SCORED_CTE
+    + """,
+       b AS (SELECT avg_logp_kn,
+                    CAST(ntile(3) OVER (ORDER BY avg_logp_kn DESC, doc_id)
+                         AS INTEGER) AS bucket
+             FROM scored)
+       SELECT bucket,
+              CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS label,
+              count(*) AS n_docs,
+              max(avg_logp_kn) AS max_logp,
+              min(avg_logp_kn) AS min_logp,
+              round(CAST(sum(CAST(avg_logp_kn AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*), 6) AS mean_logp
+       FROM b GROUP BY 1""",
+    tags=("text", "quality", "lm", "ccnet", "sampling"),
+)
+def q209(spark, sf):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): score
+    every document under the q206 Kneser-Ney model, rank by model fit
+    (best log-prob = lowest perplexity first, doc_id tie-break — a total
+    order), and cut the ranking into three EQUAL-depth buckets. Head is
+    what quality-weighted sampling upsamples; tail is what gets dropped
+    or down-weighted. Reports per-bucket depth and score envelope.
+
+    Exactness: the tercile is NOT a window ntile (single-partition sort
+    over every scored doc — the scale bug at web-corpus cardinality). It
+    reuses q86's machinery: ``distributed_row_number`` under
+    (avg_logp_kn DESC, doc_id) with the order-consistent coarse bucket
+    floor(-8 * avg_logp_kn), then ntile's documented split (first n % k
+    tiles get ceil(n/k) rows) closed-form from (rank, n) — row-identical
+    to the oracle's native ntile by construction. The bucket mean sums
+    round-6 scores as DECIMAL(18,6) (a round-6 double re-rounds to the
+    same 6-digit decimal in both engines — it sits ~1e-12 from it, never
+    near a half boundary), so the mean is order-independent.
+
+    Scale shape: q206's one-pass fit + keyed scoring joins, then ONE
+    extra vocab... doc-bounded rank (serial pass only over distinct
+    coarse buckets) and a 1-row doc-count broadcast (whitelisted). No
+    global sort, no all-pairs, nothing quadratic."""
+    d = _t(spark, sf, "documents")
+    pairs = lm_pairs(d).localCheckpoint()
+    bg, fw, bw, nb = lm_fit_kn(pairs)
+    scored = lm_score_pairs_kn(pairs, bg, fw, bw, nb).select(
+        "doc_id", "avg_logp_kn"
+    )
+    ranked = distributed_row_number(
+        scored,
+        [F.col("avg_logp_kn").desc(), F.col("doc_id").asc()],
+        bucket=F.floor(F.col("avg_logp_kn") * F.lit(-8.0)),
+        out="rn",
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    k = F.lit(3)
+    q, r = F.floor(F.col("__n") / k), F.col("__n") % k
+    head = r * (q + 1)
+    bucket = (
+        F.when(F.col("rn") <= head, F.ceil(F.col("rn") / (q + 1)))
+        .otherwise(r + F.ceil((F.col("rn") - head) / q))
+        .cast("int")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(bucket.alias("bucket"), "avg_logp_kn")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("avg_logp_kn").alias("max_logp"),
+            F.min("avg_logp_kn").alias("min_logp"),
+            F.round(
+                F.sum(F.col("avg_logp_kn").cast(DecimalType(18, 6))).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logp"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("label"),
+            "n_docs",
+            "max_logp",
+            "min_logp",
+            "mean_logp",
+        )
+    )
 
 
 @query(

@@ -16,7 +16,7 @@ from . import profiling  # noqa: F401  (registers q169-q198, q200)
 from . import intervals  # noqa: F401  (registers q202-q203)
 from . import containment  # noqa: F401  (registers q204)
 from . import timeseries  # noqa: F401  (registers q205)
-from . import lm_advanced  # noqa: F401  (registers q206, q208)
+from . import lm_advanced  # noqa: F401  (registers q206, q208, q209)
 from . import privacy  # noqa: F401  (registers q207; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------

@@ -17,8 +17,9 @@ def _docs_tokens(spark):
     return {r["doc_id"]: r["text"].strip().split() for r in rows}
 
 
-def test_kneser_ney_matches_bruteforce(spark):
-    toks = _docs_tokens(spark)
+def _kn_scores_bruteforce(toks):
+    """(doc_id -> tokens) -> {doc_id: (n_pairs, avg_logp_kn)} under the
+    q206 model, replayed in pure Python with the same quantization."""
     pairs = defaultdict(list)  # doc_id -> [(w1, w2)]
     for d, ts in toks.items():
         if len(ts) >= 2:
@@ -38,6 +39,11 @@ def test_kneser_ney_matches_bruteforce(spark):
             lp = math.log(num / c1p[w1])
             tot += round(lp * 10**12)  # quantize to 12 frac digits
         expect[d] = (len(ps), round(tot / 10**12 / len(ps), 6))
+    return expect
+
+
+def test_kneser_ney_matches_bruteforce(spark):
+    expect = _kn_scores_bruteforce(_docs_tokens(spark))
     got = {
         r["doc_id"]: (r["n_pairs"], r["avg_logp_kn"])
         for r in QUERIES["q206_kneser_ney_lm_score"](spark, SF_SMOKE).collect()
@@ -74,6 +80,42 @@ def test_kneser_ney_probabilities_sum_to_one(spark):
             c = c12.get((w1, w2), 0)
             s += (max(c - 0.75, 0.0) + 0.75 * n1fw[w1] * (n1bw[w2] / nbig)) / c1p[w1]
         assert abs(s - 1.0) < 1e-9, w1
+
+
+def test_perplexity_buckets_match_bruteforce(spark):
+    """q209's distributed closed-form tercile == a literal sort + ntile(3)
+    split in Python, bucket for bucket."""
+    scores = _kn_scores_bruteforce(_docs_tokens(spark))
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    n, k = len(ranked), 3
+    q_, r_ = divmod(n, k)
+    expect = {}
+    pos = 0
+    for b in range(1, k + 1):
+        size = q_ + (1 if b <= r_ else 0)
+        chunk = [s for _, (_, s) in ranked[pos : pos + size]]
+        pos += size
+        mean = round(sum(round(s * 10**6) for s in chunk) / 10**6 / size, 6)
+        label = {1: "head", 2: "middle", 3: "tail"}[b]
+        expect[b] = (label, size, max(chunk), min(chunk), mean)
+    got = {
+        r["bucket"]: (
+            r["label"],
+            r["n_docs"],
+            r["max_logp"],
+            r["min_logp"],
+            r["mean_logp"],
+        )
+        for r in QUERIES["q209_perplexity_buckets"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for b in (1, 2, 3):
+        assert got[b][0] == expect[b][0]
+        assert got[b][1] == expect[b][1]
+        for i in (2, 3, 4):
+            assert abs(got[b][i] - expect[b][i]) < 1e-9, (b, i)
+    # head genuinely outranks tail
+    assert got[1][3] >= got[3][2]
 
 
 def test_k_anonymity_matches_bruteforce(spark):

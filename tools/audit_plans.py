@@ -110,6 +110,7 @@ BNLJ_WHITELIST = {
     "q196_benford_digits": "1-row total scalar",
     "q206_kneser_ney_lm_score": "1-row bigram-type total (nbig)",
     "q208_vocab_coverage_curve": "1-row token total x 5-row size spine",
+    "q209_perplexity_buckets": "1-row doc-count + nbig scalars (exact distributed ntile)",
     "q198_information_gain": "1-row totals over the bounded contingency",
     "q199_rrf_fusion": "1-row query vector x 1-row corpus stats; fused sides <=100 rows",
     "q201_temperature_mix": "1-row total-tokens scalar x 3-alpha literal grid",
