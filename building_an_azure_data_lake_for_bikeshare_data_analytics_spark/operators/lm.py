@@ -175,7 +175,15 @@ def lm_fit_kn(
     Chen & Goodman 1999 eq. 4.24, absolute discount D = 0.75): returns
 
     * ``bg`` (w1, w2, c12)   — the bigram count table every other model
-      table derives from (callers checkpoint it once and reuse),
+      table derives from. bg has FOUR consumers (fw, bw, nb, the score
+      join) but is deliberately NOT localCheckpointed: under AQE the
+      four identical (w1, w2) shuffle stages are reused (materialized
+      once in shuffle files, read four times), so a checkpoint is a
+      redundant second materialization of the corpus's full bigram
+      table. Measured at the 1M-doc soak: total shuffle is the SAME
+      with and without the checkpoint (1,381 vs 1,389 MB — were bg
+      really recomputed per consumer, the no-checkpoint run would
+      carry ~3 extra copies of bg's shuffle write),
     * ``fw`` (w1, c1p, n1fw) — per-history pair total and distinct-follower
       count (the forward continuation fan-out),
     * ``bw`` (w2, n1bw)      — distinct-predecessor count (the backward

@@ -32,19 +32,24 @@ everything from (a) the JSON files and (b) oracle-string identity:
      ties broken by registry insertion order;
   3. (staleness bound) at the close of each round R — assuming the
      round-R prefix goes green — every oracled query must satisfy
-     ``eff(q) >= R - (STALENESS_BOUND - 1)``. With ~193 oracled queries
-     and a 50-slot gate, a full rotation takes ceil(193/50) = 4 rounds,
-     so the tightest feasible bound is STALENESS_BOUND = 4 (evidence at
-     most 3 rounds old at close).
+     ``eff(q) >= R - (staleness_bound() - 1)``. A full rotation of N
+     oracled queries through a 50-slot gate takes ceil(N/50) rounds, so
+     the tightest feasible bound is exactly that — the bound is
+     COMPUTED from the live registry (``staleness_bound()``, floored at
+     4 so history stays comparable), not a hand-kept constant that the
+     registry can silently outgrow: at 204 oracled queries the bound is
+     5 (evidence at most 4 rounds old at close); it returns to 4 if the
+     registry shrinks back under 200.
   4. (overflow) when never-green registrations plus would-age-out
      queries exceed the 50 slots, the NEWEST never-green entries are
      deferred to lead the next round (they have no evidence that can go
      stale; aged-out queries do, so the bound takes the slots) — the
      same scheduling the late-r4 q178-q198 batch got. The checker fails
      only when the would-age-out set ALONE exceeds 50: then no deferral
-     can save the bound and the registry must shrink (capacity math:
-     bound 4 sustains at most 200 oracled queries; deferral handles
-     transient bunching, not over-capacity).
+     can save the bound and the registry must shrink (the computed
+     bound makes capacity track the registry, so this fires only on
+     pathological bunching, not on growth; deferral handles transient
+     bunching).
 
   Rows-only queries (``oracle is None``: q46/q81, engine-private sketch
   values) are deliberately never scheduled — their value-checkable
@@ -66,12 +71,24 @@ from collections import defaultdict
 
 from .base import REGISTRY, QuerySpec
 
-#: evidence must be at most (STALENESS_BOUND - 1) rounds old at the close
-#: of every round; see module docstring for why 4 is the floor.
-STALENESS_BOUND = 4
+#: hard floor for the staleness bound; see staleness_bound() for the
+#: registry-size-dependent value actually enforced.
+STALENESS_BOUND_FLOOR = 4
 
 #: number of registry entries the grading driver gates per round
 GATE_SLOTS = 50
+
+
+def staleness_bound(registry: dict[str, QuerySpec] | None = None) -> int:
+    """Evidence must be at most (staleness_bound() - 1) rounds old at the
+    close of every round. A full rotation of the oracled registry through
+    the 50-slot gate takes ceil(oracled / 50) rounds — that IS the
+    tightest enforceable bound, so it is computed from the live registry
+    (floored at STALENESS_BOUND_FLOOR so a shrinking registry never
+    retroactively invalidates committed history)."""
+    registry = registry if registry is not None else REGISTRY
+    n = sum(1 for q in registry if registry[q].oracle is not None)
+    return max(STALENESS_BOUND_FLOOR, -(-n // GATE_SLOTS))
 
 
 def repo_root() -> str:
@@ -147,6 +164,7 @@ def build_prefix(
     green: dict[str, list[int]] | None = None,
     k: int = GATE_SLOTS,
     root: str | None = None,
+    this_round: int | None = None,
 ) -> list[str]:
     """The deterministic round-N gate prefix: never-self-green oracled
     queries in registry insertion order, then ascending effective-green
@@ -170,7 +188,9 @@ def build_prefix(
         (q for q in oracled if q in green),
         key=lambda q: (eff[q], order.index(q)),
     )
-    floor = latest_gated_round(root) + 1 - (STALENESS_BOUND - 1)
+    if this_round is None:
+        this_round = latest_gated_round(root) + 1
+    floor = this_round - (staleness_bound(registry) - 1)
     n_aged = sum(1 for q in rest if eff[q] < floor)
     if len(never_self) + n_aged > k:
         never_self = never_self[: max(0, k - n_aged)]
@@ -207,7 +227,7 @@ def check(
 
     in_prefix = set(prefix)
     oracled = [q for q in registry if registry[q].oracle is not None]
-    floor = this_round - (STALENESS_BOUND - 1)
+    floor = this_round - (staleness_bound(registry) - 1)
     post = {
         q: (
             this_round
@@ -240,7 +260,7 @@ def check(
 
     report = {
         "round": this_round,
-        "staleness_bound": STALENESS_BOUND,
+        "staleness_bound": staleness_bound(registry),
         "gate_slots": GATE_SLOTS,
         "oracled": len(oracled),
         "prefix": list(prefix),

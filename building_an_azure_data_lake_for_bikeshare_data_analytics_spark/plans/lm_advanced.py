@@ -124,8 +124,12 @@ def q209(spark, sf):
     d = _t(spark, sf, "documents")
     pairs = lm_pairs(d).localCheckpoint()
     bg, fw, bw, nb = lm_fit_kn(pairs)
-    scored = lm_score_pairs_kn(pairs, bg, fw, bw, nb).select(
-        "doc_id", "avg_logp_kn"
+    # three consumers (rank's bucket counts, its join-back, the n scalar)
+    # — materialize once or the whole scoring join tree runs three times
+    scored = (
+        lm_score_pairs_kn(pairs, bg, fw, bw, nb)
+        .select("doc_id", "avg_logp_kn")
+        .localCheckpoint()
     )
     ranked = distributed_row_number(
         scored,

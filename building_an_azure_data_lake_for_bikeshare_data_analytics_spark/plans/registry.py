@@ -16,7 +16,7 @@ from . import profiling  # noqa: F401  (registers q169-q198, q200)
 from . import intervals  # noqa: F401  (registers q202-q203)
 from . import containment  # noqa: F401  (registers q204)
 from . import timeseries  # noqa: F401  (registers q205)
-from . import lm_advanced  # noqa: F401  (registers q206, q208, q209)
+from . import lm_advanced  # noqa: F401  (registers q206, q209, q208 â€” file order = registration order)
 from . import privacy  # noqa: F401  (registers q207; new modules import LAST â€” insertion order is registration order)
 
 # ---------------------------------------------------------------------------
@@ -30,15 +30,18 @@ from . import privacy  # noqa: F401  (registers q207; new modules import LAST â€
 # CORRECTNESS_r*.json history and fail on any drift from this tuple â€”
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-5 prefix = the 26 never-driver-gated oracled queries (kernel
-# twins q142/q147, q178-q198, and the new-this-round q199 RRF fusion /
-# q200 source-overlap / q201 temperature-mix) + the 24 queries whose only
-# green row is round 1 (q02-q22 template cohort, q54/q62/q66/q69). The 3
-# oldest round-2 entries (q42/q44/q45) rotated out when q199-q201
-# registered â€” compliant, their age at the r5 close is 3 (= the bound's
-# floor), and the scheduler makes them lead the r6 cohort. Deliberately
-# never scheduled: q46/q81 (rows-only sketch values; q134/q136 carry
-# their evidence).
+# Round-5 prefix = ALL 34 never-driver-gated oracled queries (kernel
+# twins q142/q147, q178-q198, and the new-this-round q199-q209) + the 16
+# oldest round-1-evidence queries (q02-q17 template cohort). Registering
+# q206-q209 pushed the oracled count to 204, past the 200-query capacity
+# of a fixed 4-round staleness bound â€” the bound is now COMPUTED as
+# ceil(oracled / 50) = 5 (plans/evidence.py:staleness_bound, forward
+# schedulability pinned by tests/test_rotation.py's round simulation),
+# which un-ages the r2 cohort and lets every new query take a gate slot
+# this round instead of deferring. The 8 r1-evidence queries that
+# rotated out (q18-q22/q54/q62/q66/q69) age out at the r6 close and the
+# scheduler makes them lead the r6 cohort. Deliberately never scheduled:
+# q46/q81 (rows-only sketch values; q134/q136 carry their evidence).
 # ---------------------------------------------------------------------------
 _PRIORITY: tuple[str, ...] = (
     "q142_embedding_covariance_vectorized",
@@ -67,6 +70,14 @@ _PRIORITY: tuple[str, ...] = (
     "q197_stratified_kfold",
     "q198_information_gain",
     "q200_source_overlap",
+    "q202_interval_overlap_join",
+    "q203_interval_stacking",
+    "q204_containment_join",
+    "q205_gap_fill_interpolate",
+    "q206_kneser_ney_lm_score",
+    "q209_perplexity_buckets",
+    "q208_vocab_coverage_curve",
+    "q207_k_anonymity_audit",
     "q02_sum_price_by_dow",
     "q03_avg_price_by_orderdate",
     "q04_sum_price_by_orderdate",
@@ -83,14 +94,6 @@ _PRIORITY: tuple[str, ...] = (
     "q15_sum_amount_by_quarter",
     "q16_avg_amount_by_quarter",
     "q17_sum_amount_by_year",
-    "q18_avg_amount_by_year",
-    "q19_member_avg_by_acct_band",
-    "q20_member_sum_by_acct_band",
-    "q22_member_spend_duration",
-    "q54_dedup_keep_rows",
-    "q62_bpe_token_count",
-    "q66_doc_chunks",
-    "q69_source_stats",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

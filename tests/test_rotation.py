@@ -20,6 +20,34 @@ def test_prefix_matches_schedule_and_staleness_bound():
     assert len(report["prefix"]) == evidence.GATE_SLOTS
 
 
+def test_rotation_schedulable_forward():
+    """Simulate every future round from the committed history (each gate
+    assumed green): the aged-out set must always fit the 50 slots and be
+    fully scheduled — i.e. the registry has NOT outgrown gate capacity
+    under the computed staleness bound (the r5 review finding: at 204
+    oracled queries a fixed bound of 4 goes unschedulable by round 8)."""
+    green = {
+        q: list(rs)
+        for q, rs in evidence.load_green_history().items()
+        if q in REGISTRY
+    }
+    twins = evidence.oracle_twin_groups()
+    oracled = [q for q in REGISTRY if REGISTRY[q].oracle is not None]
+    bound = evidence.staleness_bound()
+    start = evidence.latest_gated_round() + 1
+    for rnd in range(start, start + 3 * bound):
+        prefix = evidence.build_prefix(green=green, this_round=rnd)
+        eff = evidence.effective_green(green, twins)
+        floor = rnd - (bound - 1)
+        aged = [q for q in oracled if q in green and eff[q] < floor]
+        assert len(aged) <= evidence.GATE_SLOTS, (rnd, len(aged))
+        unscheduled = [q for q in aged if q not in prefix]
+        assert not unscheduled, (rnd, unscheduled)
+        for q in prefix:
+            green.setdefault(q, []).append(rnd)
+    assert all(q in green for q in oracled)  # everything rotates through
+
+
 def test_twin_groups_are_verbatim_oracle_identity():
     twins = evidence.oracle_twin_groups()
     for q, ts in twins.items():
@@ -63,7 +91,7 @@ def test_never_green_queries_lead_the_prefix():
         # deferral is only legitimate when mandatory work fills the gate
         twins = evidence.oracle_twin_groups()
         eff = evidence.effective_green(green, twins)
-        floor = evidence.latest_gated_round() + 1 - (evidence.STALENESS_BOUND - 1)
+        floor = evidence.latest_gated_round() + 1 - (evidence.staleness_bound() - 1)
         n_aged = sum(1 for q in oracled if q in green and eff[q] < floor)
         n_never_kept = len(set(never) & set(_PRIORITY))
         assert n_aged + n_never_kept >= evidence.GATE_SLOTS, (
