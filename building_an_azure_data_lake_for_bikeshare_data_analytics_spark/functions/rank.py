@@ -48,17 +48,25 @@ def distributed_row_number(
     with the full string). Granularity is the scale lever: the offset
     cumsum runs over one row per DISTINCT bucket, the per-bucket windows
     over one bucket each.
+
+    A NULL bucket is joined null-safely (``eqNullSafe``), so no row is
+    ever dropped; but Spark sorts a NULL bucket FIRST while the rows
+    inside it sort by ``order_cols``'s own null ordering — so a nullable
+    bucket is only order-consistent if NULL order keys also sort first.
+    Prefer deriving the bucket from non-null key columns (every call
+    site here does).
     """
     b = df.withColumn(_BKT, bucket)
     counts = b.groupBy(_BKT).agg(F.count(F.lit(1)).alias("__n"))
     # the only ordered global pass — over DISTINCT buckets, not rows
     cum = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        _BKT, F.coalesce(F.sum("__n").over(cum), F.lit(0)).alias(_OFF)
+        F.col(_BKT).alias(_BKT + "_o"),
+        F.coalesce(F.sum("__n").over(cum), F.lit(0)).alias(_OFF),
     )
     win = Window.partitionBy(_BKT).orderBy(*order_cols)
     return (
-        b.join(offsets, _BKT)
+        b.join(offsets, F.col(_BKT).eqNullSafe(F.col(_BKT + "_o")))
         .withColumn(out, (F.row_number().over(win) + F.col(_OFF)).cast("long"))
-        .drop(_BKT, _OFF)
+        .drop(_BKT, _BKT + "_o", _OFF)
     )

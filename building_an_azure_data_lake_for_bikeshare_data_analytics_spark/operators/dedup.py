@@ -27,7 +27,6 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from ..functions.rank import distributed_row_number
 from ..functions.text import word_shingles

@@ -50,7 +50,10 @@ def interval_overlap_join(
 
     Returns (key, id_a, id_b, start_a, end_a, start_b, end_b).
     """
-    cell = lambda c: (F.unix_date(F.col(c)) / F.lit(bucket_days)).cast("long")  # noqa: E731
+    # floor division, NOT double-divide + cast: cast("long") truncates
+    # toward zero, which would merge days -(bucket_days-1)..bucket_days-1
+    # into one double-width epoch-straddling cell for pre-1970 dates
+    cell = lambda c: F.floor(F.unix_date(F.col(c)) / F.lit(bucket_days)).cast("long")  # noqa: E731
     ex = intervals.select(
         F.col(key).alias("k"),
         F.col(id_col).alias("iid"),

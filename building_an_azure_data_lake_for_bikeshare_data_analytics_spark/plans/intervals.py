@@ -1,7 +1,8 @@
 """Interval (range) query heads — q202 overlap join, q203 sweep-line
 stacking (operators/intervals.py holds the engine shapes).
 
-Registered LAST in plans/registry.py: registry insertion order IS
+Registered after plans/profiling.py in plans/registry.py (containment /
+timeseries / lm_advanced / privacy follow): registry insertion order IS
 registration order, which the gate scheduler's overflow rule depends on
 (plans/evidence.py — when never-green registrations exceed the free gate
 slots of a round whose mandatory set is full, the newest wait and lead

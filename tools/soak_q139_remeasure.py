@@ -15,7 +15,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from stress_soak import measure  # noqa: E402
+from stress_soak import force_full, measure  # noqa: E402
 
 
 def main() -> None:
@@ -39,11 +39,7 @@ def main() -> None:
 
         def thunk():
             df = QUERIES["q139_incremental_span_dedup"](spark, corpus)
-            r = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
-                F.sum("n_kept").alias("kept"),
-            ).collect()[0]
+            r = force_full(df, F.sum("n_kept").alias("kept"))
             return {"rows": r["n"], "kept_tokens": int(r["kept"])}
 
         rows[mult] = measure(spark, f"q139 span-dedup FORCED {mult}x", thunk)

@@ -26,6 +26,9 @@ import time
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stress_soak import force_full  # noqa: E402
 
 COPIES = 20
 KEY_SHIFT = 10_000_000
@@ -84,15 +87,9 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         df = QUERIES[name](spark, stress_dir)
-        # hash-forced, not a bare count: count() lets Catalyst eliminate
-        # an outer-join-vs-unique-keys tail (q149's matched arm is one);
-        # referencing every output column keeps the full plan timed.
-        from pyspark.sql import functions as F
-
-        n = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
-        ).collect()[0]["n"]
+        # force_full, not a bare count: count() lets Catalyst eliminate
+        # an outer-join-vs-unique-keys tail (q149's matched arm is one)
+        n = force_full(df)["n"]
         dt = time.time() - t0
         extra = ""
         if name == "q153_minhash_jaccard_estimate":

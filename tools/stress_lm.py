@@ -31,7 +31,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from build_stress import build  # noqa: E402
-from stress_soak import measure  # noqa: E402
+from stress_soak import force_full, measure  # noqa: E402
 
 
 def main() -> None:
@@ -51,14 +51,7 @@ def main() -> None:
 
     def forced(name: str, d: str):
         def thunk():
-            from pyspark.sql import functions as F
-
-            df = QUERIES[name](spark, d)
-            row = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
-            ).collect()[0]
-            return {"rows": row["n"]}
+            return {"rows": force_full(QUERIES[name](spark, d))["n"]}
 
         return thunk
 

@@ -70,6 +70,27 @@ from build_stress import build  # noqa: E402
 SCALES = ((1, 64), (10, 640))  # (shard multiplier, semdedup cells)
 
 
+def force_full(df, *extra_aggs):
+    """Execute a DataFrame's FULL plan and return the aggregate Row
+    (field ``n`` = row count, plus any ``extra_aggs``).
+
+    NOT a bare ``df.count()``: under count() Catalyst prunes every
+    column, which makes an outer-join-against-unique-keys tail
+    elimination-eligible and silently drops that whole subtree from the
+    measurement (the first q139 soak timed only its map-side gram
+    build — 171 bytes of shuffle files vs 37 MB real). Hashing every
+    output column references the full plan; bit_xor (not sum) because
+    summing 2^63-scale hashes overflows under ANSI mode.
+    """
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+        *extra_aggs,
+    ).collect()[0]
+
+
 def shuffle_totals(spark) -> tuple[int, int]:
     """(shuffle_read_bytes, shuffle_write_bytes) summed over all completed
     stages, via the UI REST API."""
@@ -141,22 +162,10 @@ def main() -> None:
         print(f"--- scale {mult}x ---")
 
         def count_rows(name, d):
-            # NOT df.count(): a bare count lets Catalyst ELIMINATE a
-            # left-join-against-unique-keys tail (it cannot change the
-            # row count), and q139's whole dup-detection subtree hangs
-            # off exactly such a join — the first soak pass timed only
-            # its map-side gram build (0 shuffle stages, measured).
-            # Hashing every output column references the full plan, so
-            # nothing is elimination-eligible; one job, no driver rows.
+            # force_full, NOT df.count() — see its docstring (bare-count
+            # join elimination drops q139's whole dup-detection subtree)
             def thunk():
-                from pyspark.sql import functions as F
-
-                df = QUERIES[name](spark, d)
-                row = df.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
-                ).collect()[0]
-                return {"rows": row["n"]}
+                return {"rows": force_full(QUERIES[name](spark, d))["n"]}
 
             return thunk
 
