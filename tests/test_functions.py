@@ -154,3 +154,38 @@ def test_distributed_row_number_equals_global_window(spark):
         }
         assert got == want
     assert len(want) > 1000  # the vocabulary actually exercised ties/buckets
+
+
+def test_distributed_row_number_null_bucket_drops_nothing(spark):
+    """A NULL bucket value must not drop rows (the join is null-safe) and
+    must match the global window when null order keys sort first — the
+    order-consistency caveat the docstring states."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.rank import (
+        distributed_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=None, i=1), Row(k=None, i=2), Row(k="a", i=3), Row(k="b", i=4), Row(k="a", i=5)],
+        "k string, i int",
+    )
+    # order by (k asc_nulls_first, i): bucket = k is an order-consistent
+    # coarsening, with the NULL bucket sorting first like the NULL keys
+    want = {
+        r["i"]: r["rn"]
+        for r in df.select(
+            "i",
+            F.row_number()
+            .over(Window.orderBy(F.col("k").asc_nulls_first(), "i"))
+            .alias("rn"),
+        ).collect()
+    }
+    got = {
+        r["i"]: r["rn"]
+        for r in distributed_row_number(
+            df, [F.col("k").asc_nulls_first(), F.col("i")], F.col("k")
+        ).collect()
+    }
+    assert got == want  # 5 rows in, 5 rows out, identical numbering
