@@ -296,3 +296,86 @@ def test_theta_intersection_estimator_within_envelope():
 
     sigma = exact / math.sqrt(255)
     assert abs(est - exact) < 5 * sigma, (est, exact)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-200, 200), st.integers(0, 45)),
+        min_size=1,
+        max_size=12,
+    ),
+    bucket_days=st.sampled_from([1, 7, 30]),
+)
+@settings(**_SETTINGS)
+def test_interval_overlap_property(spark, rows, bucket_days):
+    """interval_overlap_join == the exhaustive O(n^2) pair scan on random
+    closed intervals — including pre-1970 starts (negative unix_date, the
+    truncation-vs-floor cell regression) — at several grid widths."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    epoch = dt.date(1970, 1, 1)
+    data = [
+        Row(
+            k=k,
+            iid=i,
+            s=epoch + dt.timedelta(days=off),
+            e=epoch + dt.timedelta(days=off + ln),
+        )
+        for i, (k, off, ln) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k int, iid int, s date, e date")
+    got = {
+        (r["k"], r["id_a"], r["id_b"])
+        for r in interval_overlap_join(
+            df, "k", "iid", "s", "e", bucket_days=bucket_days
+        ).collect()
+    }
+    want = {
+        (a.k, a.iid, b.iid)
+        for a in data
+        for b in data
+        if a.k == b.k and a.iid < b.iid and a.s <= b.e and b.s <= a.e
+    }
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=9),
+        min_size=1,
+        max_size=7,
+    ),
+    threshold=st.sampled_from([0.5, 0.9, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_containment_join_property(spark, docs, threshold):
+    """prefix_filter_containment_pairs == the exhaustive directed
+    containment scan over random tiny-alphabet token lists (the
+    high-collision regime where prefix pruning is under most stress)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        prefix_filter_containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, ts=list(d)) for i, d in enumerate(docs)],
+        "doc_id long, ts array<string>",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in prefix_filter_containment_pairs(df, threshold=threshold).collect()
+    }
+    sets = {
+        i: {tuple(d[j : j + 3]) for j in range(max(0, len(d) - 2))}
+        for i, d in enumerate(docs)
+    }
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not sa:
+                continue
+            cont = len(sa & sb) / len(sa)
+            if cont >= threshold:
+                want[(a, b)] = round(cont, 4)
+    assert got == want
