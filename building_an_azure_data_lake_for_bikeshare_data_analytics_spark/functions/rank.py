@@ -70,3 +70,38 @@ def distributed_row_number(
         .withColumn(out, (F.row_number().over(win) + F.col(_OFF)).cast("long"))
         .drop(_BKT, _BKT + "_o", _OFF)
     )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    bucket: Column,
+    k: int,
+    out: str = "tile",
+) -> DataFrame:
+    """Append ``out`` = ``ntile(k) OVER (ORDER BY order_cols)`` — computed
+    distributed, value-identical to the window ntile by construction.
+
+    ``distributed_row_number`` (same ``bucket`` contract) gives each row
+    its global rank rn; ntile's documented split — with n rows, the first
+    ``n % k`` tiles get ``ceil(n/k)`` rows, the rest ``floor(n/k)`` — is
+    then closed-form from (rn, n). The 1-row count scalar broadcasts
+    (whitelisted BNLJ at every call site); no global sort anywhere.
+    Matches the single-partition ``ntile`` for every n including n < k
+    (then q = 0, but rn <= n <= head so the q-divide branch is
+    unreachable) — pinned against F.ntile in tests/test_properties.py.
+    """
+    ranked = distributed_row_number(df, order_cols, bucket, out=_RN)
+    n = df.agg(F.count(F.lit(1)).alias("__nt_n"))
+    q, r = F.floor(F.col("__nt_n") / k), F.col("__nt_n") % k
+    head = r * (q + 1)  # rows living in the first r (bigger) tiles
+    tile = (
+        F.when(F.col(_RN) <= head, F.ceil(F.col(_RN) / (q + 1)))
+        .otherwise(r + F.ceil((F.col(_RN) - head) / q))
+        .cast("int")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(out, tile)
+        .drop(_RN, "__nt_n")
+    )

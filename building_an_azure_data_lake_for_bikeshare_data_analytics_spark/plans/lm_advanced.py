@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from ..functions.rank import distributed_row_number
+from ..functions.rank import distributed_row_number, exact_ntile
 from ..functions.text import tokens
 from ..operators.lm import lm_fit_kn, lm_pairs, lm_score_pairs_kn
 from .base import _t, query
@@ -108,11 +108,12 @@ def q209(spark, sf):
 
     Exactness: the tercile is NOT a window ntile (single-partition sort
     over every scored doc — the scale bug at web-corpus cardinality). It
-    reuses q86's machinery: ``distributed_row_number`` under
-    (avg_logp_kn DESC, doc_id) with the order-consistent coarse bucket
-    floor(-8 * avg_logp_kn), then ntile's documented split (first n % k
-    tiles get ceil(n/k) rows) closed-form from (rank, n) — row-identical
-    to the oracle's native ntile by construction. The bucket mean sums
+    is ``functions/rank.exact_ntile`` — q86's machinery, shared and
+    property-tested against F.ntile — under (avg_logp_kn DESC, doc_id)
+    with the order-consistent coarse bucket floor(-8 * avg_logp_kn):
+    distributed rank, then ntile's documented split closed-form from
+    (rank, n) — row-identical to the oracle's native ntile by
+    construction. The bucket mean sums
     round-6 scores as DECIMAL(18,6) (a round-6 double re-rounds to the
     same 6-digit decimal in both engines — it sits ~1e-12 from it, never
     near a half boundary), so the mean is order-independent.
@@ -131,24 +132,15 @@ def q209(spark, sf):
         .select("doc_id", "avg_logp_kn")
         .localCheckpoint()
     )
-    ranked = distributed_row_number(
+    tiled = exact_ntile(
         scored,
         [F.col("avg_logp_kn").desc(), F.col("doc_id").asc()],
         bucket=F.floor(F.col("avg_logp_kn") * F.lit(-8.0)),
-        out="rn",
-    )
-    n = scored.agg(F.count(F.lit(1)).alias("__n"))
-    k = F.lit(3)
-    q, r = F.floor(F.col("__n") / k), F.col("__n") % k
-    head = r * (q + 1)
-    bucket = (
-        F.when(F.col("rn") <= head, F.ceil(F.col("rn") / (q + 1)))
-        .otherwise(r + F.ceil((F.col("rn") - head) / q))
-        .cast("int")
+        k=3,
+        out="bucket",
     )
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .select(bucket.alias("bucket"), "avg_logp_kn")
+        tiled.select("bucket", "avg_logp_kn")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

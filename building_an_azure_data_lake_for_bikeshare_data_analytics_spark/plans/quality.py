@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.agg import exact_sum
-from ..functions.rank import distributed_row_number
+from ..functions.rank import exact_ntile
 from ..functions.text import normalized_text, tokens
 from .base import _t, query
 
@@ -74,33 +74,26 @@ def q86(spark, sf):
     buckets.
 
     r5: no longer a global ntile window (single-partition sort over the
-    fact table). The EXACT same assignment now computes distributed:
-    functions/rank.distributed_row_number gives each order its global
-    (price, key) rank with only a distinct-bucket-sized serial pass
-    (bucket = floor(price), order-consistent), and ntile's documented
-    split — the first n % k tiles get ceil(n/k) rows, the rest
-    floor(n/k) — is closed-form from (rank, n). Value-identical to the
-    window ntile by construction (same total order, same split rule);
-    the oracle keeps DuckDB's native ntile as the cross-check. For
+    fact table). The EXACT same assignment now computes distributed via
+    functions/rank.exact_ntile (distributed row number under bucket =
+    floor(price) — order-consistent, distinct-bucket-sized serial pass —
+    then ntile's documented split closed-form from (rank, n); shared
+    with q209's perplexity terciles, property-tested against F.ntile).
+    Value-identical to the window ntile by construction (same total
+    order, same split rule); the oracle keeps DuckDB's native ntile as
+    the cross-check. For
     APPROXIMATE quantiles at even lower cost, q67/q81 hold the
     approx_percentile path."""
     orders = _t(spark, sf, "orders")
-    ranked = distributed_row_number(
+    tiled = exact_ntile(
         orders.select("o_totalprice", "o_orderkey"),
         ["o_totalprice", "o_orderkey"],
         F.floor("o_totalprice"),
-        out="rn",
+        k=10,
+        out="decile",
     )
-    n = orders.agg(F.count(F.lit(1)).alias("__n"))
-    k = F.lit(10)
-    q, r = F.floor(F.col("__n") / k), F.col("__n") % k
-    head = r * (q + 1)  # rows living in the first r (bigger) tiles
-    decile = F.when(
-        F.col("rn") <= head, F.ceil(F.col("rn") / (q + 1))
-    ).otherwise(r + F.ceil((F.col("rn") - head) / q)).cast("int")
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .select("o_totalprice", decile.alias("decile"))
+        tiled.select("o_totalprice", "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

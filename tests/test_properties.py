@@ -379,3 +379,34 @@ def test_containment_join_property(spark, docs, threshold):
             if cont >= threshold:
                 want[(a, b)] = round(cont, 4)
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+    k=st.integers(1, 12),
+)
+@settings(**_SETTINGS)
+def test_exact_ntile_property(spark, vals, k):
+    """functions/rank.exact_ntile == ntile(k) OVER (ORDER BY ...) for
+    random row sets and every k — including k > n, duplicate values, and
+    negative keys (the closed-form split's edge cases)."""
+    from pyspark.sql import Window
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.rank import (
+        exact_ntile,
+    )
+
+    df = spark.createDataFrame(
+        [Row(v=v, i=i) for i, v in enumerate(vals)], "v int, i int"
+    )
+    want = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", F.ntile(k).over(Window.orderBy("v", "i")).alias("t")
+        ).collect()
+    }
+    got = {
+        r["i"]: r["tile"]
+        for r in exact_ntile(df, ["v", "i"], F.col("v"), k=k).collect()
+    }
+    assert got == want
