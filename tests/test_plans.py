@@ -510,3 +510,106 @@ def test_weighted_sample_window_group_limit_before_exchange(spark):
     # formatted-plan node ids increase parent-ward: a WindowGroupLimit with
     # an id below every Exchange runs on the map side, pre-shuffle
     assert min(wgl) < min(ex)
+
+
+def _tree(spark, name: str) -> str:
+    """Operator tree only (first formatted-plan section, before the
+    per-node detail blocks)."""
+    return _plan(spark, name).split("\n\n")[0]
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    """q202's overlap join must plan as a HASH-JOINABLE equi-join on
+    (key, grid cell) — the literal theta join the oracle runs would plan
+    as a per-key nested loop. The exact overlap predicate rides the
+    equi-join as a secondary condition."""
+    tree = _tree(spark, "q202_interval_overlap_join")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert (
+        "BroadcastHashJoin" in tree
+        or "SortMergeJoin" in tree
+        or "ShuffledHashJoin" in tree
+    )
+    key_lines = [
+        ln for ln in _plan(spark, "q202_interval_overlap_join").splitlines()
+        if ("Left keys" in ln or "Right keys" in ln) and "cell" in ln
+    ]
+    assert key_lines, "grid cell must appear in equi-join keys"
+
+
+def test_interval_stacking_single_exchange(spark):
+    """q203's sweep line is ONE shuffle: the boundary-event union shuffles
+    once on the key for the running-sum window, and the per-key max
+    reuses that partitioning — a second exchange would mean the groupBy
+    lost the window's distribution."""
+    tree = _tree(spark, "q203_interval_stacking")
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 1
+
+
+def test_containment_join_keyed_on_prefix_shingle(spark):
+    """q204's candidate stage must be an equi-join keyed on the rare
+    prefix shingle's int64 rank id (``sid``) — never a cartesian/BNLJ.
+    Same contract as q163's symmetric PPJoin."""
+    plan = _plan(spark, "q204_containment_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ("Left keys" in ln or "Right keys" in ln) and "sid" in ln
+    ]
+    assert key_lines, "prefix shingle rank id must appear in equi-join keys"
+
+
+def test_gap_fill_windows_fuse_and_stay_keyed(spark):
+    """q205's two ignore-nulls neighbor scans (prev/next) share the
+    (user_id, day) partition+order, so they must fuse into ONE Window
+    node; the spine join is an equi-join. A second window or a nested
+    loop would double the per-user pass."""
+    tree = _tree(spark, "q205_gap_fill_interpolate")
+    assert tree.count("Window") == 1
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_rrf_candidates_are_partial_topk(spark):
+    """q199's per-system candidate lists and the fused top-20 must all
+    plan as TakeOrderedAndProject (distributed partial top-k) — the
+    row_number windows may only run over the already-limited <=100-row
+    relations, never the corpus."""
+    tree = _tree(spark, "q199_rrf_fusion")
+    assert tree.count("TakeOrderedAndProject") >= 3
+    assert "CartesianProduct" not in tree
+
+
+def test_kneser_ney_scoring_joins_are_keyed(spark):
+    """q206's model joins must stay keyed on (w1,w2)/w1/w2; the only
+    nested-loop is the whitelisted 1-row nbig scalar broadcast."""
+    tree = _tree(spark, "q206_kneser_ney_lm_score")
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_k_anonymity_is_joinless_two_phase_agg(spark):
+    """q207 is ONE logical aggregation over the QI tuple: the distinct-l
+    rewrite costs exactly two exchanges ((QI, sensitive) then QI) and no
+    join, no window, no driver state."""
+    tree = _tree(spark, "q207_k_anonymity_audit")
+    assert tree.count("Exchange") == 2
+    for node in ("Join", "Window", "CartesianProduct"):
+        assert node not in tree, node
+
+
+def test_source_overlap_join_after_distinct_projection(spark):
+    """q200's shingle self-join must consume the DISTINCT (source,
+    shingle) aggregate — the distinct caps a shingle's join fan-out at
+    |sources| — and never a nested loop over raw shingles."""
+    tree = _tree(spark, "q200_source_overlap")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    key_lines = [
+        ln for ln in _plan(spark, "q200_source_overlap").splitlines()
+        if ("Left keys" in ln or "Right keys" in ln) and "shingle" in ln
+    ]
+    assert key_lines, "shingle must appear in equi-join keys"
