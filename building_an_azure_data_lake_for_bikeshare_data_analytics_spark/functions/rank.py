@@ -72,6 +72,84 @@ def distributed_row_number(
     )
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    bucket: Column,
+    val: str,
+    out: str = "cum",
+) -> DataFrame:
+    """Append ``out`` = ``sum(val) OVER (ORDER BY order_cols ROWS BETWEEN
+    UNBOUNDED PRECEDING AND CURRENT ROW)`` — the running-sum sibling of
+    ``distributed_row_number`` (which is this with val = 1), same
+    order-consistent ``bucket`` contract and the same two-level scheme:
+    per-bucket totals, one exclusive cumulative pass over the DISTINCT
+    buckets only, inclusive within-bucket windows in parallel.
+
+    ``order_cols`` must be a total order for per-row identity with the
+    single-partition window (ties would make the inclusive frame
+    order-dependent); call sites here run it over DISTINCT-value
+    relations, where the value itself is the total order. Result type is
+    ``sum(val)``'s (long for integral val — pinned against the window sum
+    in tests/test_properties.py).
+    """
+    b = df.withColumn(_BKT, bucket)
+    totals = b.groupBy(_BKT).agg(F.sum(F.col(val)).alias("__cs_n"))
+    cum = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        F.col(_BKT).alias(_BKT + "_o"),
+        F.coalesce(F.sum("__cs_n").over(cum), F.lit(0)).alias(_OFF),
+    )
+    win = (
+        Window.partitionBy(_BKT)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # offsets is DISTINCT-BUCKET-sized — coarse by the bucket contract —
+    # so broadcast it instead of letting a stale estimate shuffle ``df``
+    return (
+        b.join(F.broadcast(offsets), F.col(_BKT).eqNullSafe(F.col(_BKT + "_o")))
+        .withColumn(out, F.sum(F.col(val)).over(win) + F.col(_OFF))
+        .drop(_BKT, _BKT + "_o", _OFF)
+    )
+
+
+def fractional_rank2(
+    df: DataFrame,
+    col: str,
+    bucket: Column,
+    out: str,
+) -> DataFrame:
+    """Append ``out`` = TWICE the fractional (average) rank of ``df[col]``
+    under ``ORDER BY col`` — the tie-correct rank Spearman/rank-biserial
+    statistics need, doubled so it stays an exact integer (ties average
+    two half-integers).
+
+    2·avg_rank(v) = 2·cum(v) − c(v) + 1 where c is v's multiplicity and
+    ``cum`` the inclusive running count over the DISTINCT-value relation
+    (so avg_rank = min_rank + (c−1)/2). The distinct relation is where
+    ``distributed_cumsum`` runs — value-cardinality-sized, never
+    row-scale — and the rank map joins back on the value (broadcastable
+    whenever the domain is bounded: a rounded ratio, a length column).
+    ``bucket`` follows the ``distributed_row_number`` contract over
+    ``col`` alone. NULL values get no rank row (inner join drops them) —
+    filter or coalesce first; matches SQL rank() semantics only on
+    NULL-free input.
+    """
+    c = df.groupBy(col).agg(F.count(F.lit(1)).alias("__fr_c"))
+    cummed = distributed_cumsum(
+        c, [F.col(col).asc()], bucket, "__fr_c", out="__fr_cum"
+    )
+    ranks = cummed.select(
+        F.col(col).alias("__fr_v"),
+        (F.lit(2) * F.col("__fr_cum") - F.col("__fr_c") + F.lit(1)).alias(out),
+    )
+    # the rank map is value-cardinality-sized — bounded by contract at
+    # every call site — so broadcast it rather than letting a stale size
+    # estimate shuffle the row side (pinned in tests/test_plans.py)
+    return df.join(F.broadcast(ranks), df[col] == F.col("__fr_v")).drop("__fr_v")
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: list[str | Column],

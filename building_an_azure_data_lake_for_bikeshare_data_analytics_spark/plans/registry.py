@@ -17,7 +17,8 @@ from . import intervals  # noqa: F401  (registers q202-q203)
 from . import containment  # noqa: F401  (registers q204)
 from . import timeseries  # noqa: F401  (registers q205)
 from . import lm_advanced  # noqa: F401  (registers q206, q209, q208 â€” file order = registration order)
-from . import privacy  # noqa: F401  (registers q207; new modules import LAST â€” insertion order is registration order)
+from . import privacy  # noqa: F401  (registers q207)
+from . import score_audit  # noqa: F401  (registers q210; new modules import LAST â€” insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -30,16 +31,16 @@ from . import privacy  # noqa: F401  (registers q207; new modules import LAST â€
 # CORRECTNESS_r*.json history and fail on any drift from this tuple â€”
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-5 prefix = ALL 34 never-driver-gated oracled queries (kernel
-# twins q142/q147, q178-q198, and the new-this-round q199-q209) + the 16
-# oldest round-1-evidence queries (q02-q17 template cohort). Registering
-# q206-q209 pushed the oracled count to 204, past the 200-query capacity
+# Round-5 prefix = ALL 35 never-driver-gated oracled queries (kernel
+# twins q142/q147, q178-q198, and the new-this-round q199-q210) + the 15
+# oldest round-1-evidence queries (q02-q16 template cohort). Registering
+# q206-q210 pushed the oracled count to 205, past the 200-query capacity
 # of a fixed 4-round staleness bound â€” the bound is now COMPUTED as
 # ceil(oracled / 50) = 5 (plans/evidence.py:staleness_bound, forward
 # schedulability pinned by tests/test_rotation.py's round simulation),
 # which un-ages the r2 cohort and lets every new query take a gate slot
-# this round instead of deferring. The 8 r1-evidence queries that
-# rotated out (q18-q22/q54/q62/q66/q69) age out at the r6 close and the
+# this round instead of deferring. The 9 r1-evidence queries that
+# rotated out (q17-q22/q54/q62/q66/q69) age out at the r6 close and the
 # scheduler makes them lead the r6 cohort. Deliberately never scheduled:
 # q46/q81 (rows-only sketch values; q134/q136 carry their evidence).
 # ---------------------------------------------------------------------------
@@ -78,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "q209_perplexity_buckets",
     "q208_vocab_coverage_curve",
     "q207_k_anonymity_audit",
+    "q210_score_length_bias",
     "q02_sum_price_by_dow",
     "q03_avg_price_by_orderdate",
     "q04_sum_price_by_orderdate",
@@ -93,7 +95,6 @@ _PRIORITY: tuple[str, ...] = (
     "q14_avg_amount_by_month",
     "q15_sum_amount_by_quarter",
     "q16_avg_amount_by_quarter",
-    "q17_sum_amount_by_year",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -410,3 +410,62 @@ def test_exact_ntile_property(spark, vals, k):
         for r in exact_ntile(df, ["v", "i"], F.col("v"), k=k).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-30, 30), st.integers(-5, 5)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_distributed_cumsum_property(spark, rows):
+    """functions/rank.distributed_cumsum == sum() OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING) for random values (negative sums included) under
+    a coarse order-consistent bucket."""
+    from pyspark.sql import Window
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.rank import (
+        distributed_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=k, v=v, i=i) for i, (k, v) in enumerate(rows)], "k int, v int, i int"
+    )
+    w = Window.orderBy("k", "i").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["i"]: r["c"] for r in df.select("i", F.sum("v").over(w).alias("c")).collect()
+    }
+    got = {
+        r["i"]: r["cum"]
+        for r in distributed_cumsum(
+            df, [F.col("k").asc(), F.col("i").asc()], F.floor(F.col("k") / 7), "v"
+        ).collect()
+    }
+    assert got == want
+
+
+@given(vals=st.lists(st.integers(-20, 20), min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_fractional_rank2_property(spark, vals):
+    """functions/rank.fractional_rank2 == 2*(rank() + (tie_count-1)/2),
+    the tie-averaged fractional rank, for random duplicate-heavy data."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.rank import (
+        fractional_rank2,
+    )
+
+    df = spark.createDataFrame(
+        [Row(v=v, i=i) for i, v in enumerate(vals)], "v int, i int"
+    )
+    svals = sorted(vals)
+    want = {}
+    for i, v in enumerate(vals):
+        min_rank = svals.index(v) + 1
+        c = svals.count(v)
+        want[i] = 2 * min_rank + c - 1  # == 2 * average rank
+    got = {
+        r["i"]: r["fr2"]
+        for r in fractional_rank2(df, "v", F.floor(F.col("v") / 6), "fr2").collect()
+    }
+    assert got == want

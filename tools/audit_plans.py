@@ -69,6 +69,7 @@ BNLJ_WHITELIST = {
     "q189_probe_lift_curve": "1-row base-rate scalar",
     "q191_cusum_changepoint": "1-row global mean",
     "q192_time_to_convert": "1-row signup-count scalar",
+    "q210_score_length_bias": "1-row total-count scalar (rank centering)",
     # bounded dimension spines (dates/hours), not scalars
     "q24_payment_dates_dim": "bounded date spine",
     "q25_trip_dates_dim": "bounded date/hour spine",
