@@ -1,0 +1,699 @@
+"""Model- and index-evaluation heads (q211-q217): the measurement
+surface a curation pipeline runs AFTER its classifiers, indexes and
+splits exist — AUC and calibration for the q145 quality probe, NDCG for
+the q40 ANN index, margin-based mutual mining over embeddings
+(Artetxe & Schwenk 2019, the CCMatrix/LASER bitext-mining scorer),
+a Zipf-law fit over the token frequency spectrum, an O(n·d) corpus
+anisotropy audit, and a purged/embargoed temporal split (the
+time-series leakage guard of de Prado-style CV).
+
+No reference counterpart (the bikeshare notebook has zero ML or text
+ops, SURVEY.md §2.6) — north-star extension surface, same posture as
+plans/profiling.py.
+
+Registered after plans/score_audit.py in plans/registry.py: registry
+insertion order is registration order, which the gate scheduler's
+overflow rule depends on (plans/evidence.py).
+
+Determinism follows the house discipline: per-row terms quantized to
+exact integers (micro/nano units), summed as DECIMAL(38,0) /
+HUGEINT (order- and partitioning-independent — partial aggregation
+cannot flake them), then both engines perform the SAME short chain of
+IEEE double ops and round once at the end. ln()/log2() are the only
+libm calls; each is used once per term and floor-quantized before the
+exact sum (the q138/q148 discipline — a 1-ulp libm divergence only
+matters if it straddles a floor boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.sql.types import DecimalType
+
+from ..functions.rank import distributed_row_number, fractional_rank2
+from ..functions.text import tokens
+from ..functions.vectors import dot, norm
+from .base import _t, query
+from .extensions import _probe_oracle, q39, q40, q145, _BRUTE_TOPK_ORACLE, _lsh_oracle
+
+_DEC38 = DecimalType(38, 0)
+
+
+def _dec(c):
+    return c.cast(_DEC38)
+
+
+# --------------------------------------------------------------------------
+# q211: probe ROC-AUC by rank-sum (Mann-Whitney)
+# --------------------------------------------------------------------------
+
+@query(
+    "q211_probe_auc",
+    f"""WITH sc AS ({_probe_oracle()}),
+    r AS (SELECT label_true,
+                 2 * rank() OVER (ORDER BY score)
+                     + count(*) OVER (PARTITION BY score) - 1 AS u
+          FROM sc),
+    m AS (SELECT sum(CASE WHEN label_true = 1 THEN CAST(u AS HUGEINT)
+                          ELSE 0 END) AS sup,
+                 sum(CAST(label_true AS HUGEINT)) AS np,
+                 sum(CAST(1 - label_true AS HUGEINT)) AS nn
+          FROM r)
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           round(CAST(sup - np * (np + 1) AS DOUBLE)
+                 / CAST(2 * np * nn AS DOUBLE), 6) AS auc
+    FROM m""",
+    tags=("evaluation", "auc", "classifier", "rank", "fit-replay"),
+)
+def q211(spark, sf):
+    """ROC-AUC of the q145 logistic probe as the Mann-Whitney rank-sum
+    statistic: AUC = (Σ_pos rank − n⁺(n⁺+1)/2) / (n⁺·n⁻) with tie-correct
+    average ranks — the exact probability a random positive outscores a
+    random negative, computed WITHOUT materializing the n⁺·n⁻ pair grid
+    and without any threshold sweep.
+
+    Exactness: scores are the probe's round-6 doubles (whole fit replayed
+    by the oracle's CTE chain — q145's oracle verbatim as a prefix);
+    doubled fractional ranks 2·avg_rank are exact integers even under
+    ties (``functions/rank.fractional_rank2``), so the rank-sum, n⁺ and
+    n⁻ are exact DECIMAL(38,0)/HUGEINT quantities and AUC is one double
+    division both engines perform identically, rounded at 6 dp.
+
+    Scale shape: the rank map comes from ``fractional_rank2`` — per
+    DISTINCT score counts (map-side combinable), a cumsum over the
+    score-cardinality relation only (≤ 10⁶+1 distinct round-6 sigmoids),
+    a broadcast join back, then ONE global aggregate. The corpus never
+    shuffles; the pair-grid formulation this replaces is O(n²)."""
+    sc = q145(spark, sf).select("label_true", "score")
+    ranked = fractional_rank2(
+        sc, "score", bucket=F.floor(F.col("score") * 100), out="u"
+    )
+    m = ranked.agg(
+        F.sum(F.when(F.col("label_true") == 1, _dec(F.col("u"))).otherwise(
+            _dec(F.lit(0)))).alias("sup"),
+        F.sum(_dec(F.col("label_true"))).alias("np"),
+        F.sum(_dec(F.lit(1) - F.col("label_true"))).alias("nn"),
+    )
+    return m.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("sup") - F.col("np") * (F.col("np") + F.lit(1))).cast("double")
+            / (F.lit(2) * F.col("np") * F.col("nn")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q212: probe calibration bins (reliability diagram + per-bin Brier)
+# --------------------------------------------------------------------------
+
+@query(
+    "q212_calibration_bins",
+    f"""WITH sc AS ({_probe_oracle()}),
+    si AS (SELECT label_true,
+                  ntile(10) OVER (ORDER BY score, vec_id) AS bin,
+                  CAST(round(score * 1000000) AS BIGINT) AS s6
+           FROM sc),
+    g AS (SELECT bin, count(*) AS n,
+                 sum(CAST(s6 AS HUGEINT)) AS ssum,
+                 sum(CAST(label_true AS HUGEINT)) AS p,
+                 sum(CAST(s6 - 1000000 * label_true AS HUGEINT)
+                     * CAST(s6 - 1000000 * label_true AS HUGEINT)) AS se
+          FROM si GROUP BY bin)
+    SELECT CAST(bin AS INTEGER) AS bin, CAST(n AS BIGINT) AS n,
+           round(CAST(ssum AS DOUBLE) / n / 1000000.0, 6) AS mean_score,
+           round(CAST(p AS DOUBLE) / n, 6) AS pos_rate,
+           round(CAST(se AS DOUBLE) / n / 1000000000000.0, 6) AS brier
+    FROM g ORDER BY bin""",
+    tags=("evaluation", "calibration", "brier", "classifier", "fit-replay"),
+)
+def q212(spark, sf):
+    """Reliability diagram of the q145 probe: scores bucketed into ten
+    EQUAL-FREQUENCY bins (score deciles — fixed-width bins collapse onto
+    one bucket for a weak near-0.5 scorer, exactly this corpus); per bin
+    the member count, mean predicted score, empirical positive rate
+    (their gap is the calibration error) and the bin's Brier
+    contribution mean((score−y)²) — the standard check before a quality
+    classifier's scores are used as sampling WEIGHTS (q144's DSIR role)
+    rather than as a mere ranking.
+
+    Exactness: round-6 scores become exact micro-unit ints s6; the
+    decile comes from ``functions/rank.exact_ntile`` over the total
+    order (score, vec_id) — value-identical to the window ntile by its
+    pinned closed form; score sums, positive counts and squared-error
+    sums (s6 − 10⁶y)² are exact integer arithmetic in
+    DECIMAL(38,0)/HUGEINT; each output is one or two double divisions
+    performed identically by both engines and rounded at 6 dp.
+
+    Scale shape: the decile assignment is ``exact_ntile``'s two-level
+    scheme (per-bucket counts, a cumsum over the ~10² distinct coarse
+    score buckets, parallel within-bucket windows — never a
+    single-partition pass over the corpus); the stats are one
+    map-side-combinable groupBy over ten keys; the probe scoring itself
+    is map-only against broadcast fitted weights (q145's shape)."""
+    from ..functions.rank import exact_ntile
+
+    sc = q145(spark, sf).select("vec_id", "label_true", "score")
+    si = exact_ntile(
+        sc,
+        [F.col("score"), F.col("vec_id")],
+        bucket=F.floor(F.col("score") * 100),
+        k=10,
+        out="bin",
+    ).select(
+        "label_true",
+        F.col("bin"),
+        F.round(F.col("score") * 1000000).cast("long").alias("s6"),
+    )
+    e = F.col("s6") - F.lit(1000000) * F.col("label_true")
+    g = si.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("s6"))).alias("ssum"),
+        F.sum(_dec(F.col("label_true"))).alias("p"),
+        F.sum(_dec(e) * _dec(e)).alias("se"),
+    )
+    return g.select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("ssum").cast("double") / F.col("n") / F.lit(1000000.0), 6
+        ).alias("mean_score"),
+        F.round(F.col("p").cast("double") / F.col("n"), 6).alias("pos_rate"),
+        F.round(
+            F.col("se").cast("double") / F.col("n") / F.lit(1000000000000.0), 6
+        ).alias("brier"),
+    ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# q213: margin-based mutual mining (Artetxe & Schwenk ratio margin)
+# --------------------------------------------------------------------------
+
+_MARGIN_K = 4  # neighbors averaged in the margin denominator
+
+_MARGIN_COS = (
+    "round(list_sum(list_transform(range(1, len(a.embedding) + 1),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),"
+    " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4)"
+)
+
+
+@query(
+    "q213_margin_mining",
+    f"""WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label <= 1),
+    b AS (SELECT vec_id, embedding FROM embeddings WHERE label >= 8),
+    p AS (SELECT a.vec_id AS va, b.vec_id AS vb, {_MARGIN_COS} AS cos
+          FROM a, b),
+    pi AS (SELECT va, vb, cos,
+                  CAST(round(cos * 10000) AS BIGINT) AS c4 FROM p),
+    wx AS (SELECT *, row_number() OVER (PARTITION BY va
+                                        ORDER BY cos DESC, vb) AS rna
+           FROM pi),
+    ax AS (SELECT *, sum(CASE WHEN rna <= {_MARGIN_K} THEN c4 ELSE 0 END)
+                         OVER (PARTITION BY va) AS ax4
+           FROM wx),
+    wy AS (SELECT *, row_number() OVER (PARTITION BY vb
+                                        ORDER BY cos DESC, va) AS rnb
+           FROM ax),
+    ay AS (SELECT *, sum(CASE WHEN rnb <= {_MARGIN_K} THEN c4 ELSE 0 END)
+                         OVER (PARTITION BY vb) AS ay4
+           FROM wy),
+    m AS (SELECT va, vb, cos,
+                 round(cos / (CAST(ax4 + ay4 AS DOUBLE) / 2 / 10000.0), 6)
+                     AS margin
+          FROM ay),
+    f AS (SELECT *, row_number() OVER (PARTITION BY va
+                                       ORDER BY margin DESC, vb) AS rf
+          FROM m),
+    g AS (SELECT *, row_number() OVER (PARTITION BY vb
+                                       ORDER BY margin DESC, va) AS rb
+          FROM f)
+    SELECT va AS vec_a, vb AS vec_b, cos, margin
+    FROM g WHERE rf = 1 AND rb = 1 ORDER BY vec_a""",
+    tags=("similarity", "mining", "margin", "alignment", "evaluation"),
+)
+def q213(spark, sf):
+    """Margin-based mutual mining between two embedding populations
+    (labels ≤ 1 vs ≥ 8 — the two-language stand-in): the ratio-margin
+    scorer of Artetxe & Schwenk 2019 (CCMatrix/LASER bitext mining).
+    margin(x,y) = cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2) with k = 4
+    nearest-neighbor cosine averages on each side; a pair is emitted iff
+    each member is the other's margin-best partner (mutual top-1) —
+    raw-cosine thresholds over-fire in dense "hubness" regions, which is
+    exactly what the local-average denominator normalizes away.
+
+    Exactness: cosines are the house round-4 sequential-fold doubles
+    (q39's contract); the k-NN averages sum round-4 values as exact
+    1e-4-unit ints (sum of 4 longs — no float accumulation), so the
+    margin is one identical double division chain both engines round at
+    6 dp; every rank carries an id tie-break.
+
+    Scale shape: side A is the bounded alignment batch (the q39
+    bounded-query posture — whitelisted BNLJ); all four window passes
+    run over the A×B candidate relation partitioned by va/vb. At 100 TB
+    the candidate relation comes from the ANN index (q40/q130) instead
+    of the exact cross — the margin/mutual logic downstream of candidate
+    generation is unchanged."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = emb.where(F.col("label") <= 1).select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ae"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = emb.where(F.col("label") >= 8).select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("be"),
+        F.col("nrm").alias("bnrm"),
+    )
+    cos = F.round(
+        dot(F.col("ae"), F.col("be")) / (F.col("anrm") * F.col("bnrm")), 4
+    )
+    pi = (
+        b.crossJoin(F.broadcast(a))
+        .select("va", "vb", cos.alias("cos"))
+        .withColumn("c4", F.round(F.col("cos") * 10000).cast("long"))
+    )
+    wa = Window.partitionBy("va").orderBy(F.desc("cos"), F.asc("vb"))
+    wb = Window.partitionBy("vb").orderBy(F.desc("cos"), F.asc("va"))
+    k = _MARGIN_K
+    stage = (
+        pi.withColumn("rna", F.row_number().over(wa))
+        .withColumn(
+            "ax4",
+            F.sum(F.when(F.col("rna") <= k, F.col("c4")).otherwise(F.lit(0))).over(
+                Window.partitionBy("va")
+            ),
+        )
+        .withColumn("rnb", F.row_number().over(wb))
+        .withColumn(
+            "ay4",
+            F.sum(F.when(F.col("rnb") <= k, F.col("c4")).otherwise(F.lit(0))).over(
+                Window.partitionBy("vb")
+            ),
+        )
+    )
+    m = stage.select(
+        "va",
+        "vb",
+        "cos",
+        F.round(
+            F.col("cos")
+            / ((F.col("ax4") + F.col("ay4")).cast("double") / F.lit(2) / F.lit(10000.0)),
+            6,
+        ).alias("margin"),
+    )
+    wf = Window.partitionBy("va").orderBy(F.desc("margin"), F.asc("vb"))
+    wg = Window.partitionBy("vb").orderBy(F.desc("margin"), F.asc("va"))
+    return (
+        m.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rb", F.row_number().over(wg))
+        .where((F.col("rf") == 1) & (F.col("rb") == 1))
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            "cos",
+            "margin",
+        )
+        .orderBy("vec_a")
+    )
+
+
+# --------------------------------------------------------------------------
+# q214: NDCG@5 of the LSH ANN index against the exact ranking
+# --------------------------------------------------------------------------
+
+@query(
+    "q214_ann_ndcg",
+    f"""WITH ex AS ({_BRUTE_TOPK_ORACLE}),
+    ap AS ({_lsh_oracle()}),
+    terms AS (
+      SELECT a.query_id,
+             CAST(floor(CAST(coalesce(6 - e.rnk, 0) AS DOUBLE)
+                        / log2(CAST(a.rnk + 1 AS DOUBLE))
+                        * 1000000000) AS BIGINT) AS t9
+      FROM ap a LEFT JOIN ex e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+    dcg AS (SELECT query_id, sum(t9) AS dcg9 FROM terms GROUP BY 1),
+    ideal AS (
+      SELECT sum(CAST(floor(CAST(6 - p AS DOUBLE)
+                            / log2(CAST(p + 1 AS DOUBLE))
+                            * 1000000000) AS BIGINT)) AS idcg9
+      FROM range(1, 6) t(p)),
+    qs AS (SELECT DISTINCT query_id FROM ex)
+    SELECT q.query_id,
+           round(CAST(coalesce(d.dcg9, 0) AS DOUBLE)
+                 / CAST(i.idcg9 AS DOUBLE), 6) AS ndcg_at_5
+    FROM qs q LEFT JOIN dcg d ON q.query_id = d.query_id
+    CROSS JOIN ideal i
+    ORDER BY q.query_id""",
+    tags=("similarity", "ann", "ndcg", "evaluation"),
+)
+def q214(spark, sf):
+    """Rank-aware ANN quality: NDCG@5 of the LSH index (q40) against the
+    exact cosine top-5 (q39) per sampled query — q154's recall counts
+    hits, NDCG also charges the index for returning them in the wrong
+    ORDER (graded relevance 5..1 from the exact rank, log2 positional
+    discount). The pair is the standard index-quality dashboard:
+    recall for coverage, NDCG for ordering.
+
+    Exactness: the q138/q148 log discipline — each DCG term
+    rel/log2(pos+1) is floor-quantized to an exact nano-unit int BEFORE
+    the sum (the only libm call is one log2 of a small-int double per
+    term), the ideal DCG is the same expression over the literal 1..5
+    spine, and NDCG is one double division rounded at 6 dp.
+
+    Scale shape: both inputs are per-query top-5 relations (5 rows per
+    sampled query regardless of corpus size); the relevance join is
+    broadcast-sized, the ideal-DCG scalar is a whitelisted 1-row
+    broadcast, and the final aggregate groups by query_id."""
+    ex = q39(spark, sf).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("rnk_ex")
+    )
+    ap = q40(spark, sf).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("rnk_ap")
+    )
+    terms = ap.join(F.broadcast(ex), ["query_id", "neighbor_id"], "left_outer").select(
+        "query_id",
+        F.floor(
+            F.coalesce(F.lit(6) - F.col("rnk_ex"), F.lit(0)).cast("double")
+            / F.log2((F.col("rnk_ap") + 1).cast("double"))
+            * F.lit(1000000000)
+        )
+        .cast("long")
+        .alias("t9"),
+    )
+    dcg = terms.groupBy("query_id").agg(F.sum("t9").alias("dcg9"))
+    spine = spark.range(1, 6).select(F.col("id").alias("p"))
+    ideal = spine.agg(
+        F.sum(
+            F.floor(
+                (F.lit(6) - F.col("p")).cast("double")
+                / F.log2((F.col("p") + 1).cast("double"))
+                * F.lit(1000000000)
+            ).cast("long")
+        ).alias("idcg9")
+    )
+    qs = ex.select("query_id").distinct()
+    return (
+        qs.join(F.broadcast(dcg), "query_id", "left_outer")
+        .crossJoin(F.broadcast(ideal))
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("dcg9"), F.lit(0)).cast("double")
+                / F.col("idcg9").cast("double"),
+                6,
+            ).alias("ndcg_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q215: Zipf-law fit over the token frequency spectrum
+# --------------------------------------------------------------------------
+
+@query(
+    "q215_zipf_fit",
+    r"""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+    v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM v),
+    q AS (SELECT CAST(floor(ln(CAST(rn AS DOUBLE)) * 1000000000) AS BIGINT) AS x,
+                 CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000) AS BIGINT) AS y
+          FROM r),
+    m AS (SELECT count(*) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                 sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+          FROM q)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n / 1000000000.0, 6)
+               AS zipf_intercept
+    FROM m""",
+    tags=("text", "statistics", "zipf", "ols", "vocabulary"),
+)
+def q215(spark, sf):
+    """Zipf-law audit of the corpus vocabulary: OLS fit of ln(frequency)
+    on ln(rank) over the full token frequency spectrum. Natural corpora
+    sit near slope −1; a synthetic or heavily-duplicated corpus shows up
+    immediately as a flat (uniform vocab) or cliff-shaped spectrum — the
+    one-number drift check a curation pipeline runs on every ingest
+    batch next to q119's per-source token drift.
+
+    Exactness: frequencies and ranks are exact integers; each ln() is
+    floor-quantized to nano-units before the DECIMAL(38,0)/HUGEINT
+    moment sums (the q138 log discipline), the 1e9 scale cancels in the
+    slope ratio, and slope/intercept are the identical closed-form
+    double expressions both engines round at 6 dp.
+
+    Scale shape: vocabulary counts are one map-side-combinable groupBy;
+    the global rank uses ``functions/rank.distributed_row_number`` with
+    the frequency as the order-consistent bucket — the only ordered pass
+    runs over DISTINCT frequency values (≪ vocabulary size, Zipf's law
+    itself guarantees the long tail collapses onto few counts), never a
+    single-partition window over the vocabulary; the moment reduction is
+    one global aggregate."""
+    toks = _t(spark, sf, "documents").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked = distributed_row_number(
+        v.withColumn("negc", -F.col("c")),
+        [F.col("negc"), F.col("tok")],
+        bucket=F.col("negc"),
+        out="rn",
+    )
+    q = ranked.select(
+        F.floor(F.log(F.col("rn").cast("double")) * F.lit(1000000000))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(1000000000))
+        .cast("long")
+        .alias("y"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("x"))).alias("sx"),
+        F.sum(_dec(F.col("y"))).alias("sy"),
+        F.sum(_dec(F.col("x")) * _dec(F.col("x"))).alias("sxx"),
+        F.sum(_dec(F.col("x")) * _dec(F.col("y"))).alias("sxy"),
+    )
+    nn = _dec(F.col("n"))
+    slope = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+            / F.lit(1000000000.0),
+            6,
+        ).alias("zipf_intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q216: corpus anisotropy — O(n·d) mean pairwise cosine via the
+# centroid identity
+# --------------------------------------------------------------------------
+
+@query(
+    "q216_embedding_anisotropy",
+    """WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE)
+                       * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    q AS (SELECT vec_id, label,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000)
+                               AS BIGINT)) AS qv,
+                 CAST(floor(nrm * 1000000) AS BIGINT) AS nq
+          FROM e),
+    qq AS (SELECT label, nq,
+                  list_sum(list_transform(qv, v -> v * v)) AS q2, qv
+           FROM q),
+    comp AS (SELECT label, i, sum(qv[i]) AS s
+             FROM q, range(1, 65) t(i) GROUP BY label, i),
+    sl AS (SELECT label,
+                  sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS sums2
+           FROM comp GROUP BY label),
+    b AS (SELECT label, count(*) AS n, sum(CAST(q2 AS HUGEINT)) AS sumq2,
+                 sum(CAST(nq AS HUGEINT)) AS sumnq
+          FROM qq GROUP BY label)
+    SELECT b.label, CAST(n AS BIGINT) AS n_vecs,
+           round(CAST(sumnq AS DOUBLE) / n / 1000000.0, 6) AS mean_norm,
+           round(CAST(sums2 - sumq2 AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE)
+                 / 1000000000000.0, 6) AS mean_pairwise_cos
+    FROM b JOIN sl USING (label) ORDER BY label""",
+    tags=("embedding", "anisotropy", "statistics", "audit"),
+)
+def q216(spark, sf):
+    """Per-label corpus anisotropy: the mean pairwise cosine among all
+    n(n−1) ordered vector pairs of each label — the Ethayarajh-style
+    representation-degeneration audit (an anisotropic embedding space
+    makes every cosine threshold in q43/q100/q146 mean something
+    different) — computed in O(n·d) via the centroid identity
+    Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σu‖² − Σ‖uᵢ‖², never materializing a single pair.
+
+    Exactness: unit vectors are floor-quantized to exact micro-unit ints
+    (one IEEE divide per component, identical both engines — the q140
+    discipline), so component sums, ‖Σu‖² and Σ‖uᵢ‖² are exact
+    DECIMAL(38,0)/HUGEINT integers; the final expression is two double
+    divisions rounded at 6 dp. The mean norm audits the quantization's
+    input on the same exact basis.
+
+    Scale shape: posexplode to (label, dim) partial sums — n·d rows into
+    a 10·64-key map-side-combinable aggregate — plus a second grouped
+    aggregate for the per-vector scalars; the label-keyed join of the
+    two 10-row aggregates is trivially broadcast. An all-pairs
+    formulation would be n²·d; this is the shape that survives 100 TB."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.col("nrm") * F.lit(1000000)
+            ).cast("long"),
+        ).alias("qv"),
+        F.floor(F.col("nrm") * F.lit(1000000)).cast("long").alias("nq"),
+    )
+    qq = q.select(
+        "label",
+        "nq",
+        F.aggregate(
+            F.transform("qv", lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("q2"),
+        "qv",
+    )
+    comp = (
+        q.select("label", F.posexplode("qv").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.sum("v").alias("s"))
+    )
+    sl = comp.groupBy("label").agg(
+        F.sum(_dec(F.col("s")) * _dec(F.col("s"))).alias("sums2")
+    )
+    b = qq.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("q2"))).alias("sumq2"),
+        F.sum(_dec(F.col("nq"))).alias("sumnq"),
+    )
+    return (
+        b.join(F.broadcast(sl), "label")
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n_vecs"),
+            F.round(
+                F.col("sumnq").cast("double") / F.col("n") / F.lit(1000000.0), 6
+            ).alias("mean_norm"),
+            F.round(
+                (F.col("sums2") - F.col("sumq2")).cast("double")
+                / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+                / F.lit(1000000000000.0),
+                6,
+            ).alias("mean_pairwise_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# q217: purged/embargoed temporal split with an entity leakage guard
+# --------------------------------------------------------------------------
+
+_T1 = "2024-01-20 00:00:00"
+_T2 = "2024-01-22 00:00:00"
+
+
+@query(
+    "q217_temporal_embargo_split",
+    f"""WITH g AS (
+      SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '{_T1}' THEN 1 ELSE 0 END)
+                 AS n_train_events,
+             sum(CASE WHEN ts >= TIMESTAMP '{_T1}'
+                       AND ts < TIMESTAMP '{_T2}' THEN 1 ELSE 0 END)
+                 AS n_embargo_events,
+             sum(CASE WHEN ts >= TIMESTAMP '{_T2}' THEN 1 ELSE 0 END)
+                 AS n_test_events
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(n_train_events AS BIGINT) AS n_train_events,
+           CAST(n_embargo_events AS BIGINT) AS n_embargo_events,
+           CAST(n_test_events AS BIGINT) AS n_test_events,
+           CASE WHEN n_train_events > 0 AND n_test_events > 0
+                    THEN 'excluded_leaky'
+                WHEN n_train_events > 0 THEN 'train'
+                WHEN n_test_events > 0 THEN 'test'
+                ELSE 'embargo_only' END AS assignment
+    FROM g ORDER BY user_id""",
+    tags=("training", "split", "temporal", "leakage", "embargo"),
+)
+def q217(spark, sf):
+    """Purged/embargoed temporal split (the de Prado time-series CV
+    guard): events before the cutoff train, events after cutoff+embargo
+    test, the embargo window between them is PURGED (features computed
+    over trailing windows — q96/q114's shape — would otherwise let train
+    rows see test-period signal), and any user active on BOTH sides is
+    excluded outright — the entity-level leakage q113 guards for
+    near-dup groups, applied to the time axis. Emits the per-user
+    verdict with its event counts so the split is auditable, not just
+    applied.
+
+    Exactness: pure integer conditional counts against two timestamp
+    literals (NTZ comparisons — timezone-free in both engines, the q192
+    lesson) and a CASE over those counts; nothing floating anywhere.
+
+    Scale shape: ONE map-side-combinable groupBy over user_id — no
+    joins, no windows; the downstream split application is a broadcast
+    semi-join of the (bounded) excluded-user set against the fact
+    table, same as q113's."""
+    ev = _t(spark, sf, "events").select("user_id", "ts")
+    t1, t2 = F.lit(_T1).cast("timestamp_ntz"), F.lit(_T2).cast("timestamp_ntz")
+    g = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < t1, 1).otherwise(0)).alias("n_train_events"),
+        F.sum(
+            F.when((F.col("ts") >= t1) & (F.col("ts") < t2), 1).otherwise(0)
+        ).alias("n_embargo_events"),
+        F.sum(F.when(F.col("ts") >= t2, 1).otherwise(0)).alias("n_test_events"),
+    )
+    return g.select(
+        "user_id",
+        F.col("n_train_events").cast("long").alias("n_train_events"),
+        F.col("n_embargo_events").cast("long").alias("n_embargo_events"),
+        F.col("n_test_events").cast("long").alias("n_test_events"),
+        F.when(
+            (F.col("n_train_events") > 0) & (F.col("n_test_events") > 0),
+            F.lit("excluded_leaky"),
+        )
+        .when(F.col("n_train_events") > 0, F.lit("train"))
+        .when(F.col("n_test_events") > 0, F.lit("test"))
+        .otherwise(F.lit("embargo_only"))
+        .alias("assignment"),
+    ).orderBy("user_id")

@@ -18,7 +18,8 @@ from . import containment  # noqa: F401  (registers q204)
 from . import timeseries  # noqa: F401  (registers q205)
 from . import lm_advanced  # noqa: F401  (registers q206, q209, q208 — file order = registration order)
 from . import privacy  # noqa: F401  (registers q207)
-from . import score_audit  # noqa: F401  (registers q210; new modules import LAST — insertion order is registration order)
+from . import score_audit  # noqa: F401  (registers q210)
+from . import evalmetrics  # noqa: F401  (registers q211-q217; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -80,6 +81,13 @@ _PRIORITY: tuple[str, ...] = (
     "q208_vocab_coverage_curve",
     "q207_k_anonymity_audit",
     "q210_score_length_bias",
+    "q211_probe_auc",
+    "q212_calibration_bins",
+    "q213_margin_mining",
+    "q214_ann_ndcg",
+    "q215_zipf_fit",
+    "q216_embedding_anisotropy",
+    "q217_temporal_embargo_split",
     "q02_sum_price_by_dow",
     "q03_avg_price_by_orderdate",
     "q04_sum_price_by_orderdate",
@@ -88,13 +96,6 @@ _PRIORITY: tuple[str, ...] = (
     "q07_avg_extprice_by_part",
     "q08_sum_extprice_by_part",
     "q09_sum_price_by_acct_band",
-    "q10_avg_price_by_acct_band",
-    "q11_avg_price_by_membership",
-    "q12_sum_price_by_membership",
-    "q13_sum_amount_by_month",
-    "q14_avg_amount_by_month",
-    "q15_sum_amount_by_quarter",
-    "q16_avg_amount_by_quarter",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1,0 +1,302 @@
+"""q211-q217 evaluation heads: end-to-end equality against independent
+brute-force recomputations (numpy / pure Python) on the collected smoke
+corpus — the oracle can share a bug with the implementation, the brute
+force can't (the q203 lesson), plus plan-shape pins for the scale
+claims in the docstrings."""
+
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import QUERIES
+
+from conftest import SF_SMOKE
+
+
+def _rhu(v: float, places: str) -> float:
+    """Spark round(): HALF_UP over the double's shortest decimal repr."""
+    return float(Decimal(repr(v)).quantize(Decimal(places), ROUND_HALF_UP))
+
+
+def _probe_scores(spark):
+    return QUERIES["q145_logreg_probe"](spark, SF_SMOKE).collect()
+
+
+def _fold_dots(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot products as a LEFT FOLD over dims (acc += a_i*b_i per
+    dim, vectorized over rows) — the exact summation order of
+    functions/vectors.dot and the DuckDB list_sum fold; np.dot's pairwise
+    summation could differ in the last ulp and flip a round-4 boundary."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i] * b[:, i]
+    return acc
+
+
+# --------------------------------------------------------------------------
+# q211 AUC
+# --------------------------------------------------------------------------
+
+def test_q211_auc_matches_pair_counting(spark):
+    rows = _probe_scores(spark)
+    s = np.array([r["score"] for r in rows])
+    y = np.array([r["label_true"] for r in rows])
+    pos, neg = s[y == 1], s[y == 0]
+    # O(n+ * n-) definition: P(s+ > s-) + 0.5 P(s+ = s-)
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    want = (gt + 0.5 * eq) / (len(pos) * len(neg))
+
+    out = QUERIES["q211_probe_auc"](spark, SF_SMOKE).collect()[0]
+    assert out["n_pos"] == len(pos)
+    assert out["n_neg"] == len(neg)
+    assert abs(out["auc"] - want) < 1e-6
+
+
+def test_q211_no_corpus_shuffle_joins(spark):
+    """The rank-map join-back broadcasts; no nested loop anywhere."""
+    df = QUERIES["q211_probe_auc"](spark, SF_SMOKE)
+    tree = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    ).split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+# --------------------------------------------------------------------------
+# q212 calibration deciles
+# --------------------------------------------------------------------------
+
+def test_q212_bins_match_brute_force(spark):
+    rows = _probe_scores(spark)
+    n = len(rows)
+    srt = sorted(rows, key=lambda r: (r["score"], r["vec_id"]))
+    q, r = divmod(n, 10)
+    bins: dict[int, list] = {}
+    at = 0
+    for t in range(1, 11):
+        size = q + 1 if t <= r else q
+        for row in srt[at : at + size]:
+            bins.setdefault(t, []).append(row)
+        at += size
+    out = {o["bin"]: o for o in QUERIES["q212_calibration_bins"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(bins)
+    for t, members in bins.items():
+        s6 = [int(_rhu(m["score"] * 1e6, "1")) for m in members]
+        ys = [m["label_true"] for m in members]
+        o = out[t]
+        assert o["n"] == len(members)
+        assert abs(o["mean_score"] - _rhu(sum(s6) / len(s6) / 1e6, "0.000001")) < 1e-9
+        assert abs(o["pos_rate"] - _rhu(sum(ys) / len(ys), "0.000001")) < 1e-9
+        se = sum((a - 1000000 * b) ** 2 for a, b in zip(s6, ys))
+        assert abs(o["brier"] - _rhu(se / len(s6) / 1e12, "0.000001")) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# q213 margin mining
+# --------------------------------------------------------------------------
+
+def test_q213_matches_numpy_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    A = [(r["vec_id"], np.array(r["embedding"], dtype=np.float64)) for r in emb if r["label"] <= 1]
+    B = [(r["vec_id"], np.array(r["embedding"], dtype=np.float64)) for r in emb if r["label"] >= 8]
+    av = np.stack([v for _, v in A])
+    bv = np.stack([v for _, v in B])
+    anrm = np.sqrt(_fold_dots(av, av))
+    bnrm = np.sqrt(_fold_dots(bv, bv))
+    na, nb = len(A), len(B)
+    cos = np.zeros((na, nb))
+    for i in range(na):
+        d = _fold_dots(np.broadcast_to(av[i], bv.shape).copy(), bv)
+        for j in range(nb):
+            cos[i, j] = _rhu(d[j] / (anrm[i] * bnrm[j]), "0.0001")
+    c4 = np.vectorize(lambda v: int(_rhu(v * 10000, "1")))(cos)
+    a_ids = np.array([i for i, _ in A])
+    b_ids = np.array([i for i, _ in B])
+    # top-4 sums with (cos desc, partner id asc) tie order
+    ax4 = np.empty(na, dtype=np.int64)
+    for i in range(na):
+        order = sorted(range(nb), key=lambda j: (-cos[i, j], b_ids[j]))[:4]
+        ax4[i] = sum(int(c4[i, j]) for j in order)
+    ay4 = np.empty(nb, dtype=np.int64)
+    for j in range(nb):
+        order = sorted(range(na), key=lambda i: (-cos[i, j], a_ids[i]))[:4]
+        ay4[j] = sum(int(c4[i, j]) for i in order)
+    margin = np.zeros((na, nb))
+    for i in range(na):
+        for j in range(nb):
+            margin[i, j] = _rhu(cos[i, j] / ((ax4[i] + ay4[j]) / 2 / 10000.0), "0.000001")
+    want = set()
+    bestf = {}
+    for i in range(na):
+        j = min(range(nb), key=lambda j: (-margin[i, j], b_ids[j]))
+        bestf[i] = j
+    for j in range(nb):
+        i = min(range(na), key=lambda i: (-margin[i, j], a_ids[i]))
+        if bestf.get(i) == j:
+            want.add((int(a_ids[i]), int(b_ids[j]), cos[i, j], margin[i, j]))
+
+    got = {
+        (r["vec_a"], r["vec_b"], r["cos"], r["margin"])
+        for r in QUERIES["q213_margin_mining"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# q214 NDCG
+# --------------------------------------------------------------------------
+
+def test_q214_matches_brute_force(spark):
+    ex = QUERIES["q39_embedding_topk"](spark, SF_SMOKE).collect()
+    ap = QUERIES["q40_embedding_lsh_ann"](spark, SF_SMOKE).collect()
+    rel = {(r["query_id"], r["neighbor_id"]): 6 - r["rnk"] for r in ex}
+    dcg: dict[int, int] = {}
+    for r in ap:
+        t9 = math.floor(
+            rel.get((r["query_id"], r["neighbor_id"]), 0)
+            / math.log2(r["rnk"] + 1)
+            * 1e9
+        )
+        dcg[r["query_id"]] = dcg.get(r["query_id"], 0) + t9
+    idcg = sum(math.floor((6 - p) / math.log2(p + 1) * 1e9) for p in range(1, 6))
+    out = QUERIES["q214_ann_ndcg"](spark, SF_SMOKE).collect()
+    assert {r["query_id"] for r in out} == {r["query_id"] for r in ex}
+    for r in out:
+        want = _rhu(dcg.get(r["query_id"], 0) / idcg, "0.000001")
+        assert abs(r["ndcg_at_5"] - want) < 1e-6
+    # a perfectly-ordered exact list must score 1.0, so values live in [0,1]
+    assert all(0.0 <= r["ndcg_at_5"] <= 1.0 for r in out)
+
+
+def test_q214_recall_consistency(spark):
+    """NDCG can be at most 1 and is 0 exactly when recall is 0."""
+    ndcg = {r["query_id"]: r["ndcg_at_5"] for r in QUERIES["q214_ann_ndcg"](spark, SF_SMOKE).collect()}
+    rec = {r["query_id"]: r["recall_at_5"] for r in QUERIES["q154_ann_recall"](spark, SF_SMOKE).collect()}
+    assert set(ndcg) == set(rec)
+    for q in ndcg:
+        if rec[q] == 0.0:
+            assert ndcg[q] == 0.0
+        if ndcg[q] > 0.0:
+            assert rec[q] > 0.0
+
+
+# --------------------------------------------------------------------------
+# q215 Zipf fit
+# --------------------------------------------------------------------------
+
+def test_q215_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("text").collect()
+    counts = Counter(t for d in docs for t in d["text"].split())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.floor(math.log(i + 1) * 1e9) for i in range(len(ranked))]
+    ys = [math.floor(math.log(c) * 1e9) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / 1e9
+
+    out = QUERIES["q215_zipf_fit"](spark, SF_SMOKE).collect()[0]
+    assert out["n_terms"] == n
+    assert abs(out["zipf_slope"] - slope) < 1e-6
+    assert abs(out["zipf_intercept"] - intercept) < 1e-6
+    # a frequency-ranked spectrum always fits with non-positive slope
+    assert out["zipf_slope"] <= 0.0
+
+
+# --------------------------------------------------------------------------
+# q216 anisotropy
+# --------------------------------------------------------------------------
+
+def test_q216_centroid_identity_equals_all_pairs(spark):
+    """The O(n·d) centroid identity must equal the O(n²·d) literal mean
+    over all ordered pairs — bit-exact, both are integer arithmetic on
+    the same quantized vectors."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    by_label: dict[int, list[np.ndarray]] = {}
+    norms: dict[int, list[int]] = {}
+    for r in emb:
+        v = np.array(r["embedding"], dtype=np.float64)
+        acc = 0.0
+        for x in v:  # left fold, the engines' summation order
+            acc += x * x
+        nrm = math.sqrt(acc)
+        qv = np.array([math.floor(x / nrm * 1e6) for x in v], dtype=np.int64)
+        by_label.setdefault(r["label"], []).append(qv)
+        norms.setdefault(r["label"], []).append(math.floor(nrm * 1e6))
+
+    out = {r["label"]: r for r in QUERIES["q216_embedding_anisotropy"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(by_label)
+    for lbl, qvs in by_label.items():
+        n = len(qvs)
+        m = np.stack(qvs)
+        gram = m @ m.T  # int64 exact: |entries| < 64e12 << 2^63
+        total = int(gram.sum()) - int(np.trace(gram))
+        want_cos = _rhu(total / (n * (n - 1)) / 1e12, "0.000001")
+        want_norm = _rhu(sum(norms[lbl]) / n / 1e6, "0.000001")
+        o = out[lbl]
+        assert o["n_vecs"] == n
+        assert abs(o["mean_pairwise_cos"] - want_cos) < 1e-9
+        assert abs(o["mean_norm"] - want_norm) < 1e-9
+
+
+def test_q216_plan_has_no_pair_join(spark):
+    """The scale claim: no join on the vector relation at all — two
+    grouped aggregates and a broadcast of the 10-row label stats."""
+    df = QUERIES["q216_embedding_anisotropy"](spark, SF_SMOKE)
+    tree = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    ).split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+# --------------------------------------------------------------------------
+# q217 temporal embargo split
+# --------------------------------------------------------------------------
+
+def test_q217_matches_brute_force(spark):
+    import datetime
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("user_id", "ts").collect()
+    t1 = datetime.datetime(2024, 1, 20)
+    t2 = datetime.datetime(2024, 1, 22)
+    agg: dict[int, list[int]] = {}
+    for r in ev:
+        c = agg.setdefault(r["user_id"], [0, 0, 0])
+        if r["ts"] < t1:
+            c[0] += 1
+        elif r["ts"] < t2:
+            c[1] += 1
+        else:
+            c[2] += 1
+    out = QUERIES["q217_temporal_embargo_split"](spark, SF_SMOKE).collect()
+    assert {r["user_id"] for r in out} == set(agg)
+    for r in out:
+        tr, em, te = agg[r["user_id"]]
+        assert (r["n_train_events"], r["n_embargo_events"], r["n_test_events"]) == (tr, em, te)
+        want = (
+            "excluded_leaky"
+            if tr > 0 and te > 0
+            else "train" if tr > 0 else "test" if te > 0 else "embargo_only"
+        )
+        assert r["assignment"] == want
+
+
+def test_q217_split_is_exhaustive_and_disjoint(spark):
+    """Every user lands in exactly one verdict; train/test users never
+    share an identity (the guard's whole point)."""
+    out = QUERIES["q217_temporal_embargo_split"](spark, SF_SMOKE).collect()
+    train = {r["user_id"] for r in out if r["assignment"] == "train"}
+    test = {r["user_id"] for r in out if r["assignment"] == "test"}
+    leaky = {r["user_id"] for r in out if r["assignment"] == "excluded_leaky"}
+    assert not (train & test)
+    assert all(r["n_train_events"] > 0 and r["n_test_events"] > 0 for r in out if r["assignment"] == "excluded_leaky")
+    assert len(train) + len(test) + len(leaky) <= len(out)

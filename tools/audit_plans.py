@@ -115,6 +115,9 @@ BNLJ_WHITELIST = {
     "q198_information_gain": "1-row totals over the bounded contingency",
     "q199_rrf_fusion": "1-row query vector x 1-row corpus stats; fused sides <=100 rows",
     "q201_temperature_mix": "1-row total-tokens scalar x 3-alpha literal grid",
+    "q212_calibration_bins": "1-row total-count scalar (exact distributed ntile)",
+    "q213_margin_mining": "bounded alignment batch x corpus (margin mining; ANN candidates at scale)",
+    "q214_ann_ndcg": "inherits q39/q40 bounded query sets + 1-row ideal-DCG scalar",
 }
 
 
