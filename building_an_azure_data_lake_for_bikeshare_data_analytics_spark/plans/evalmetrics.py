@@ -697,3 +697,373 @@ def q217(spark, sf):
         .otherwise(F.lit("embargo_only"))
         .alias("assignment"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# q218: split-conformal prediction sets over the probe scores
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM = 9  # coverage 1 - alpha = 9/10, kept rational so the
+_CONF_ALPHA_DEN = 10  # quantile index is exact integer arithmetic
+
+
+@query(
+    "q218_conformal_probe_sets",
+    f"""WITH sc AS ({_probe_oracle()}),
+    si AS (SELECT vec_id, label_true,
+                  CAST(round(score * 1000000) AS BIGINT) AS s6, score
+           FROM sc),
+    cal AS (SELECT vec_id,
+                   CASE WHEN label_true = 1 THEN 1000000 - s6 ELSE s6 END AS a6
+            FROM si WHERE vec_id % 5 = 0),
+    r AS (SELECT a6, row_number() OVER (ORDER BY a6, vec_id) AS rn FROM cal),
+    nc AS (SELECT count(*) AS n FROM cal),
+    qh AS (SELECT a6 AS qhat6 FROM r, nc
+           WHERE rn = ((n + 1) * {_CONF_ALPHA_NUM} + {_CONF_ALPHA_DEN} - 1)
+                      // {_CONF_ALPHA_DEN})
+    SELECT vec_id, score, qhat6,
+           CAST(CASE WHEN 1000000 - s6 <= qhat6 THEN 1 ELSE 0 END AS INTEGER)
+               AS pos_in_set,
+           CAST(CASE WHEN s6 <= qhat6 THEN 1 ELSE 0 END AS INTEGER)
+               AS neg_in_set,
+           CAST((CASE WHEN 1000000 - s6 <= qhat6 THEN 1 ELSE 0 END)
+                + (CASE WHEN s6 <= qhat6 THEN 1 ELSE 0 END) AS INTEGER)
+               AS set_size
+    FROM si CROSS JOIN qh
+    WHERE vec_id % 5 <> 0
+    ORDER BY vec_id""",
+    tags=("evaluation", "conformal", "classifier", "uncertainty", "fit-replay"),
+)
+def q218(spark, sf):
+    """Split-conformal prediction sets (Vovk; Angelopoulos & Bates 2021)
+    over the q145 probe: a deterministic 20% calibration slice
+    (vec_id % 5 = 0) supplies nonconformity scores a = 1−ŝ_y; the
+    conformal quantile is the ⌈(n+1)(1−α)⌉-th smallest (α = 0.1), and
+    every held-out row gets the label SET {y : 1−ŝ_y ≤ q̂} — the
+    finite-sample-coverage uncertainty wrapper a curation pipeline puts
+    around its quality classifier before auto-dropping documents
+    (set_size 2 = "don't trust this score", route to review instead of
+    the bin).
+
+    Exactness: round-6 scores become exact micro-unit ints, so
+    nonconformity, the order statistic and both set-membership
+    comparisons are pure integer arithmetic; the quantile index
+    ⌈(n+1)·9/10⌉ is exact ceil-division on integers. Nothing floating
+    but the pass-through score column.
+
+    Scale shape: the order statistic uses
+    ``functions/rank.distributed_row_number`` bucketed by the bounded
+    score domain (a6 ≫ 10-bit coarsening — never a single-partition
+    window over the calibration slice); the 1-row q̂ scalar broadcasts
+    (whitelisted BNLJ); set assignment is map-only."""
+    sc = q145(spark, sf).select("vec_id", "label_true", "score")
+    si = sc.select(
+        "vec_id",
+        "label_true",
+        "score",
+        F.round(F.col("score") * 1000000).cast("long").alias("s6"),
+    )
+    cal = si.where(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.when(F.col("label_true") == 1, F.lit(1000000) - F.col("s6"))
+        .otherwise(F.col("s6"))
+        .alias("a6"),
+    )
+    ranked = distributed_row_number(
+        cal, [F.col("a6"), F.col("vec_id")], bucket=F.floor(F.col("a6") / 1024), out="rn"
+    )
+    n = cal.agg(F.count(F.lit(1)).alias("n"))
+    k = F.floor(
+        ((F.col("n") + 1) * _CONF_ALPHA_NUM + _CONF_ALPHA_DEN - 1) / _CONF_ALPHA_DEN
+    )
+    qh = (
+        ranked.crossJoin(F.broadcast(n))
+        .where(F.col("rn") == k)
+        .select(F.col("a6").alias("qhat6"))
+    )
+    pos = (F.lit(1000000) - F.col("s6")) <= F.col("qhat6")
+    neg = F.col("s6") <= F.col("qhat6")
+    return (
+        si.where(F.col("vec_id") % 5 != 0)
+        .crossJoin(F.broadcast(qh))
+        .select(
+            "vec_id",
+            "score",
+            "qhat6",
+            pos.cast("int").alias("pos_in_set"),
+            neg.cast("int").alias("neg_in_set"),
+            (pos.cast("int") + neg.cast("int")).alias("set_size"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q219: per-source population stability index (PSI) drift
+# --------------------------------------------------------------------------
+
+@query(
+    "q219_source_psi",
+    r"""WITH bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+                   FROM documents),
+    binned AS (
+      SELECT source,
+             least(CAST(floor((n_chars - lo) * 10.0 / (hi - lo + 1)) AS BIGINT),
+                   9) AS bin
+      FROM documents, bounds),
+    spine AS (SELECT DISTINCT d.source, t.b AS bin
+              FROM documents d, range(0, 10) t(b)),
+    sb AS (SELECT s.source, s.bin,
+                  count(b.bin) AS c
+           FROM spine s LEFT JOIN binned b
+             ON b.source = s.source AND b.bin = s.bin
+           GROUP BY s.source, s.bin),
+    tot AS (SELECT source, sum(c) AS ns FROM sb GROUP BY source),
+    pooled AS (SELECT bin, sum(c) AS cb FROM sb GROUP BY bin),
+    gt AS (SELECT sum(c) AS nn FROM sb),
+    terms AS (
+      SELECT sb.source,
+             CAST(floor(((CAST(sb.c + 1 AS DOUBLE) / (tot.ns + 10))
+                         - (CAST(pooled.cb + 1 AS DOUBLE) / (gt.nn + 10)))
+                        * ln((CAST(sb.c + 1 AS DOUBLE) / (tot.ns + 10))
+                             / (CAST(pooled.cb + 1 AS DOUBLE) / (gt.nn + 10)))
+                        * 1000000000) AS BIGINT) AS t9
+      FROM sb JOIN tot USING (source) JOIN pooled USING (bin) CROSS JOIN gt)
+    SELECT source,
+           round(CAST(sum(t9) AS DOUBLE) / 1000000000.0, 6) AS psi
+    FROM terms GROUP BY source ORDER BY source""",
+    tags=("drift", "psi", "statistics", "profiling"),
+)
+def q219(spark, sf):
+    """Population stability index of each source's document-length
+    distribution against the pooled corpus — the standard production
+    drift gate (PSI < 0.1 stable / 0.1-0.25 watch / > 0.25 shifted)
+    that complements q119's token-share drift and q122's windowed value
+    drift with a proper distribution-shape statistic:
+    PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) over ten equal-width length
+    bins, add-one smoothed so empty bins stay finite.
+
+    Exactness: bin ids are one identical floor-divide both engines;
+    counts ride a LEFT JOIN against the full source × bin spine so the
+    +1 smoothing applies to EMPTY bins too (dropping them would
+    understate drift); p and q are double divisions of exact ints, each
+    PSI term is floor-quantized to nano-units before the 10-term sum
+    (the q138 ln discipline), and the result is one divide + round.
+
+    Scale shape: one groupBy over (source, bin) — map-side combinable —
+    a bounded spine LEFT JOIN (sources × 10 rows), two tiny rollups,
+    and 1-row global scalars broadcast (whitelisted BNLJ). The corpus
+    is read once and never joined against itself."""
+    d = _t(spark, sf, "documents").select("source", "n_chars")
+    bounds = d.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    binned = d.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        F.least(
+            F.floor(
+                (F.col("n_chars") - F.col("lo"))
+                * F.lit(10.0)
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+    )
+    spine = (
+        d.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(0, 10).select(F.col("id").alias("bin"))))
+    )
+    sb = (
+        spine.join(binned.withColumn("hit", F.lit(1)), ["source", "bin"], "left_outer")
+        .groupBy("source", "bin")
+        .agg(F.count("hit").alias("c"))
+        # three consumers (tot/pooled/gt) would each re-execute the corpus
+        # scan; the (source x bin) relation is bounded, so pin it once
+        .localCheckpoint()
+    )
+    tot = sb.groupBy("source").agg(F.sum("c").alias("ns"))
+    pooled = sb.groupBy("bin").agg(F.sum("c").alias("cb"))
+    gt = sb.agg(F.sum("c").alias("nn"))
+    p = (F.col("c") + 1).cast("double") / (F.col("ns") + 10)
+    q = (F.col("cb") + 1).cast("double") / (F.col("nn") + 10)
+    terms = (
+        sb.join(F.broadcast(tot), "source")
+        .join(F.broadcast(pooled), "bin")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            F.floor((p - q) * F.log(p / q) * F.lit(1000000000))
+            .cast("long")
+            .alias("t9"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round(F.sum("t9").cast("double") / F.lit(1000000000.0), 6).alias("psi")
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q220: MMR diversified re-ranking (oracle-replayed greedy)
+# --------------------------------------------------------------------------
+
+_MMR_POOL = 30  # candidate pool size (top-N by relevance)
+_MMR_K = 10  # picks
+# lambda = 0.7 kept rational: mmr score = 7*rel4 - 3*maxsim4 in exact
+# 1e-5-unit ints, so the greedy argmax can never flake on float ties
+_MMR_LNUM, _MMR_LDEN = 7, 3
+
+_MMR_COS = (
+    "round(list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
+    " i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 4)"
+)
+
+
+def _mmr_oracle(pool_n: int = _MMR_POOL, k: int = _MMR_K) -> str:
+    """DuckDB oracle for q220: the ENTIRE greedy unrolled — pool CTE,
+    pairwise round-4 sims, then k argmax steps each conditioned on the
+    running selected set (the _probe_oracle replay-the-fit pattern
+    applied to an iterative selection instead of a gradient)."""
+    qcos = _MMR_COS.format(a="q.qe", b="e.embedding")
+    pcos = _MMR_COS.format(a="a.embedding", b="b.embedding")
+    blocks = [
+        f"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    relq AS (SELECT e.vec_id, e.embedding, {qcos} AS rel
+             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+    pool AS MATERIALIZED (
+      SELECT vec_id, embedding, rel,
+             CAST(round(rel * 10000) AS BIGINT) AS rel4
+      FROM (SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn
+            FROM relq)
+      WHERE rn <= {pool_n}),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(round({pcos} * 10000) AS BIGINT) AS s4
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, rel, CAST(1 AS INTEGER) AS pick,
+             {_MMR_LNUM} * rel4 AS s
+      FROM pool ORDER BY rel4 DESC, vec_id LIMIT 1),
+    all1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        blocks.append(
+            f"""sel{i} AS MATERIALIZED (
+      SELECT vec_id, rel, CAST({i} AS INTEGER) AS pick, s FROM (
+        SELECT p.vec_id, p.rel,
+               {_MMR_LNUM} * p.rel4 - {_MMR_LDEN} * max(sm.s4) AS s
+        FROM pool p
+        JOIN sims sm ON sm.va = p.vec_id
+                    AND sm.vb IN (SELECT vec_id FROM all{i - 1})
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM all{i - 1})
+        GROUP BY p.vec_id, p.rel, p.rel4)
+      ORDER BY s DESC, vec_id LIMIT 1),
+    all{i} AS MATERIALIZED (
+      SELECT * FROM all{i - 1} UNION ALL SELECT * FROM sel{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT pick, vec_id, rel,
+           round(CAST(s AS DOUBLE) / 100000.0, 5) AS mmr_score
+    FROM all{k} ORDER BY pick"""
+    )
+
+
+@query(
+    "q220_mmr_rerank",
+    _mmr_oracle(),
+    tags=("similarity", "mmr", "diversity", "rerank", "fit-replay"),
+)
+def q220(spark, sf):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from the top-30 relevance pool for a probe query (vec_id 0),
+    greedily pick 10 results maximizing λ·rel(d) − (1−λ)·max_{s∈S}
+    sim(d,s), λ = 0.7 — the diversity-aware re-rank a retrieval layer
+    (and a diverse-sampling curation stage) runs on ANN candidates so
+    ten near-duplicates of the best hit don't fill the result page.
+    The ENTIRE greedy is replayed by the oracle, pick by pick.
+
+    Exactness: relevances and pairwise sims are house round-4 cosines
+    scaled to exact 1e-4-unit ints; with λ rational the MMR objective is
+    7·rel4 − 3·maxsim4 — pure integer arithmetic, so every argmax (id
+    tie-break) is exact in both engines and the only float op is the
+    final display divide.
+
+    Scale shape: candidate generation is the distributed part (exact
+    top-30 here — TakeOrderedAndProject over the broadcast-query scored
+    corpus; the 100 TB path swaps in q40/q130 ANN candidates, the MMR
+    stage is unchanged); the greedy itself is inherently sequential and
+    runs driver-side over the BOUNDED pool (30 vectors, 870 sims — the
+    q131 BPE bounded-collect posture), then returns as a small local
+    relation. Pool size, not corpus size, is the only driver term."""
+    import math
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    qrow = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    rel = F.round(
+        dot(F.col("qe"), F.col("embedding"))
+        / (norm(F.col("qe")) * norm(F.col("embedding"))),
+        4,
+    )
+    pool_rows = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .collect()
+    )
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def r4(v: float) -> int:
+        # half-away round to 1e-4 ints, the engines' round() on doubles
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(Decimal(repr(v * 10000)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    ids = [r["vec_id"] for r in pool_rows]
+    rels = {r["vec_id"]: r["rel"] for r in pool_rows}
+    rel4 = {r["vec_id"]: r4(r["rel"]) for r in pool_rows}
+    vecs = {r["vec_id"]: r["embedding"] for r in pool_rows}
+    nrm = {i: math.sqrt(fold_dot(vecs[i], vecs[i])) for i in ids}
+    s4 = {
+        (a, b): r4(fold_dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b]))
+        for a in ids
+        for b in ids
+        if a != b
+    }
+    picks: list[tuple[int, int, float, int]] = []
+    chosen: list[int] = []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for c in ids:
+            if c in chosen:
+                continue
+            pen = max(s4[(c, s)] for s in chosen) if chosen else 0
+            score = _MMR_LNUM * rel4[c] - (_MMR_LDEN * pen if chosen else 0)
+            if best is None or (-score, c) < (-best[1], best[0]):
+                best = (c, score)
+        picks.append((step, best[0], rels[best[0]], best[1]))
+        chosen.append(best[0])
+    out = spark.createDataFrame(
+        picks, schema="pick int, vec_id long, rel double, s long"
+    )
+    return out.select(
+        "pick",
+        "vec_id",
+        "rel",
+        F.round(F.col("s").cast("double") / F.lit(100000.0), 5).alias("mmr_score"),
+    ).orderBy("pick")

@@ -300,3 +300,130 @@ def test_q217_split_is_exhaustive_and_disjoint(spark):
     assert not (train & test)
     assert all(r["n_train_events"] > 0 and r["n_test_events"] > 0 for r in out if r["assignment"] == "excluded_leaky")
     assert len(train) + len(test) + len(leaky) <= len(out)
+
+
+# --------------------------------------------------------------------------
+# q218 conformal sets
+# --------------------------------------------------------------------------
+
+def test_q218_matches_brute_force(spark):
+    rows = _probe_scores(spark)
+    s6 = {r["vec_id"]: int(_rhu(r["score"] * 1e6, "1")) for r in rows}
+    y = {r["vec_id"]: r["label_true"] for r in rows}
+    cal = sorted(
+        ((1000000 - s6[v]) if y[v] == 1 else s6[v], v)
+        for v in s6
+        if v % 5 == 0
+    )
+    n = len(cal)
+    k = -(-((n + 1) * 9) // 10)  # ceil((n+1)*9/10)
+    qhat = cal[k - 1][0]
+    out = QUERIES["q218_conformal_probe_sets"](spark, SF_SMOKE).collect()
+    assert {r["vec_id"] for r in out} == {v for v in s6 if v % 5 != 0}
+    for r in out:
+        v = r["vec_id"]
+        assert r["qhat6"] == qhat
+        assert r["pos_in_set"] == int(1000000 - s6[v] <= qhat)
+        assert r["neg_in_set"] == int(s6[v] <= qhat)
+        assert r["set_size"] == r["pos_in_set"] + r["neg_in_set"]
+
+
+def test_q218_marginal_coverage(spark):
+    """Split-conformal guarantee: held-out coverage of the true label is
+    at least 1 - alpha up to the finite-sample correction (here the weak
+    probe yields wide sets, so coverage should be comfortably high)."""
+    rows = {r["vec_id"]: r for r in _probe_scores(spark)}
+    out = QUERIES["q218_conformal_probe_sets"](spark, SF_SMOKE).collect()
+    covered = sum(
+        (r["pos_in_set"] if rows[r["vec_id"]]["label_true"] == 1 else r["neg_in_set"])
+        for r in out
+    )
+    assert covered / len(out) >= 0.8
+
+
+# --------------------------------------------------------------------------
+# q219 PSI
+# --------------------------------------------------------------------------
+
+def test_q219_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "source", "n_chars"
+    ).collect()
+    lo = min(d["n_chars"] for d in docs)
+    hi = max(d["n_chars"] for d in docs)
+    per_sb: dict[tuple[str, int], int] = {}
+    sources = sorted({d["source"] for d in docs})
+    for d in docs:
+        b = min(int(math.floor((d["n_chars"] - lo) * 10.0 / (hi - lo + 1))), 9)
+        per_sb[(d["source"], b)] = per_sb.get((d["source"], b), 0) + 1
+    out = {r["source"]: r["psi"] for r in QUERIES["q219_source_psi"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(sources)
+    nn = len(docs)
+    for s in sources:
+        ns = sum(per_sb.get((s, b), 0) for b in range(10))
+        t9s = 0
+        for b in range(10):
+            c = per_sb.get((s, b), 0)
+            cb = sum(per_sb.get((s2, b), 0) for s2 in sources)
+            p = (c + 1) / (ns + 10)
+            q = (cb + 1) / (nn + 10)
+            t9s += math.floor((p - q) * math.log(p / q) * 1e9)
+        want = _rhu(t9s / 1e9, "0.000001")
+        assert abs(out[s] - want) < 1e-9
+        # PSI terms are (p-q)ln(p/q) >= 0; only floor quantization can
+        # push the sum a hair under zero
+        assert out[s] >= -1e-8
+
+
+# --------------------------------------------------------------------------
+# q220 MMR
+# --------------------------------------------------------------------------
+
+def test_q220_matches_independent_greedy(spark):
+    """Re-derive the whole MMR selection from raw embeddings with an
+    independent implementation (no shared helpers) and compare pick by
+    pick."""
+    emb = {r["vec_id"]: r["embedding"] for r in spark.read.parquet(
+        f"{SF_SMOKE}/embeddings.parquet").collect()}
+
+    def fold(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    qv = emb[0]
+    qn = math.sqrt(fold(qv, qv))
+    rel = {
+        v: _rhu(fold(qv, e) / (qn * math.sqrt(fold(e, e))), "0.0001")
+        for v, e in emb.items()
+        if v != 0
+    }
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:30]
+    rel4 = {v: int(_rhu(rel[v] * 10000, "1")) for v in pool}
+    sim4 = {}
+    for a in pool:
+        na = math.sqrt(fold(emb[a], emb[a]))
+        for b in pool:
+            if a != b:
+                nb = math.sqrt(fold(emb[b], emb[b]))
+                sim4[(a, b)] = int(
+                    _rhu(_rhu(fold(emb[a], emb[b]) / (na * nb), "0.0001") * 10000, "1")
+                )
+    chosen: list[int] = []
+    want: list[tuple[int, int, int]] = []
+    for step in range(1, 11):
+        cands = [c for c in pool if c not in chosen]
+        scores = {
+            c: 7 * rel4[c] - (3 * max(sim4[(c, s)] for s in chosen) if chosen else 0)
+            for c in cands
+        }
+        pick = min(cands, key=lambda c: (-scores[c], c))
+        want.append((step, pick, scores[pick]))
+        chosen.append(pick)
+
+    out = QUERIES["q220_mmr_rerank"](spark, SF_SMOKE).collect()
+    got = [(r["pick"], r["vec_id"], int(_rhu(r["mmr_score"] * 100000, "1"))) for r in out]
+    assert got == want
+    # first pick is the pure-relevance argmax; scores never increase
+    assert out[0]["vec_id"] == min(rel4, key=lambda v: (-rel4[v], v))

@@ -118,6 +118,8 @@ BNLJ_WHITELIST = {
     "q212_calibration_bins": "1-row total-count scalar (exact distributed ntile)",
     "q213_margin_mining": "bounded alignment batch x corpus (margin mining; ANN candidates at scale)",
     "q214_ann_ndcg": "inherits q39/q40 bounded query sets + 1-row ideal-DCG scalar",
+    "q218_conformal_probe_sets": "1-row conformal quantile scalar",
+    "q219_source_psi": "1-row global totals over the checkpointed bounded (source x bin) relation",
 }
 
 
