@@ -1067,3 +1067,290 @@ def q220(spark, sf):
         "rel",
         F.round(F.col("s").cast("double") / F.lit(100000.0), 5).alias("mmr_score"),
     ).orderBy("pick")
+
+
+# --------------------------------------------------------------------------
+# q221: excess-loss domain reweighting (DoReMi-flavored mixture update)
+# --------------------------------------------------------------------------
+
+_DOREMI_ETA = 5  # multiplicative-weights step on the 1e-6 excess grid
+
+
+def _doremi_oracle() -> str:
+    from .base import REGISTRY as _R  # registered oracles
+
+    lm_sql = _R["q138_doc_lm_score"].oracle
+    return f"""WITH lm AS ({lm_sql}),
+    d AS (SELECT doc_id, source FROM documents),
+    ds AS (SELECT d.source,
+                  CAST(round(lm.avg_logp * 1000000) AS BIGINT) AS s6
+           FROM lm JOIN d USING (doc_id)),
+    per AS (SELECT source, count(*) AS n,
+                   sum(CAST(s6 AS HUGEINT)) AS ssum
+            FROM ds GROUP BY source),
+    g AS (SELECT sum(ssum) AS gs, sum(n) AS gn FROM per),
+    x AS (SELECT source, n,
+                 round(-(CAST(ssum AS DOUBLE) / n) / 1000000.0, 6) AS mean_nll,
+                 round(-(CAST(gs AS DOUBLE) / gn) / 1000000.0, 6) AS g_nll
+          FROM per CROSS JOIN g),
+    w AS (SELECT source, n, mean_nll,
+                 round(mean_nll - g_nll, 6) AS excess,
+                 greatest(0, 1000000
+                          + CAST(round((round(mean_nll - g_nll, 6)) * 1000000)
+                                 AS BIGINT) * {_DOREMI_ETA}) AS w6
+          FROM x),
+    tot AS (SELECT sum(w6) AS tw FROM w)
+    SELECT source, CAST(n AS BIGINT) AS n_docs, mean_nll, excess,
+           round(CAST(w6 AS DOUBLE) / tw, 6) AS mix_weight
+    FROM w CROSS JOIN tot ORDER BY source"""
+
+
+@query(
+    "q221_excess_loss_reweight",
+    _doremi_oracle(),
+    tags=("training", "mixture", "doremi", "lm", "fit-replay"),
+)
+def q221(spark, sf):
+    """Excess-loss domain reweighting — the DoReMi signal (Xie et al.
+    2023) in its static one-step form: per-source mean NLL under the
+    q138 bigram LM, excess over the corpus-wide mean, and a clipped
+    multiplicative-weights update w_s ∝ max(0, 1 + η·excess_s)
+    normalized into a training mixture — domains the LM finds hard get
+    upweighted, exactly the signal DoReMi's proxy-model loop feeds back
+    per step. Composes with q201 (temperature mix) and q110 (token
+    budget) as the third mixture-design head.
+
+    Exactness: q138's round-6 per-doc scores become exact micro-unit
+    ints; per-source and global sums are exact HUGEINT/DECIMAL(38,0)
+    (the GLOBAL mean comes from the 20-row per-source relation — one
+    corpus scan, not two); mean/excess are the identical double ops
+    rounded at 6 dp, the clipped weight is exact integer arithmetic on
+    the 1e-6 excess grid, and the normalizer is an exact integer sum —
+    no float accumulation over sources in either engine.
+
+    Scale shape: the doc-score relation aggregates per source
+    (map-side combinable) and everything after runs on the
+    |sources|-row relation; the two 1-row scalars broadcast
+    (whitelisted BNLJ). The LM scoring itself is q138's shape."""
+    from .extensions import q138
+
+    lm = q138(spark, sf).select("doc_id", "avg_logp")
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    ds = lm.join(d, "doc_id").select(
+        "source", F.round(F.col("avg_logp") * 1000000).cast("long").alias("s6")
+    )
+    per = ds.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dec(F.col("s6"))).alias("ssum")
+    )
+    g = per.agg(F.sum("ssum").alias("gs"), F.sum("n").alias("gn"))
+    x = per.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n",
+        F.round(-(F.col("ssum").cast("double") / F.col("n")) / F.lit(1000000.0), 6)
+        .alias("mean_nll"),
+        F.round(-(F.col("gs").cast("double") / F.col("gn")) / F.lit(1000000.0), 6)
+        .alias("g_nll"),
+    )
+    excess = F.round(F.col("mean_nll") - F.col("g_nll"), 6)
+    w = x.select(
+        "source",
+        "n",
+        "mean_nll",
+        excess.alias("excess"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(1000000)
+            + F.round(excess * 1000000).cast("long") * F.lit(_DOREMI_ETA),
+        ).alias("w6"),
+    )
+    tot = w.agg(F.sum("w6").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "mean_nll",
+            "excess",
+            F.round(F.col("w6").cast("double") / F.col("tw"), 6).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q222: two-pass exact heavy hitters (Misra-Gries prune + exact verify)
+# --------------------------------------------------------------------------
+
+_MG_K = 32  # counters per partition; threshold freq > n/k
+
+
+@query(
+    "q222_heavy_hitters_exact",
+    rf"""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+               FROM documents),
+    n AS (SELECT count(*) AS total FROM t),
+    c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt
+    FROM c CROSS JOIN n
+    WHERE cnt * {_MG_K} > total
+    ORDER BY cnt DESC, tok""",
+    tags=("text", "heavy-hitters", "misra-gries", "sketch", "two-pass"),
+)
+def q222(spark, sf):
+    """Exact heavy hitters by the production two-pass pattern: a
+    per-partition Misra-Gries sketch (k = 32 counters, bounded state —
+    the mergeable-summaries guarantee means any token with global
+    frequency > n/k must survive in at least one partition's sketch, by
+    pigeonhole over the per-partition bounds) prunes the vocabulary to
+    a tiny candidate set; an exact second pass counts ONLY candidates
+    and applies the threshold. Output is therefore EXACT — the sketch
+    can only over-admit, never lose a qualifying token — unlike q107's
+    CMS estimates; this is the shape that finds hot tokens when the
+    vocabulary itself cannot fit anywhere.
+
+    Determinism: the MG sketch's content depends on partitioning, but
+    the OUTPUT does not — candidates are a superset of the answer under
+    any split, and the emitted counts come from the exact pass. That is
+    the whole design: sketch for pruning, exact arithmetic for answers.
+
+    Scale shape: pass 1 is mapInPandas with O(k + batch-vocab) state
+    per worker and ≤ k rows emitted per partition; the candidate set
+    broadcasts into a map-side hash-join filter, so pass 2's groupBy
+    aggregates only candidate tokens; the 1-row total broadcasts
+    (whitelisted BNLJ)."""
+    import pandas as pd  # noqa: F401
+
+    toks = _t(spark, sf, "documents").select(F.explode(tokens("text")).alias("tok"))
+
+    k = _MG_K
+
+    def mg(it):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in it:
+            for tok_v, cnt_v in pdf["tok"].value_counts().items():
+                counters[tok_v] = counters.get(tok_v, 0) + int(cnt_v)
+            if len(counters) > k - 1:
+                # mergeable MG reduction: subtract the k-th largest count
+                # from everyone, drop the non-positive
+                cut = sorted(counters.values(), reverse=True)[k - 1]
+                counters = {
+                    t2: c2 - cut for t2, c2 in counters.items() if c2 - cut > 0
+                }
+        yield pd.DataFrame({"tok": list(counters)})
+
+    cands = toks.mapInPandas(mg, "tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    exact = (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("total"))
+        .select("tok", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q223: cross-source quantile normalization of a quality score
+# --------------------------------------------------------------------------
+
+@query(
+    "q223_quantile_normalize",
+    r"""WITH s AS (
+      SELECT doc_id, source,
+             round(len(list_filter(ts, t -> t IN ('the', 'a', 'of', 'and')))
+                   / len(ts), 4) AS x
+      FROM (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\s+') AS ts
+            FROM documents)),
+    n AS (SELECT count(*) AS nn FROM s),
+    rg AS (SELECT x AS px, row_number() OVER (ORDER BY x, doc_id) AS rn
+           FROM s),
+    rs AS (SELECT doc_id, source, x,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY x, doc_id) AS r,
+                  count(*) OVER (PARTITION BY source) AS ns
+           FROM s),
+    tgt AS (SELECT doc_id, source, x,
+                   CAST(floor((r - 1) * CAST(nn - 1 AS DOUBLE) / (ns - 1))
+                        AS BIGINT) + 1 AS tr
+            FROM rs CROSS JOIN n)
+    SELECT t.doc_id, t.source, t.x AS score, g.px AS norm_score
+    FROM tgt t JOIN rg g ON t.tr = g.rn
+    ORDER BY t.doc_id""",
+    tags=("curation", "normalization", "quantile", "rank"),
+)
+def q223(spark, sf):
+    """Cross-source quantile normalization of the q32 stopword-ratio
+    quality score: each document's score is replaced by the POOLED
+    distribution's order statistic at the document's within-source
+    quantile — after which every source has (as near as the grid
+    allows) the same score distribution. This is the harmonization step
+    a curation pipeline runs before applying ONE global threshold to
+    scores produced over heterogeneous sources (a 0.3 from a forum
+    shard and a 0.3 from a books shard do not mean the same thing —
+    microarray-style quantile normalization transplanted to corpus
+    curation).
+
+    Exactness: within-source ranks and the pooled ranking are exact
+    integers with (score, doc_id) total order; the target rank
+    ⌊(r−1)(N−1)/(n_s−1)⌋+1 is one identical floor-divide (exact while
+    r·N < 2⁵³ — and engine-consistent regardless); the normalized score
+    is a VALUE from the pooled relation, no interpolation arithmetic.
+
+    Scale shape: per-source ranks are ordinary windows partitioned by
+    source (parallel across sources); the pooled rank uses
+    ``functions/rank.distributed_row_number`` bucketed by the bounded
+    round-4 score domain — no single-partition pass; the final lookup
+    is an equi-join on the integer rank. The 1-row N scalar broadcasts
+    (whitelisted BNLJ)."""
+    from ..functions.text import STOPWORDS, marker_count
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", tokens("text").alias("ts")
+    )
+    s = d.select(
+        "doc_id",
+        "source",
+        F.round(marker_count(F.col("ts"), STOPWORDS) / F.size("ts"), 4).alias("x"),
+    )
+    n = s.agg(F.count(F.lit(1)).alias("nn"))
+    rg = distributed_row_number(
+        s.select(F.col("x").alias("px"), F.col("doc_id").alias("pid")),
+        [F.col("px"), F.col("pid")],
+        bucket=F.floor(F.col("px") * 100),
+        out="rn",
+    ).select("px", "rn")
+    ws = Window.partitionBy("source").orderBy("x", "doc_id")
+    wc = Window.partitionBy("source")
+    rs = s.withColumn("r", F.row_number().over(ws)).withColumn(
+        "ns", F.count(F.lit(1)).over(wc)
+    )
+    tgt = rs.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "x",
+        (
+            F.floor(
+                (F.col("r") - 1)
+                * (F.col("nn") - 1).cast("double")
+                / (F.col("ns") - 1)
+            ).cast("long")
+            + 1
+        ).alias("tr"),
+    )
+    return (
+        tgt.join(rg, tgt["tr"] == rg["rn"])
+        .select(
+            "doc_id",
+            "source",
+            F.col("x").alias("score"),
+            F.col("px").alias("norm_score"),
+        )
+        .orderBy("doc_id")
+    )

@@ -427,3 +427,139 @@ def test_q220_matches_independent_greedy(spark):
     assert got == want
     # first pick is the pure-relevance argmax; scores never increase
     assert out[0]["vec_id"] == min(rel4, key=lambda v: (-rel4[v], v))
+
+
+# --------------------------------------------------------------------------
+# q221 excess-loss reweighting
+# --------------------------------------------------------------------------
+
+def test_q221_matches_brute_force(spark):
+    lm = {r["doc_id"]: r["avg_logp"] for r in QUERIES["q138_doc_lm_score"](spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "source").collect()
+    per: dict[str, list[int]] = {}
+    for d in docs:
+        if d["doc_id"] in lm:  # docs with < 2 tokens score no pairs
+            per.setdefault(d["source"], []).append(int(_rhu(lm[d["doc_id"]] * 1e6, "1")))
+    gs = sum(sum(v) for v in per.values())
+    gn = sum(len(v) for v in per.values())
+    g_nll = _rhu(-(gs / gn) / 1e6, "0.000001")
+    w6 = {}
+    stats = {}
+    for s, v in per.items():
+        mean_nll = _rhu(-(sum(v) / len(v)) / 1e6, "0.000001")
+        excess = _rhu(mean_nll - g_nll, "0.000001")
+        stats[s] = (len(v), mean_nll, excess)
+        w6[s] = max(0, 1000000 + int(_rhu(excess * 1e6, "1")) * 5)
+    tw = sum(w6.values())
+    out = {r["source"]: r for r in QUERIES["q221_excess_loss_reweight"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(per)
+    for s in per:
+        n, mean_nll, excess = stats[s]
+        assert out[s]["n_docs"] == n
+        assert abs(out[s]["mean_nll"] - mean_nll) < 1e-9
+        assert abs(out[s]["excess"] - excess) < 1e-9
+        assert abs(out[s]["mix_weight"] - _rhu(w6[s] / tw, "0.000001")) < 1e-9
+    # mixture sums to ~1 and upweights above-average-loss sources
+    assert abs(sum(r["mix_weight"] for r in out.values()) - 1.0) < 1e-4
+    for s in per:
+        if stats[s][2] > 1e-5:
+            assert out[s]["mix_weight"] * len(per) > 1.0 - 1e-4
+
+
+# --------------------------------------------------------------------------
+# q222 heavy hitters
+# --------------------------------------------------------------------------
+
+def test_q222_matches_exact_threshold(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("text").collect()
+    counts = Counter(t for d in docs for t in d["text"].split())
+    total = sum(counts.values())
+    want = {t: c for t, c in counts.items() if c * 32 > total}
+    got = {r["tok"]: r["cnt"] for r in QUERIES["q222_heavy_hitters_exact"](spark, SF_SMOKE).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_q222_mg_candidates_superset_under_any_partitioning(spark):
+    """The completeness guarantee the two-pass design rests on: however
+    the token relation is split, the surviving MG candidates contain
+    every token with freq > n/k."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import tokens as _tok
+    from pyspark.sql import functions as F
+
+    toks = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(F.explode(_tok("text")).alias("tok"))
+    )
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("text").collect()
+    counts = Counter(t for d in docs for t in d["text"].split())
+    total = sum(counts.values())
+    want = {t for t, c in counts.items() if c * 32 > total}
+    for parts in (1, 7, 32):
+        # direct candidate check at a hostile partitioning
+        rep = toks.repartition(parts)
+        k = 32
+
+        def mg(it):
+            import pandas as pd
+
+            counters = {}
+            for pdf in it:
+                for tok_v, cnt_v in pdf["tok"].value_counts().items():
+                    counters[tok_v] = counters.get(tok_v, 0) + int(cnt_v)
+                if len(counters) > k - 1:
+                    cut = sorted(counters.values(), reverse=True)[k - 1]
+                    counters = {t2: c2 - cut for t2, c2 in counters.items() if c2 - cut > 0}
+            yield pd.DataFrame({"tok": list(counters)})
+
+        cands = {r["tok"] for r in rep.mapInPandas(mg, "tok string").collect()}
+        assert want <= cands
+
+
+# --------------------------------------------------------------------------
+# q223 quantile normalization
+# --------------------------------------------------------------------------
+
+def test_q223_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).collect()
+    STOPS = ("the", "a", "of", "and")
+    x = {
+        d["doc_id"]: _rhu(
+            sum(t in STOPS for t in d["text"].split()) / len(d["text"].split()),
+            "0.0001",
+        )
+        for d in docs
+    }
+    src = {d["doc_id"]: d["source"] for d in docs}
+    pooled = sorted(x, key=lambda i: (x[i], i))
+    nn = len(pooled)
+    want = {}
+    for s in {v for v in src.values()}:
+        mem = sorted((i for i in x if src[i] == s), key=lambda i: (x[i], i))
+        ns = len(mem)
+        for r, i in enumerate(mem, start=1):
+            tr = math.floor((r - 1) * float(nn - 1) / (ns - 1)) + 1
+            want[i] = x[pooled[tr - 1]]
+    out = QUERIES["q223_quantile_normalize"](spark, SF_SMOKE).collect()
+    assert len(out) == nn
+    for r in out:
+        assert r["score"] == x[r["doc_id"]]
+        assert r["norm_score"] == want[r["doc_id"]]
+
+
+def test_q223_harmonizes_distributions(spark):
+    """After normalization, per-source score distributions are drawn
+    from the SAME pooled value set, and within-source ordering is
+    preserved (monotone mapping)."""
+    out = QUERIES["q223_quantile_normalize"](spark, SF_SMOKE).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    pooled_vals = sorted({r["norm_score"] for r in out})
+    assert len(pooled_vals) > 1
+    for s, rows in by_src.items():
+        rows = sorted(rows, key=lambda r: (r["score"], r["doc_id"]))
+        ns = [r["norm_score"] for r in rows]
+        assert all(ns[i] <= ns[i + 1] for i in range(len(ns) - 1))

@@ -120,6 +120,9 @@ BNLJ_WHITELIST = {
     "q214_ann_ndcg": "inherits q39/q40 bounded query sets + 1-row ideal-DCG scalar",
     "q218_conformal_probe_sets": "1-row conformal quantile scalar",
     "q219_source_psi": "1-row global totals over the checkpointed bounded (source x bin) relation",
+    "q221_excess_loss_reweight": "1-row global-loss + normalizer scalars over the |sources|-row relation",
+    "q222_heavy_hitters_exact": "1-row token-total scalar",
+    "q223_quantile_normalize": "1-row corpus-count scalar",
 }
 
 
