@@ -1354,3 +1354,180 @@ def q223(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q224: distinct-n generation-diversity profile per source
+# --------------------------------------------------------------------------
+
+def _distinct_n_branch_sql(n: int) -> str:
+    if n == 1:
+        gram = "ts[i]"
+    else:
+        gram = f"array_to_string(list_slice(ts, i, i + {n - 1}), ' ')"
+    return f"""SELECT source, {n} AS n, {gram} AS g
+       FROM (SELECT source, ts, unnest(range(1, len(ts) - {n - 1} + 1)) AS i
+             FROM tok WHERE len(ts) >= {n})"""
+
+
+@query(
+    "q224_distinct_ngrams",
+    rf"""WITH tok AS (SELECT source, string_split_regex(trim(text), '\s+') AS ts
+               FROM documents),
+    grams AS ({_distinct_n_branch_sql(1)}
+       UNION ALL {_distinct_n_branch_sql(2)}
+       UNION ALL {_distinct_n_branch_sql(3)}),
+    agg AS (SELECT source, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3)
+    SELECT source, CAST(n AS INTEGER) AS n,
+           CAST(sum(c) AS BIGINT) AS total_ngrams,
+           CAST(count(*) AS BIGINT) AS distinct_ngrams,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio
+    FROM agg GROUP BY source, n
+    ORDER BY source, n""",
+    tags=("text", "diversity", "ngram", "profiling"),
+)
+def q224(spark, sf):
+    """Distinct-n diversity profile (Li et al. 2016's distinct-1/2/3,
+    the standard degeneration metric for generated corpora): per source,
+    the ratio of DISTINCT uni/bi/trigrams to total n-grams. A
+    mode-collapsed or template-heavy source shows up as a low
+    distinct-2/3 long before eyeballing does — the corpus-health
+    counterpart to q88's within-doc repetition ratio and q215's
+    vocabulary-shape audit.
+
+    Exactness: pure integer counting (two-level exact distinct — no
+    sketch), one double division rounded at 6 dp.
+
+    Scale shape: each n-gram relation flows into a map-side-combinable
+    (source, n, gram) hash-agg and then a |sources|x3-row rollup; no
+    joins, no windows. The n-gram explode is the same shingle shape the
+    dedup family scans (q37/q163); hot grams skew only the intermediate
+    agg, which partial aggregation absorbs (the q97 salting lever
+    applies if a gram dominates a source)."""
+    d = _t(spark, sf, "documents").select("source", tokens("text").alias("ts"))
+    branches = []
+    for n in (1, 2, 3):
+        if n == 1:
+            gram = F.col("ts")[F.col("i") - 1]
+        else:
+            gram = F.concat_ws(" ", F.slice(F.col("ts"), F.col("i"), n))
+        branches.append(
+            d.where(F.size("ts") >= n)
+            .select(
+                "source",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.sequence(F.lit(1), F.size("ts") - F.lit(n - 1))
+                ).alias("i"),
+                "ts",
+            )
+            .select("source", "n", gram.alias("g"))
+        )
+    grams = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    agg = grams.groupBy("source", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        agg.groupBy("source", "n")
+        .agg(
+            F.sum("c").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+            F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+                "distinct_ratio"
+            ),
+        )
+        .select(
+            "source", F.col("n").cast("int").alias("n"),
+            "total_ngrams", "distinct_ngrams", "distinct_ratio",
+        )
+        .orderBy("source", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# q225: EXACT two-sample KS separation of the probe scores
+# --------------------------------------------------------------------------
+
+@query(
+    "q225_probe_ks_separation",
+    f"""WITH sc AS ({_probe_oracle()}),
+    c AS (SELECT score,
+                 sum(label_true) AS c1,
+                 sum(1 - label_true) AS c0
+          FROM sc GROUP BY score),
+    n AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM c),
+    cum AS (SELECT score,
+                   sum(c1) OVER (ORDER BY score) AS cum1,
+                   sum(c0) OVER (ORDER BY score) AS cum0
+            FROM c),
+    d AS (SELECT score,
+                 abs(CAST(cum1 AS HUGEINT) * n0
+                     - CAST(cum0 AS HUGEINT) * n1) AS dnum
+          FROM cum CROSS JOIN n)
+    SELECT CAST(n.n1 AS BIGINT) AS n_pos,
+           CAST(n.n0 AS BIGINT) AS n_neg,
+           round(CAST(m.dnum AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n0), 6)
+               AS ks_d,
+           m.score AS ks_threshold
+    FROM (SELECT score, dnum,
+                 row_number() OVER (ORDER BY dnum DESC, score) AS rn
+          FROM d) m CROSS JOIN n
+    WHERE m.rn = 1""",
+    tags=("evaluation", "ks-test", "classifier", "statistics", "fit-replay"),
+)
+def q225(spark, sf):
+    """EXACT two-sample Kolmogorov-Smirnov separation of the q145 probe
+    scores: D = max over thresholds of |F⁺ − F⁻| plus the threshold
+    attaining it — the distribution-level separation statistic
+    completing the probe dashboard (q211 AUC = ranking quality, q212 =
+    calibration, this = where to CUT). Unlike q187's 256-bucket gridded
+    KS over continuous values, the score domain here is already
+    discrete (round-6 sigmoids), so the supremum over ALL thresholds is
+    computed exactly.
+
+    Exactness: per-score class counts are exact ints; the supremum is
+    taken over the cross-multiplied integer form |cum⁺·n⁻ − cum⁻·n⁺|
+    (a DECIMAL(38,0)/HUGEINT max — no float enters until the single
+    final division), with the smallest attaining score as tie-break, so
+    the argmax is exact too.
+
+    Scale shape: one map-side-combinable groupBy(score), then
+    ``distributed_cumsum`` over the DISTINCT-score relation only
+    (bounded by the 10⁶+1-value sigmoid grid — never a row-scale
+    ordered pass), a 1-row class-totals broadcast (whitelisted BNLJ),
+    and a 1-row TakeOrdered head."""
+    from ..functions.rank import distributed_cumsum
+
+    sc = q145(spark, sf).select("label_true", "score")
+    c = sc.groupBy("score").agg(
+        F.sum("label_true").alias("c1"),
+        F.sum(F.lit(1) - F.col("label_true")).alias("c0"),
+    )
+    n = c.agg(F.sum("c1").alias("n1"), F.sum("c0").alias("n0"))
+    cum = distributed_cumsum(
+        c, [F.col("score").asc()], F.floor(F.col("score") * 100), "c1", out="cum1"
+    )
+    cum = distributed_cumsum(
+        cum, [F.col("score").asc()], F.floor(F.col("score") * 100), "c0", out="cum0"
+    )
+    d = cum.crossJoin(F.broadcast(n)).select(
+        "score",
+        "n1",
+        "n0",
+        F.abs(
+            _dec(F.col("cum1")) * _dec(F.col("n0"))
+            - _dec(F.col("cum0")) * _dec(F.col("n1"))
+        ).alias("dnum"),
+    )
+    return (
+        d.orderBy(F.desc("dnum"), F.asc("score"))
+        .limit(1)
+        .select(
+            F.col("n1").cast("long").alias("n_pos"),
+            F.col("n0").cast("long").alias("n_neg"),
+            F.round(
+                F.col("dnum").cast("double")
+                / (F.col("n1").cast("double") * F.col("n0")),
+                6,
+            ).alias("ks_d"),
+            F.col("score").alias("ks_threshold"),
+        )
+    )

@@ -19,7 +19,7 @@ from . import timeseries  # noqa: F401  (registers q205)
 from . import lm_advanced  # noqa: F401  (registers q206, q209, q208 — file order = registration order)
 from . import privacy  # noqa: F401  (registers q207)
 from . import score_audit  # noqa: F401  (registers q210)
-from . import evalmetrics  # noqa: F401  (registers q211-q223; new modules import LAST — insertion order is registration order)
+from . import evalmetrics  # noqa: F401  (registers q211-q225; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -94,8 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "q221_excess_loss_reweight",
     "q222_heavy_hitters_exact",
     "q223_quantile_normalize",
-    "q02_sum_price_by_dow",
-    "q03_avg_price_by_orderdate",
+    "q224_distinct_ngrams",
+    "q225_probe_ks_separation",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -563,3 +563,71 @@ def test_q223_harmonizes_distributions(spark):
         rows = sorted(rows, key=lambda r: (r["score"], r["doc_id"]))
         ns = [r["norm_score"] for r in rows]
         assert all(ns[i] <= ns[i + 1] for i in range(len(ns) - 1))
+
+
+# --------------------------------------------------------------------------
+# q224 distinct-n
+# --------------------------------------------------------------------------
+
+def test_q224_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("source", "text").collect()
+    want = {}
+    for n in (1, 2, 3):
+        per: dict[str, Counter] = {}
+        for d in docs:
+            ts = d["text"].split()
+            if len(ts) < n:
+                continue
+            grams = [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+            per.setdefault(d["source"], Counter()).update(grams)
+        for s, c in per.items():
+            tot = sum(c.values())
+            want[(s, n)] = (tot, len(c), _rhu(len(c) / tot, "0.000001"))
+    out = QUERIES["q224_distinct_ngrams"](spark, SF_SMOKE).collect()
+    assert {(r["source"], r["n"]) for r in out} == set(want)
+    for r in out:
+        tot, dis, ratio = want[(r["source"], r["n"])]
+        assert (r["total_ngrams"], r["distinct_ngrams"]) == (tot, dis)
+        assert abs(r["distinct_ratio"] - ratio) < 1e-9
+    # diversity can only fall as n-grams get longer on a fixed corpus? no —
+    # distinct RATIO rises with n (longer grams repeat less); assert that
+    by_src: dict[str, dict[int, float]] = {}
+    for r in out:
+        by_src.setdefault(r["source"], {})[r["n"]] = r["distinct_ratio"]
+    for s, m in by_src.items():
+        assert m[1] <= m[2] <= m[3]
+
+
+# --------------------------------------------------------------------------
+# q225 exact KS
+# --------------------------------------------------------------------------
+
+def test_q225_matches_brute_force(spark):
+    rows = _probe_scores(spark)
+    pos = sorted(r["score"] for r in rows if r["label_true"] == 1)
+    neg = sorted(r["score"] for r in rows if r["label_true"] == 0)
+    thresholds = sorted(set(pos) | set(neg))
+    best = None
+    for t in thresholds:
+        c1 = sum(1 for v in pos if v <= t)
+        c0 = sum(1 for v in neg if v <= t)
+        dnum = abs(c1 * len(neg) - c0 * len(pos))
+        if best is None or dnum > best[0]:
+            best = (dnum, t)
+    out = QUERIES["q225_probe_ks_separation"](spark, SF_SMOKE).collect()[0]
+    assert out["n_pos"] == len(pos)
+    assert out["n_neg"] == len(neg)
+    assert out["ks_threshold"] == best[1]
+    assert abs(out["ks_d"] - _rhu(best[0] / (len(pos) * len(neg)), "0.000001")) < 1e-9
+
+
+def test_q225_ks_bounds_auc(spark):
+    """Classical relation on any pair of samples: D in [0,1], and a
+    separation of D implies AUC >= 1/2 + D/2 is NOT generally true, but
+    AUC = 1/2 exactly when D = 0 cannot be asserted either way from one
+    corpus — so pin only the implementable invariant: 0 <= D <= 1 and
+    the threshold is an observed score."""
+    out = QUERIES["q225_probe_ks_separation"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= out["ks_d"] <= 1.0
+    scores = {r["score"] for r in _probe_scores(spark)}
+    assert out["ks_threshold"] in scores

@@ -123,6 +123,7 @@ BNLJ_WHITELIST = {
     "q221_excess_loss_reweight": "1-row global-loss + normalizer scalars over the |sources|-row relation",
     "q222_heavy_hitters_exact": "1-row token-total scalar",
     "q223_quantile_normalize": "1-row corpus-count scalar",
+    "q225_probe_ks_separation": "1-row class-totals scalar over the distinct-score relation",
 }
 
 
