@@ -274,6 +274,13 @@ def q213(spark, sf):
         F.col("embedding").alias("be"),
         F.col("nrm").alias("bnrm"),
     )
+    return _margin_mutual_pairs(a, b)
+
+
+def _margin_mutual_pairs(a, b):
+    """The margin-mining pipeline over prepared sides a(va, ae, anrm) /
+    b(vb, be, bnrm) — exposed for the stress batch-size sweep
+    (tools/stress_evalmetrics.py)."""
     cos = F.round(
         dot(F.col("ae"), F.col("be")) / (F.col("anrm") * F.col("bnrm")), 4
     )

@@ -7,10 +7,12 @@ Measures, for SCALE_NOTES.md:
 * q215 Zipf fit + q219 PSI at 100k docs (one-scan linear heads)
 * q216 anisotropy at 40k vectors — the O(n·d) identity vs the
   1.6e9-pair relation it replaces
-* q213 margin mining with the stress label populations (~8k x 8k =
-  64M-pair candidate relation — the regime where the docstring's
-  "swap in ANN candidates" clause starts to matter; measured to place
-  the boundary, not to recommend the exact cross at this scale)
+* q213 margin mining at growing bounded alignment batches (A in
+  {1k, 2k, 4k} x the full ~8k B side) — measures the quadratic wall of
+  the exact cross directly, the data behind the docstring's "swap in
+  ANN candidates at scale" clause (a 64M-pair full cross is exactly
+  the regime the exact path is NOT for; at ~10 min wall it proves the
+  point without a soak)
 * q220 MMR: distributed candidate generation over 40k vectors + the
   bounded driver greedy
 
@@ -71,12 +73,29 @@ def main() -> None:
           f"cos_range=[{min(x['mean_pairwise_cos'] for x in rows)}, "
           f"{max(x['mean_pairwise_cos'] for x in rows)}]")
 
-    emb = spark.read.parquet(f"{stress}/embeddings.parquet")
-    na = emb.where("label <= 1").count()
-    nb = emb.where("label >= 8").count()
-    rows, dt = t(lambda: QUERIES["q213_margin_mining"](spark, stress).collect())
-    print(f"q213 margin-mining A={na} B={nb} ({na * nb} pairs): {dt:.2f}s  "
-          f"mutual_pairs={len(rows)}")
+    # margin mining: bounded batch A vs full B, batch doubling to show
+    # the exact-cross quadratic wall (the ANN-candidate clause's data)
+    import pyspark.sql.functions as F
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.vectors import norm
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.evalmetrics import _margin_mutual_pairs
+
+    emb = spark.read.parquet(f"{stress}/embeddings.parquet").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    b = emb.where(F.col("label") >= 8).select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("be"),
+        F.col("nrm").alias("bnrm"),
+    )
+    nb = b.count()
+    for mod in (8, 4, 2):
+        a = emb.where((F.col("label") <= 1) & (F.col("vec_id") % mod == 0)).select(
+            F.col("vec_id").alias("va"), F.col("embedding").alias("ae"),
+            F.col("nrm").alias("anrm"),
+        )
+        na = a.count()
+        rows, dt = t(lambda: _margin_mutual_pairs(a, b).collect())
+        print(f"q213 margin-mining A={na} B={nb} ({na * nb} pairs): {dt:.2f}s  "
+              f"mutual_pairs={len(rows)}")
 
     rows, dt = t(lambda: QUERIES["q220_mmr_rerank"](spark, stress).collect())
     print(f"q220 mmr {n_vec} vecs: {dt:.2f}s  picks={len(rows)}  "
