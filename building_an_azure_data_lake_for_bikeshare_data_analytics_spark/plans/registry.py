@@ -19,7 +19,8 @@ from . import timeseries  # noqa: F401  (registers q205)
 from . import lm_advanced  # noqa: F401  (registers q206, q209, q208 — file order = registration order)
 from . import privacy  # noqa: F401  (registers q207)
 from . import score_audit  # noqa: F401  (registers q210)
-from . import evalmetrics  # noqa: F401  (registers q211-q225; new modules import LAST — insertion order is registration order)
+from . import evalmetrics  # noqa: F401  (registers q211-q225)
+from . import intake  # noqa: F401  (registers q226-q229; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
