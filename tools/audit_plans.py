@@ -71,6 +71,7 @@ BNLJ_WHITELIST = {
     "q192_time_to_convert": "1-row signup-count scalar",
     "q210_score_length_bias": "1-row total-count scalar (rank centering)",
     "q226_dedup_yield_curve": "1-row total-docs scalar + 5-row threshold spine",
+    "q231_cuped_readout": "1-row pooled-theta scalar",
     # bounded dimension spines (dates/hours), not scalars
     "q24_payment_dates_dim": "bounded date spine",
     "q25_trip_dates_dim": "bounded date/hour spine",
