@@ -613,3 +613,69 @@ def test_source_overlap_join_after_distinct_projection(spark):
         if ("Left keys" in ln or "Right keys" in ln) and "shingle" in ln
     ]
     assert key_lines, "shingle must appear in equi-join keys"
+
+
+def test_dedup_yield_curve_one_pair_pass_bounded_loops(spark):
+    """q226's pair relation is built ONCE (prefix-filtered equi-join,
+    q163's contract) and the 5-threshold sweep rides it as a bounded
+    broadcast nested loop — 2 BNLJs total (threshold spine + 1-row
+    total-docs scalar), never a cartesian and never one dedup run per
+    threshold."""
+    plan = _plan(spark, "q226_dedup_yield_curve")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ("Left keys" in ln or "Right keys" in ln) and "sid" in ln
+    ]
+    assert key_lines, "pair candidates must stay keyed on the shingle rank id"
+
+
+def test_fd_audit_is_joinless_single_scan(spark):
+    """q228 is one scan + explode + two hash aggregations (per-(rule,det)
+    distinct then per-rule rollup) — adding audited rules widens the
+    explode array, never adds scans or joins."""
+    tree = _tree(spark, "q228_functional_dependency_audit")
+    assert tree.count("Scan parquet") == 1
+    for node in ("Join", "CartesianProduct", "BatchEvalPython"):
+        assert node not in tree, node
+
+
+def test_key_profile_is_joinless_single_scan(spark):
+    """q229: same explode shape as q228 — one scan, no join, exact
+    two-phase distinct aggregation."""
+    tree = _tree(spark, "q229_candidate_key_profile")
+    assert tree.count("Scan parquet") == 1
+    for node in ("Join", "CartesianProduct", "BatchEvalPython"):
+        assert node not in tree, node
+
+
+def test_km_survival_data_scale_is_one_agg(spark):
+    """q230: the only data-scale operator is the per-user hash aggregate;
+    the KM windows run over the per-duration table (bounded by the
+    observation window in days). After the first-error rewrite the plan
+    has NO join at all."""
+    tree = _tree(spark, "q230_churn_survival_km")
+    assert tree.count("Scan parquet") == 1
+    for node in ("Join", "CartesianProduct"):
+        assert node not in tree, node
+    assert "Window" in tree
+
+
+def test_cuped_theta_is_scalar_broadcast(spark):
+    """q231: the pooled-theta fit joins back as a 1-row broadcast; the
+    moment aggregates stay keyed — no cartesian, exactly one bounded
+    nested loop."""
+    tree = _tree(spark, "q231_cuped_readout")
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_ztest_is_joinless(spark):
+    """q232: two chained aggregations (per-user flags, per-variant
+    counts) and a 1-row pivot — no join anywhere."""
+    tree = _tree(spark, "q232_conversion_ztest")
+    assert tree.count("Scan parquet") == 1
+    for node in ("Join", "CartesianProduct", "Window"):
+        assert node not in tree, node
