@@ -21,7 +21,8 @@ from . import privacy  # noqa: F401  (registers q207)
 from . import score_audit  # noqa: F401  (registers q210)
 from . import evalmetrics  # noqa: F401  (registers q211-q225)
 from . import intake  # noqa: F401  (registers q226-q229)
-from . import experiment  # noqa: F401  (registers q230-q232; new modules import LAST — insertion order is registration order)
+from . import experiment  # noqa: F401  (registers q230-q232)
+from . import diagnostics  # noqa: F401  (registers q233-q234; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry

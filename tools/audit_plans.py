@@ -72,6 +72,7 @@ BNLJ_WHITELIST = {
     "q210_score_length_bias": "1-row total-count scalar (rank centering)",
     "q226_dedup_yield_curve": "1-row total-docs scalar + 5-row threshold spine",
     "q231_cuped_readout": "1-row pooled-theta scalar",
+    "q233_embedding_hubness": "1-row corpus-count x 1-row hit-count scalars",
     # bounded dimension spines (dates/hours), not scalars
     "q24_payment_dates_dim": "bounded date spine",
     "q25_trip_dates_dim": "bounded date/hour spine",
