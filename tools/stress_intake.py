@@ -69,6 +69,8 @@ def main() -> None:
         "q230_churn_survival_km",
         "q231_cuped_readout",
         "q232_conversion_ztest",
+        "q233_embedding_hubness",
+        "q234_volume_anomaly_flags",
     ):
         run(name, stress_dir)
 
