@@ -97,15 +97,23 @@ def repo_root() -> str:
     )
 
 
-def load_green_history(root: str | None = None) -> dict[str, list[int]]:
+def load_green_history(
+    root: str | None = None, before_round: int | None = None
+) -> dict[str, list[int]]:
     """query -> sorted rounds with a fully green driver row (rows_match,
     schema_match, hash_match all true, err null), from the committed
     ``CORRECTNESS_r*.json`` files. Queries no longer registered (e.g. the
-    retired q36) are kept — callers filter against REGISTRY."""
+    retired q36) are kept — callers filter against REGISTRY.
+
+    ``before_round`` truncates the history to rounds strictly earlier —
+    used to re-validate a prefix against the schedule it was FROZEN for
+    after a newer gate file has already landed (the post-snapshot window)."""
     root = root or repo_root()
     hist: dict[str, list[int]] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
         with open(f) as fh:
             for q, v in json.load(fh).items():
                 ok = (
@@ -201,18 +209,27 @@ def check(
     prefix: tuple[str, ...] | list[str],
     registry: dict[str, QuerySpec] | None = None,
     root: str | None = None,
+    as_of_round: int | None = None,
 ) -> tuple[list[str], dict]:
     """Validate a committed prefix against the policy. Returns
-    (violations, report). Empty violations == compliant."""
+    (violations, report). Empty violations == compliant.
+
+    ``as_of_round`` validates against the schedule AS OF that round
+    (history truncated to earlier rounds) — the post-snapshot window where
+    the driver has written CORRECTNESS_r{N}.json but the round-(N+1)
+    rotation has not landed yet; the frozen prefix must match its own
+    round's schedule, anything else is genuine drift."""
     registry = registry if registry is not None else REGISTRY
-    green_all = load_green_history(root)
+    green_all = load_green_history(root, before_round=as_of_round)
     green = {q: rs for q, rs in green_all.items() if q in registry}
     twins = oracle_twin_groups(registry)
     eff = effective_green(green, twins)
-    this_round = latest_gated_round(root) + 1
+    this_round = (
+        as_of_round if as_of_round is not None else latest_gated_round(root) + 1
+    )
     violations: list[str] = []
 
-    expected = build_prefix(registry, green, root=root)
+    expected = build_prefix(registry, green, root=root, this_round=this_round)
     if list(prefix) != expected:
         drift = [
             f"slot {i}: have {a}, schedule says {b}"

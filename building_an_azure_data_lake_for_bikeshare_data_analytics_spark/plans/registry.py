@@ -35,70 +35,76 @@ from . import diagnostics  # noqa: F401  (registers q233-q234; new modules impor
 # CORRECTNESS_r*.json history and fail on any drift from this tuple —
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-5 prefix = ALL 35 never-driver-gated oracled queries (kernel
-# twins q142/q147, q178-q198, and the new-this-round q199-q210) + the 15
-# oldest round-1-evidence queries (q02-q16 template cohort). Registering
-# q206-q210 pushed the oracled count to 205, past the 200-query capacity
-# of a fixed 4-round staleness bound — the bound is now COMPUTED as
-# ceil(oracled / 50) = 5 (plans/evidence.py:staleness_bound, forward
-# schedulability pinned by tests/test_rotation.py's round simulation),
-# which un-ages the r2 cohort and lets every new query take a gate slot
-# this round instead of deferring. The 9 r1-evidence queries that
-# rotated out (q17-q22/q54/q62/q66/q69) age out at the r6 close and the
-# scheduler makes them lead the r6 cohort. Deliberately never scheduled:
+# Round-6 prefix (computed by evidence.build_prefix() from the committed
+# CORRECTNESS_r1..r5 history): the 9 never-driver-gated registrations that
+# landed after the r5 prefix froze (q226-q234) lead, then the aged
+# r1-evidence cohort — the CORE reference-parity queries q02-q20/q22
+# (G2-G22, ipynb cells 24-41) whose driver evidence is 4 rounds old plus
+# the r1-gated extension tail (q54/q62/q66/q69, q42-q70, q57/q58). This is
+# the round that re-greens reference parity. Deliberately never scheduled:
 # q46/q81 (rows-only sketch values; q134/q136 carry their evidence).
+#
+# PREFIX_ROUND records which round's deterministic schedule this tuple IS.
+# The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
+# snapshot commit, so between that write and the next round-open rotation
+# the committed tuple lags latest_gated_round()+1 by design;
+# tests/test_rotation.py uses PREFIX_ROUND to xfail (not hard-fail) in that
+# window while still hard-failing on genuine drift from the schedule the
+# tuple was frozen for (r5 verdict item 5).
 # ---------------------------------------------------------------------------
+PREFIX_ROUND: int = 6
+
 _PRIORITY: tuple[str, ...] = (
-    "q142_embedding_covariance_vectorized",
-    "q147_semantic_dedup_cells_vectorized",
-    "q183_rolling_distinct_kmv",
-    "q201_temperature_mix",
-    "q199_rrf_fusion",
-    "q178_jl_projection",
-    "q179_last_touch_attribution",
-    "q180_lineitem_correlation",
-    "q181_rendezvous_sharding",
-    "q182_table_checksum",
-    "q184_bitmap_intersection",
-    "q185_dup_graph_triangles",
-    "q186_tfidf_doc_pairs",
-    "q187_ks_distance_pairs",
-    "q188_spend_gini",
-    "q189_probe_lift_curve",
-    "q190_incremental_join_view",
-    "q191_cusum_changepoint",
-    "q192_time_to_convert",
-    "q193_knn_classify",
-    "q194_multi_touch_attribution",
-    "q195_daily_volume_acf",
-    "q196_benford_digits",
-    "q197_stratified_kfold",
-    "q198_information_gain",
-    "q200_source_overlap",
-    "q202_interval_overlap_join",
-    "q203_interval_stacking",
-    "q204_containment_join",
-    "q205_gap_fill_interpolate",
-    "q206_kneser_ney_lm_score",
-    "q209_perplexity_buckets",
-    "q208_vocab_coverage_curve",
-    "q207_k_anonymity_audit",
-    "q210_score_length_bias",
-    "q211_probe_auc",
-    "q212_calibration_bins",
-    "q213_margin_mining",
-    "q214_ann_ndcg",
-    "q215_zipf_fit",
-    "q216_embedding_anisotropy",
-    "q217_temporal_embargo_split",
-    "q218_conformal_probe_sets",
-    "q219_source_psi",
-    "q220_mmr_rerank",
-    "q221_excess_loss_reweight",
-    "q222_heavy_hitters_exact",
-    "q223_quantile_normalize",
-    "q224_distinct_ngrams",
-    "q225_probe_ks_separation",
+    "q226_dedup_yield_curve",
+    "q227_tokenizer_fertility",
+    "q228_functional_dependency_audit",
+    "q229_candidate_key_profile",
+    "q230_churn_survival_km",
+    "q231_cuped_readout",
+    "q232_conversion_ztest",
+    "q233_embedding_hubness",
+    "q234_volume_anomaly_flags",
+    "q02_sum_price_by_dow",
+    "q03_avg_price_by_orderdate",
+    "q04_sum_price_by_orderdate",
+    "q05_avg_extprice_by_supp",
+    "q06_sum_extprice_by_supp",
+    "q07_avg_extprice_by_part",
+    "q08_sum_extprice_by_part",
+    "q09_sum_price_by_acct_band",
+    "q10_avg_price_by_acct_band",
+    "q11_avg_price_by_membership",
+    "q12_sum_price_by_membership",
+    "q13_sum_amount_by_month",
+    "q14_avg_amount_by_month",
+    "q15_sum_amount_by_quarter",
+    "q16_avg_amount_by_quarter",
+    "q17_sum_amount_by_year",
+    "q18_avg_amount_by_year",
+    "q19_member_avg_by_acct_band",
+    "q20_member_sum_by_acct_band",
+    "q22_member_spend_duration",
+    "q54_dedup_keep_rows",
+    "q62_bpe_token_count",
+    "q66_doc_chunks",
+    "q69_source_stats",
+    "q42_hourly_event_stats",
+    "q44_top_tokens",
+    "q45_distinct_users_by_type",
+    "q47_user_running_value",
+    "q48_sessionize",
+    "q49_event_type_pivot",
+    "q50_props_json_extract",
+    "q51_pricing_summary",
+    "q52_segment_shipping",
+    "q59_member_users_with_events",
+    "q60_order_counts_left_outer",
+    "q61_customers_with_events_semi",
+    "q67_value_percentiles",
+    "q68_status_priority_cube",
+    "q70_event_neighbors",
+    "q57_sql_cte_subquery",
+    "q58_asof_last_order",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
