@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .base import _t, query
-from .extensions import _BRUTE_TOPK_ORACLE, q39
+from .extensions import _BRUTE_TOPK_ORACLE, q64
 
 _HUBNESS_SQL = f"""WITH topk AS ({_BRUTE_TOPK_ORACLE}),
     occ AS (SELECT neighbor_id, count(*) AS c FROM topk GROUP BY 1),
@@ -35,19 +35,22 @@ _HUBNESS_SQL = f"""WITH topk AS ({_BRUTE_TOPK_ORACLE}),
 )
 def q233(spark, sf):
     """Hubness audit of the embedding space: the k-occurrence histogram —
-    for the exact top-5 relation (q39's gate-verified output), how many
-    corpus vectors appear as a neighbor 0, 1, 2, ... times. High-
-    dimensional spaces grow "hubs" (vectors that are everyone's neighbor)
-    and anti-hubs (never retrieved); a heavy occurrence tail is the
-    standard diagnostic that cosine retrieval quality will degrade and
-    that the space wants centering/whitening (q140/q141's job). Rides
-    q39's relation so the audit costs two metadata-scale aggregates on
-    top of the search it diagnoses.
+    for the exact top-5 relation, how many corpus vectors appear as a
+    neighbor 0, 1, 2, ... times. High-dimensional spaces grow "hubs"
+    (vectors that are everyone's neighbor) and anti-hubs (never
+    retrieved); a heavy occurrence tail is the standard diagnostic that
+    cosine retrieval quality will degrade and that the space wants
+    centering/whitening (q140/q141's job). Rides the q64 BLAS kernel —
+    row-identical to the q39 fold (pinned in tests/test_plans.py) but
+    ~10x faster at stress scale (r5 verdict item 3: the fold made this
+    diagnostic the slowest query in the stress suite at 341.6 s for two
+    metadata-scale aggregates) — so the audit costs two hash aggs on top
+    of the deployment-path search it diagnoses.
 
     Scale shape: the input is |queries| x k rows (never corpus-squared);
     occurrence counting is one hash agg, the histogram another, and the
     zero bucket comes from one 1-row corpus-count scalar."""
-    topk = q39(spark, sf)
+    topk = q64(spark, sf)
     occ = topk.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("c"))
     hist = occ.groupBy(F.col("c").cast("long").alias("n_occurrences")).agg(
         F.count(F.lit(1)).alias("n_vectors")

@@ -679,3 +679,15 @@ def test_ztest_is_joinless(spark):
     assert tree.count("Scan parquet") == 1
     for node in ("Join", "CartesianProduct", "Window"):
         assert node not in tree, node
+
+
+def test_hubness_rides_the_blas_kernel(spark):
+    """q233 must sit on the q64 MapInPandas BLAS kernel, not the q39
+    Column-fold (r5 verdict item 3: the fold made a metadata-scale
+    diagnostic the slowest stress query). The kernel subtree shows up as
+    MapInPandas; the fold would show a codegen'd aggregate over
+    per-dimension array arithmetic and no Python node at all."""
+    tree = _tree(spark, "q233_embedding_hubness")
+    assert "MapInPandas" in tree
+    assert "BatchEvalPython" not in tree
+    assert "CartesianProduct" not in tree
