@@ -5,14 +5,26 @@
 
 Each query is forced end-to-end with a noop-format write (full execution,
 no driver collect — the honest way to time a distributed plan).
+
+Besides wall time, the suite records per-query SHUFFLE BYTES (r5 verdict
+item 2): this sandbox disperses wall ~40% run-to-run (5x on single
+queries — SCALE_NOTES), so a uniform wall shift is unattributable from
+wall alone; bytes are deterministic for a fixed plan + data. Rather than
+sleeping out the async listener bus after every query (3 s x 231 queries
+of dead time), the suite keeps a per-query [start, end) wall window and
+attributes stages to queries by stage submission time from ONE UI REST
+fetch at the end — queries run strictly sequentially here, so the window
+containing a stage's submission is the query that ran it.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -22,10 +34,60 @@ from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.regist
 from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import get_spark
 
 
+def _fetch_stages(spark) -> list[dict]:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as r:
+        return json.load(r)
+
+
+def _stage_epoch(ts: str) -> float:
+    # REST submissionTime looks like "2026-08-15T02:13:45.123GMT"
+    return (
+        datetime.datetime.strptime(ts.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+    )
+
+
+def _attribute_shuffle(
+    stages: list[dict], windows: list[tuple[str, float, float]]
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Sum shuffle write/read MB per query window by stage submission time."""
+    wr = {name: 0.0 for name, _, _ in windows}
+    rd = {name: 0.0 for name, _, _ in windows}
+    for s in stages:
+        sub = s.get("submissionTime")
+        if not sub:
+            continue
+        t = _stage_epoch(sub)
+        for name, t0, t1 in windows:
+            if t0 <= t < t1:
+                wr[name] += s.get("shuffleWriteBytes", 0)
+                rd[name] += s.get("shuffleReadBytes", 0)
+                break
+    return (
+        {n: round(v / 1e6, 2) for n, v in wr.items()},
+        {n: round(v / 1e6, 2) for n, v in rd.items()},
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("bench")
+    # the engine session disables the UI (pure overhead in production);
+    # the bench IS the telemetry consumer, so turn the status store on and
+    # size stage retention past the suite's stage count (231 queries x a
+    # handful of stages — the default 1000 evicts the early queries' rows)
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.retainedStages": "20000",
+            "spark.ui.retainedJobs": "20000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
@@ -33,12 +95,27 @@ def main() -> None:
     QUERIES["q01_avg_price_by_dow"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
+    windows: list[tuple[str, float, float]] = []
     t_suite = time.time()
     for name, fn in sorted(QUERIES.items()):
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        per_query[name] = round(t1 - t0, 3)
+        windows.append((name, t0, t1))
     total = round(time.time() - t_suite, 3)
+
+    # one REST read for the whole suite; the async listener bus needs a
+    # beat to drain the last query's stages (SCALE_NOTES: a 3-Exchange
+    # plan read too early reported 0 bytes)
+    shuffle_write_mb: dict[str, float] = {}
+    shuffle_read_mb: dict[str, float] = {}
+    try:
+        time.sleep(3)
+        stages = _fetch_stages(spark)
+        shuffle_write_mb, shuffle_read_mb = _attribute_shuffle(stages, windows)
+    except Exception as e:  # noqa: BLE001 — byte telemetry must never fail the bench
+        print(f"shuffle-byte capture skipped: {e}", file=sys.stderr)
 
     slowest5 = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:5])
     payload = {
@@ -49,8 +126,12 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(per_query),
+        "suite_shuffle_write_mb": round(sum(shuffle_write_mb.values()), 1),
+        "suite_shuffle_read_mb": round(sum(shuffle_read_mb.values()), 1),
         "slowest5": slowest5,
         "queries": per_query,
+        "shuffle_write_mb": shuffle_write_mb,
+        "shuffle_read_mb": shuffle_read_mb,
     }
     print(json.dumps(payload))
     # the driver's BENCH_r*.json capture truncates before the q100+ tail
