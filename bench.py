@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
     QUERIES,
+    REGISTRY,
 )
 from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import get_spark
 
@@ -98,6 +99,11 @@ def main() -> None:
     windows: list[tuple[str, float, float]] = []
     t_suite = time.time()
     for name, fn in sorted(QUERIES.items()):
+        if REGISTRY[name].fixture:
+            # superseded fold kept only as its kernel twin's row-equality
+            # evidence (pytest) — the kernel is in the suite; timing the
+            # fold re-measures a path nothing deploys (r5 verdict item 6)
+            continue
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t1 = time.time()

@@ -31,14 +31,29 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None => driver does rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    #: a FIXTURE is a superseded formulation kept only as evidence for its
+    #: oracle-twin kernel (row-equality pinned in tests): it stays callable
+    #: and oracle-verifiable, but the gate-rotation scheduler never spends
+    #: a slot on it and the bench suite skips it — the kernel twin carries
+    #: the identical oracle SQL and IS the deployment path (r5 verdict
+    #: item 6).
+    fixture: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
+def query(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+    fixture: bool = False,
+):
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = QuerySpec(name, fn, oracle, tags, doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, tags, doc or (fn.__doc__ or ""), fixture
+        )
         return fn
 
     return deco

@@ -476,7 +476,14 @@ def _pq_oracle_tail(k: int, rerank_from: int | None) -> str:
     WHERE rnk <= {k}"""
 
 
-@query("q118_pq_adc_topk", _pq_oracle(), tags=("curation", "similarity", "pq", "ann"))
+# fixture: superseded fold — q120_pq_adc_topk_vectorized carries this
+# oracle verbatim; scheduler/bench skip it (r5 verdict item 6)
+@query(
+    "q118_pq_adc_topk",
+    _pq_oracle(),
+    tags=("curation", "similarity", "pq", "ann"),
+    fixture=True,
+)
 def q118(spark, sf):
     """Product-quantization ADC top-k — the compression half of the IVF-PQ
     stack (q56 holds the IVF half): per-subspace integer Lloyd codebooks,
@@ -934,10 +941,13 @@ def _ivf_pq_oracle(
     {_pq_oracle_tail(k, rerank_from)}"""
 
 
+# fixture: superseded fold — q129_ivf_pq_rerank_vectorized carries this
+# oracle verbatim; scheduler/bench skip it (r5 verdict item 6)
 @query(
     "q125_ivf_pq_rerank",
     _ivf_pq_oracle(),
     tags=("curation", "similarity", "ivf", "pq", "rerank"),
+    fixture=True,
 )
 def q125(spark, sf):
     """The actual IVF-PQ deployment stack as one query (faiss IVF8,PQ4

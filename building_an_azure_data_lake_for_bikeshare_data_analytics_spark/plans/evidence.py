@@ -87,8 +87,17 @@ def staleness_bound(registry: dict[str, QuerySpec] | None = None) -> int:
     (floored at STALENESS_BOUND_FLOOR so a shrinking registry never
     retroactively invalidates committed history)."""
     registry = registry if registry is not None else REGISTRY
-    n = sum(1 for q in registry if registry[q].oracle is not None)
+    n = sum(1 for q in registry if _schedulable(registry[q]))
     return max(STALENESS_BOUND_FLOOR, -(-n // GATE_SLOTS))
+
+
+def _schedulable(spec: QuerySpec) -> bool:
+    """Only non-fixture oracled queries take gate slots. A fixture is a
+    superseded formulation whose oracle-twin kernel (verbatim-identical
+    oracle SQL, row-equality pinned in tests) carries the rotating
+    evidence; gating the fixture would spend a slot re-proving the same
+    oracle string the kernel's row already proves."""
+    return spec.oracle is not None and not spec.fixture
 
 
 def repo_root() -> str:
@@ -190,7 +199,7 @@ def build_prefix(
     order = list(registry)
     twins = oracle_twin_groups(registry)
     eff = effective_green(green, twins)
-    oracled = [q for q in order if registry[q].oracle is not None]
+    oracled = [q for q in order if _schedulable(registry[q])]
     never_self = [q for q in oracled if q not in green]
     rest = sorted(
         (q for q in oracled if q in green),
@@ -243,7 +252,7 @@ def check(
         )
 
     in_prefix = set(prefix)
-    oracled = [q for q in registry if registry[q].oracle is not None]
+    oracled = [q for q in registry if _schedulable(registry[q])]
     floor = this_round - (staleness_bound(registry) - 1)
     post = {
         q: (

@@ -827,7 +827,15 @@ def _ivf_oracle(
     WHERE rnk <= 5"""
 
 
-@query("q56_ivf_ann", _ivf_oracle(), tags=("similarity", "ivf", "ann", "kmeans"))
+# fixture: superseded Column-fold formulation — q130_ivf_ann_vectorized
+# carries this oracle verbatim and is the deployment path (row-equality
+# pinned); the scheduler and bench skip fixtures (r5 verdict item 6)
+@query(
+    "q56_ivf_ann",
+    _ivf_oracle(),
+    tags=("similarity", "ivf", "ann", "kmeans"),
+    fixture=True,
+)
 def q56(spark, sf):
     """IVF ANN with a LEARNED coarse quantizer: deterministic spherical
     KMeans over the embeddings themselves (operators/similarity.kmeans_fit,

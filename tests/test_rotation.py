@@ -51,7 +51,7 @@ def test_rotation_schedulable_forward():
         if q in REGISTRY
     }
     twins = evidence.oracle_twin_groups()
-    oracled = [q for q in REGISTRY if REGISTRY[q].oracle is not None]
+    oracled = [q for q in REGISTRY if evidence._schedulable(REGISTRY[q])]
     bound = evidence.staleness_bound()
     start = evidence.latest_gated_round() + 1
     for rnd in range(start, start + 3 * bound):
@@ -99,7 +99,7 @@ def test_never_green_queries_lead_the_prefix():
     as_of = _as_of()
     this_round = as_of if as_of is not None else evidence.latest_gated_round() + 1
     green = evidence.load_green_history(before_round=as_of)
-    oracled = [q for q in REGISTRY if REGISTRY[q].oracle is not None]
+    oracled = [q for q in REGISTRY if evidence._schedulable(REGISTRY[q])]
     never = [q for q in oracled if q not in green]
     deferred = sorted(set(never) - set(_PRIORITY))
     if deferred:
