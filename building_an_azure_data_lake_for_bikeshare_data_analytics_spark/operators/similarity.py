@@ -411,6 +411,7 @@ def lsh_dup_pairs(
     threshold: float = 0.45,
     planes: list[list[float]] | None = None,
     bands: int = 2,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Label-free semantic near-dup pairs: hyperplane-LSH bucket blocking,
     exact cosine verify on candidates — the 100 TB shape for embedding
@@ -457,6 +458,14 @@ def lsh_dup_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    if candidates_only:
+        # telemetry path (stress soak): the distinct candidate-pair relation
+        # before the cosine verify — the quantity the bands x bits-per-band
+        # lever controls. With b sign bits per band, E[candidates] ~
+        # bands * N^2 / 2^(b+1) on spread-out vectors, so the production
+        # posture is b ~ log2(N) - 5 (constant expected bucket occupancy),
+        # exactly like SemDeDup's k proportional to N.
+        return cand
     embn = emb.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )

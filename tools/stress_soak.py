@@ -67,7 +67,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from build_stress import build  # noqa: E402
 
-SCALES = ((1, 64), (10, 640))  # (shard multiplier, semdedup cells)
+#: (shard multiplier, semdedup cells, q100 hyperplanes). Cells and planes
+#: are the two production levers that must scale with the corpus: SemDeDup
+#: keeps cells ~constant-sized with k proportional to N; hyperplane LSH
+#: keeps bucket occupancy ~constant with bits-per-band ~ log2(N) - 5
+#: (2 bands x 10 bits at 40k vectors, 2 x 13 at 400k). The registered
+#: q100 runs 2 x 4 bits because sf0.1 holds 2k vectors — same rule.
+SCALES = ((1, 64, 20), (10, 640, 26))
 
 
 def force_full(df, *extra_aggs):
@@ -148,7 +154,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[int, dict[str, dict]] = {}
-    for mult, k_cells in SCALES:
+    for mult, k_cells, n_planes in SCALES:
         corpus = os.path.join(work, f"x{mult}")
         organic = os.path.join(work, f"org{mult}")
         if not os.path.exists(os.path.join(corpus, "embeddings.parquet")):
@@ -188,10 +194,45 @@ def main() -> None:
             return {"rows": agg["n"], "kept": int(agg["kept"]), "cells": k_cells}
 
         rows["semdedup"] = measure(spark, f"semdedup kernel k={k_cells} {mult}x", semdedup)
+
+        def q100_soak():
+            # q100's operator (hyperplane-LSH block + exact cosine verify)
+            # with the planes lever scaled to the corpus; reports both the
+            # verified-pair rows and the candidate-pair count the lever
+            # controls (r5 verdict item 4: q100's wall swung 4x across
+            # identical-code sf0.1 runs with no byte row to arbitrate)
+            from pyspark.sql import functions as F
+
+            from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+                hyperplanes,
+                lsh_dup_pairs,
+            )
+
+            emb = spark.read.parquet(
+                os.path.join(corpus, "embeddings.parquet")
+            ).select("vec_id", "embedding")
+            planes = hyperplanes(n_planes=n_planes, dim=64, seed=0)
+            cand = lsh_dup_pairs(
+                emb, planes=planes, bands=2, candidates_only=True
+            )
+            n_cand = cand.agg(F.count(F.lit(1))).collect()[0][0]
+            full = force_full(lsh_dup_pairs(emb, threshold=0.45, planes=planes, bands=2))
+            return {"rows": full["n"], "candidates": n_cand, "planes": n_planes}
+
+        rows["q100"] = measure(spark, f"q100 lsh-dup planes={n_planes} {mult}x", q100_soak)
+
+        # q233 hubness diagnostic at stress scale — post r5-verdict fix it
+        # rides the q64 BLAS kernel; the corpus dir is a valid sf_dir for
+        # any embeddings-only query
+        rows["q233"] = measure(
+            spark,
+            f"q233 hubness (q64 kernel) {mult}x",
+            count_rows("q233_embedding_hubness", corpus),
+        )
         results[mult] = rows
 
     print("\n=== scaling exponents (wall / shuffle-write), 1x -> 10x ===")
-    for key in ("q163", "q139", "q186", "semdedup"):
+    for key in ("q163", "q139", "q186", "semdedup", "q100", "q233"):
         a, b = results[1][key], results[10][key]
         ew = math.log(b["sec"] / a["sec"]) / math.log(10)
         es = (
