@@ -22,7 +22,8 @@ from . import score_audit  # noqa: F401  (registers q210)
 from . import evalmetrics  # noqa: F401  (registers q211-q225)
 from . import intake  # noqa: F401  (registers q226-q229)
 from . import experiment  # noqa: F401  (registers q230-q232)
-from . import diagnostics  # noqa: F401  (registers q233-q234; new modules import LAST — insertion order is registration order)
+from . import diagnostics  # noqa: F401  (registers q233-q234)
+from . import tokenizer_validation  # noqa: F401  (registers q235; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -36,13 +37,16 @@ from . import diagnostics  # noqa: F401  (registers q233-q234; new modules impor
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
 # Round-6 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r5 history): the 9 never-driver-gated registrations that
-# landed after the r5 prefix froze (q226-q234) lead, then the aged
-# r1-evidence cohort — the CORE reference-parity queries q02-q20/q22
-# (G2-G22, ipynb cells 24-41) whose driver evidence is 4 rounds old plus
-# the r1-gated extension tail (q54/q62/q66/q69, q42-q70, q57/q58). This is
-# the round that re-greens reference parity. Deliberately never scheduled:
-# q46/q81 (rows-only sketch values; q134/q136 carry their evidence).
+# CORRECTNESS_r1..r5 history): the 10 never-driver-gated registrations
+# (q226-q234 from the post-r5-freeze batch, plus the new-this-round q235)
+# lead, then the aged r1-evidence cohort — the CORE reference-parity
+# queries q02-q20/q22 (G2-G22, ipynb cells 24-41) whose driver evidence
+# is 4 rounds old plus the r1-gated extension tail (q54/q62/q66/q69,
+# q42-q70, q57). This is the round that re-greens reference parity; q58
+# (eff r2, not aged) rotated out to make room for q235. Deliberately
+# never scheduled: q46/q81 (rows-only sketch values; q134/q136 carry
+# their evidence) and fixture-tagged superseded folds (q56/q118/q125 —
+# their kernels q130/q120/q129 carry identical oracle SQL).
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -64,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "q232_conversion_ztest",
     "q233_embedding_hubness",
     "q234_volume_anomaly_flags",
+    "q235_tokenizer_roundtrip",
     "q02_sum_price_by_dow",
     "q03_avg_price_by_orderdate",
     "q04_sum_price_by_orderdate",
@@ -104,7 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "q68_status_priority_cube",
     "q70_event_neighbors",
     "q57_sql_cte_subquery",
-    "q58_asof_last_order",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
