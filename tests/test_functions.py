@@ -110,8 +110,42 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
 
 def test_cosine_known_values(spark):
     df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[0.0, 1.0]), Row(a=[1.0, 1.0], b=[1.0, 1.0])])
-    got = [r["c"] for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 9).alias("c")).collect()]
-    assert got == [0.0, 1.0]
+    for dim in (2, None):  # unrolled and fold paths agree on known values
+        got = [
+            r["c"]
+            for r in df.select(
+                F.round(cosine(F.col("a"), F.col("b"), dim=dim), 9).alias("c")
+            ).collect()
+        ]
+        assert got == [0.0, 1.0], dim
+
+
+def test_dot_unrolled_is_bit_identical_to_fold(spark):
+    """The r6 codegen-able unrolled dot (chained element_at products) must
+    reproduce the interpreted zip_with/aggregate fold BIT-FOR-BIT on real
+    embeddings — same op order (0.0 + p0 + p1 + ...), so any divergence
+    is a bug, not fp noise. This is what keeps every oracle hash stable
+    across the swap."""
+    import struct
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.vectors import (
+        dot,
+    )
+    from conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(200)
+    pairs = emb.alias("x").crossJoin(
+        emb.selectExpr(
+            "vec_id as vid2", "embedding as e2"
+        ).limit(3).alias("y")
+    )
+    rows = pairs.select(
+        dot(F.col("embedding"), F.col("e2")).alias("u"),
+        dot(F.col("embedding"), F.col("e2"), dim=None).alias("f"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert struct.pack("<d", r["u"]) == struct.pack("<d", r["f"])
 
 
 def test_distributed_row_number_equals_global_window(spark):
