@@ -7,17 +7,27 @@ bit-deterministic and reproducible by any engine that sums sequentially —
 required for the DuckDB oracle hash-match, and good hygiene at scale.
 Values are widened to double before multiply/accumulate.
 
-Execution note (r6): the original formulation was an
-``F.aggregate(F.zip_with(...))`` fold. Higher-order functions are
-INTERPRETED in Spark — every row pays per-element lambda dispatch outside
-whole-stage codegen, which made the cosine-verify stage of the LSH dedup
-family the slowest thing in the bench (q100: 13.4 s on 2k vectors).
-Embeddings here have a fixed contract dimension, so ``dot`` now unrolls to
-a chained ``element_at`` product sum — the IDENTICAL float-op sequence
-(0.0 + p0 + p1 + ...; zip_with/aggregate compute exactly this), but fully
-codegen'd. ``dim=None`` falls back to the fold for variable-length arrays.
-Under ANSI mode ``element_at`` throws on a shorter array where the fold
-would yield NULL — a louder failure for the same contract violation.
+Execution note (r6): the original formulation was a bare
+``F.aggregate(F.zip_with(...))`` fold — higher-order functions are
+interpreted per element with a lambda frame per step, which made the
+cosine-verify stage of the LSH dedup family the slowest thing in the
+bench (q100: 13.4 s on 2k vectors). Measured alternatives on 800k
+64-dim pairs (hash-identical results all three):
+
+* pure unrolled ``element_at`` chain, codegen'd: **17.7 s** — the
+  generated method for a 255-node tree blows the JIT's huge-method
+  limit and runs in the bytecode interpreter;
+* pure fold: **4.5 s**;
+* ``when(size==dim, unrolled).otherwise(fold)``: **2.4 s** — the mixed
+  expression drops to Catalyst's interpreted eval, where the unrolled
+  branch is 255 cheap eval() nodes with no per-element lambda dispatch.
+
+``dot`` therefore emits the guarded dual path when ``dim`` is given
+(default: the 64-dim embedding contract): same float-op sequence
+(0.0 + p0 + p1 + ...) in both branches — bit-equality is pinned in
+tests/test_functions.py — and arrays of any OTHER length still get the
+generic fold via the otherwise-branch, so synthetic small-dim corpora
+keep working. ``dim=None`` forces the fold alone.
 """
 
 from __future__ import annotations
@@ -29,23 +39,31 @@ from pyspark.sql import functions as F
 EMBEDDING_DIM = 64
 
 
+def _fold_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def dot(a: Column, b: Column, dim: int | None = EMBEDDING_DIM) -> Column:
     """Sequential left-to-right dot product in double precision.
 
-    With ``dim`` (default: the embedding contract dimension) the sum is a
-    codegen-able unrolled expression; ``dim=None`` uses the interpreted
-    higher-order fold for arrays of unknown length. Both produce the
-    bit-identical double (same op order, same 0.0 seed)."""
+    With ``dim`` (default: the embedding contract dimension) emits the
+    measured-fast guarded dual path: an unrolled ``element_at`` chain for
+    arrays of exactly that length, the generic fold otherwise (see module
+    docstring for the timing story). Both branches produce the
+    bit-identical double (same op order, same 0.0 seed). ``dim=None``
+    forces the fold alone."""
     if dim is None:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        return _fold_dot(a, b)
     acc = F.lit(0.0)
     for i in range(1, dim + 1):
         acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-    return acc
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), acc
+    ).otherwise(_fold_dot(a, b))
 
 
 def norm(a: Column, dim: int | None = EMBEDDING_DIM) -> Column:
