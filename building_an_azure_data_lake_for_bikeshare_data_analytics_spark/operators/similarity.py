@@ -247,7 +247,7 @@ def blocked_dup_pairs_vectorized(
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
                 {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
             )
-        E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         en = np.linalg.norm(E, axis=1)
         S = _round4_half_away((E @ E.T) / (en[:, None] * en[None, :]))
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -535,7 +535,7 @@ def assign_cells_vectorized(
             if pdf.empty:
                 continue
             X = np.floor(
-                np.array([list(e) for e in pdf[vec_col]], dtype=np.float64)
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 * float(QUANT_SCALE)
             ).astype(np.int64)
             scores = (X @ C.T).astype(np.float64) / nrm[None, :]
@@ -797,7 +797,7 @@ def quantized_int8_topk_vectorized(
         for pdf in batches:
             if pdf.empty:
                 continue
-            E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             C, keep = _codes(E)
             vecids = pdf["vec_id"].to_numpy(dtype=np.int64)[keep]
             C = C[keep]
@@ -1030,7 +1030,7 @@ def pq_adc_topk_vectorized(
         for pdf in batches:
             if pdf.empty:
                 continue
-            E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             X = np.floor(E * float(QUANT_SCALE)).astype(np.int64)
             Xs = X.reshape(len(E), m, sub)
             codes = np.empty((len(E), m), dtype=np.int64)
@@ -1227,7 +1227,7 @@ def ivf_topk_vectorized(
         for pdf in batches:
             if pdf.empty:
                 continue
-            E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             X = np.floor(E * float(QUANT_SCALE)).astype(np.int64)
             cell = ((X @ cents.T).astype(np.float64) / cnsq_sqrt[None, :]).argmax(axis=1)
             en = np.linalg.norm(E, axis=1)
@@ -1314,7 +1314,7 @@ def ivf_pq_rerank_topk_vectorized(
         for pdf in batches:
             if pdf.empty:
                 continue
-            E = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             X = np.floor(E * float(QUANT_SCALE)).astype(np.int64)
             cell = ((X @ cents.T).astype(np.float64) / cnsq_sqrt[None, :]).argmax(axis=1)
             Xs = X.reshape(len(E), m, sub)

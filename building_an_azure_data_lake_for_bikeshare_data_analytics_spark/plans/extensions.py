@@ -1307,7 +1307,7 @@ def _cov_partials(spark, sf):
             if pdf.empty:
                 continue
             X = np.floor(
-                np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 * float(QUANT_SCALE)
             ).astype(np.int64)
             M = X.T @ X  # (d, d) exact int64
