@@ -7,27 +7,29 @@ bit-deterministic and reproducible by any engine that sums sequentially —
 required for the DuckDB oracle hash-match, and good hygiene at scale.
 Values are widened to double before multiply/accumulate.
 
-Execution note (r6): the original formulation was a bare
-``F.aggregate(F.zip_with(...))`` fold — higher-order functions are
-interpreted per element with a lambda frame per step, which made the
-cosine-verify stage of the LSH dedup family the slowest thing in the
-bench (q100: 13.4 s on 2k vectors). Measured alternatives on 800k
-64-dim pairs (hash-identical results all three):
+Execution note (r6): three formulations were measured, all
+hash-identical (same 0.0 + p0 + p1 + ... op order; bit-equality pinned
+in tests/test_functions.py):
 
-* pure unrolled ``element_at`` chain, codegen'd: **17.7 s** — the
-  generated method for a 255-node tree blows the JIT's huge-method
-  limit and runs in the bytecode interpreter;
-* pure fold: **4.5 s**;
-* ``when(size==dim, unrolled).otherwise(fold)``: **2.4 s** — the mixed
-  expression drops to Catalyst's interpreted eval, where the unrolled
-  branch is 255 cheap eval() nodes with no per-element lambda dispatch.
+* pure unrolled ``element_at`` chain, codegen'd: the generated method
+  for a 255-node tree blows the JIT's huge-method limit and runs in the
+  bytecode interpreter — 4x SLOWER than the fold (17.7 s vs 4.5 s on a
+  800k-pair projection);
+* pure ``F.aggregate(F.zip_with(...))`` fold: the default — interpreted
+  per element, but robust across plan shapes;
+* ``when(size==dim, unrolled).otherwise(fold)``: 2x faster than the
+  fold in a plain post-join projection (2.4 s on the same micro, and
+  the q100 verify stage measured 83.5 -> 45.8 s at 40k-vector soak
+  scale) — but up to 8x SLOWER inside the lsh/brute-force top-k plan
+  shape (bench: q40 1.9 -> 14.6 s, q154 2.7 -> 16.3 s, q214
+  3.2 -> 17.8 s before the revert).
 
-``dot`` therefore emits the guarded dual path when ``dim`` is given
-(default: the 64-dim embedding contract): same float-op sequence
-(0.0 + p0 + p1 + ...) in both branches — bit-equality is pinned in
-tests/test_functions.py — and arrays of any OTHER length still get the
-generic fold via the otherwise-branch, so synthetic small-dim corpora
-keep working. ``dim=None`` forces the fold alone.
+The lesson is that HOF-vs-unrolled cost is PLAN-SHAPE dependent, so the
+fold is the default (``dim=None``) and the guarded dual path is OPT-IN
+per call site via an explicit ``dim`` — currently only
+``operators/similarity.lsh_dup_pairs``'s cosine verify, where both the
+bench and the 10x soak measured the win. Any new call site must come
+with its own before/after bench row.
 """
 
 from __future__ import annotations
@@ -47,15 +49,15 @@ def _fold_dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot(a: Column, b: Column, dim: int | None = EMBEDDING_DIM) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential left-to-right dot product in double precision.
 
-    With ``dim`` (default: the embedding contract dimension) emits the
-    measured-fast guarded dual path: an unrolled ``element_at`` chain for
-    arrays of exactly that length, the generic fold otherwise (see module
-    docstring for the timing story). Both branches produce the
-    bit-identical double (same op order, same 0.0 seed). ``dim=None``
-    forces the fold alone."""
+    Default (``dim=None``): the generic interpreted fold. With an
+    explicit ``dim``, emits the guarded dual path — an unrolled
+    ``element_at`` chain for arrays of exactly that length, the fold
+    otherwise; OPT-IN because its win is plan-shape dependent (see
+    module docstring). Both paths produce the bit-identical double
+    (same op order, same 0.0 seed)."""
     if dim is None:
         return _fold_dot(a, b)
     acc = F.lit(0.0)
@@ -66,9 +68,9 @@ def dot(a: Column, b: Column, dim: int | None = EMBEDDING_DIM) -> Column:
     ).otherwise(_fold_dot(a, b))
 
 
-def norm(a: Column, dim: int | None = EMBEDDING_DIM) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int | None = EMBEDDING_DIM) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))

@@ -140,7 +140,7 @@ def test_dot_unrolled_is_bit_identical_to_fold(spark):
         ).limit(3).alias("y")
     )
     rows = pairs.select(
-        dot(F.col("embedding"), F.col("e2")).alias("u"),
+        dot(F.col("embedding"), F.col("e2"), dim=64).alias("u"),
         dot(F.col("embedding"), F.col("e2"), dim=None).alias("f"),
     ).collect()
     assert rows
