@@ -23,7 +23,8 @@ from . import evalmetrics  # noqa: F401  (registers q211-q225)
 from . import intake  # noqa: F401  (registers q226-q229)
 from . import experiment  # noqa: F401  (registers q230-q232)
 from . import diagnostics  # noqa: F401  (registers q233-q234)
-from . import tokenizer_validation  # noqa: F401  (registers q235; new modules import LAST — insertion order is registration order)
+from . import tokenizer_validation  # noqa: F401  (registers q235)
+from . import chunk_validation  # noqa: F401  (registers q236; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -46,7 +47,8 @@ from . import tokenizer_validation  # noqa: F401  (registers q235; new modules i
 # (eff r2, not aged) rotated out to make room for q235. Deliberately
 # never scheduled: q46/q81 (rows-only sketch values; q134/q136 carry
 # their evidence) and fixture-tagged superseded folds (q56/q118/q125 —
-# their kernels q130/q120/q129 carry identical oracle SQL).
+# their kernels q130/q120/q129 carry identical oracle SQL). q236 later
+# took another never-green slot (q57, eff r2, rotated to r7 with q58).
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -69,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "q233_embedding_hubness",
     "q234_volume_anomaly_flags",
     "q235_tokenizer_roundtrip",
+    "q236_chunk_roundtrip",
     "q02_sum_price_by_dow",
     "q03_avg_price_by_orderdate",
     "q04_sum_price_by_orderdate",
@@ -108,7 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     "q67_value_percentiles",
     "q68_status_priority_cube",
     "q70_event_neighbors",
-    "q57_sql_cte_subquery",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
