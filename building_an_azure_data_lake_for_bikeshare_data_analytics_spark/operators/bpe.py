@@ -119,3 +119,28 @@ def bpe_token_count(text: Column, merges: list[tuple[str, str, int]]) -> Column:
     encoded = bpe_encode(text, merges)
     # each symbol contributes exactly one R delimiter
     return (F.length(encoded) - F.length(F.replace(encoded, F.lit(R), F.lit("")))).cast("int")
+
+
+#: encodable-alphabet contract for validation (same as the fit's _WORD_RE)
+ALPHA_RE = _WORD_RE
+
+
+def roundtrip_flags(
+    word: Column, merges: list[tuple[str, str, int]]
+) -> tuple[Column, Column, Column]:
+    """Per-word round-trip validation columns under a learned merge table:
+    ``(encodable, rt_ok, n_sym)`` — encodable as 0/1 (word inside the
+    ^[a-z0-9]+$ alphabet contract; outside = byte-fallback territory),
+    rt_ok as 0/1 (decode(encode(word)) == word, decode = strip the symbol
+    delimiters), and the encoded symbol count (0 for non-encodable).
+    Shared by the q235 batch audit and the streaming validation gate so
+    the two surfaces can never drift."""
+    enc = bpe_encode(word, merges)
+    encodable = word.rlike(ALPHA_RE)
+    decoded = F.replace(F.replace(enc, F.lit(L), F.lit("")), F.lit(R), F.lit(""))
+    n_sym = F.when(
+        encodable, F.length(enc) - F.length(F.replace(enc, F.lit(R), F.lit("")))
+    ).otherwise(F.lit(0))
+    rt_ok = F.when(encodable & (decoded == word), F.lit(1)).otherwise(F.lit(0))
+    enc_flag = F.when(encodable, F.lit(1)).otherwise(F.lit(0))
+    return enc_flag, rt_ok, n_sym

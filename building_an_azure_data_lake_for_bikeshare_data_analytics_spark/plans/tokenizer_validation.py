@@ -104,7 +104,7 @@ def q235(spark, sf):
     replays the fit (q131's CTE chain) AND the encode/decode, so the
     identity rate is value-checked cross-engine rather than asserted."""
     from ..functions.text import tokens
-    from ..operators.bpe import bpe_encode, bpe_fit
+    from ..operators.bpe import bpe_fit, roundtrip_flags
 
     d = _t(spark, sf, "documents")
     merges = bpe_fit(d.select("text"), n_merges=8, top_words=1000)
@@ -114,30 +114,17 @@ def q235(spark, sf):
         )
         .where(F.col("word") != "")
     )
-    enc = bpe_encode(F.col("word"), merges)
-    encodable = F.col("word").rlike(_ALPHA_RE)
-    decoded = F.replace(
-        F.replace(enc, F.lit(_L), F.lit("")), F.lit(_R), F.lit("")
-    )
-    n_sym = F.when(
-        encodable,
-        F.length(enc) - F.length(F.replace(enc, F.lit(_R), F.lit(""))),
-    ).otherwise(F.lit(0))
-    rt_ok = F.when(encodable & (decoded == F.col("word")), F.lit(1)).otherwise(
-        F.lit(0)
-    )
+    enc_flag, rt_ok, n_sym = roundtrip_flags(F.col("word"), merges)
     scored = words.select(
         "source",
-        encodable.alias("encodable"),
+        enc_flag.alias("enc_flag"),
         rt_ok.alias("rt_ok"),
         n_sym.alias("n_sym"),
     )
-    enc_flag = F.when(F.col("encodable"), F.lit(1)).otherwise(F.lit(0))
-    fb_flag = F.when(F.col("encodable"), F.lit(0)).otherwise(F.lit(1))
     agg = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.sum(enc_flag).alias("n_encodable"),
-        F.sum(fb_flag).alias("n_fallback"),
+        F.sum("enc_flag").alias("n_encodable"),
+        (F.count(F.lit(1)) - F.sum("enc_flag")).alias("n_fallback"),
         F.sum("rt_ok").alias("n_roundtrip_ok"),
         F.sum("n_sym").alias("bpe_symbols"),
         F.sum(F.when(F.col("n_sym") == 1, F.lit(1)).otherwise(F.lit(0))).alias(

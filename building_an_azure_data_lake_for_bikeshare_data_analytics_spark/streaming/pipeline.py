@@ -630,3 +630,76 @@ def hll_register_stream(
     q = writer.start()
     q.awaitTermination()
     return out, state
+
+
+def tokenizer_validated_docs_stream(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """Streaming tokenizer-validation gate: every micro-batch of incoming
+    documents is round-trip-checked against the STATIC learned BPE merge
+    table (operators/bpe.roundtrip_flags — the SAME Columns the q235
+    batch audit aggregates, so the two surfaces cannot drift). The shape
+    of a production crawl intake that refuses to enqueue documents whose
+    tokens do not survive encode -> decode or that are priced in
+    byte-fallback symbols — caught per batch, not in a day-end audit.
+
+    foreachBatch + availableNow (the incremental ingestion-job shape).
+    Emits one row per document that produced at least one non-empty
+    token: (epoch_id, doc_id, source, n_words, n_encodable,
+    n_roundtrip_ok, bpe_symbols). A document's row depends only on its
+    own text and the static merges, so the union of all micro-batch
+    outputs EQUALS the batch per-doc relation regardless of chunking —
+    the parity test's exact-equality contract — and summing the rows by
+    source reproduces q235's count columns.
+    """
+    from ..functions.text import tokens
+    from ..operators.bpe import roundtrip_flags
+
+    out: list[tuple] = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        words = batch_df.select(
+            "doc_id",
+            "source",
+            F.explode(tokens(F.lower(F.col("text")))).alias("word"),
+        ).where(F.col("word") != "")
+        enc_flag, rt_ok, n_sym = roundtrip_flags(F.col("word"), merges)
+        agg = (
+            words.select(
+                "doc_id",
+                "source",
+                enc_flag.alias("enc_flag"),
+                rt_ok.alias("rt_ok"),
+                n_sym.alias("n_sym"),
+            )
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("enc_flag").alias("n_encodable"),
+                F.sum("rt_ok").alias("n_roundtrip_ok"),
+                F.sum("n_sym").alias("bpe_symbols"),
+            )
+        )
+        for r in agg.collect():
+            out.append(
+                (
+                    epoch_id,
+                    r["doc_id"],
+                    r["source"],
+                    r["n_words"],
+                    r["n_encodable"],
+                    r["n_roundtrip_ok"],
+                    r["bpe_symbols"],
+                )
+            )
+
+    writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out

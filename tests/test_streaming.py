@@ -606,3 +606,107 @@ def test_hll_register_stream_matches_batch(spark, events_dir):
     for et in final:
         series = [r[4] for r in rows if r[1] == et]
         assert all(a <= b + 1e-9 for a, b in zip(series, series[1:])), et
+
+
+@pytest.fixture(scope="module")
+def docs_src_dir(tmp_path_factory):
+    """documents with (doc_id, source, text) split into 3 parquet files
+    (3 micro-batches under maxFilesPerTrigger=1), plus a 4th file holding
+    a whitespace-only crawl record — zero non-empty tokens, so the
+    validation gate must emit NO row for it on either surface."""
+    import time
+
+    import duckdb
+
+    d = tmp_path_factory.mktemp("docs_src_stream")
+    out = d / "docs"
+    out.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE dd AS SELECT doc_id, source, text FROM read_parquet('{SF_SMOKE}/documents.parquet') ORDER BY doc_id"
+    )
+    n = con.execute("SELECT count(*) FROM dd").fetchone()[0]
+    step = (n + 2) // 3
+    for i in range(3):
+        con.execute(
+            f"COPY (SELECT * FROM dd ORDER BY doc_id LIMIT {step} OFFSET {i * step}) "
+            f"TO '{out}/part{i}.parquet' (FORMAT PARQUET)"
+        )
+        time.sleep(1.1)
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES (999001, 'web_0', '   ')) t(doc_id, source, text)) "
+        f"TO '{out}/part3.parquet' (FORMAT PARQUET)"
+    )
+    yield str(out)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tokenizer_validation_stream_matches_batch_and_q235(spark, docs_src_dir):
+    """The streaming tokenizer round-trip gate must validate EXACTLY like
+    the batch surface regardless of micro-batch chunking: a doc's row
+    depends only on its text and the static merges, so (a) the union of
+    micro-batch outputs equals the batch per-doc relation, (b) summing
+    per-doc rows by source reproduces q235's count columns, and (c) the
+    whitespace-only crawl record yields no row anywhere."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+        tokens,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.bpe import (
+        bpe_fit,
+        roundtrip_flags,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+        QUERIES,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        tokenizer_validated_docs_stream,
+    )
+
+    static = read_parquet_table(spark, SF_SMOKE, "documents")
+    merges = bpe_fit(static.select("text"), n_merges=8, top_words=1000)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_src_dir)
+    )
+    rows = tokenizer_validated_docs_stream(stream, merges)
+    got = {r[1]: r[2:] for r in rows}
+    assert 999001 not in got  # (c) zero-token doc emits nothing
+
+    words = static.select(
+        "doc_id", "source", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    ).where(F.col("word") != "")
+    ef, rt, ns = roundtrip_flags(F.col("word"), merges)
+    batch = {
+        r["doc_id"]: (
+            r["source"], r["n_words"], r["n_encodable"],
+            r["n_roundtrip_ok"], r["bpe_symbols"],
+        )
+        for r in words.select(
+            "doc_id", "source", ef.alias("e"), rt.alias("r"), ns.alias("n")
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("e").alias("n_encodable"),
+            F.sum("r").alias("n_roundtrip_ok"),
+            F.sum("n").alias("bpe_symbols"),
+        )
+        .collect()
+    }
+    assert got == batch  # (a)
+
+    by_source = {}
+    for src, nw, ne, nr, bs in got.values():
+        c = by_source.setdefault(src, [0, 0, 0, 0])
+        c[0] += nw; c[1] += ne; c[2] += nr; c[3] += bs
+    q235 = {
+        r["source"]: [
+            r["n_words"], r["n_encodable"], r["n_roundtrip_ok"], r["bpe_symbols"]
+        ]
+        for r in QUERIES["q235_tokenizer_roundtrip"](spark, SF_SMOKE).collect()
+    }
+    assert by_source == q235  # (b)
