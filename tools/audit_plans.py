@@ -127,6 +127,7 @@ BNLJ_WHITELIST = {
     "q222_heavy_hitters_exact": "1-row token-total scalar",
     "q223_quantile_normalize": "1-row corpus-count scalar",
     "q225_probe_ks_separation": "1-row class-totals scalar over the distinct-score relation",
+    "q237_t_closeness_audit": "1-row global-total scalar onto the bounded (QI x value) relation",
 }
 
 
