@@ -469,3 +469,62 @@ def test_fractional_rank2_property(spark, vals):
         for r in fractional_rank2(df, "v", F.floor(F.col("v") / 6), "fr2").collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="abc ?X", min_size=1, max_size=4), min_size=0, max_size=60),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_chunk_roundtrip_property(spark, docs):
+    """q236's invariant on ARBITRARY token streams (including tokens the
+    alphabet contract never produces): stitching q66-shape chunk strings
+    reproduces the whitespace-normalized document for every doc, every
+    chunk count, every short-tail shape."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans import (
+        chunk_validation as cv,
+    )
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 2}", text=" ".join(d))
+        for i, d in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows)
+    orig_t = cv._t
+    try:
+        cv._t = lambda sp, sf, name: df  # the only table q236 reads
+        out = cv.q236(spark, "ignored").collect()
+    finally:
+        cv._t = orig_t
+    assert out
+    for r in out:
+        assert r["n_roundtrip_ok"] == r["n_docs"], (r["source"], docs)
+        assert r["roundtrip_rate"] == 1.0
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab1", min_size=1, max_size=6), min_size=1, max_size=25
+    )
+)
+@settings(**_SETTINGS)
+def test_bpe_roundtrip_property(spark, words):
+    """decode(encode(word)) == word for EVERY alphabet word under a merge
+    table learned from the same random corpus — the q235 invariant, with
+    merges that actually fire on these words (trained on them)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.bpe import (
+        bpe_fit,
+        roundtrip_flags,
+    )
+
+    docs = spark.createDataFrame([Row(text=" ".join(words))])
+    merges = bpe_fit(docs, n_merges=4, top_words=100)
+    wdf = spark.createDataFrame([Row(word=w) for w in words])
+    enc_flag, rt_ok, _n_sym = roundtrip_flags(F.col("word"), merges)
+    got = wdf.select(enc_flag.alias("e"), rt_ok.alias("r")).collect()
+    for row, w in zip(got, words):
+        assert row["e"] == 1, w  # alphabet-only strategy: all encodable
+        assert row["r"] == 1, (w, merges)
