@@ -38,19 +38,19 @@ from . import tcloseness  # noqa: F401  (registers q237; new modules import LAST
 # CORRECTNESS_r*.json history and fail on any drift from this tuple —
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-6 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r5 history): the 10 never-driver-gated registrations
-# (q226-q234 from the post-r5-freeze batch, plus the new-this-round q235)
-# lead, then the aged r1-evidence cohort — the CORE reference-parity
-# queries q02-q20/q22 (G2-G22, ipynb cells 24-41) whose driver evidence
-# is 4 rounds old plus the r1-gated extension tail (q54/q62/q66/q69,
-# q42-q70, q57). This is the round that re-greens reference parity; q58
-# (eff r2, not aged) rotated out to make room for q235. Deliberately
-# never scheduled: q46/q81 (rows-only sketch values; q134/q136 carry
-# their evidence) and fixture-tagged superseded folds (q56/q118/q125 —
-# their kernels q130/q120/q129 carry identical oracle SQL). q236 and
-# q237 later took two more never-green slots (q57/q70, eff r2, rotated
-# to r7 alongside q58).
+# Round-7 prefix (computed by evidence.build_prefix() from the committed
+# CORRECTNESS_r1..r6 history): the three queries whose driver evidence
+# would otherwise age past the floor after a green r7 gate lead — q70/
+# q57/q58 (rotated out of r6 to make room for the q235-q237
+# never-greens) — followed by the aged r2-evidence cohort q71-q97 (the
+# training/quality extension families, driver-gated in r2 and untouched
+# since) and the r2-era tail q24-q35/q37-q41, q53, q63, q99/q100,
+# q128. Deliberately never scheduled: q46/q81 (rows-only sketch values;
+# q134/q136 carry their evidence) and fixture-tagged superseded folds
+# (q56/q118/q125 — their kernels q130/q120/q129 carry identical oracle
+# SQL). New-this-round registrations (q238+) defer to the r8 never-green
+# head when the mandatory aged set fills all 50 slots, per the overflow
+# rule in evidence.build_prefix().
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -60,59 +60,59 @@ from . import tcloseness  # noqa: F401  (registers q237; new modules import LAST
 # window while still hard-failing on genuine drift from the schedule the
 # tuple was frozen for (r5 verdict item 5).
 # ---------------------------------------------------------------------------
-PREFIX_ROUND: int = 6
+PREFIX_ROUND: int = 7
 
 _PRIORITY: tuple[str, ...] = (
-    "q226_dedup_yield_curve",
-    "q227_tokenizer_fertility",
-    "q228_functional_dependency_audit",
-    "q229_candidate_key_profile",
-    "q230_churn_survival_km",
-    "q231_cuped_readout",
-    "q232_conversion_ztest",
-    "q233_embedding_hubness",
-    "q234_volume_anomaly_flags",
-    "q235_tokenizer_roundtrip",
-    "q236_chunk_roundtrip",
-    "q237_t_closeness_audit",
-    "q02_sum_price_by_dow",
-    "q03_avg_price_by_orderdate",
-    "q04_sum_price_by_orderdate",
-    "q05_avg_extprice_by_supp",
-    "q06_sum_extprice_by_supp",
-    "q07_avg_extprice_by_part",
-    "q08_sum_extprice_by_part",
-    "q09_sum_price_by_acct_band",
-    "q10_avg_price_by_acct_band",
-    "q11_avg_price_by_membership",
-    "q12_sum_price_by_membership",
-    "q13_sum_amount_by_month",
-    "q14_avg_amount_by_month",
-    "q15_sum_amount_by_quarter",
-    "q16_avg_amount_by_quarter",
-    "q17_sum_amount_by_year",
-    "q18_avg_amount_by_year",
-    "q19_member_avg_by_acct_band",
-    "q20_member_sum_by_acct_band",
-    "q22_member_spend_duration",
-    "q54_dedup_keep_rows",
-    "q62_bpe_token_count",
-    "q66_doc_chunks",
-    "q69_source_stats",
-    "q42_hourly_event_stats",
-    "q44_top_tokens",
-    "q45_distinct_users_by_type",
-    "q47_user_running_value",
-    "q48_sessionize",
-    "q49_event_type_pivot",
-    "q50_props_json_extract",
-    "q51_pricing_summary",
-    "q52_segment_shipping",
-    "q59_member_users_with_events",
-    "q60_order_counts_left_outer",
-    "q61_customers_with_events_semi",
-    "q67_value_percentiles",
-    "q68_status_priority_cube",
+    "q70_event_neighbors",
+    "q57_sql_cte_subquery",
+    "q58_asof_last_order",
+    "q71_hash_split",
+    "q72_stratified_sample",
+    "q73_dup_components",
+    "q74_pack_sequences",
+    "q75_pii_scan",
+    "q76_benchmark_contamination",
+    "q77_moment_stats",
+    "q78_value_range_join",
+    "q79_purchasers_clean_union",
+    "q80_activity_full_outer",
+    "q82_gap_fill_forward",
+    "q83_tfidf_top_terms",
+    "q84_value_outliers",
+    "q85_value_histogram",
+    "q86_price_deciles",
+    "q87_user_type_profile",
+    "q88_repetition_ratio",
+    "q89_status_priority_sets",
+    "q90_edit_distance_pairs",
+    "q91_top_user_by_type",
+    "q92_first_stopword_position",
+    "q93_union_by_name",
+    "q94_measure_unpivot",
+    "q95_supplier_revenue_rank",
+    "q96_trailing_hour_stats",
+    "q97_salted_flag_totals",
+    "q24_payment_dates_dim",
+    "q25_trip_dates_dim",
+    "q26_date_range_probe",
+    "q27_top_orders_per_customer",
+    "q28_distinct_segments",
+    "q29_customers_without_events",
+    "q30_status_priority_rollup",
+    "q31_doc_token_count",
+    "q32_doc_quality",
+    "q33_lang_guess",
+    "q34_doc_fingerprint",
+    "q35_dedup_exact",
+    "q37_minhash_lsh_pairs",
+    "q128_lsh_candidates_salted",
+    "q38_simhash",
+    "q40_embedding_lsh_ann",
+    "q41_multimodal_features",
+    "q99_frame_sample",
+    "q53_simhash_near_pairs",
+    "q63_winnow_fingerprints",
+    "q100_semantic_dup_lsh",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
