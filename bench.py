@@ -9,7 +9,13 @@ no driver collect — the honest way to time a distributed plan).
 Besides wall time, the suite records per-query SHUFFLE BYTES (r5 verdict
 item 2): this sandbox disperses wall ~40% run-to-run (5x on single
 queries — SCALE_NOTES), so a uniform wall shift is unattributable from
-wall alone; bytes are deterministic for a fixed plan + data. Rather than
+wall alone; bytes are near-deterministic for a fixed plan + data — NOT
+perfectly so: AQE may reuse a still-materialized shuffle stage across
+identical subtrees on some runs and resubmit it on others, and listener-
+bus lag past the end-of-suite settle can drop the tail query's last
+stages, so attributed bytes can under-report run-to-run. Compare suite
+totals and treat small per-query byte deltas as attribution noise, the
+same discipline as wall. Rather than
 sleeping out the async listener bus after every query (3 s x 231 queries
 of dead time), the suite keeps a per-query [start, end) wall window and
 attributes stages to queries by stage submission time from ONE UI REST
@@ -113,12 +119,20 @@ def main() -> None:
 
     # one REST read for the whole suite; the async listener bus needs a
     # beat to drain the last query's stages (SCALE_NOTES: a 3-Exchange
-    # plan read too early reported 0 bytes)
+    # plan read too early reported 0 bytes). Poll until the stage count
+    # stabilizes instead of trusting one fixed sleep (r6 advice): two
+    # consecutive identical counts, capped at ~15 s.
     shuffle_write_mb: dict[str, float] = {}
     shuffle_read_mb: dict[str, float] = {}
     try:
-        time.sleep(3)
         stages = _fetch_stages(spark)
+        for _ in range(5):
+            time.sleep(3)
+            again = _fetch_stages(spark)
+            if len(again) == len(stages):
+                stages = again
+                break
+            stages = again
         shuffle_write_mb, shuffle_read_mb = _attribute_shuffle(stages, windows)
     except Exception as e:  # noqa: BLE001 — byte telemetry must never fail the bench
         print(f"shuffle-byte capture skipped: {e}", file=sys.stderr)

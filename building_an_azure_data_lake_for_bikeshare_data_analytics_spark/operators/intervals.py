@@ -35,6 +35,7 @@ def interval_overlap_join(
     start: str,
     end: str,
     bucket_days: int = 30,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """All pairs of intervals on the same ``key`` whose closed date ranges
     [start, end] overlap: ``a.start <= b.end AND b.start <= a.end``,
@@ -49,6 +50,13 @@ def interval_overlap_join(
     before the exact predicate runs.
 
     Returns (key, id_a, id_b, start_a, end_a, start_b, end_b).
+
+    ``candidates_only=True`` returns the CANDIDATE pair relation —
+    (key, id_a, id_b), distinct, grid-equi-join only, NO overlap
+    predicate — mirroring ``lsh_dup_pairs``'s flag, so telemetry tools
+    measuring the candidate:verified ratio exercise the operator's own
+    candidate derivation instead of re-implementing it (r6 advice:
+    a hand copy silently diverges when the cell derivation changes).
     """
     # floor division, NOT double-divide + cast: cast("long") truncates
     # toward zero, which would merge days -(bucket_days-1)..bucket_days-1
@@ -62,6 +70,21 @@ def interval_overlap_join(
         F.explode(F.sequence(cell(start), cell(end))).alias("cell"),
     )
     a, b = ex.alias("a"), ex.alias("b")
+    if candidates_only:
+        return (
+            a.join(
+                b,
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.iid") < F.col("b.iid")),
+            )
+            .select(
+                F.col("a.k").alias(key),
+                F.col("a.iid").alias("id_a"),
+                F.col("b.iid").alias("id_b"),
+            )
+            .distinct()
+        )
     return (
         a.join(
             b,

@@ -181,10 +181,24 @@ def brute_force_topk_vectorized(corpus: DataFrame, queries: DataFrame, k: int = 
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             en = np.linalg.norm(E, axis=1)
+            vecids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # CONTRACT (pinned, not incidental): a zero-norm vector has no
+            # defined cosine. Zero-norm CORPUS rows are excluded from
+            # neighbor candidacy here, explicitly, before the matmul — the
+            # oracle's cos expression yields NULL/NaN for them and SQL
+            # ORDER BY ... LIMIT k drops those too, so engine and oracle
+            # agree by construction. A zero-norm QUERY column divides to
+            # NaN below and is dropped by the isfinite survivor mask: such
+            # a query deterministically emits no rows (same in the oracle).
+            nz = en > 0.0
+            if not nz.all():
+                E, en, vecids = E[nz], en[nz], vecids[nz]
+                if E.shape[0] == 0:
+                    continue
             # dot-then-divide mirrors the fold's cos expression shape;
             # rounding is the oracle's own half-away rule (_round4_half_away)
-            S = _round4_half_away((E @ Qm.T) / (en[:, None] * qnv[None, :]))
-            vecids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _round4_half_away((E @ Qm.T) / (en[:, None] * qnv[None, :]))
             # self-exclusion: -inf can never win a top-k over real cosines
             for i, v in enumerate(vecids):
                 j = id_to_col.get(int(v))

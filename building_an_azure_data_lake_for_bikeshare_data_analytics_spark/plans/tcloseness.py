@@ -92,10 +92,14 @@ def q237(spark, sf):
     ct = base.groupBy("c_mktsegment", "bal_band", "v").agg(
         F.count(F.lit(1)).alias("cnt_gv")
     )
-    # the (QI, v) relation is reused by three aggregations below —
-    # bounded (QI x values), so materialize once instead of re-scanning
-    # the fact table per marginal
-    ct = ct.localCheckpoint()
+    # The (QI, v) relation feeds three consumers below. No eager
+    # materialization: localCheckpoint here ran Spark jobs at
+    # plan-CONSTRUCTION time (explain/audit/schema callers paid them too)
+    # and its blocks don't survive executor loss. The relation is
+    # QI-cardinality-bounded metadata — recomputing it per consumer is a
+    # cheap hash-agg over the customer scan, far below the checkpoint's
+    # own cost, per the repo's checkpoint-hygiene rule (justify eager
+    # materialization with measured shuffle-byte wins, never by default).
     grp = ct.groupBy("c_mktsegment", "bal_band").agg(
         F.sum("cnt_gv").alias("n_g")
     )

@@ -660,8 +660,9 @@ def tokenizer_validated_docs_stream(
     out: list[tuple] = []
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
+        # no empty-batch take(1) guard: an empty batch's groupBy/collect
+        # already yields zero rows, and the probe was a redundant full
+        # extra Spark job per micro-batch (r6 advice)
         words = batch_df.select(
             "doc_id",
             "source",

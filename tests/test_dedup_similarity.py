@@ -121,7 +121,9 @@ def test_simhash_chunk_blocking_captures_all_small_hamming_pairs(spark):
     import numpy as np
 
     rows = QUERIES["q38_simhash"](spark, SF_SMOKE).collect()
-    sigs = np.array([r["simhash"] for r in rows], dtype=np.uint64)
+    # signatures are signed int64 in Spark; reinterpret the bits (negative
+    # int -> uint64 via np.array is a numpy DeprecationWarning, future error)
+    sigs = np.array([r["simhash"] for r in rows], dtype=np.int64).view(np.uint64)
     ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     # exhaustive Hamming over the full corpus, driver-side numpy
     x = sigs[:, None] ^ sigs[None, :]

@@ -175,6 +175,37 @@ def test_vectorized_topk_rejects_oversized_query_set(spark, monkeypatch):
         S.brute_force_topk_vectorized(emb, qs, k=3)
 
 
+def test_vectorized_topk_zero_norm_contract(spark):
+    """Pinned degenerate behavior (r6 advice): a zero-norm corpus vector has
+    no defined cosine and must never surface as a neighbor; a zero-norm
+    query must emit no rows. Non-degenerate queries still get a full k
+    neighbors even with zero-norm rows interleaved in the corpus."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero-norm corpus row
+        (2, [0.5, 0.5, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero-norm corpus row
+        (5, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0, 0.0])],
+        ["query_id", "qe"],
+    )
+    got = S.brute_force_topk_vectorized(emb, qs, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # zero-norm query: deterministically empty
+    assert 101 not in by_q
+    # real query: full k, and never a zero-norm neighbor
+    assert len(by_q[100]) == 3
+    assert not {1, 4} & set(by_q[100])
+
+
 def test_multimodal_real_codec_decode_end_to_end(spark):
     """PNG and WAV payloads must be REALLY decoded (stdlib codecs) through
     the Spark mapInPandas path; other payloads keep the byte-level stub."""

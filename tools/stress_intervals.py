@@ -55,24 +55,16 @@ def gen(spark, n: int):
 
 
 def candidates(iv, bucket_days: int):
-    """The operator's candidate relation (same explode + equi-join, no
-    overlap predicate) — what the bucket_days lever controls."""
-    from pyspark.sql import functions as F
-
-    cell = lambda c: F.floor(F.unix_date(F.col(c)) / F.lit(bucket_days)).cast("long")  # noqa: E731
-    ex = iv.select(
-        "k", "iid", F.explode(F.sequence(cell("s"), cell("e"))).alias("cell")
+    """The operator's OWN candidate relation (candidates_only flag, r6
+    advice) — what the bucket_days lever controls. Calling the operator
+    instead of re-deriving the explode + equi-join by hand keeps this
+    telemetry honest if the cell derivation or join predicate changes."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.intervals import (
+        interval_overlap_join,
     )
-    a, b = ex.alias("a"), ex.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.iid") < F.col("b.iid")),
-        )
-        .select(F.col("a.iid").alias("ia"), F.col("b.iid").alias("ib"))
-        .distinct()
+
+    return interval_overlap_join(
+        iv, "k", "iid", "s", "e", bucket_days=bucket_days, candidates_only=True
     )
 
 
