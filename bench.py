@@ -138,9 +138,33 @@ def main() -> None:
         print(f"shuffle-byte capture skipped: {e}", file=sys.stderr)
 
     slowest5 = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:5])
+    # Key ORDER is load-bearing. The driver's BENCH_r*.json records only
+    # the LAST ~4 KB of stdout ("tail") when the line exceeds its capture
+    # window — r6's graded tail landed inside shuffle_read_mb (appended
+    # last that round) and its MB values were misread as wall seconds
+    # (the "q53 25.97 s outlier" was its 25.97 MB shuffle read; 31
+    # "0.00 s" rows were ~0-shuffle queries — SCALE_NOTES r7). So: bulky
+    # byte dicts FIRST (pruned of exact-zero rows — full dicts live in
+    # BENCH_SUMMARY.json), per-query WALLS next, and the small summary
+    # scalars LAST so any tail capture always ends with walls + totals,
+    # which are self-describingly seconds.
     payload = {
-        # summary keys FIRST: a truncated capture still carries the
-        # suite total, count, and worst offenders
+        "shuffle_write_mb": {k: v for k, v in shuffle_write_mb.items() if v > 0},
+        "shuffle_read_mb": {k: v for k, v in shuffle_read_mb.items() if v > 0},
+        "queries": per_query,
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+        "suite_shuffle_write_mb": round(sum(shuffle_write_mb.values()), 1),
+        "suite_shuffle_read_mb": round(sum(shuffle_read_mb.values()), 1),
+        "slowest5": slowest5,
+    }
+    print(json.dumps(payload))
+    # restore full (unpruned) byte dicts + summary-first ordering for the
+    # committed human-read artifacts
+    payload = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
@@ -153,7 +177,6 @@ def main() -> None:
         "shuffle_write_mb": shuffle_write_mb,
         "shuffle_read_mb": shuffle_read_mb,
     }
-    print(json.dumps(payload))
     # the driver's BENCH_r*.json capture truncates before the q100+ tail
     # and leaves `parsed` null, so round-over-round comparison needs a
     # committed artifact: write the full payload (summary keys first,

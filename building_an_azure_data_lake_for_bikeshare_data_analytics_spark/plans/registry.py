@@ -25,7 +25,8 @@ from . import experiment  # noqa: F401  (registers q230-q232)
 from . import diagnostics  # noqa: F401  (registers q233-q234)
 from . import tokenizer_validation  # noqa: F401  (registers q235)
 from . import chunk_validation  # noqa: F401  (registers q236)
-from . import tcloseness  # noqa: F401  (registers q237; new modules import LAST — insertion order is registration order)
+from . import tcloseness  # noqa: F401  (registers q237)
+from . import url_intake  # noqa: F401  (registers q238; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -39,18 +40,19 @@ from . import tcloseness  # noqa: F401  (registers q237; new modules import LAST
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
 # Round-7 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r6 history): the three queries whose driver evidence
-# would otherwise age past the floor after a green r7 gate lead — q70/
-# q57/q58 (rotated out of r6 to make room for the q235-q237
-# never-greens) — followed by the aged r2-evidence cohort q71-q97 (the
-# training/quality extension families, driver-gated in r2 and untouched
-# since) and the r2-era tail q24-q35/q37-q41, q53, q63, q99/q100,
-# q128. Deliberately never scheduled: q46/q81 (rows-only sketch values;
-# q134/q136 carry their evidence) and fixture-tagged superseded folds
-# (q56/q118/q125 — their kernels q130/q120/q129 carry identical oracle
-# SQL). New-this-round registrations (q238+) defer to the r8 never-green
-# head when the mandatory aged set fills all 50 slots, per the overflow
-# rule in evidence.build_prefix().
+# CORRECTNESS_r1..r6 history): the never-driver-gated q238 (new this
+# round — URL/domain canonicalization intake head, r6 verdict item 5)
+# leads, then the three queries whose driver evidence would otherwise
+# age past the floor after a green r7 gate — q70/q57/q58 (rotated out of
+# r6 to make room for the q235-q237 never-greens) — followed by the aged
+# r2-evidence cohort q71-q97 (the training/quality extension families,
+# driver-gated in r2 and untouched since) and the r2-era tail
+# q24-q35/q37-q41, q53, q63, q99, q128 (q100, eff r6 via the gate twin,
+# rotated off the tail by q238's insertion — not aged, returns on its
+# staleness clock). Deliberately never scheduled: q46/q81 (rows-only
+# sketch values; q134/q136 carry their evidence) and fixture-tagged
+# superseded folds (q56/q118/q125 — their kernels q130/q120/q129 carry
+# identical oracle SQL).
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -63,6 +65,7 @@ from . import tcloseness  # noqa: F401  (registers q237; new modules import LAST
 PREFIX_ROUND: int = 7
 
 _PRIORITY: tuple[str, ...] = (
+    "q238_url_host_dedup",
     "q70_event_neighbors",
     "q57_sql_cte_subquery",
     "q58_asof_last_order",
@@ -112,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "q99_frame_sample",
     "q53_simhash_near_pairs",
     "q63_winnow_fingerprints",
-    "q100_semantic_dup_lsh",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1,0 +1,119 @@
+"""URL canonicalization (functions/url.py) + q238 intake head.
+
+The Column pipeline is pinned two independent ways: (1) a hand-built
+tricky-URL corpus checked against a urllib.parse reimplementation (the
+brute-force-beats-oracle rule — the DuckDB oracle shares the regex
+strategy, urllib does not); (2) the registered q238 query value-matched
+against its DuckDB oracle at smoke scale.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.url import (
+    TRACKING_PARAM_RE,
+    TWO_LABEL_SUFFIXES,
+    canonical_url,
+    host_of,
+    registrable_domain,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+    ORACLES,
+    QUERIES,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+TRICKY_URLS = [
+    "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&id=7#frag",
+    "https://example.com/a/b?id=7",
+    "http://www.example.co.uk:443/path/",
+    "https://cdn.news.example.co.uk:8080/x?b=2&a=1&gclid=zzz",
+    "https://example.com/",
+    "http://example.com",
+    "https://sub.deep.host.com/p?ref=abc&z=9&utm_campaign=c",
+    "HTTPS://HOST.COM/CasePreservedPath?Q=UpperValue",
+    "http://a.com/x#only-fragment",
+    "https://b.com/x?utm_source=1&utm_medium=2&fbclid=3",
+    "http://www.c.com.au/x/y?k=v",
+    "https://single-label/x?a=1",
+]
+
+
+def _py_canonical(url: str) -> str:
+    """Independent reimplementation with urllib.parse."""
+    s = urlsplit(url)
+    host = s.hostname or ""
+    if host.startswith("www."):
+        host = host[len("www."):]
+    if s.port is not None and s.port not in (80, 443):
+        host = f"{host}:{s.port}"
+    path = s.path.rstrip("/") if s.path != "/" else ""
+    # rstrip("/") on "/a/b/" gives "/a/b"; on "" stays ""
+    if s.path not in ("", "/"):
+        path = re.sub(r"/$", "", s.path)
+    kept = sorted(
+        p for p in s.query.split("&") if p and not re.match(TRACKING_PARAM_RE, p)
+    )
+    q = "&".join(kept)
+    return host + path + (f"?{q}" if q else "")
+
+
+def _py_domain(host: str) -> str:
+    labels = re.sub(r":\d+$", "", host).split(".")
+    if len(labels) >= 3 and ".".join(labels[-2:]) in TWO_LABEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[max(0, len(labels) - 2):])
+
+
+def test_canonical_url_matches_urllib_reimplementation(spark):
+    df = spark.createDataFrame([(u,) for u in TRICKY_URLS], ["url"])
+    got = df.select(
+        "url",
+        canonical_url("url").alias("c"),
+        host_of("url").alias("h"),
+        registrable_domain(host_of("url")).alias("d"),
+    ).collect()
+    for r in got:
+        assert r["c"] == _py_canonical(r["url"]), r["url"]
+        assert r["d"] == _py_domain(r["h"]), r["url"]
+
+
+def test_canonical_url_idempotent_on_clean_keys(spark):
+    """Canonicalizing host+path+sorted-query output prefixed with a scheme
+    must be a fixed point — the property that makes re-ingesting an
+    already-canonicalized feed safe."""
+    df = spark.createDataFrame([(u,) for u in TRICKY_URLS], ["url"])
+    once = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    df2 = spark.createDataFrame([("https://" + c,) for c in once], ["url"])
+    twice = [r["c"] for r in df2.select(canonical_url("url").alias("c")).collect()]
+    assert once == twice
+
+
+def test_q238_matches_duckdb_oracle(spark):
+    name = "q238_url_host_dedup"
+    got = QUERIES[name](spark, SF_SMOKE)
+    sp = [tuple(r) for r in got.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    orc = [tuple(r) for r in con.execute(ORACLES[name]).fetchall()]
+    assert len(sp) == len(orc) > 0
+    assert sp == orc
+
+
+def test_q238_flags_and_mass_are_consistent(spark):
+    rows = QUERIES["q238_url_host_dedup"](spark, SF_SMOKE).collect()
+    total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        assert r["dup_docs"] == r["n_docs"] - r["n_urls"] >= 0
+        assert r["n_hosts"] <= r["n_urls"] <= r["n_docs"]
+        assert r["over_quota"] == (r["n_docs"] > 0.08 * total)

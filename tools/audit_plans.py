@@ -73,6 +73,7 @@ BNLJ_WHITELIST = {
     "q226_dedup_yield_curve": "1-row total-docs scalar + 5-row threshold spine",
     "q231_cuped_readout": "1-row pooled-theta scalar",
     "q233_embedding_hubness": "1-row corpus-count x 1-row hit-count scalars",
+    "q238_url_host_dedup": "1-row total-docs scalar (quota flag)",
     # bounded dimension spines (dates/hours), not scalars
     "q24_payment_dates_dim": "bounded date spine",
     "q25_trip_dates_dim": "bounded date/hour spine",
