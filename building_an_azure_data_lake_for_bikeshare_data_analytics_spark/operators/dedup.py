@@ -426,6 +426,47 @@ def prefix_filter_jaccard_pairs(
     return _verify_jaccard(cand, enc.select("doc_id", F.col("sid").alias("shingle")), threshold)
 
 
+def _cross_side_verified_pairs(
+    sh: DataFrame,
+    side: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Exact >= threshold Jaccard pairs with endpoints on OPPOSITE sides
+    of the ``side`` marker (doc_id, __new): LSH band candidates filtered
+    to cross-side pairs BEFORE the exact verify, so same-side collisions
+    cost nothing. Shared by incremental_near_dedup (batch survivor view)
+    and incremental_cross_pairs (index-maintenance edge view)."""
+    cand = (
+        _lsh_candidates_from_shingles(sh, num_hashes, bands)
+        .select("doc_a", "doc_b")
+        .join(side.select(F.col("doc_id").alias("doc_a"), F.col("__new").alias("na")), "doc_a")
+        .join(side.select(F.col("doc_id").alias("doc_b"), F.col("__new").alias("nb")), "doc_b")
+        .where(F.col("na") != F.col("nb"))
+        .select("doc_a", "doc_b")
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def incremental_cross_pairs(
+    docs_tokens: DataFrame,
+    is_new: Column,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The EDGE view of incremental dedup: exact (doc_a, doc_b, jaccard)
+    pairs with one endpoint in the new batch and one in the existing
+    corpus — what a maintained pair/component index appends per ingest
+    batch (q239). Cost is O(batch x collisions), never corpus x corpus."""
+    tagged = docs_tokens.select("doc_id", "ts", is_new.alias("__new"))
+    sh = shingle_sets(tagged, shingle_n).localCheckpoint()
+    side = tagged.select("doc_id", "__new")
+    return _cross_side_verified_pairs(sh, side, threshold, num_hashes, bands)
+
+
 def incremental_near_dedup(
     docs_tokens: DataFrame,
     is_new: Column,
@@ -454,15 +495,7 @@ def incremental_near_dedup(
     tagged = docs_tokens.select("doc_id", "ts", is_new.alias("__new"))
     sh = shingle_sets(tagged, shingle_n).localCheckpoint()
     side = tagged.select("doc_id", "__new")
-    cand = (
-        _lsh_candidates_from_shingles(sh, num_hashes, bands)
-        .select("doc_a", "doc_b")
-        .join(side.select(F.col("doc_id").alias("doc_a"), F.col("__new").alias("na")), "doc_a")
-        .join(side.select(F.col("doc_id").alias("doc_b"), F.col("__new").alias("nb")), "doc_b")
-        .where(F.col("na") != F.col("nb"))
-        .select("doc_a", "doc_b")
-    )
-    matched = _verify_jaccard(cand, sh, threshold)
+    matched = _cross_side_verified_pairs(sh, side, threshold, num_hashes, bands)
     # either endpoint of a verified cross pair may be the batch doc
     dropped = (
         matched.join(side.select(F.col("doc_id").alias("doc_a"), F.col("__new").alias("na")), "doc_a")

@@ -1,0 +1,120 @@
+"""Maintained dedup index: the shared shingle -> exact-pair -> component
+subtree, built ONCE per (session, sf_dir) and read by every downstream
+head (r6 verdict item 3).
+
+Before r7, the five most expensive suite heads (q105/q113/q146/q226 and
+friends) each recomputed the same shingles -> pairs -> components
+pipeline from scratch — correct, but not the 100 TB deployment shape,
+where the pair/component relation is a MAINTAINED table (built once,
+incrementally updated per ingest batch — the posture q103 demonstrates
+and q239 operationalizes end-to-end) that analysis heads simply read.
+This module is the in-session form of that table:
+
+* ``dup_pairs``      — exact Jaccard >= 0.5 pairs (doc_a, doc_b,
+  jaccard), via the PPJoin prefix-filter kernel (q163's — the measured
+  production exact path, wall/shuffle exponents 1.01/1.03 at 1M -> 10M,
+  zero false negatives by the pigeonhole argument).
+* ``dup_pairs_lsh``  — the same relation via the MinHash/LSH-verified
+  kernel. Kept SEPARATE on purpose: q98/q73 exist to certify LSH recall
+  against the exhaustive oracle, so their plans must keep the LSH
+  subtree; they share one build instead of two.
+* ``dup_components`` — connected components over ``dup_pairs``
+  (``(doc_id, comp)``), the group table q105/q113 read.
+
+Results are ``persist(MEMORY_AND_DISK)``-ed and memoized per
+(applicationId, realpath(sf_dir)); entries from dead sessions are
+evicted on access. At sf0.1 the cached relations are tens of MB; on a
+real cluster this module's role is played by the versioned store table
+q239 maintains (``sources/versioned.py``), and the memo is just the
+session-local read cache in front of it.
+
+The cache changes NO query semantics: every consumer's oracle is
+unchanged and the relations are deterministic, so a cold-cache run and
+a warm-cache run return identical rows — only the shuffle bytes move
+(measured in SCALE_NOTES "r7 shared dedup index").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from ..functions.text import tokens
+from .base import _t
+
+#: the corpus-wide dedup operating threshold every index consumer shares;
+#: heads that sweep thresholds (q226) sweep ABOVE this floor over the
+#: cached pair relation's jaccard column
+INDEX_THRESHOLD = 0.5
+
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _docs_tokens(spark, sf: str) -> DataFrame:
+    return _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+
+
+def _memo(spark, sf: str, what: str, build) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.realpath(sf), what)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    # evict relations persisted by sessions that no longer exist — their
+    # cached blocks died with the executors
+    for k in [k for k in _CACHE if k[0] != app]:
+        del _CACHE[k]
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHE[key] = df
+    return df
+
+
+def dup_pairs(spark, sf: str) -> DataFrame:
+    """Exact >= INDEX_THRESHOLD Jaccard pairs (doc_a, doc_b, jaccard),
+    PPJoin kernel, memoized + persisted. q163 is the registered face of
+    this relation; q226/q105/q113/q158 read it."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    return _memo(
+        spark,
+        sf,
+        "pairs_ppjoin",
+        lambda: prefix_filter_jaccard_pairs(
+            _docs_tokens(spark, sf), threshold=INDEX_THRESHOLD
+        ),
+    )
+
+
+def dup_pairs_lsh(spark, sf: str) -> DataFrame:
+    """The same pair relation via MinHash/LSH candidates + exact verify —
+    the recall-certification path q98 and q73 pin. One build, two
+    consumers."""
+    from ..operators.dedup import lsh_verified_jaccard_pairs
+
+    return _memo(
+        spark,
+        sf,
+        "pairs_lsh",
+        lambda: lsh_verified_jaccard_pairs(
+            _docs_tokens(spark, sf), threshold=INDEX_THRESHOLD
+        ),
+    )
+
+
+def dup_components(spark, sf: str) -> DataFrame:
+    """Connected components (doc_id, comp) over ``dup_pairs``, memoized.
+    The CC iteration localCheckpoints internally, so persisting the
+    (small) label table on top costs one cache write and saves the whole
+    pair build + iteration for every later consumer."""
+    from ..operators.graph import connected_components
+
+    return _memo(
+        spark,
+        sf,
+        "components",
+        lambda: connected_components(
+            dup_pairs(spark, sf).select("doc_a", "doc_b"), "doc_a", "doc_b"
+        ).withColumnRenamed("id", "doc_id"),
+    )

@@ -356,11 +356,14 @@ def q98(spark, sf):
     (operators/dedup.lsh_verified_jaccard_pairs — also q73's edge source).
     Oracled against the EXHAUSTIVE quadratic formulation: a green row means
     the banded path returned exactly the >=0.5 pairs while never joining on
-    a bare shingle key."""
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
-    from ..operators.dedup import lsh_verified_jaccard_pairs
+    a bare shingle key.
 
-    return lsh_verified_jaccard_pairs(docs, threshold=0.5)
+    r7: reads the LSH side of the maintained index (dedup_index.
+    dup_pairs_lsh — one build shared with q73, kept separate from the
+    PPJoin relation so this query keeps certifying LSH recall)."""
+    from .dedup_index import dup_pairs_lsh
+
+    return dup_pairs_lsh(spark, sf)
 
 
 def _simhash_ctes() -> str:
@@ -2511,12 +2514,14 @@ def q158(spark, sf):
     checkpointed per round. Gate-checkable because each iteration's
     neighbor sum goes through quantized DECIMAL contributions
     (operators/graph.pagerank) — the DuckDB oracle replays the entire
-    five-iteration trajectory value-for-value, like q145's GD fit."""
-    from ..operators.dedup import lsh_verified_jaccard_pairs
-    from ..operators.graph import pagerank
+    five-iteration trajectory value-for-value, like q145's GD fit.
 
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
-    edges = lsh_verified_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    r7: edges read from the maintained dedup index (same exact pair
+    relation, built once per session — plans/dedup_index)."""
+    from ..operators.graph import pagerank
+    from .dedup_index import dup_pairs
+
+    edges = dup_pairs(spark, sf).select("doc_a", "doc_b")
     return (
         pagerank(edges, src="doc_a", dst="doc_b", n_iter=_PR_ITER)
         .select(F.col("id").alias("doc_id"), F.col("pr").alias("pagerank"))
@@ -2541,8 +2546,12 @@ def q163(spark, sf):
     shingle) order — hot stopword shingles sort last and drop out of the
     prefixes, so no hot-shingle bucket blowup; the pigeonhole guarantees
     zero false negatives (operators/dedup.prefix_filter_jaccard_pairs),
-    which is why this carries the exhaustive oracle verbatim."""
-    from ..operators.dedup import prefix_filter_jaccard_pairs
+    which is why this carries the exhaustive oracle verbatim.
 
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
-    return prefix_filter_jaccard_pairs(docs, threshold=0.5)
+    r7: this query is the registered FACE of the maintained dedup index
+    (plans/dedup_index.dup_pairs): the first consumer in a session builds
+    and persists the relation, every later head (q226/q105/q113/q158)
+    reads the cache."""
+    from .dedup_index import dup_pairs
+
+    return dup_pairs(spark, sf)

@@ -60,13 +60,14 @@ def q226(spark, sf):
     per threshold. Greedy policy = drop the larger doc_id of every
     qualifying pair (the keeper-preserving convention q137 uses).
     The rounded pair jaccard (the gate-verified output column) is what
-    both engines sweep, so threshold comparisons are bit-identical."""
-    from ..operators.dedup import prefix_filter_jaccard_pairs
+    both engines sweep, so threshold comparisons are bit-identical.
 
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
-    pairs = prefix_filter_jaccard_pairs(docs, threshold=0.5).select(
-        "doc_b", "jaccard"
-    )
+    r7: the pair relation is read from the MAINTAINED dedup index
+    (plans/dedup_index.dup_pairs — same PPJoin kernel, built once per
+    session and shared with q163/q105/q113)."""
+    from .dedup_index import dup_pairs
+
+    pairs = dup_pairs(spark, sf).select("doc_b", "jaccard")
     spine = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(t) for t in _YIELD_THRESHOLDS])

@@ -26,7 +26,8 @@ from . import diagnostics  # noqa: F401  (registers q233-q234)
 from . import tokenizer_validation  # noqa: F401  (registers q235)
 from . import chunk_validation  # noqa: F401  (registers q236)
 from . import tcloseness  # noqa: F401  (registers q237)
-from . import url_intake  # noqa: F401  (registers q238; new modules import LAST — insertion order is registration order)
+from . import url_intake  # noqa: F401  (registers q238)
+from . import dedup_maintenance  # noqa: F401  (registers q239; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -40,19 +41,20 @@ from . import url_intake  # noqa: F401  (registers q238; new modules import LAST
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
 # Round-7 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r6 history): the never-driver-gated q238 (new this
-# round — URL/domain canonicalization intake head, r6 verdict item 5)
-# leads, then the three queries whose driver evidence would otherwise
-# age past the floor after a green r7 gate — q70/q57/q58 (rotated out of
-# r6 to make room for the q235-q237 never-greens) — followed by the aged
-# r2-evidence cohort q71-q97 (the training/quality extension families,
-# driver-gated in r2 and untouched since) and the r2-era tail
-# q24-q35/q37-q41, q53, q63, q99, q128 (q100, eff r6 via the gate twin,
-# rotated off the tail by q238's insertion — not aged, returns on its
-# staleness clock). Deliberately never scheduled: q46/q81 (rows-only
-# sketch values; q134/q136 carry their evidence) and fixture-tagged
-# superseded folds (q56/q118/q125 — their kernels q130/q120/q129 carry
-# identical oracle SQL).
+# CORRECTNESS_r1..r6 history): the never-driver-gated q238 (URL/domain
+# canonicalization intake head, r6 verdict item 5) and q239 (versioned
+# dedup-index maintenance, r6 verdict item 3) lead, then the three
+# queries whose driver evidence would otherwise age past the floor after
+# a green r7 gate — q70/q57/q58 (rotated out of r6 to make room for the
+# q235-q237 never-greens) — followed by the aged r2-evidence cohort
+# q71-q97 (the training/quality extension families, driver-gated in r2
+# and untouched since) and the r2-era tail q24-q35/q37-q41, q53, q99,
+# q128 (q100 and q63, eff r6/r2-on-clock, rotated off the tail by the
+# two new insertions — they return on their staleness clocks).
+# Deliberately never scheduled: q46/q81 (rows-only sketch values;
+# q134/q136 carry their evidence) and fixture-tagged superseded folds
+# (q56/q118/q125 — their kernels q130/q120/q129 carry identical oracle
+# SQL).
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -66,6 +68,7 @@ PREFIX_ROUND: int = 7
 
 _PRIORITY: tuple[str, ...] = (
     "q238_url_host_dedup",
+    "q239_dedup_index_maintenance",
     "q70_event_neighbors",
     "q57_sql_cte_subquery",
     "q58_asof_last_order",
@@ -114,7 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "q41_multimodal_features",
     "q99_frame_sample",
     "q53_simhash_near_pairs",
-    "q63_winnow_fingerprints",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -132,12 +132,15 @@ def q73(spark, sf):
     100 TB-safe composition. The oracle still derives edges from the
     exhaustive quadratic join, so a green row additionally certifies the
     LSH stage captured every >=threshold pair on this corpus (the superset
-    property tests/test_dedup_similarity.py pins on the fixture)."""
-    from ..operators.dedup import lsh_verified_jaccard_pairs
-    from ..functions.text import tokens
+    property tests/test_dedup_similarity.py pins on the fixture).
 
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
-    pairs = lsh_verified_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    r7: the edge relation is the shared LSH index build
+    (dedup_index.dup_pairs_lsh, one build with q98); the CC pass stays
+    local to this query — it is the LSH-edges-to-components
+    certification, distinct from the index's PPJoin-derived components."""
+    from .dedup_index import dup_pairs_lsh
+
+    pairs = dup_pairs_lsh(spark, sf).select("doc_a", "doc_b")
     comps = connected_components(pairs, "doc_a", "doc_b")
     return (
         comps.groupBy(F.col("comp").alias("component_id"))
@@ -729,18 +732,16 @@ def q105(spark, sf):
     works), ONE shuffle on component id, no window over the full corpus.
     The oracle re-derives components from the exhaustive quadratic join
     and picks the rep with row_number, so a green row certifies both the
-    LSH recall and the tie-break."""
-    from ..operators.dedup import lsh_verified_jaccard_pairs
+    index pair recall and the tie-break.
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id", "n_chars", tokens("text").alias("ts")
-    )
-    pairs = lsh_verified_jaccard_pairs(
-        docs.select("doc_id", "ts"), threshold=0.5
-    ).select("doc_a", "doc_b")
-    comps = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
-        "id", "doc_id"
-    )
+    r7: the component table comes from the MAINTAINED dedup index
+    (plans/dedup_index.dup_components — built once per session, persisted,
+    shared with q113/q226/q163): at 100 TB the pair/component relation is
+    a table you maintain, not a subtree every head recomputes."""
+    from .dedup_index import dup_components
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    comps = dup_components(spark, sf)
     # lexicographic struct max == (max n_chars, then min doc_id): the
     # argmax travels through partial aggregation as one 16-byte value
     best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg")))
@@ -996,22 +997,18 @@ def q113(spark, sf):
     opposite sides of the train/test boundary — the quiet eval-inflation
     bug a doc-id hash split (q71) cannot prevent.
 
-    Scale shape: the component pass is the q73 pipeline (LSH candidates ->
-    verify -> iterative CC); the split itself is a map-only projection off
-    a LEFT join against the (small) component table. The oracle re-derives
+    Scale shape: the split itself is a map-only projection off a LEFT
+    join against the (small) component table. The oracle re-derives
     groups exhaustively, so a green row certifies group-atomicity of the
-    split end to end."""
-    from ..operators.dedup import lsh_verified_jaccard_pairs
+    split end to end.
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id", "n_chars", tokens("text").alias("ts")
-    )
-    pairs = lsh_verified_jaccard_pairs(
-        docs.select("doc_id", "ts"), threshold=0.5
-    ).select("doc_a", "doc_b")
-    comps = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
-        "id", "doc_id"
-    )
+    r7: components come from the MAINTAINED dedup index
+    (plans/dedup_index.dup_components), shared with q105/q226/q163 —
+    one build per session instead of one per head."""
+    from .dedup_index import dup_components
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    comps = dup_components(spark, sf)
     gid = F.coalesce(F.col("comp"), F.col("doc_id"))
     h = ((gid % 100003) * F.lit(2654435761)) % 1000
     split = (

@@ -485,8 +485,25 @@ def test_prefix_jaccard_join_keyed_on_shingle_no_cartesian(spark):
     """q163's candidate stage must be an equi-join keyed on the prefix
     shingle — never a cartesian/BNLJ (the whole point is that candidates
     come from hash buckets of RARE shingles). The length filter rides the
-    same join as a secondary condition."""
-    plan = _plan(spark, "q163_jaccard_prefix_join")
+    same join as a secondary condition. Pinned on the BUILDER kernel
+    directly (r7): the registered query reads the maintained dedup index,
+    whose warm-cache plan is an InMemoryTableScan — the build plan is what
+    this test guards."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import tokens
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    df = prefix_filter_jaccard_pairs(docs, threshold=0.5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     key_lines = [
