@@ -11,7 +11,15 @@ every per-round join is linear in edges, so wall/shuffle exponents near
 1.0 are the pass bar. The component count N/20 rides along as an at-scale
 CORRECTNESS probe (a wrong fixed point would change it).
 
-Usage: python tools/stress_graph.py  (~5-10 min)
+Usage: python tools/stress_graph.py [big_nodes]  (~5-10 min; with the
+r7 big point at its default 50M, ~30-40 min and needs
+SPARK_GRAFT_DRIVER_MEM=48g)
+
+r7 (verdict item 6): a THIRD scale point for the CC variants — default
+50,000,000 nodes, the largest that fits this sandbox's free-disk shuffle
+budget (star CC wrote 7.0 GB at 10M; linear scaling projects ~70 GB at
+100M vs ~66 GB free — so 50M ≈ 35 GB is the measured ceiling). Pass 0 to
+skip the big point (the original 1x/10x panel).
 """
 
 from __future__ import annotations
@@ -101,6 +109,36 @@ def main() -> None:
             assert got == exp_comps, (key, n, got, exp_comps)
         print(f"  components == {exp_comps} on both CC variants (correct)")
 
+    big = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    if big:
+        label = f"{big // 1_000_000}M nodes"
+        edges = gen_edges(spark, big).localCheckpoint()
+
+        def cc_big():
+            out = connected_components(edges)
+            agg = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("comp").alias("comps"),
+            ).collect()[0]
+            return {"rows": agg["n"], "components": agg["comps"]}
+
+        def cc_star_big():
+            out = connected_components_star(edges)
+            agg = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("comp").alias("comps"),
+            ).collect()[0]
+            return {"rows": agg["n"], "components": agg["comps"]}
+
+        results[big] = {
+            "cc": measure(spark, f"min-label CC {label}", cc_big),
+            "cc_star": measure(spark, f"star-contraction CC {label}", cc_star_big),
+        }
+        for key in ("cc", "cc_star"):
+            got = results[big][key]["components"]
+            assert got == big // GROUP, (key, big, got, big // GROUP)
+        print(f"  components == {big // GROUP} on both CC variants (correct)")
+
     a, b = results[SCALES[0]], results[SCALES[1]]
     ratio = SCALES[1] / SCALES[0]
     print("\n=== scaling exponents (wall / shuffle-write), 1x -> 10x ===")
@@ -114,6 +152,21 @@ def main() -> None:
             f"shuffle {a[key]['shuffle_write_mb']} -> {b[key]['shuffle_write_mb']} MB "
             f"(exp {es:.2f})"
         )
+    if big:
+        c = results[big]
+        r2 = big / SCALES[1]
+        print(f"\n=== second decade, 10M -> {big // 1_000_000}M ===")
+        for key in ("cc", "cc_star"):
+            ew = math.log(c[key]["sec"] / b[key]["sec"]) / math.log(r2)
+            es = math.log(
+                max(c[key]["shuffle_write_mb"], 0.1)
+                / max(b[key]["shuffle_write_mb"], 0.1)
+            ) / math.log(r2)
+            print(
+                f"{key}: {b[key]['sec']}s -> {c[key]['sec']}s (exp {ew:.2f}); "
+                f"shuffle {b[key]['shuffle_write_mb']} -> {c[key]['shuffle_write_mb']} MB "
+                f"(exp {es:.2f})"
+            )
 
 
 if __name__ == "__main__":
