@@ -306,6 +306,7 @@ def prefix_filter_jaccard_pairs(
     docs_tokens: DataFrame,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact >=threshold Jaccard pairs via PPJoin-style prefix filtering
     (Chaudhuri/Ganti/Kaushik SSJoin, Xiao et al. PPJoin) — the scalable
@@ -367,8 +368,13 @@ def prefix_filter_jaccard_pairs(
       global row_number, whose single-partition window was the last
       vocabulary-scale serial pass in this path) — the encode is one
       dictionary join either way.
+
+    ``shingles``: optional pre-built distinct (doc_id, shingle) relation
+    for exactly ``docs_tokens`` (caller's contract) — lets a maintenance
+    pipeline that runs this kernel on several doc subsets (q239: corpus,
+    batch) tokenize/explode ONCE and pass filtered views.
     """
-    sh = shingle_sets(docs_tokens, shingle_n)
+    sh = shingles if shingles is not None else shingle_sets(docs_tokens, shingle_n)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # the (df, shingle) dense rank is VOCABULARY-scale, so it must not run
     # as a single-partition window: distributed_row_number buckets by
@@ -456,13 +462,21 @@ def incremental_cross_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The EDGE view of incremental dedup: exact (doc_a, doc_b, jaccard)
     pairs with one endpoint in the new batch and one in the existing
     corpus — what a maintained pair/component index appends per ingest
-    batch (q239). Cost is O(batch x collisions), never corpus x corpus."""
+    batch (q239). Cost is O(batch x collisions), never corpus x corpus.
+
+    ``shingles``: optional pre-built distinct (doc_id, shingle) relation
+    for ``docs_tokens`` (caller handles its persistence)."""
     tagged = docs_tokens.select("doc_id", "ts", is_new.alias("__new"))
-    sh = shingle_sets(tagged, shingle_n).localCheckpoint()
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_sets(tagged, shingle_n).localCheckpoint()
+    )
     side = tagged.select("doc_id", "__new")
     return _cross_side_verified_pairs(sh, side, threshold, num_hashes, bands)
 

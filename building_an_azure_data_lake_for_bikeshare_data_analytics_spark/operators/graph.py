@@ -28,6 +28,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+#: storage level for PER-ROUND iteration state (labels / contracted edges /
+#: rank vectors). Each round's table is read exactly once — by the next
+#: round — so on-heap caching buys nothing, and because superseded rounds'
+#: localCheckpoint blocks are only reclaimed by the async ContextCleaner,
+#: memory-backed levels accumulate O(rounds x N) heap: the r7 soak's 50M-node
+#: min-label CC OOM'd a 48g driver exactly this way (SCALE_NOTES). DISK_ONLY
+#: caps the loop's heap at one round's shuffle working set; the INITIAL edge
+#: relation (re-read every round) keeps the default memory-backed level.
+_ROUND_LEVEL = StorageLevel.DISK_ONLY
 
 
 def connected_components(
@@ -57,7 +68,7 @@ def connected_components(
             labels.union(neighbor_labels)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_ROUND_LEVEL)
         )
         total = new_labels.agg(F.sum("comp")).first()[0]
         labels = new_labels
@@ -116,8 +127,8 @@ def connected_components_star(
 
     prev_sig = None
     for _ in range(max_iter):
-        e = _round(e, keep_larger=True).localCheckpoint()   # large-star
-        e = _round(e, keep_larger=False).localCheckpoint()  # small-star
+        e = _round(e, keep_larger=True).localCheckpoint(storageLevel=_ROUND_LEVEL)   # large-star
+        e = _round(e, keep_larger=False).localCheckpoint(storageLevel=_ROUND_LEVEL)  # small-star
         sig = e.agg(
             F.count(F.lit(1)).alias("n"), F.sum("a").alias("sa"), F.sum("b").alias("sb")
         ).first()
@@ -200,6 +211,6 @@ def pagerank(
                 "deg",
                 F.round(F.lit(base) + F.lit(damping) * F.col("s"), scale).alias("pr"),
             )
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_ROUND_LEVEL)
         )
     return pr.select("id", "pr")

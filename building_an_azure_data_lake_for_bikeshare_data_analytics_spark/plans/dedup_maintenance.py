@@ -91,7 +91,11 @@ def q239(spark, sf):
     read from the versioned store AFTER the v1-build + incremental-update
     lifecycle, equal by value to DuckDB's from-scratch exhaustive CC over
     the full corpus. See module docstring for the star-edge argument."""
-    from ..operators.dedup import incremental_cross_pairs, prefix_filter_jaccard_pairs
+    from ..operators.dedup import (
+        incremental_cross_pairs,
+        prefix_filter_jaccard_pairs,
+        shingle_sets,
+    )
     from ..operators.graph import connected_components
     from ..sources.versioned import read_current, write_version
 
@@ -100,8 +104,17 @@ def q239(spark, sf):
     corpus, batch = docs.where(~is_new), docs.where(is_new)
     store = _store_path(spark)
 
+    # the (doc_id, shingle) relation feeds THREE pair kernels below
+    # (corpus-internal, cross-side, batch-internal); tokenize + explode +
+    # distinct ONCE and hand each kernel its filtered view — at 100 TB
+    # this is the shingle table you'd keep next to the index
+    sh_all = shingle_sets(docs, 3).localCheckpoint()
+    sh_new = ((F.col("doc_id") % 100003) * F.lit(2654435761)) % 1000 >= 800
+
     # 1) v1: the existing corpus's component table
-    pairs_v1 = prefix_filter_jaccard_pairs(corpus, threshold=0.5)
+    pairs_v1 = prefix_filter_jaccard_pairs(
+        corpus, threshold=0.5, shingles=sh_all.where(~sh_new)
+    )
     comps_v1 = connected_components(
         pairs_v1.select("doc_a", "doc_b"), "doc_a", "doc_b"
     ).select(F.col("id").alias("doc_id"), "comp")
@@ -110,12 +123,12 @@ def q239(spark, sf):
     # 2) incremental: star edges from the stored v1 + cross + within-batch
     old = read_current(spark, store)
     star = old.select(F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b"))
-    cross = incremental_cross_pairs(docs, is_new, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
-    within = prefix_filter_jaccard_pairs(batch, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
+    cross = incremental_cross_pairs(
+        docs, is_new, threshold=0.5, shingles=sh_all
+    ).select("doc_a", "doc_b")
+    within = prefix_filter_jaccard_pairs(
+        batch, threshold=0.5, shingles=sh_all.where(sh_new)
+    ).select("doc_a", "doc_b")
     comps_v2 = connected_components(
         star.unionByName(cross).unionByName(within), "doc_a", "doc_b"
     ).select(F.col("id").alias("doc_id"), "comp")

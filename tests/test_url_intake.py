@@ -110,6 +110,61 @@ def test_q238_matches_duckdb_oracle(spark):
     assert sp == orc
 
 
+def test_q240_matches_duckdb_oracle_and_brute_force(spark):
+    """q240's quota ledger vs its oracle AND a driver-side brute-force
+    replay of the keep policy on collected (domain, n_chars, doc_id)."""
+    name = "q240_domain_quota_enforce"
+    got = [tuple(r) for r in QUERIES[name](spark, SF_SMOKE).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    orc = [tuple(r) for r in con.execute(ORACLES[name]).fetchall()]
+    assert got == orc and got
+
+    # brute force: recompute keep/drop in Python from the domain relation
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.url import (
+        host_of,
+        registrable_domain,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.url_intake import (
+        _URL_SYNTH_SQL,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.url_quota import _CAP
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    rows = (
+        read_parquet_table(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            registrable_domain(host_of(F.expr(_URL_SYNTH_SQL))).alias("domain"),
+        )
+        .collect()
+    )
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], []).append((-r["n_chars"], r["doc_id"]))
+    expect = []
+    for dom in sorted(by_dom):
+        ds = sorted(by_dom[dom])
+        kept, dropped = ds[:_CAP], ds[_CAP:]
+        expect.append(
+            (
+                dom,
+                len(ds),
+                len(kept),
+                len(dropped),
+                sum(-c for c, _ in kept),
+                sum(-c for c, _ in dropped),
+            )
+        )
+    assert got == expect
+
+
 def test_q238_flags_and_mass_are_consistent(spark):
     rows = QUERIES["q238_url_host_dedup"](spark, SF_SMOKE).collect()
     total = sum(r["n_docs"] for r in rows)
