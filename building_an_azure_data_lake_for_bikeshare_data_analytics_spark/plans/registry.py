@@ -28,7 +28,8 @@ from . import chunk_validation  # noqa: F401  (registers q236)
 from . import tcloseness  # noqa: F401  (registers q237)
 from . import url_intake  # noqa: F401  (registers q238)
 from . import dedup_maintenance  # noqa: F401  (registers q239)
-from . import url_quota  # noqa: F401  (registers q240; new modules import LAST — insertion order is registration order)
+from . import url_quota  # noqa: F401  (registers q240)
+from . import source_overlap  # noqa: F401  (registers q241; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry

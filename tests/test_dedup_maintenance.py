@@ -69,6 +69,25 @@ def test_maintenance_appends_versions_and_reads_newest(spark):
     assert v_after_second == v_after_first + 2  # v1 build + v2 update per run
 
 
+def test_q241_cross_source_overlap_matches_oracle(spark):
+    import duckdb
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import ORACLES
+
+    name = "q241_cross_source_overlap"
+    got = [tuple(r) for r in QUERIES[name](spark, SF_SMOKE).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    orc = [tuple(r) for r in con.execute(ORACLES[name]).fetchall()]
+    assert got == orc and got
+    for _, _, n_pairs, n_docs, mj in got:
+        assert n_pairs > 0 and n_docs >= 2
+        assert 0.5 <= mj <= 1.0
+
+
 def test_shared_index_memo_returns_same_object_within_session(spark):
     """The maintained in-session index must be built once: repeated reads
     return the SAME persisted DataFrame (cache hit), and the relation is
