@@ -43,20 +43,21 @@ from . import source_overlap  # noqa: F401  (registers q241; new modules import 
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
 # Round-7 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r6 history): the never-driver-gated q238 (URL/domain
-# canonicalization intake head, r6 verdict item 5) and q239 (versioned
-# dedup-index maintenance, r6 verdict item 3) lead, then the three
-# queries whose driver evidence would otherwise age past the floor after
-# a green r7 gate — q70/q57/q58 (rotated out of r6 to make room for the
-# q235-q237 never-greens) — followed by the aged r2-evidence cohort
-# q71-q97 (the training/quality extension families, driver-gated in r2
-# and untouched since) and the r2-era tail q24-q35/q37-q41, q53, q99,
-# q128 (q100 and q63, eff r6/r2-on-clock, rotated off the tail by the
-# two new insertions — they return on their staleness clocks).
-# Deliberately never scheduled: q46/q81 (rows-only sketch values;
-# q134/q136 carry their evidence) and fixture-tagged superseded folds
-# (q56/q118/q125 — their kernels q130/q120/q129 carry identical oracle
-# SQL).
+# CORRECTNESS_r1..r6 history): the four never-driver-gated new-this-round
+# registrations lead — q238 (URL/domain canonicalization intake head, r6
+# verdict item 5), q239 (versioned dedup-index maintenance, item 3),
+# q240 (per-domain quota enforcement), q241 (cross-source overlap
+# matrix) — then the three queries whose driver evidence would otherwise
+# age past the floor after a green r7 gate (q70/q57/q58, rotated out of
+# r6 to make room for the q235-q237 never-greens), followed by the aged
+# r2-evidence cohort q71-q97 (the training/quality extension families,
+# driver-gated in r2 and untouched since) and the r2-era tail
+# q24-q35/q37-q41, q128, q41 (q100/q63/q99/q53, not aged, rotated off
+# the tail by the four new insertions — they return on their staleness
+# clocks). Deliberately never scheduled: q46/q81 (rows-only sketch
+# values; q134/q136 carry their evidence) and fixture-tagged superseded
+# folds (q56/q118/q125 — their kernels q130/q120/q129 carry identical
+# oracle SQL).
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -71,6 +72,8 @@ PREFIX_ROUND: int = 7
 _PRIORITY: tuple[str, ...] = (
     "q238_url_host_dedup",
     "q239_dedup_index_maintenance",
+    "q240_domain_quota_enforce",
+    "q241_cross_source_overlap",
     "q70_event_neighbors",
     "q57_sql_cte_subquery",
     "q58_asof_last_order",
@@ -117,8 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     "q38_simhash",
     "q40_embedding_lsh_ann",
     "q41_multimodal_features",
-    "q99_frame_sample",
-    "q53_simhash_near_pairs",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
