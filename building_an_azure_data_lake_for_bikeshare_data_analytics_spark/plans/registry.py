@@ -29,7 +29,8 @@ from . import tcloseness  # noqa: F401  (registers q237)
 from . import url_intake  # noqa: F401  (registers q238)
 from . import dedup_maintenance  # noqa: F401  (registers q239)
 from . import url_quota  # noqa: F401  (registers q240)
-from . import source_overlap  # noqa: F401  (registers q241; new modules import LAST — insertion order is registration order)
+from . import source_overlap  # noqa: F401  (registers q241)
+from . import corpus_health  # noqa: F401  (registers q242-q243; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -43,17 +44,18 @@ from . import source_overlap  # noqa: F401  (registers q241; new modules import 
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
 # Round-7 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r6 history): the four never-driver-gated new-this-round
+# CORRECTNESS_r1..r6 history): the six never-driver-gated new-this-round
 # registrations lead — q238 (URL/domain canonicalization intake head, r6
 # verdict item 5), q239 (versioned dedup-index maintenance, item 3),
 # q240 (per-domain quota enforcement), q241 (cross-source overlap
-# matrix) — then the three queries whose driver evidence would otherwise
-# age past the floor after a green r7 gate (q70/q57/q58, rotated out of
-# r6 to make room for the q235-q237 never-greens), followed by the aged
+# matrix), q242 (dedup identity ladder), q243 (Heaps-law vocab growth) —
+# then the three queries whose driver evidence would otherwise age past
+# the floor after a green r7 gate (q70/q57/q58, rotated out of r6 to
+# make room for the q235-q237 never-greens), followed by the aged
 # r2-evidence cohort q71-q97 (the training/quality extension families,
 # driver-gated in r2 and untouched since) and the r2-era tail
-# q24-q35/q37-q41, q128, q41 (q100/q63/q99/q53, not aged, rotated off
-# the tail by the four new insertions — they return on their staleness
+# q24-q35/q37-q38, q128 (q100/q63/q99/q53/q40/q41, not aged, rotated off
+# the tail by the six new insertions — they return on their staleness
 # clocks). Deliberately never scheduled: q46/q81 (rows-only sketch
 # values; q134/q136 carry their evidence) and fixture-tagged superseded
 # folds (q56/q118/q125 — their kernels q130/q120/q129 carry identical
@@ -74,6 +76,8 @@ _PRIORITY: tuple[str, ...] = (
     "q239_dedup_index_maintenance",
     "q240_domain_quota_enforce",
     "q241_cross_source_overlap",
+    "q242_dedup_identity_ladder",
+    "q243_vocab_growth",
     "q70_event_neighbors",
     "q57_sql_cte_subquery",
     "q58_asof_last_order",
@@ -118,8 +122,6 @@ _PRIORITY: tuple[str, ...] = (
     "q37_minhash_lsh_pairs",
     "q128_lsh_candidates_salted",
     "q38_simhash",
-    "q40_embedding_lsh_ann",
-    "q41_multimodal_features",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -74,6 +74,7 @@ BNLJ_WHITELIST = {
     "q231_cuped_readout": "1-row pooled-theta scalar",
     "q233_embedding_hubness": "1-row corpus-count x 1-row hit-count scalars",
     "q238_url_host_dedup": "1-row total-docs scalar (quota flag)",
+    "q243_vocab_growth": "1-row max-doc-id scalar + 10-row decile spine over <=11-row histograms",
     # bounded dimension spines (dates/hours), not scalars
     "q24_payment_dates_dim": "bounded date spine",
     "q25_trip_dates_dim": "bounded date/hour spine",
