@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 
 #: tracking query parameters stripped during canonicalization (the
 #: CCNet/ad-attribution set; extend freely — the regex is anchored on the
-#: param NAME so values never match)
+#: param NAME so values never match). Including bare ``ref`` is a
+#: deliberate CCNet-convention tradeoff: ``ref`` usually carries referral
+#: attribution, but on some sites it is content-bearing (e.g. a git ref),
+#: so this set can over-merge genuinely distinct resources — tune per
+#: corpus if that matters more than under-deduping referral spam.
 TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
 
 #: minimal public-suffix list: two-label suffixes that make the
@@ -54,11 +58,15 @@ def strip_fragment(url: str | Column) -> Column:
 
 
 def host_of(url: str | Column) -> Column:
-    """Canonical host: the authority component lowercased, ``www.``
-    prefix stripped, default ``:80``/``:443`` port stripped. Non-default
-    ports are KEPT — they address distinct origins."""
+    """Canonical host: the authority component with any ``user[:pass]@``
+    userinfo stripped (credentials never distinguish resources — without
+    this, ``https://alice@example.com/x`` and ``https://example.com/x``
+    would get different dedup keys), lowercased, ``www.`` prefix
+    stripped, default ``:80``/``:443`` port stripped. Non-default ports
+    are KEPT — they address distinct origins."""
     raw = F.regexp_extract(_c(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
-    h = F.lower(raw)
+    h = F.regexp_replace(raw, r"^[^@]*@", "")
+    h = F.lower(h)
     h = F.regexp_replace(h, r"^www\.", "")
     return F.regexp_replace(h, r":(80|443)$", "")
 

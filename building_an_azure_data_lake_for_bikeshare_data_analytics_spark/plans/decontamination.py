@@ -1,0 +1,190 @@
+"""q244 — multi-benchmark decontamination sweep (r7 verdict item 5).
+
+Real pretraining decontamination is never "one benchmark": a release
+checks the corpus against MANY held-out evaluation sets at once, each
+with its own n-gram size and overlap threshold (the GPT-3 appendix-C /
+PaLM convention: 8-13-gram exact collision for generative sets, looser
+token-overlap fractions for classification sets). The naive formulation
+rescans the corpus once per benchmark — N full passes over 100 TB. This
+head generalizes q76 (``plans/training.py``) from one benchmark to N in
+ONE corpus pass:
+
+* the corpus side is tokenized and shingled ONCE for the union of all
+  requested n-gram sizes — a single ``explode`` (one Generate node) over
+  ``array<struct<n,sh,tot>>``, so the big side is scanned exactly once
+  no matter how many benchmarks are swept;
+* each benchmark's distinct shingle set is tiny (a fixed eval suite) and
+  enters as one unioned broadcast relation keyed on ``(n, sh)`` — the
+  probe is a map-side BroadcastHashJoin, no shuffle of the corpus;
+* the contamination decision is integer-exact: a doc is contaminated
+  w.r.t. benchmark ``b`` iff it shares >=1 shingle AND
+  ``matches * 10000 >= thresh_e4 * total_shingles`` — no float
+  comparison can drift between engines at the threshold boundary;
+* the output is the FULL (source x benchmark) matrix (zero rows
+  included — an auditor needs "src7 is clean against b2" as a row, not
+  an absence), built by joining the per-source doc counts to the
+  benchmark dimension on a constant key (BroadcastHashJoin — both sides
+  bounded: #sources x #benchmarks).
+
+Benchmark specs are module constants so the oracle SQL and the Spark
+plan are generated from one table. Thresholds are chosen against the
+measured synthetic-corpus overlap so each benchmark's decision is
+non-trivial (some docs above, some below).
+
+At 100 TB: one corpus scan + one Generate + one broadcast probe +
+one doc-keyed partial-aggregate — adding a benchmark adds only
+broadcast bytes, never another corpus pass. The naive N-pass
+formulation survives only as the DuckDB oracle below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+from .base import _t, query
+
+#: (benchmark name, benchmark source, n-gram size, threshold in 1e-4
+#: units of the doc's distinct-shingle fraction). thresh_e4=0 means "any
+#: shared shingle contaminates" (the q76 semantics).
+BENCHMARKS: tuple[tuple[str, str, int, int], ...] = (
+    ("b_src0_5", "src0", 5, 0),
+    ("b_src1_3", "src1", 3, 500),
+    ("b_src2_4", "src2", 4, 200),
+)
+
+_SIZES: tuple[int, ...] = tuple(sorted({n for _, _, n, _ in BENCHMARKS}))
+
+
+def _bench_block(name: str, bsrc: str, n: int, te4: int) -> str:
+    """One benchmark's naive DuckDB pass: shingle at size n, benchmark
+    set from its source, per-doc match fraction, thresholded count."""
+    return f"""
+    sh_{name} AS (
+      SELECT DISTINCT doc_id, source, array_to_string(ts[i:i+{n - 1}], ' ') AS sh
+      FROM (SELECT doc_id, source, ts,
+                   unnest(range(1, len(ts) - {n - 2})) AS i FROM tok)),
+    tot_{name} AS (
+      SELECT doc_id, source, count(*) AS tot FROM sh_{name} GROUP BY 1, 2),
+    set_{name} AS (
+      SELECT DISTINCT sh FROM sh_{name} WHERE source = '{bsrc}'),
+    m_{name} AS (
+      SELECT s.doc_id, s.source, count(*) AS m
+      FROM sh_{name} s JOIN set_{name} USING (sh)
+      WHERE s.source <> '{bsrc}' GROUP BY 1, 2),
+    c_{name} AS (
+      SELECT '{name}' AS benchmark, source, count(*) AS n_cont
+      FROM m_{name} JOIN tot_{name} USING (doc_id, source)
+      WHERE m >= 1 AND m * 10000 >= {te4} * tot
+      GROUP BY 1, 2)"""
+
+
+_DECON_SQL = (
+    r"""WITH tok AS (SELECT doc_id, source,
+                            string_split_regex(trim(text), '\s+') AS ts
+                     FROM documents),
+    src_n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    bdim(benchmark, bsrc) AS (VALUES """
+    + ", ".join(f"('{name}', '{bsrc}')" for name, bsrc, _, _ in BENCHMARKS)
+    + """),
+    matrix AS (
+      SELECT s.source, b.benchmark, s.n_docs
+      FROM src_n s CROSS JOIN bdim b WHERE s.source <> b.bsrc),"""
+    + ",".join(_bench_block(*b) for b in BENCHMARKS)
+    + """,
+    hits AS ("""
+    + " UNION ALL ".join(f"SELECT * FROM c_{name}" for name, _, _, _ in BENCHMARKS)
+    + """)
+    SELECT m.source, m.benchmark,
+           CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+           round(coalesce(h.n_cont, 0) / (1.0 * m.n_docs), 6)
+               AS contamination_rate
+    FROM matrix m
+    LEFT JOIN hits h ON m.source = h.source AND m.benchmark = h.benchmark
+    ORDER BY m.source, m.benchmark"""
+)
+
+
+@query(
+    "q244_multi_benchmark_decontamination",
+    _DECON_SQL,
+    tags=("training", "contamination", "ngram", "one-scan"),
+)
+def q244(spark, sf):
+    """Full (source, benchmark) decontamination matrix in one corpus
+    scan: per benchmark B(n, thresh), a doc is contaminated iff it
+    shares an n-shingle with B and its matched-shingle fraction clears
+    B's threshold (integer-exact compare). Columns: source, benchmark,
+    n_contaminated, contamination_rate."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", tokens("text").alias("ts"))
+
+    # ONE Generate over the corpus: every requested shingle size tagged
+    # into a single struct array, each element carrying its size's
+    # per-doc distinct-shingle total for the fraction test downstream
+    def _tag(n: int):
+        # single-arg lambda on purpose: a second parameter would make
+        # F.transform pass the element INDEX into it
+        arr = word_shingles(F.col("ts"), n)
+        return F.transform(
+            arr,
+            lambda s: F.struct(F.lit(n).alias("n"), s.alias("sh"), F.size(arr).alias("tot")),
+        )
+
+    tagged = F.flatten(F.array(*[_tag(n) for n in _SIZES]))
+    corpus = d.select("doc_id", "source", F.explode(tagged).alias("g")).select(
+        "doc_id", "source", F.col("g.n").alias("n"), F.col("g.sh").alias("sh"), F.col("g.tot").alias("tot")
+    )
+
+    # N small benchmark sides -> one broadcast relation keyed (n, sh)
+    bench = None
+    for name, bsrc, n, te4 in BENCHMARKS:
+        part = (
+            d.where(F.col("source") == bsrc)
+            .select(F.explode(word_shingles(F.col("ts"), n)).alias("sh"))
+            .distinct()
+            .select(
+                F.lit(name).alias("benchmark"),
+                F.lit(bsrc).alias("bsrc"),
+                F.lit(n).alias("n"),
+                "sh",
+                F.lit(te4).alias("thresh_e4"),
+            )
+        )
+        bench = part if bench is None else bench.unionByName(part)
+
+    hits = (
+        corpus.join(F.broadcast(bench), ["n", "sh"])
+        .where(F.col("source") != F.col("bsrc"))
+        .groupBy("doc_id", "source", "benchmark", "thresh_e4")
+        .agg(F.count(F.lit(1)).alias("m"), F.max("tot").alias("tot"))
+        .where((F.col("m") >= 1) & (F.col("m") * 10000 >= F.col("thresh_e4") * F.col("tot")))
+        .groupBy("source", "benchmark")
+        .agg(F.count(F.lit(1)).alias("n_cont"))
+    )
+
+    # full matrix: per-source doc counts x benchmark dim, constant-key
+    # equi-join (BroadcastHashJoin; both sides bounded), own source out
+    src_n = (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("k", F.lit(1))
+    )
+    bdim = spark.createDataFrame(
+        [(name, bsrc, 1) for name, bsrc, _, _ in BENCHMARKS],
+        "benchmark string, bsrc string, k int",
+    )
+    return (
+        src_n.join(F.broadcast(bdim), "k")
+        .where(F.col("source") != F.col("bsrc"))
+        .join(hits, ["source", "benchmark"], "left")
+        .select(
+            "source",
+            "benchmark",
+            F.coalesce(F.col("n_cont"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_cont"), F.lit(0)).cast("double") / F.col("n_docs"), 6
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source", "benchmark")
+    )

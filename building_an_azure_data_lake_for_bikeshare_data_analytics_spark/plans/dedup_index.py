@@ -51,6 +51,28 @@ INDEX_THRESHOLD = 0.5
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+#: same-session bound on cached (sf_dir, relation) entries. A long-lived
+#: session sweeping many sf dirs (the soak tools do exactly this) would
+#: otherwise accumulate persisted relations forever (r7 advice). 3
+#: relations per sf dir × 4 sf dirs of headroom; eviction is LRU and
+#: unpersists the evicted blocks eagerly.
+_MAX_LIVE_ENTRIES = 12
+
+
+def clear_index_cache(spark=None) -> int:
+    """Drop every memoized relation (all sessions, or just ``spark``'s)
+    and unpersist live ones. Returns the number of entries dropped —
+    the explicit release path for soak loops that churn sf dirs."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    doomed = [k for k in _CACHE if app is None or k[0] == app]
+    for k in doomed:
+        df = _CACHE.pop(k)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already gone; blocks died with it
+    return len(doomed)
+
 
 def _docs_tokens(spark, sf: str) -> DataFrame:
     return _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
@@ -61,11 +83,18 @@ def _memo(spark, sf: str, what: str, build) -> DataFrame:
     key = (app, os.path.realpath(sf), what)
     hit = _CACHE.get(key)
     if hit is not None:
+        # LRU: re-insert on hit so eviction order tracks recency
+        _CACHE[key] = _CACHE.pop(key)
         return hit
     # evict relations persisted by sessions that no longer exist — their
     # cached blocks died with the executors
     for k in [k for k in _CACHE if k[0] != app]:
         del _CACHE[k]
+    # bound same-session growth across sf dirs: unpersist + drop the
+    # least-recently-used live entries (dict preserves insertion order)
+    while len(_CACHE) >= _MAX_LIVE_ENTRIES:
+        oldest = next(iter(_CACHE))
+        _CACHE.pop(oldest).unpersist()
     df = build().persist(StorageLevel.MEMORY_AND_DISK)
     _CACHE[key] = df
     return df

@@ -109,7 +109,10 @@ def q239(spark, sf):
     # distinct ONCE and hand each kernel its filtered view — at 100 TB
     # this is the shingle table you'd keep next to the index
     sh_all = shingle_sets(docs, 3).localCheckpoint()
-    sh_new = ((F.col("doc_id") % 100003) * F.lit(2654435761)) % 1000 >= 800
+    # same predicate as is_new, re-evaluated over the shingle relation's
+    # doc_id — ONE source of truth (_doc_hash) so the shingle-side filter
+    # can never drift from the document-side split (r7 advice)
+    sh_new = _doc_hash() >= 800
 
     # 1) v1: the existing corpus's component table
     pairs_v1 = prefix_filter_jaccard_pairs(
@@ -136,9 +139,7 @@ def q239(spark, sf):
 
     # 3) census off the maintained table (read_current = the v2 snapshot)
     maintained = read_current(spark, store)
-    batch_flag = (
-        ((F.col("doc_id") % 100003) * F.lit(2654435761)) % 1000 >= 800
-    ).cast("int")
+    batch_flag = (_doc_hash() >= 800).cast("int")
     return (
         maintained.select(F.col("comp").alias("component_id"), batch_flag.alias("b"))
         .groupBy("component_id")

@@ -30,7 +30,8 @@ from . import url_intake  # noqa: F401  (registers q238)
 from . import dedup_maintenance  # noqa: F401  (registers q239)
 from . import url_quota  # noqa: F401  (registers q240)
 from . import source_overlap  # noqa: F401  (registers q241)
-from . import corpus_health  # noqa: F401  (registers q242-q243; new modules import LAST — insertion order is registration order)
+from . import corpus_health  # noqa: F401  (registers q242-q243)
+from . import decontamination  # noqa: F401  (registers q244; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -43,23 +44,21 @@ from . import corpus_health  # noqa: F401  (registers q242-q243; new modules imp
 # CORRECTNESS_r*.json history and fail on any drift from this tuple —
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-7 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r6 history): the six never-driver-gated new-this-round
-# registrations lead — q238 (URL/domain canonicalization intake head, r6
-# verdict item 5), q239 (versioned dedup-index maintenance, item 3),
-# q240 (per-domain quota enforcement), q241 (cross-source overlap
-# matrix), q242 (dedup identity ladder), q243 (Heaps-law vocab growth) —
-# then the three queries whose driver evidence would otherwise age past
-# the floor after a green r7 gate (q70/q57/q58, rotated out of r6 to
-# make room for the q235-q237 never-greens), followed by the aged
-# r2-evidence cohort q71-q97 (the training/quality extension families,
-# driver-gated in r2 and untouched since) and the r2-era tail
-# q24-q35/q37-q38, q128 (q100/q63/q99/q53/q40/q41, not aged, rotated off
-# the tail by the six new insertions — they return on their staleness
-# clocks). Deliberately never scheduled: q46/q81 (rows-only sketch
-# values; q134/q136 carry their evidence) and fixture-tagged superseded
-# folds (q56/q118/q125 — their kernels q130/q120/q129 carry identical
-# oracle SQL).
+# Round-8 prefix (computed by evidence.build_prefix() from the committed
+# CORRECTNESS_r1..r7 history): the never-driver-gated new-this-round
+# registration q244 (multi-benchmark decontamination sweep, r7 verdict
+# item 5) leads, then the aged r3-evidence cohort — the ANN/multimodal/
+# sketch heads q40/q41/q99/q53/q63/q100/q107/q108, the date-derivation
+# pair q126/q127, q134, and the training/curation families
+# q101-q106/q110-q117/q119/q121-q124/q131-q132 (driver-gated in r3,
+# untouched since) — with the tail filled by the next-oldest evidence
+# (r4/r5 cohort: q01/q21/q23, the embedding/substring/LM heads
+# q153/q98/q39/q154/q135/q137-q139/q141/q143-q145/q148/q138/q64/q65).
+# q104 rotated off the tail by the q244 insertion — it returns on its
+# staleness clock. Deliberately never scheduled: q46/q81 (rows-only
+# sketch values; q134/q136 carry their evidence) and fixture-tagged
+# superseded folds (q56/q118/q125 — their kernels q130/q120/q129 carry
+# identical oracle SQL).
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -69,59 +68,59 @@ from . import corpus_health  # noqa: F401  (registers q242-q243; new modules imp
 # window while still hard-failing on genuine drift from the schedule the
 # tuple was frozen for (r5 verdict item 5).
 # ---------------------------------------------------------------------------
-PREFIX_ROUND: int = 7
+PREFIX_ROUND: int = 8
 
 _PRIORITY: tuple[str, ...] = (
-    "q238_url_host_dedup",
-    "q239_dedup_index_maintenance",
-    "q240_domain_quota_enforce",
-    "q241_cross_source_overlap",
-    "q242_dedup_identity_ladder",
-    "q243_vocab_growth",
-    "q70_event_neighbors",
-    "q57_sql_cte_subquery",
-    "q58_asof_last_order",
-    "q71_hash_split",
-    "q72_stratified_sample",
-    "q73_dup_components",
-    "q74_pack_sequences",
-    "q75_pii_scan",
-    "q76_benchmark_contamination",
-    "q77_moment_stats",
-    "q78_value_range_join",
-    "q79_purchasers_clean_union",
-    "q80_activity_full_outer",
-    "q82_gap_fill_forward",
-    "q83_tfidf_top_terms",
-    "q84_value_outliers",
-    "q85_value_histogram",
-    "q86_price_deciles",
-    "q87_user_type_profile",
-    "q88_repetition_ratio",
-    "q89_status_priority_sets",
-    "q90_edit_distance_pairs",
-    "q91_top_user_by_type",
-    "q92_first_stopword_position",
-    "q93_union_by_name",
-    "q94_measure_unpivot",
-    "q95_supplier_revenue_rank",
-    "q96_trailing_hour_stats",
-    "q97_salted_flag_totals",
-    "q24_payment_dates_dim",
-    "q25_trip_dates_dim",
-    "q26_date_range_probe",
-    "q27_top_orders_per_customer",
-    "q28_distinct_segments",
-    "q29_customers_without_events",
-    "q30_status_priority_rollup",
-    "q31_doc_token_count",
-    "q32_doc_quality",
-    "q33_lang_guess",
-    "q34_doc_fingerprint",
-    "q35_dedup_exact",
-    "q37_minhash_lsh_pairs",
-    "q128_lsh_candidates_salted",
-    "q38_simhash",
+    "q244_multi_benchmark_decontamination",
+    "q40_embedding_lsh_ann",
+    "q41_multimodal_features",
+    "q99_frame_sample",
+    "q53_simhash_near_pairs",
+    "q63_winnow_fingerprints",
+    "q100_semantic_dup_lsh",
+    "q107_cms_heavy_hitters",
+    "q108_weighted_sample",
+    "q126_event_gap_seconds",
+    "q127_order_age_years",
+    "q134_kmv_distinct_users",
+    "q101_source_quota_cap",
+    "q102_bloom_prefilter_join",
+    "q103_incremental_dedup",
+    "q105_dup_group_canonical",
+    "q106_corpus_shuffle",
+    "q110_token_budget_mix",
+    "q111_salted_revenue_join",
+    "q112_incremental_gold_refresh",
+    "q113_leakage_safe_split",
+    "q114_decayed_user_activity",
+    "q115_length_bucket_batches",
+    "q116_hard_negatives",
+    "q117_corpus_filter_gate",
+    "q119_source_token_drift",
+    "q121_curation_pipeline",
+    "q122_value_drift_by_window",
+    "q123_pq_adc_rerank",
+    "q124_curriculum_order",
+    "q131_bpe_vocab",
+    "q132_bpe_token_counts",
+    "q01_avg_price_by_dow",
+    "q21_member_spend_rides",
+    "q23_format_orders",
+    "q153_minhash_jaccard_estimate",
+    "q98_lsh_verified_pairs",
+    "q39_embedding_topk",
+    "q154_ann_recall",
+    "q135_substring_dup_spans",
+    "q137_substring_dedup_clean",
+    "q141_pca_project",
+    "q143_pca_project2",
+    "q145_logreg_probe",
+    "q148_char_entropy",
+    "q139_incremental_span_dedup",
+    "q138_doc_lm_score",
+    "q144_dsir_weights",
+    "q64_embedding_topk_vectorized",
+    "q65_embedding_dup_pairs_vectorized",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

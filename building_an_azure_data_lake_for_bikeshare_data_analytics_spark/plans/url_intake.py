@@ -64,7 +64,9 @@ _URL_SQL = f"""WITH raw AS (
       SELECT doc_id,
              regexp_replace(
                  regexp_replace(
-                     lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                     lower(regexp_replace(
+                         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                         '^[^@]*@', '')),
                      '^www\\.', ''),
                  ':(80|443)$', '') AS host_c,
              regexp_replace(

@@ -75,6 +75,7 @@ BNLJ_WHITELIST = {
     "q233_embedding_hubness": "1-row corpus-count x 1-row hit-count scalars",
     "q238_url_host_dedup": "1-row total-docs scalar (quota flag)",
     "q243_vocab_growth": "1-row max-doc-id scalar + 10-row decile spine over <=11-row histograms",
+    "q244_multi_benchmark_decontamination": "per-source doc counts (<=20 rows) x 3-row benchmark dim (constant-key join constant-folded to BNLJ)",
     # bounded dimension spines (dates/hours), not scalars
     "q24_payment_dates_dim": "bounded date spine",
     "q25_trip_dates_dim": "bounded date/hour spine",
