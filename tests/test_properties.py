@@ -528,3 +528,87 @@ def test_bpe_roundtrip_property(spark, words):
     for row, w in zip(got, words):
         assert row["e"] == 1, w  # alphabet-only strategy: all encodable
         assert row["r"] == 1, (w, merges)
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-edge contract for q242/q243 (r7 verdict item 6): Spark
+# split(trim(...), '\s+') and DuckDB string_split_regex(trim(...), '\s+')
+# agree today on empty / whitespace-only / single-token docs by the
+# corpus's grace — these pins make any future text-function change that
+# drifts the identity ladder or the first-occurrence curve fail loudly.
+# --------------------------------------------------------------------------
+
+#: seeded edge fixture; doc 2 is the subtle one — trim strips SPACES only
+#: in both engines, so "\t\n" survives and splits to ['', ''].
+_EDGE_DOCS = ["", "   ", " \t\n ", "tok", "a", "a a a", "A  a\ta", "x y", "b\nb"]
+
+
+def _edge_frames(spark):
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": range(len(_EDGE_DOCS)), "text": _EDGE_DOCS})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return spark.createDataFrame(pdf), con
+
+
+def test_q242_ladder_fingerprints_agree_on_edge_docs(spark):
+    """Per-doc identity-ladder fingerprints (raw / ws+case-normalized /
+    token-set md5) must be byte-identical across engines on edge docs."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.corpus_health import (
+        _TOKSET_SQL,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.extensions import (
+        _NORM,
+    )
+
+    sdf, con = _edge_frames(spark)
+    got = {
+        r["doc_id"]: (r["a"], r["b"], r["c"])
+        for r in sdf.select(
+            "doc_id",
+            F.md5("text").alias("a"),
+            F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("b"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))),
+                    " ",
+                )
+            ).alias("c"),
+        ).collect()
+    }
+    want = {
+        d: (a, b, c)
+        for d, a, b, c in con.execute(
+            f"SELECT doc_id, md5(text), md5({_NORM}), {_TOKSET_SQL} FROM documents"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_q243_first_occurrence_tokens_agree_on_edge_docs(spark):
+    """The (token, first_doc_id) relation behind the Heaps-law curve —
+    including the '' token empty docs contribute — must match across
+    engines on edge docs."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.extensions import (
+        _TOKS,
+    )
+
+    sdf, con = _edge_frames(spark)
+    got = {
+        (r["tk"], r["first_doc"])
+        for r in sdf.select("doc_id", F.explode(tokens("text")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .collect()
+    }
+    want = set(
+        con.execute(
+            f"""SELECT tk, min(doc_id) FROM
+                (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents)
+                GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == want
+    assert ("", 0) in got  # empty doc's '' token: the edge the pin exists for
