@@ -104,6 +104,31 @@ def main() -> None:
     per_query: dict[str, float] = {}
     windows: list[tuple[str, float, float]] = []
     t_suite = time.time()
+
+    # Force the shared dedup-index builds as NAMED bench entries (r7
+    # verdict item 4): the memoized index made the FIRST consumer in
+    # bench order absorb the whole build (q105 wall 5.9->8.3 s in r7),
+    # so standalone consumer walls stopped meaning anything. Building
+    # here attributes the build's wall AND bytes to its own rows; every
+    # index consumer below is then measured warm — its wall is the
+    # read-path cost a deployment with a maintained index would pay.
+    # Order matters: cc reads pairs_ppjoin warm, so its row is the CC
+    # iteration alone.
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans import (
+        dedup_index,
+    )
+
+    for bname, build in (
+        ("index_build_ppjoin", dedup_index.dup_pairs),
+        ("index_build_cc", dedup_index.dup_components),
+        ("index_build_lsh", dedup_index.dup_pairs_lsh),
+    ):
+        t0 = time.time()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t1 = time.time()
+        per_query[bname] = round(t1 - t0, 3)
+        windows.append((bname, t0, t1))
+
     for name, fn in sorted(QUERIES.items()):
         if REGISTRY[name].fixture:
             # superseded fold kept only as its kernel twin's row-equality
