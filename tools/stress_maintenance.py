@@ -1,0 +1,196 @@
+"""Maintenance-lifecycle soak (r7 verdict item 2): q239 proves the
+incremental dedup-index update converges to the from-scratch answer;
+this tool proves it is measurably CHEAPER, phase by phase, at 1x and
+10x corpus scale.
+
+Phases measured independently (wall + shuffle read/write MB via the UI
+REST stage deltas, same discipline as stress_soak):
+
+* ``shingles``   — the (doc_id, shingle) relation over the full corpus
+  (localCheckpoint). At 100 TB this is a maintained table alongside the
+  index; here it is charged to its own row so neither build nor update
+  absorbs it.
+* ``build_v1``   — PPJoin pairs over the existing ~80% corpus
+  (q71 hash-split arithmetic) + CC + versioned-store write. The cost a
+  deployment pays ONCE.
+* ``incr_update``— what a deployment pays PER INGEST BATCH (~20%):
+  v1 star edges (one row per indexed doc, replacing the historical pair
+  relation) ∪ LSH cross candidates (batch x collisions) ∪ batch-internal
+  PPJoin, then CC + store write.
+* ``census_read``— read_current + the census aggregate: what an
+  analysis head pays once the index is maintained.
+* ``rebuild_full``— PPJoin + CC over the FULL corpus: the from-scratch
+  cost the incremental update replaces. The headline ratio is
+  incr_update / rebuild_full per scale; the star-edge argument predicts
+  the update side scales with batch + components, not corpus, so its
+  1x->10x exponent should track the batch size, and the ratio should
+  FALL (or hold) as the corpus grows.
+
+Corpora: the ORGANIC family (/tmp/soak/org1 = 100k docs, org10 = 1M;
+built on demand), q163's documented prefix-kernel regime — the replica
+family degrades prefix filtering by design and is the LSH path's
+regime, not this kernel's (stress_soak module docstring).
+
+Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/stress_maintenance.py \
+    [sf_dir] [workdir]     (defaults /root/testdata/sf0.1, /tmp/soak)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from build_stress import build  # noqa: E402
+from stress_soak import force_full, measure  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak"
+
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+        tokens,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        incremental_cross_pairs,
+        prefix_filter_jaccard_pairs,
+        shingle_sets,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.graph import (
+        connected_components,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.training import (
+        _doc_hash,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import get_spark
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+        write_version,
+    )
+
+    spark = get_spark(
+        "stress-maintenance",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.retainedStages": "20000",
+            "spark.ui.retainedJobs": "20000",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_rows: dict[str, dict] = {}
+    for mult in (1, 10):
+        corpus = os.path.join(work, f"org{mult}")
+        if not os.path.exists(os.path.join(corpus, "documents.parquet")):
+            t0 = time.time()
+            nd, _ = build(sf_dir, corpus, copies=1, shards=20 * mult)
+            print(f"built {corpus}: {nd} docs [{time.time()-t0:.0f}s]")
+        print(f"== maintenance lifecycle, organic {mult}x ==")
+
+        docs = (
+            spark.read.parquet(os.path.join(corpus, "documents.parquet"))
+            .select("doc_id", tokens("text").alias("ts"))
+        )
+        is_new = _doc_hash() >= 800
+        corpus_side, batch = docs.where(~is_new), docs.where(is_new)
+        store = os.path.join(work, f"maint_store_{mult}x_{int(time.time())}")
+
+        state: dict = {}
+
+        def ph_shingles():
+            state["sh_all"] = shingle_sets(docs, 3).localCheckpoint()
+            return {"n": state["sh_all"].count()}
+
+        def ph_build_v1():
+            sh_old = state["sh_all"].where(_doc_hash() < 800)
+            pairs_v1 = prefix_filter_jaccard_pairs(
+                corpus_side, threshold=0.5, shingles=sh_old
+            )
+            comps_v1 = connected_components(
+                pairs_v1.select("doc_a", "doc_b"), "doc_a", "doc_b"
+            ).select(F.col("id").alias("doc_id"), "comp")
+            write_version(comps_v1, store)
+            return {"n": read_current(spark, store).count()}
+
+        def ph_incr_update():
+            old = read_current(spark, store)
+            star = old.select(
+                F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b")
+            )
+            cross = incremental_cross_pairs(
+                docs, is_new, threshold=0.5, shingles=state["sh_all"]
+            ).select("doc_a", "doc_b")
+            within = prefix_filter_jaccard_pairs(
+                batch, threshold=0.5, shingles=state["sh_all"].where(_doc_hash() >= 800)
+            ).select("doc_a", "doc_b")
+            comps_v2 = connected_components(
+                star.unionByName(cross).unionByName(within), "doc_a", "doc_b"
+            ).select(F.col("id").alias("doc_id"), "comp")
+            write_version(comps_v2, store)
+            return {"n": read_current(spark, store).count()}
+
+        def ph_census_read():
+            maintained = read_current(spark, store)
+            census = (
+                maintained.select(
+                    F.col("comp").alias("component_id"),
+                    (_doc_hash() >= 800).cast("int").alias("b"),
+                )
+                .groupBy("component_id")
+                .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("b").alias("n_batch_docs"))
+            )
+            r = force_full(census)
+            return {"n": r["n"]}
+
+        def ph_rebuild_full():
+            pairs = prefix_filter_jaccard_pairs(
+                docs, threshold=0.5, shingles=state["sh_all"]
+            )
+            comps = connected_components(
+                pairs.select("doc_a", "doc_b"), "doc_a", "doc_b"
+            )
+            r = force_full(comps)
+            return {"n": r["n"]}
+
+        rows = {}
+        rows["shingles"] = measure(spark, f"shingles {mult}x", ph_shingles)
+        rows["build_v1"] = measure(spark, f"build_v1 {mult}x", ph_build_v1)
+        rows["incr_update"] = measure(spark, f"incr_update {mult}x", ph_incr_update)
+        rows["census_read"] = measure(spark, f"census_read {mult}x", ph_census_read)
+        rows["rebuild_full"] = measure(spark, f"rebuild_full {mult}x", ph_rebuild_full)
+        state["sh_all"].unpersist()
+
+        ru = rows["incr_update"]
+        rb = rows["rebuild_full"]
+        print(
+            f"  -> update/rebuild ratio {mult}x: wall "
+            f"{ru['sec'] / max(rb['sec'], 0.001):.2f}, write "
+            f"{ru['shuffle_write_mb'] / max(rb['shuffle_write_mb'], 0.001):.2f}, "
+            f"read {ru['shuffle_read_mb'] / max(rb['shuffle_read_mb'], 0.001):.2f}"
+        )
+        all_rows[f"{mult}x"] = rows
+
+    import math
+
+    print("== 1x -> 10x exponents (wall / write / read) ==")
+    for ph in ("shingles", "build_v1", "incr_update", "census_read", "rebuild_full"):
+        a, b = all_rows["1x"][ph], all_rows["10x"][ph]
+
+        def ex(k):
+            lo, hi = max(a[k], 0.001), max(b[k], 0.001)
+            return round(math.log(hi / lo) / math.log(10), 2)
+
+        print(
+            f"  {ph}: wall {ex('sec')}  write {ex('shuffle_write_mb')}  "
+            f"read {ex('shuffle_read_mb')}"
+        )
+
+
+if __name__ == "__main__":
+    main()
