@@ -27,9 +27,20 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.rank import distributed_row_number
 from ..functions.text import word_shingles
+
+#: storage level for corpus-scale relation checkpoints (the (doc, shingle)
+#: relation and its int64-encoded twin). Same lesson as operators/graph.py's
+#: _ROUND_LEVEL: memory-backed localCheckpoint blocks are reclaimed only by
+#: the async ContextCleaner, and a deserialized 100M+-row string relation
+#: inflates 3-5x on heap — the r8 org30 (3M-doc) LSH soak OOM'd a 48g
+#: driver exactly here. DISK_ONLY costs one sequential write+read (ms at
+#: gate scale, seconds at soak scale) and removes the heap term entirely;
+#: shuffle-byte evidence is unaffected (checkpoint blocks are not shuffle).
+_CKPT_LEVEL = StorageLevel.DISK_ONLY
 
 
 #: Carter-Wegman-style family: h_j(s) = (b1(s) + j * b2(s)) mod (2^31 - 1),
@@ -216,8 +227,8 @@ def minhash_jaccard_estimates(
     consumers). No all-pairs stage anywhere: candidates come from band
     buckets, exact Jaccard joins only candidate pairs.
     """
-    sh = shingle_sets(docs_tokens, shingle_n).localCheckpoint()
-    sigs = minhash_signature(sh, num_hashes).localCheckpoint()
+    sh = shingle_sets(docs_tokens, shingle_n).localCheckpoint(storageLevel=_CKPT_LEVEL)
+    sigs = minhash_signature(sh, num_hashes).localCheckpoint(storageLevel=_CKPT_LEVEL)
     banded = _bands_from_sigs(sigs, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -268,7 +279,7 @@ def lsh_verified_jaccard_pairs(
     # the (doc, shingle) relation feeds three consumers (signature build +
     # both sides of the verify join); localCheckpoint materializes the
     # explode+distinct once instead of re-running its shuffle three times
-    sh = shingle_sets(docs_tokens, shingle_n).localCheckpoint()
+    sh = shingle_sets(docs_tokens, shingle_n).localCheckpoint(storageLevel=_CKPT_LEVEL)
     cand = _lsh_candidates_from_shingles(sh, num_hashes, bands).select("doc_a", "doc_b")
     return _verify_jaccard(cand, sh, threshold)
 
@@ -300,6 +311,57 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def banded_signature_table(
+    docs_tokens: DataFrame | None = None,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The maintained LSH index artifact: (doc_id, band, sig) band-bucket
+    rows, the relation a deployment PERSISTS next to the dedup index so
+    per-batch maintenance never recomputes corpus-side signatures (the
+    corpus-proportional byte term the r8 maintenance soak measured in
+    ``incremental_cross_pairs`` — SCALE_NOTES "Maintenance lifecycle
+    soak"). Deterministic given the md5-derived Carter-Wegman family, so
+    the stored table is bit-stable across rebuilds.
+
+    Pass either ``docs_tokens`` (shingled here) or a pre-built distinct
+    ``shingles`` relation."""
+    sh = shingles if shingles is not None else shingle_sets(docs_tokens, shingle_n)
+    return _banded_signatures(sh, num_hashes, bands)
+
+
+def cross_pairs_from_signature_table(
+    stored_banded: DataFrame,
+    batch_banded: DataFrame,
+    sh: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact >= threshold cross pairs where the corpus side's signatures
+    come from a STORED banded table (``banded_signature_table`` output)
+    instead of being recomputed: candidates are the (band, sig) equi-join
+    of stored x batch — O(batch x collisions) in compute AND bytes — then
+    the usual exact-Jaccard verify against the shingle relation. With
+    disjoint sides this returns exactly ``incremental_cross_pairs``'s
+    relation (pinned in tests/test_signature_maintenance.py)."""
+    a, b = stored_banded.alias("a"), batch_banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
 
 
 def prefix_filter_jaccard_pairs(
@@ -387,7 +449,7 @@ def prefix_filter_jaccard_pairs(
         out="sid",
     ).select("shingle", "sid")
     # feeds the prefix build and both verify sides: narrow (doc_id, sid)
-    enc = sh.join(dic, "shingle").select("doc_id", "sid").localCheckpoint()
+    enc = sh.join(dic, "shingle").select("doc_id", "sid").localCheckpoint(storageLevel=_CKPT_LEVEL)
     arr = enc.groupBy("doc_id").agg(F.sort_array(F.collect_list("sid")).alias("ss"))
     n = F.size("ss")
     # epsilon inside ceil: float t*n can land one ulp ABOVE an exact
@@ -475,7 +537,7 @@ def incremental_cross_pairs(
     sh = (
         shingles
         if shingles is not None
-        else shingle_sets(tagged, shingle_n).localCheckpoint()
+        else shingle_sets(tagged, shingle_n).localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     side = tagged.select("doc_id", "__new")
     return _cross_side_verified_pairs(sh, side, threshold, num_hashes, bands)
@@ -507,7 +569,7 @@ def incremental_near_dedup(
     and are excluded by contract (both engines drop them identically).
     """
     tagged = docs_tokens.select("doc_id", "ts", is_new.alias("__new"))
-    sh = shingle_sets(tagged, shingle_n).localCheckpoint()
+    sh = shingle_sets(tagged, shingle_n).localCheckpoint(storageLevel=_CKPT_LEVEL)
     side = tagged.select("doc_id", "__new")
     matched = _cross_side_verified_pairs(sh, side, threshold, num_hashes, bands)
     # either endpoint of a verified cross pair may be the batch doc
@@ -613,7 +675,7 @@ def prefix_filter_containment_pairs(
         F.struct("df", F.substring("shingle", 1, 8)),
         out="sid",
     ).select("shingle", "sid")
-    enc = sh.join(dic, "shingle").select("doc_id", "sid").localCheckpoint()
+    enc = sh.join(dic, "shingle").select("doc_id", "sid").localCheckpoint(storageLevel=_CKPT_LEVEL)
     arr = enc.groupBy("doc_id").agg(F.sort_array(F.collect_list("sid")).alias("ss"))
     n = F.size("ss")
     # same 1e-9 ulp guard as the Jaccard join: only ever LENGTHENS the

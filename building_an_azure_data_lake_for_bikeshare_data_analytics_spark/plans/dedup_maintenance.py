@@ -103,6 +103,7 @@ def q239(spark, sf):
     lifecycle, equal by value to DuckDB's from-scratch exhaustive CC over
     the full corpus. See module docstring for the star-edge argument."""
     from ..operators.dedup import (
+        _CKPT_LEVEL,
         incremental_cross_pairs,
         prefix_filter_jaccard_pairs,
         shingle_sets,
@@ -119,7 +120,7 @@ def q239(spark, sf):
     # (corpus-internal, cross-side, batch-internal); tokenize + explode +
     # distinct ONCE and hand each kernel its filtered view — at 100 TB
     # this is the shingle table you'd keep next to the index
-    sh_all = shingle_sets(docs, 3).localCheckpoint()
+    sh_all = shingle_sets(docs, 3).localCheckpoint(storageLevel=_CKPT_LEVEL)
     # same predicate as is_new, re-evaluated over the shingle relation's
     # doc_id — ONE source of truth (_doc_hash) so the shingle-side filter
     # can never drift from the document-side split (r7 advice)

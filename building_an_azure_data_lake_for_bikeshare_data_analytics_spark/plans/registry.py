@@ -31,7 +31,8 @@ from . import dedup_maintenance  # noqa: F401  (registers q239)
 from . import url_quota  # noqa: F401  (registers q240)
 from . import source_overlap  # noqa: F401  (registers q241)
 from . import corpus_health  # noqa: F401  (registers q242-q243)
-from . import decontamination  # noqa: F401  (registers q244; new modules import LAST — insertion order is registration order)
+from . import decontamination  # noqa: F401  (registers q244)
+from . import signature_maintenance  # noqa: F401  (registers q245; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -46,19 +47,21 @@ from . import decontamination  # noqa: F401  (registers q244; new modules import
 #
 # Round-8 prefix (computed by evidence.build_prefix() from the committed
 # CORRECTNESS_r1..r7 history): the never-driver-gated new-this-round
-# registration q244 (multi-benchmark decontamination sweep, r7 verdict
-# item 5) leads, then the aged r3-evidence cohort — the ANN/multimodal/
-# sketch heads q40/q41/q99/q53/q63/q100/q107/q108, the date-derivation
-# pair q126/q127, q134, and the training/curation families
-# q101-q106/q110-q117/q119/q121-q124/q131-q132 (driver-gated in r3,
-# untouched since) — with the tail filled by the next-oldest evidence
-# (r4/r5 cohort: q01/q21/q23, the embedding/substring/LM heads
-# q153/q98/q39/q154/q135/q137-q139/q141/q143-q145/q148/q138/q64/q65).
-# q104 rotated off the tail by the q244 insertion — it returns on its
-# staleness clock. Deliberately never scheduled: q46/q81 (rows-only
-# sketch values; q134/q136 carry their evidence) and fixture-tagged
-# superseded folds (q56/q118/q125 — their kernels q130/q120/q129 carry
-# identical oracle SQL).
+# registrations lead — q244 (multi-benchmark decontamination sweep, r7
+# verdict item 5) and q245 (maintained LSH signature/band table, the
+# lever the r8 maintenance soak identified) — then the aged r3-evidence
+# cohort: the ANN/multimodal/sketch heads q40/q41/q99/q53/q63/q100/
+# q107/q108, the date-derivation pair q126/q127, q134, and the
+# training/curation families q101-q106/q110-q117/q119/q121-q124/
+# q131-q132 (driver-gated in r3, untouched since) — with the tail
+# filled by the next-oldest evidence (r4/r5 cohort: q01/q21/q23, the
+# embedding/substring/LM heads q153/q98/q39/q154/q135/q137-q139/q141/
+# q143-q145/q148/q138/q64). q104 and q65 rotated off the tail by the
+# two new insertions — they return on their staleness clocks.
+# Deliberately never scheduled: q46/q81 (rows-only sketch values;
+# q134/q136 carry their evidence) and fixture-tagged superseded folds
+# (q56/q118/q125 — their kernels q130/q120/q129 carry identical oracle
+# SQL).
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -72,6 +75,7 @@ PREFIX_ROUND: int = 8
 
 _PRIORITY: tuple[str, ...] = (
     "q244_multi_benchmark_decontamination",
+    "q245_signature_table_maintenance",
     "q40_embedding_lsh_ann",
     "q41_multimodal_features",
     "q99_frame_sample",
@@ -120,7 +124,6 @@ _PRIORITY: tuple[str, ...] = (
     "q138_doc_lm_score",
     "q144_dsir_weights",
     "q64_embedding_topk_vectorized",
-    "q65_embedding_dup_pairs_vectorized",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1,0 +1,120 @@
+"""q245 — maintained LSH signature/band table (the lever the r8
+maintenance soak identified, closed in the same round).
+
+The soak (SCALE_NOTES "Maintenance lifecycle soak") showed q239's
+incremental update is 0.10x the rebuild's WALL at 1M docs but its byte
+exponent (1.16) is corpus-proportional: ``incremental_cross_pairs``
+recomputes MinHash signatures over the FULL corpus per batch to find
+cross-side candidates. A deployment never does that — the banded
+signature table (doc_id, band, sig) is itself a maintained artifact:
+built once with the index, APPENDED per ingest batch. This head runs
+that lifecycle end-to-end through the versioned store:
+
+1. **v1** — banded signatures for the existing ~80% corpus (q71's hash
+   split), written to the store. The cost paid once, with the index.
+2. **per-batch** — signatures computed for the BATCH ONLY (the only
+   signature compute a batch should ever pay), candidates = the
+   (band, sig) equi-join of the STORED table x batch signatures
+   (O(batch x collisions) in compute AND bytes — no corpus-side term
+   left), exact-Jaccard verify on candidates; then the batch's
+   signatures are appended as v2, leaving the store ready for the next
+   batch.
+3. Returns the verified cross pairs, read against the store-backed
+   candidate set — the rows literally flow through stored parquet.
+
+Oracle: the EXHAUSTIVE cross-side exact-Jaccard pairs (the quadratic
+formulation restricted to split-crossing endpoints). A green row
+certifies the stored-signature path lost no >= 0.5 cross pair — the
+same recall contract q98 pins for the self-join path, extended to the
+maintained-table path. Equality with ``incremental_cross_pairs``
+(recompute path) is pinned separately in
+tests/test_signature_maintenance.py.
+
+Reference scope note: the reference notebook has no dedup surface at
+all (SURVEY.md §2.6) — this head is part of the training-data-pipeline
+extension set.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .base import _t, query
+from .extensions import _SHINGLES_SQL
+from .training import _HASH_SQL, _doc_hash
+
+_HASH_A = _HASH_SQL.replace("doc_id", "doc_a")
+_HASH_B = _HASH_SQL.replace("doc_id", "doc_b")
+
+_CROSS_SQL = f"""WITH {_SHINGLES_SQL},
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter / (sa.n + sb.n - inter) >= 0.5
+          AND ({_HASH_A} >= 800) <> ({_HASH_B} >= 800)
+        ORDER BY doc_a, doc_b"""
+
+
+def _store_path(spark) -> str:
+    """Per-session signature-store root (same convention as q239's
+    component store: unique per application; within a session repeated
+    runs append versions and read_current stays deterministic)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sig_table_{spark.sparkContext.applicationId}",
+    )
+
+
+@query(
+    "q245_signature_table_maintenance",
+    _CROSS_SQL,
+    tags=("dedup", "minhash", "lsh", "incremental", "versioned"),
+)
+def q245(spark, sf):
+    """Verified >= 0.5 cross pairs (batch vs corpus) found via the
+    STORED banded signature table — batch-side signature compute only,
+    candidates from the store. Equal by value to the exhaustive
+    cross-side formulation."""
+    from ..operators.dedup import (
+        _CKPT_LEVEL,
+        banded_signature_table,
+        cross_pairs_from_signature_table,
+        shingle_sets,
+    )
+    from ..sources.versioned import read_current, write_version
+
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    store = _store_path(spark)
+
+    # one shingle relation feeds signature build AND the exact verify —
+    # the same shared-relation discipline as q239
+    sh_all = shingle_sets(docs, 3).localCheckpoint(storageLevel=_CKPT_LEVEL)
+    is_new = _doc_hash() >= 800
+
+    # 1) v1: the corpus side's signatures, stored with the index
+    write_version(
+        banded_signature_table(shingles=sh_all.where(~is_new)), store
+    )
+
+    # 2) batch signatures (the ONLY signature compute a batch pays),
+    #    candidates against the STORED table, exact verify
+    stored = read_current(spark, store)
+    batch_banded = banded_signature_table(shingles=sh_all.where(is_new))
+    verified = cross_pairs_from_signature_table(
+        stored, batch_banded, sh_all, threshold=0.5
+    )
+    # append the batch's signatures: the store is ready for the next batch
+    write_version(stored.unionByName(batch_banded), store)
+
+    return verified.orderBy("doc_a", "doc_b")

@@ -19,8 +19,11 @@ sharded 20*N ways with per-shard token prefixes: cross-shard Jaccard
 ~0, so dup structure per shard is constant and exponents are clean.
 
 Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/stress_pair_kernels.py \
-    [sf_dir] [workdir] [max_mult]   (defaults /root/testdata/sf0.1,
-    /tmp/soak, 100 -> org100 = 10M docs)
+    [sf_dir] [workdir] [mults_csv] [kernel]
+    (defaults /root/testdata/sf0.1, /tmp/soak, "1,10,100", both kernels;
+    e.g. ``... /root/testdata/sf0.1 /tmp/soak 10,30 lsh_verified`` runs
+    only the LSH kernel at org10/org30 — the follow-up shape when the
+    full-decade point exceeds the byte budget but a mid-decade fits)
 """
 
 from __future__ import annotations
@@ -44,7 +47,12 @@ PROJ_EXP = 1.05
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak"
-    max_mult = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    mults = (
+        tuple(int(m) for m in sys.argv[3].split(","))
+        if len(sys.argv) > 3
+        else (1, 10, 100)
+    )
+    only_kernel = sys.argv[4] if len(sys.argv) > 4 else None
 
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
         tokens,
@@ -70,24 +78,19 @@ def main() -> None:
         "ppjoin": lambda d: prefix_filter_jaccard_pairs(d, threshold=0.5),
         "lsh_verified": lambda d: lsh_verified_jaccard_pairs(d, threshold=0.5),
     }
+    if only_kernel is not None:
+        kernels = {only_kernel: kernels[only_kernel]}
     last: dict[str, dict] = {}  # kernel -> last measured row (+mult)
     skipped: dict[str, str] = {}
     results: list[tuple[str, int, dict]] = []
 
-    for mult in (1, 10, max_mult):
+    for mult in mults:
         live = [k for k in kernels if k not in skipped]
         if not live:
             break
-        corpus = os.path.join(work, f"org{mult}")
-        if not os.path.exists(os.path.join(corpus, "documents.parquet")):
-            t0 = time.time()
-            nd, _ = build(sf_dir, corpus, copies=1, shards=20 * mult)
-            print(f"built {corpus}: {nd} docs [{time.time()-t0:.0f}s]")
-        docs = (
-            spark.read.parquet(os.path.join(corpus, "documents.parquet"))
-            .select("doc_id", tokens("text").alias("ts"))
-        )
-        for kname in list(live):
+        # decide projections BEFORE paying the corpus build
+        attempt = []
+        for kname in live:
             prev = last.get(kname)
             if prev is not None:
                 proj = prev["shuffle_write_mb"] * (mult / prev["mult"]) ** PROJ_EXP
@@ -100,6 +103,19 @@ def main() -> None:
                     )
                     print(f"  SKIP {skipped[kname]}")
                     continue
+            attempt.append(kname)
+        if not attempt:
+            continue
+        corpus = os.path.join(work, f"org{mult}")
+        if not os.path.exists(os.path.join(corpus, "documents.parquet")):
+            t0 = time.time()
+            nd, _ = build(sf_dir, corpus, copies=1, shards=20 * mult)
+            print(f"built {corpus}: {nd} docs [{time.time()-t0:.0f}s]")
+        docs = (
+            spark.read.parquet(os.path.join(corpus, "documents.parquet"))
+            .select("doc_id", tokens("text").alias("ts"))
+        )
+        for kname in attempt:
             row = measure(
                 spark,
                 f"{kname} org{mult}",
