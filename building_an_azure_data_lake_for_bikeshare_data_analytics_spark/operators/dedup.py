@@ -289,7 +289,25 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
 
     cand: (doc_a, doc_b); sh: distinct (doc_id, shingle). Linear in
     candidates x shingles-per-doc. Returns (doc_a, doc_b, jaccard >= threshold).
-    """
+
+    The shingle relation is first semi-joined down to the docs that
+    actually appear in a candidate pair, so every downstream join and
+    the per-doc size aggregate are CANDIDATE-proportional, not
+    corpus-proportional (r8 soak: with the maintained signature table
+    the verify's full-corpus shingle shuffle was the dominant remaining
+    byte term of an incremental update — exponent 1.36 where batch
+    work should be flat). Sizes are unchanged by the filter: a doc's
+    shingle count is computed from all ITS shingles, and only candidate
+    docs' sizes are ever read. No broadcast hint — the distinct-id
+    relation is usually tiny and AQE broadcasts it at runtime, but on a
+    dup-heavy corpus it can be fact-sized and the semi-join degrades to
+    today's shuffle, never worse."""
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

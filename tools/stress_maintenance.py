@@ -24,6 +24,12 @@ REST stage deltas, same discipline as stress_soak):
   signature compute (``cross_pairs_from_signature_table``). The delta
   incr_update − incr_update_sigstore is exactly the corpus-proportional
   byte term the plain update re-pays per batch.
+* ``sig_build_v1_bucketed`` / ``incr_update_sigbucket`` — one lever
+  deeper: the stored signatures as a BUCKETED table on (band, sig)
+  (``sources/writers.overwrite_bucketed_table``), so the probe join
+  needs no Exchange on the stored side — only the batch's signatures
+  shuffle. This is the shape that makes update bytes batch-proportional
+  end to end: pay the corpus shuffle once at build, never per batch.
 * ``census_read``— read_current + the census aggregate: what an
   analysis head pays once the index is maintained.
 * ``rebuild_full``— PPJoin + CC over the FULL corpus: the from-scratch
@@ -176,6 +182,51 @@ def main() -> None:
             write_version(comps, store)
             return {"n": read_current(spark, store).count()}
 
+        def ph_sig_build_v1_bucketed():
+            import shutil
+
+            from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.writers import (
+                drop_table_if_exists,
+                overwrite_bucketed_table,
+            )
+
+            # a previous SESSION's managed-table directory survives its
+            # metadata; clear both or saveAsTable trips LOCATION_ALREADY_EXISTS
+            drop_table_if_exists(spark, f"sig_store_bucketed_{mult}x")
+            loc = os.path.join(
+                spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+                f"sig_store_bucketed_{mult}x",
+            )
+            shutil.rmtree(loc, ignore_errors=True)
+            overwrite_bucketed_table(
+                banded_signature_table(shingles=state["sh_all"].where(_doc_hash() < 800)),
+                f"sig_store_bucketed_{mult}x",
+                ["band", "sig"],
+                n_buckets=64,
+            )
+            return {"n": spark.table(f"sig_store_bucketed_{mult}x").count()}
+
+        def ph_incr_update_sigbucket():
+            old = read_current(spark, store)
+            star = old.select(
+                F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b")
+            )
+            stored_sigs = spark.table(f"sig_store_bucketed_{mult}x")
+            batch_sigs = banded_signature_table(
+                shingles=state["sh_all"].where(_doc_hash() >= 800)
+            )
+            cross = cross_pairs_from_signature_table(
+                stored_sigs, batch_sigs, state["sh_all"], threshold=0.5
+            ).select("doc_a", "doc_b")
+            within = prefix_filter_jaccard_pairs(
+                batch, threshold=0.5, shingles=state["sh_all"].where(_doc_hash() >= 800)
+            ).select("doc_a", "doc_b")
+            comps = connected_components(
+                star.unionByName(cross).unionByName(within), "doc_a", "doc_b"
+            ).select(F.col("id").alias("doc_id"), "comp")
+            write_version(comps, store)
+            return {"n": read_current(spark, store).count()}
+
         def ph_census_read():
             maintained = read_current(spark, store)
             census = (
@@ -207,12 +258,18 @@ def main() -> None:
         rows["incr_update_sigstore"] = measure(
             spark, f"incr_update_sigstore {mult}x", ph_incr_update_sigstore
         )
+        rows["sig_build_v1_bucketed"] = measure(
+            spark, f"sig_build_v1_bucketed {mult}x", ph_sig_build_v1_bucketed
+        )
+        rows["incr_update_sigbucket"] = measure(
+            spark, f"incr_update_sigbucket {mult}x", ph_incr_update_sigbucket
+        )
         rows["census_read"] = measure(spark, f"census_read {mult}x", ph_census_read)
         rows["rebuild_full"] = measure(spark, f"rebuild_full {mult}x", ph_rebuild_full)
         state["sh_all"].unpersist()
 
         rb = rows["rebuild_full"]
-        for label in ("incr_update", "incr_update_sigstore"):
+        for label in ("incr_update", "incr_update_sigstore", "incr_update_sigbucket"):
             ru = rows[label]
             print(
                 f"  -> {label}/rebuild ratio {mult}x: wall "
@@ -231,6 +288,8 @@ def main() -> None:
         "incr_update",
         "sig_build_v1",
         "incr_update_sigstore",
+        "sig_build_v1_bucketed",
+        "incr_update_sigbucket",
         "census_read",
         "rebuild_full",
     ):
