@@ -121,17 +121,31 @@ def q244(spark, sf):
     # ONE Generate over the corpus: every requested shingle size tagged
     # into a single struct array, each element carrying its size's
     # per-doc distinct-shingle total for the fraction test downstream
+    # per-size totals are computed ONCE per row in this projection; the
+    # transform lambdas below reference the column by attribute. (The
+    # first formulation put F.size(word_shingles(...)) inside the lambda,
+    # where it is re-evaluated PER ELEMENT — O(shingles^2) per doc per
+    # size, measured 62 s at sf0.1 with <1 MB shuffle: pure expression
+    # recompute, the CPU-side analogue of an unpushed filter.)
+    d2 = d.select(
+        "doc_id",
+        "source",
+        "ts",
+        *[F.size(word_shingles(F.col("ts"), n)).alias(f"tot_{n}") for n in _SIZES],
+    )
+
     def _tag(n: int):
         # single-arg lambda on purpose: a second parameter would make
         # F.transform pass the element INDEX into it
-        arr = word_shingles(F.col("ts"), n)
         return F.transform(
-            arr,
-            lambda s: F.struct(F.lit(n).alias("n"), s.alias("sh"), F.size(arr).alias("tot")),
+            word_shingles(F.col("ts"), n),
+            lambda s: F.struct(
+                F.lit(n).alias("n"), s.alias("sh"), F.col(f"tot_{n}").alias("tot")
+            ),
         )
 
     tagged = F.flatten(F.array(*[_tag(n) for n in _SIZES]))
-    corpus = d.select("doc_id", "source", F.explode(tagged).alias("g")).select(
+    corpus = d2.select("doc_id", "source", F.explode(tagged).alias("g")).select(
         "doc_id", "source", F.col("g.n").alias("n"), F.col("g.sh").alias("sh"), F.col("g.tot").alias("tot")
     )
 
