@@ -104,3 +104,32 @@ def test_shared_index_memo_returns_same_object_within_session(spark):
     c1 = dup_components(spark, SF_SMOKE)
     c2 = dup_components(spark, SF_SMOKE)
     assert c1 is c2
+
+
+def test_index_cache_lru_bound_and_clear(spark):
+    """The same-session memo is bounded (r7 advice): filling past
+    _MAX_LIVE_ENTRIES evicts + unpersists the least-recently-used entry,
+    and clear_index_cache() drops everything for the session."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans import (
+        dedup_index as di,
+    )
+
+    di.clear_index_cache(spark)
+    first = di.dup_pairs(spark, SF_SMOKE)
+    app = spark.sparkContext.applicationId
+    # fill the cache with synthetic live entries until the bound evicts
+    # the real one (each entry is a tiny DataFrame so unpersist is cheap)
+    for i in range(di._MAX_LIVE_ENTRIES):
+        di._memo(
+            spark, SF_SMOKE, f"__synthetic_{i}", lambda: spark.range(1)
+        )
+    assert (app, __import__("os").path.realpath(SF_SMOKE), "pairs_ppjoin") not in di._CACHE
+    # the evicted relation was unpersisted
+    assert not (first.storageLevel.useMemory or first.storageLevel.useDisk)
+    # and a re-read rebuilds rather than returning the evicted object
+    rebuilt = di.dup_pairs(spark, SF_SMOKE)
+    assert rebuilt is not first
+    # clear() drops every entry for this session and reports the count
+    n = di.clear_index_cache(spark)
+    assert n >= 1
+    assert not any(k[0] == app for k in di._CACHE)
