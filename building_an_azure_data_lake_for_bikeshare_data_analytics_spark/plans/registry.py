@@ -45,23 +45,20 @@ from . import signature_maintenance  # noqa: F401  (registers q245; new modules 
 # CORRECTNESS_r*.json history and fail on any drift from this tuple —
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-8 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r7 history): the never-driver-gated new-this-round
-# registrations lead — q244 (multi-benchmark decontamination sweep, r7
-# verdict item 5) and q245 (maintained LSH signature/band table, the
-# lever the r8 maintenance soak identified) — then the aged r3-evidence
-# cohort: the ANN/multimodal/sketch heads q40/q41/q99/q53/q63/q100/
-# q107/q108, the date-derivation pair q126/q127, q134, and the
-# training/curation families q101-q106/q110-q117/q119/q121-q124/
-# q131-q132 (driver-gated in r3, untouched since) — with the tail
-# filled by the next-oldest evidence (r4/r5 cohort: q01/q21/q23, the
-# embedding/substring/LM heads q153/q98/q39/q154/q135/q137-q139/q141/
-# q143-q145/q148/q138/q64). q104 and q65 rotated off the tail by the
-# two new insertions — they return on their staleness clocks.
-# Deliberately never scheduled: q46/q81 (rows-only sketch values;
-# q134/q136 carry their evidence) and fixture-tagged superseded folds
-# (q56/q118/q125 — their kernels q130/q120/q129 carry identical oracle
-# SQL).
+# Round-9 prefix (computed by evidence.build_prefix() from the committed
+# CORRECTNESS_r1..r8 history): no never-driver-gated registrations at
+# round-open, so the aged r4-evidence cohort leads in staleness order —
+# the ANN/sketch heads q65/q104/q109/q157/q158/q43/q136, the analytics
+# pair q155/q156, the sketch/lakehouse families q159/q168/q165/q167,
+# the vectorized ANN kernels q120/q129/q130, the versioned-store heads
+# q149/q150/q160/q162, ranking/stats q151/q152/q161/q164/q166/q169,
+# the profiling cohort q170-q177, the covariance/semdedup twins
+# q140/q142/q146/q147 — with the tail filled by the next-oldest
+# evidence (r5 cohort: q183/q201/q199/q178-q182/q184-q187). The r8-gated
+# heads (q244/q245 and the r3 cohort) rotated off on fresh evidence;
+# they return on their staleness clocks. Deliberately never scheduled:
+# q46/q81 (rows-only sketch values; q134/q136 carry their evidence) and
+# fixture-tagged superseded folds (q56/q118/q125).
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -71,59 +68,59 @@ from . import signature_maintenance  # noqa: F401  (registers q245; new modules 
 # window while still hard-failing on genuine drift from the schedule the
 # tuple was frozen for (r5 verdict item 5).
 # ---------------------------------------------------------------------------
-PREFIX_ROUND: int = 8
+PREFIX_ROUND: int = 9
 
 _PRIORITY: tuple[str, ...] = (
-    "q244_multi_benchmark_decontamination",
-    "q245_signature_table_maintenance",
-    "q40_embedding_lsh_ann",
-    "q41_multimodal_features",
-    "q99_frame_sample",
-    "q53_simhash_near_pairs",
-    "q63_winnow_fingerprints",
-    "q100_semantic_dup_lsh",
-    "q107_cms_heavy_hitters",
-    "q108_weighted_sample",
-    "q126_event_gap_seconds",
-    "q127_order_age_years",
-    "q134_kmv_distinct_users",
-    "q101_source_quota_cap",
-    "q102_bloom_prefilter_join",
-    "q103_incremental_dedup",
-    "q105_dup_group_canonical",
-    "q106_corpus_shuffle",
-    "q110_token_budget_mix",
-    "q111_salted_revenue_join",
-    "q112_incremental_gold_refresh",
-    "q113_leakage_safe_split",
-    "q114_decayed_user_activity",
-    "q115_length_bucket_batches",
-    "q116_hard_negatives",
-    "q117_corpus_filter_gate",
-    "q119_source_token_drift",
-    "q121_curation_pipeline",
-    "q122_value_drift_by_window",
-    "q123_pq_adc_rerank",
-    "q124_curriculum_order",
-    "q131_bpe_vocab",
-    "q132_bpe_token_counts",
-    "q01_avg_price_by_dow",
-    "q21_member_spend_rides",
-    "q23_format_orders",
-    "q153_minhash_jaccard_estimate",
-    "q98_lsh_verified_pairs",
-    "q39_embedding_topk",
-    "q154_ann_recall",
-    "q135_substring_dup_spans",
-    "q137_substring_dedup_clean",
-    "q141_pca_project",
-    "q143_pca_project2",
-    "q145_logreg_probe",
-    "q148_char_entropy",
-    "q139_incremental_span_dedup",
-    "q138_doc_lm_score",
-    "q144_dsir_weights",
-    "q64_embedding_topk_vectorized",
+    "q65_embedding_dup_pairs_vectorized",
+    "q104_quantized_topk",
+    "q109_quantized_topk_vectorized",
+    "q157_token_pmi_pairs",
+    "q158_dup_graph_pagerank",
+    "q43_embedding_dup_pairs",
+    "q136_histogram_quantiles",
+    "q155_funnel_conversion",
+    "q156_retention_cohorts",
+    "q159_kmv_merge",
+    "q168_theta_intersection",
+    "q165_weighted_sample",
+    "q167_integrity_audit",
+    "q120_pq_adc_topk_vectorized",
+    "q129_ivf_pq_rerank_vectorized",
+    "q130_ivf_ann_vectorized",
+    "q149_merge_upsert",
+    "q150_scd2_history",
+    "q151_bm25_topk",
+    "q152_value_trend_ols",
+    "q160_temporal_version_join",
+    "q161_zone_map_pruning",
+    "q162_version_diff_cdf",
+    "q164_zorder_layout",
+    "q166_compaction_plan",
+    "q169_hll_distinct",
+    "q170_column_profile",
+    "q171_pareto_frontier",
+    "q172_grouping_sets",
+    "q173_event_transitions",
+    "q174_mad_outliers",
+    "q175_chi_square_independence",
+    "q176_join_size_estimate",
+    "q177_sorted_neighborhood",
+    "q140_embedding_covariance",
+    "q142_embedding_covariance_vectorized",
+    "q146_semantic_dedup_cells",
+    "q147_semantic_dedup_cells_vectorized",
+    "q183_rolling_distinct_kmv",
+    "q201_temperature_mix",
+    "q199_rrf_fusion",
+    "q178_jl_projection",
+    "q179_last_touch_attribution",
+    "q180_lineitem_correlation",
+    "q181_rendezvous_sharding",
+    "q182_table_checksum",
+    "q184_bitmap_intersection",
+    "q185_dup_graph_triangles",
+    "q186_tfidf_doc_pairs",
+    "q187_ks_distance_pairs",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
