@@ -102,6 +102,13 @@ def main() -> None:
     QUERIES["q01_avg_price_by_dow"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
+    # index-build walls live in their OWN dict (r8 advice): they are
+    # lifecycle/build rows, not registry queries — mixing them into
+    # per_query shifted n_queries/slowest5 vs pre-r8 summaries and broke
+    # tooling that assumes per_query keys are registry names. Their
+    # shuffle-byte attribution keeps the index_build_* keys (the bytes
+    # dicts are window-attributed telemetry, not a registry listing).
+    index_builds: dict[str, float] = {}
     windows: list[tuple[str, float, float]] = []
     t_suite = time.time()
 
@@ -122,11 +129,15 @@ def main() -> None:
         ("index_build_ppjoin", dedup_index.dup_pairs),
         ("index_build_cc", dedup_index.dup_components),
         ("index_build_lsh", dedup_index.dup_pairs_lsh),
+        # the maintained corpus-side signature table (q245's artifact as
+        # the r9 default cross-candidate source) — forced here so q103
+        # measures the warm read path a deployment pays per batch
+        ("index_build_sigs", dedup_index.corpus_signatures),
     ):
         t0 = time.time()
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t1 = time.time()
-        per_query[bname] = round(t1 - t0, 3)
+        index_builds[bname] = round(t1 - t0, 3)
         windows.append((bname, t0, t1))
 
     for name, fn in sorted(QUERIES.items()):
@@ -177,6 +188,7 @@ def main() -> None:
         "shuffle_write_mb": {k: v for k, v in shuffle_write_mb.items() if v > 0},
         "shuffle_read_mb": {k: v for k, v in shuffle_read_mb.items() if v > 0},
         "queries": per_query,
+        "index_builds": index_builds,
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
@@ -187,6 +199,27 @@ def main() -> None:
         "slowest5": slowest5,
     }
     print(json.dumps(payload))
+    # Final COMPACT one-line JSON (r8 verdict item 6): the driver's
+    # BENCH_r*.json keeps only the LAST ~4 KB of stdout and its parse of
+    # that tail landed `parsed: null` in r7/r8 because the tail starts
+    # mid-way through the full line above. Printing a small self-contained
+    # object LAST guarantees the tail always ends with a parseable line
+    # carrying the suite totals.
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(per_query),
+                "suite_shuffle_write_mb": round(sum(shuffle_write_mb.values()), 1),
+                "suite_shuffle_read_mb": round(sum(shuffle_read_mb.values()), 1),
+                "slowest5": slowest5,
+                "index_builds": index_builds,
+            }
+        )
+    )
     # restore full (unpruned) byte dicts + summary-first ordering for the
     # committed human-read artifacts
     payload = {
@@ -198,6 +231,7 @@ def main() -> None:
         "suite_shuffle_write_mb": round(sum(shuffle_write_mb.values()), 1),
         "suite_shuffle_read_mb": round(sum(shuffle_read_mb.values()), 1),
         "slowest5": slowest5,
+        "index_builds": index_builds,
         "queries": per_query,
         "shuffle_write_mb": shuffle_write_mb,
         "shuffle_read_mb": shuffle_read_mb,

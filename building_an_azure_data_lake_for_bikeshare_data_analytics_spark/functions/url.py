@@ -63,9 +63,17 @@ def host_of(url: str | Column) -> Column:
     this, ``https://alice@example.com/x`` and ``https://example.com/x``
     would get different dedup keys), lowercased, ``www.`` prefix
     stripped, default ``:80``/``:443`` port stripped. Non-default ports
-    are KEPT — they address distinct origins."""
+    are KEPT — they address distinct origins.
+
+    The userinfo strip is GREEDY to the last ``@`` (``^.*@``), matching
+    urllib/WHATWG semantics where the hostname is everything after the
+    final ``@`` of the authority — a malformed-but-scrapable
+    ``https://a@b@example.com/x`` canonicalizes to host ``example.com``,
+    not ``b@example.com`` (r8 advice). Safe because the authority capture
+    above already excludes ``/?#``, so the greedy ``.*`` cannot cross
+    into the path."""
     raw = F.regexp_extract(_c(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
-    h = F.regexp_replace(raw, r"^[^@]*@", "")
+    h = F.regexp_replace(raw, r"^.*@", "")
     h = F.lower(h)
     h = F.regexp_replace(h, r"^www\.", "")
     return F.regexp_replace(h, r":(80|443)$", "")

@@ -543,6 +543,7 @@ def incremental_cross_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """The EDGE view of incremental dedup: exact (doc_a, doc_b, jaccard)
     pairs with one endpoint in the new batch and one in the existing
@@ -550,7 +551,18 @@ def incremental_cross_pairs(
     batch (q239). Cost is O(batch x collisions), never corpus x corpus.
 
     ``shingles``: optional pre-built distinct (doc_id, shingle) relation
-    for ``docs_tokens`` (caller handles its persistence)."""
+    for ``docs_tokens`` (caller handles its persistence).
+
+    ``corpus_banded``: optional STORED banded signature table for the
+    existing-corpus side (``banded_signature_table`` output — the q245
+    artifact). When given, this is the DEFAULT deployment path: only the
+    batch's signatures are computed and candidates come from the
+    (band, sig) equi-join against the stored table, eliminating the
+    per-batch corpus-side signature recompute the r8 maintenance soak
+    measured as the update's corpus-proportional byte term (SCALE_NOTES
+    "Maintenance lifecycle soak"). Returns the identical relation either
+    way (pinned in tests/test_signature_maintenance.py) — without it the
+    self-contained recompute path runs as the fallback."""
     tagged = docs_tokens.select("doc_id", "ts", is_new.alias("__new"))
     sh = (
         shingles
@@ -558,6 +570,14 @@ def incremental_cross_pairs(
         else shingle_sets(tagged, shingle_n).localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     side = tagged.select("doc_id", "__new")
+    if corpus_banded is not None:
+        batch_sh = sh.join(
+            side.where(F.col("__new")).select("doc_id"), "doc_id", "left_semi"
+        )
+        batch_banded = _banded_signatures(batch_sh, num_hashes, bands)
+        return cross_pairs_from_signature_table(
+            corpus_banded, batch_banded, sh, threshold
+        )
     return _cross_side_verified_pairs(sh, side, threshold, num_hashes, bands)
 
 
@@ -568,6 +588,7 @@ def incremental_near_dedup(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the production shape:
     yesterday's 100 TB corpus is already deduped; today's crawl must only be
@@ -578,18 +599,31 @@ def incremental_near_dedup(
     batch rows. Returns the batch docs that survive: no existing-corpus doc
     within ``threshold`` Jaccard, as (doc_id, n_shingles).
 
-    Scale shape: ONE signature build over the union (the corpus side's
-    signatures would be precomputed/persisted in production — recomputing
-    here keeps the operator self-contained), LSH band join for candidates,
-    cross-side filter BEFORE the exact-Jaccard verify so corpus-internal
-    collisions cost nothing, then an anti-join to drop matched batch docs.
-    Docs too short to shingle (< shingle_n tokens) carry no dedup evidence
-    and are excluded by contract (both engines drop them identically).
+    Scale shape: with ``corpus_banded`` (the DEFAULT deployment path —
+    q103 passes the maintained session-index artifact,
+    ``plans/dedup_index.corpus_signatures``) only the BATCH's signatures
+    are computed and candidates come from the (band, sig) equi-join
+    against the stored table; without it, ONE signature build over the
+    union keeps the operator self-contained as the fallback. Either way:
+    cross-side candidates only, exact-Jaccard verify on candidates, then
+    an anti-join to drop matched batch docs — identical output (pinned in
+    tests/test_signature_maintenance.py). Docs too short to shingle
+    (< shingle_n tokens) carry no dedup evidence and are excluded by
+    contract (both engines drop them identically).
     """
     tagged = docs_tokens.select("doc_id", "ts", is_new.alias("__new"))
     sh = shingle_sets(tagged, shingle_n).localCheckpoint(storageLevel=_CKPT_LEVEL)
     side = tagged.select("doc_id", "__new")
-    matched = _cross_side_verified_pairs(sh, side, threshold, num_hashes, bands)
+    if corpus_banded is not None:
+        batch_sh = sh.join(
+            side.where(F.col("__new")).select("doc_id"), "doc_id", "left_semi"
+        )
+        batch_banded = _banded_signatures(batch_sh, num_hashes, bands)
+        matched = cross_pairs_from_signature_table(
+            corpus_banded, batch_banded, sh, threshold
+        )
+    else:
+        matched = _cross_side_verified_pairs(sh, side, threshold, num_hashes, bands)
     # either endpoint of a verified cross pair may be the batch doc
     dropped = (
         matched.join(side.select(F.col("doc_id").alias("doc_a"), F.col("__new").alias("na")), "doc_a")

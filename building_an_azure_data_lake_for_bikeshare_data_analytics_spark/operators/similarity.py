@@ -408,11 +408,35 @@ def ivf_topk(
     scores use the same sequential-fold dot as brute force, so the output
     is bit-reproducible (and equals exact top-k whenever every true
     neighbor lands in a probed cell)."""
-    cells = corpus.select(
+    cells = assign_cells(corpus, centroids)
+    return ivf_topk_from_index(cells, queries, centroids, k=k, nprobe=nprobe)
+
+
+def assign_cells(corpus: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Map-only cell assignment: (vec_id, embedding, cell) against
+    centroid literals — the relation a deployment PERSISTS as the IVF
+    index (q246 writes exactly this to the versioned store; appending a
+    batch = assigning the batch's vectors only)."""
+    return corpus.select(
         "vec_id",
         "embedding",
         _argmax_cell(quantize_vec(F.col("embedding")), centroids).alias("cell"),
     )
+
+
+def ivf_topk_from_index(
+    cells: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """The probe half of ``ivf_topk``, against a PRE-ASSIGNED
+    (vec_id, embedding, cell) relation — the maintained-index read path
+    (q246: ``cells`` comes from the versioned store, so a query run pays
+    zero corpus-side assignment compute). ``ivf_topk`` delegates here, so
+    stored-index and recompute paths share every ranking expression —
+    equality is structural, pinned in tests/test_ann_maintenance.py."""
     qscores = F.array(
         *[
             F.struct(s.alias("s"), F.lit(-j).alias("nj"))

@@ -1,0 +1,175 @@
+"""q246 — maintained ANN (IVF) index lifecycle: q245's stored-artifact
+pattern applied to the vector side (r8 verdict item 5).
+
+The IVF heads (q56/q130, the composed PQ stacks) refit or re-assign the
+whole corpus per query run — correct, but not what a deployment does. A
+deployment maintains the cell-assignment table as a STORED artifact
+(faiss's posture: the quantizer is trained once at index build; adds go
+through the trained quantizer), and queries read the stored index:
+
+1. **v1 build** — the coarse quantizer is trained on the EXISTING-corpus
+   side only (the 80% vec-hash split; ``kmeans_fit``'s bounded lowest-id
+   sample, restricted to corpus vectors) and the corpus's cell
+   assignments (vec_id, embedding, cell) are written to the versioned
+   store, with the k centroid vectors in a sibling store. Paid once.
+2. **per-batch append** — the NEW vectors (20% side) are assigned
+   through the STORED centroids (read back from the store — the batch
+   never refits, never re-assigns the corpus) and appended as v2. The
+   per-batch cost is O(batch), zero corpus-side compute.
+3. **query** — the batch's sampled queries probe the stored v2 table
+   (``ivf_topk_from_index``: nprobe best cells per query via the stored
+   centroid literals, equi-join on cell, exact cosine re-rank). The
+   returned rows literally flow through stored parquet.
+
+Because cell assignment is deterministic per vector given the centroids,
+v1 ∪ v2-append equals a from-scratch assignment of the full corpus with
+the same corpus-trained centroids — so the DuckDB oracle replays the
+whole computation exactly (the q56 fit-replay machinery with the
+training sample and query set restricted by the split), and equality
+with the recompute path (plain ``ivf_topk`` over the union) is pinned in
+tests/test_ann_maintenance.py.
+
+Recall vs exact top-k for this probe is the contract q154 pins on the
+LSH side and SCALE_NOTES measures for IVF on the stress corpus; the
+maintained-table path changes none of the ranking math (same Column
+expressions via ``ivf_topk_from_index``), so those measurements carry.
+
+Reference scope note: the reference notebook has no vector surface at
+all (SURVEY.md §2.6) — this head is part of the training-data-pipeline
+extension set.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .base import _t, query
+from .extensions import _DOT, _kmeans_ctes, _kmeans_qprobe_cte
+
+#: vec-side analogue of training._HASH_SQL / _doc_hash — ONE arithmetic,
+#: spelled identically in the Spark Column and the oracle SQL
+_VEC_HASH_SQL = "((vec_id % 100003) * 2654435761) % 1000"
+
+
+def _vec_hash() -> F.Column:
+    return ((F.col("vec_id") % 100003) * F.lit(2654435761)) % 1000
+
+
+def _store_path(spark) -> str:
+    """Per-session ANN-index store root (same convention as q239/q245)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ann_index_{spark.sparkContext.applicationId}",
+    )
+
+
+def _maintained_ivf_oracle(
+    k: int = 8, iters: int = 8, nprobe: int = 3, dim: int = 64, train_rows: int = 100_000
+) -> str:
+    """q56's fit-replay oracle with the maintained-lifecycle split: the
+    Lloyd training sample (``ptr``) is restricted to CORPUS-side vectors
+    (the quantizer a deployment trained at v1 build), assignments cover
+    all vectors (v1 ∪ the deterministic batch append), and the query set
+    is the BATCH's sample — so a green row certifies the stored-index
+    read path value-for-value, including that the batch append equals
+    from-scratch assignment."""
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+    ptr AS MATERIALIZED (
+      SELECT vec_id, qv FROM pts WHERE {_VEC_HASH_SQL} < 800
+      ORDER BY vec_id LIMIT {train_rows}),
+    {_kmeans_ctes(k, iters, dim)},
+    q AS (SELECT vec_id AS query_id, embedding AS qe, qv FROM pts
+          WHERE {_VEC_HASH_SQL} >= 800 AND vec_id % 5 = 0),
+    {_kmeans_qprobe_cte(nprobe, iters, dim)},
+    cand AS (
+      SELECT qp.query_id, e.vec_id AS neighbor_id, qp.qe, e.embedding
+      FROM qprobe qp
+      JOIN asn ON asn.cell = qp.cell
+      JOIN pts e ON e.vec_id = asn.vec_id
+      WHERE e.vec_id <> qp.query_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_DOT.format(a='qe', b='embedding')}
+                   / (sqrt({_DOT.format(a='qe', b='qe')})
+                      * sqrt({_DOT.format(a='embedding', b='embedding')})), 4) AS cos
+      FROM cand)
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    ORDER BY query_id, rnk"""
+
+
+@query(
+    "q246_ann_index_maintenance",
+    _maintained_ivf_oracle(),
+    tags=("similarity", "ivf", "ann", "incremental", "versioned"),
+)
+def q246(spark, sf):
+    """Top-5 IVF neighbors for the batch's sampled queries, read through
+    the MAINTAINED cell-assignment store after the v1-build + batch-append
+    lifecycle. Like q239/q245, plan construction is eager (the store
+    versions are written during construction) — the subject of the query
+    IS the maintained artifact."""
+    from ..operators.similarity import (
+        assign_cells,
+        ivf_topk_from_index,
+        kmeans_fit,
+    )
+    from ..sources.versioned import (
+        read_current,
+        register_cleanup,
+        vacuum,
+        write_version,
+    )
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    is_new = _vec_hash() >= 800
+    corpus, batch = emb.where(~is_new), emb.where(is_new)
+    store = _store_path(spark)
+    cent_store = store + "_centroids"
+    register_cleanup(store)
+    register_cleanup(cent_store)
+
+    # 1) v1: quantizer trained on the corpus side ONLY (kmeans_fit's
+    #    bounded lowest-id driver sample — the faiss posture); corpus
+    #    assignments + the k centroid rows to the store
+    cents = kmeans_fit(corpus, k=8, max_iter=8)
+    write_version(assign_cells(corpus, cents), store)
+    write_version(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, centroid array<bigint>",
+        ),
+        cent_store,
+    )
+
+    # 2) per-batch: assign NEW vectors only, through the STORED centroids
+    #    (bounded collect: exactly k=8 rows — the quantizer, not data)
+    stored_cents = [
+        [int(x) for x in r["centroid"]]
+        for r in read_current(spark, cent_store).orderBy("cell").collect()
+    ]
+    batch_asn = assign_cells(batch, stored_cents)
+    write_version(
+        read_current(spark, store).unionByName(batch_asn), store
+    )
+    vacuum(store, keep=2)
+
+    # 3) query: the batch's sample probes the stored v2 index
+    qs = batch.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    out = ivf_topk_from_index(
+        read_current(spark, store), qs, stored_cents, k=5, nprobe=3
+    )
+    return out.orderBy("query_id", "rnk")

@@ -132,6 +132,28 @@ def dup_pairs_lsh(spark, sf: str) -> DataFrame:
     )
 
 
+def corpus_signatures(spark, sf: str) -> DataFrame:
+    """The maintained LSH signature artifact (doc_id, band, sig) for the
+    EXISTING-corpus side of the q71 hash split (hh < 800 — the shared
+    fixture convention of every incremental head), memoized + persisted.
+
+    This is the session-local form of the q245 stored signature table:
+    the relation a deployment persists NEXT TO the dedup index so
+    per-batch maintenance computes batch signatures only (the
+    corpus-proportional recompute the r8 soak measured in
+    ``incremental_cross_pairs`` — eliminated when this table is passed
+    as ``corpus_banded``). q103 reads it; q239 carries the same artifact
+    through the versioned store end to end."""
+    from ..operators.dedup import banded_signature_table, shingle_sets
+    from .training import _doc_hash
+
+    def build():
+        corpus = _docs_tokens(spark, sf).where(_doc_hash() < 800)
+        return banded_signature_table(shingles=shingle_sets(corpus, 3))
+
+    return _memo(spark, sf, "sigs_corpus", build)
+
+
 def dup_components(spark, sf: str) -> DataFrame:
     """Connected components (doc_id, comp) over ``dup_pairs``, memoized.
     The CC iteration localCheckpoints internally, so persisting the

@@ -10,12 +10,17 @@ Lifecycle the query executes (the actual 100 TB deployment shape):
 
 1. **v1 build** — components over the EXISTING corpus only (the 80%
    hash-split side, q71's split arithmetic), edges from the PPJoin exact
-   kernel; written to the store as version 1.
+   kernel; written to the store as version 1. Alongside it, the corpus's
+   banded SIGNATURE table (doc_id, band, sig) is written to a sibling
+   store — the q245 artifact, persisted with the index so no later batch
+   ever recomputes corpus-side signatures.
 2. **incremental update** — today's batch (the 20% side) contributes
-   ONLY (a) cross-side batch-vs-corpus verified pairs via LSH candidates
-   filtered to cross pairs before the exact verify
-   (``operators/dedup.incremental_cross_pairs`` — O(batch x collisions),
-   never corpus x corpus) and (b) batch-internal pairs. Old connectivity
+   ONLY (a) cross-side batch-vs-corpus verified pairs, candidates from
+   the (band, sig) equi-join of batch signatures against the STORED
+   signature table (``operators/dedup.incremental_cross_pairs`` with
+   ``corpus_banded`` — the r9 default; batch-side signature compute
+   only, O(batch x collisions), never corpus x corpus) and (b)
+   batch-internal pairs. Old connectivity
    enters as the v1 table's STAR EDGES ``(doc_id, comp)`` — the component
    summary replaces the full historical pair relation, which is what
    makes maintenance cheaper than rebuild: the old-edge side shrinks to
@@ -109,12 +114,22 @@ def q239(spark, sf):
         shingle_sets,
     )
     from ..operators.graph import connected_components
-    from ..sources.versioned import read_current, write_version
+    from ..sources.versioned import (
+        read_current,
+        register_cleanup,
+        vacuum,
+        write_version,
+    )
+
+    from ..operators.dedup import banded_signature_table
 
     docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
     is_new = _doc_hash() >= 800
     corpus, batch = docs.where(~is_new), docs.where(is_new)
     store = _store_path(spark)
+    sig_store = store + "_sigs"
+    register_cleanup(store)
+    register_cleanup(sig_store)
 
     # the (doc_id, shingle) relation feeds THREE pair kernels below
     # (corpus-internal, cross-side, batch-internal); tokenize + explode +
@@ -126,7 +141,10 @@ def q239(spark, sf):
     # can never drift from the document-side split (r7 advice)
     sh_new = _doc_hash() >= 800
 
-    # 1) v1: the existing corpus's component table
+    # 1) v1: the existing corpus's component table, plus the corpus's
+    #    banded SIGNATURE table in a sibling store (the q245 artifact —
+    #    persisted with the index, paid once, so step 2 never recomputes
+    #    corpus-side signatures; r8 verdict item 2)
     pairs_v1 = prefix_filter_jaccard_pairs(
         corpus, threshold=0.5, shingles=sh_all.where(~sh_new)
     )
@@ -134,12 +152,19 @@ def q239(spark, sf):
         pairs_v1.select("doc_a", "doc_b"), "doc_a", "doc_b"
     ).select(F.col("id").alias("doc_id"), "comp")
     write_version(comps_v1, store)
+    write_version(banded_signature_table(shingles=sh_all.where(~sh_new)), sig_store)
 
-    # 2) incremental: star edges from the stored v1 + cross + within-batch
+    # 2) incremental: star edges from the stored v1 + cross + within-batch;
+    #    cross candidates probe the STORED signature table — the update's
+    #    only signature compute is the batch's
     old = read_current(spark, store)
     star = old.select(F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b"))
     cross = incremental_cross_pairs(
-        docs, is_new, threshold=0.5, shingles=sh_all
+        docs,
+        is_new,
+        threshold=0.5,
+        shingles=sh_all,
+        corpus_banded=read_current(spark, sig_store),
     ).select("doc_a", "doc_b")
     within = prefix_filter_jaccard_pairs(
         batch, threshold=0.5, shingles=sh_all.where(sh_new)
@@ -148,6 +173,11 @@ def q239(spark, sf):
         star.unionByName(cross).unionByName(within), "doc_a", "doc_b"
     ).select(F.col("id").alias("doc_id"), "comp")
     write_version(comps_v2, store)
+    # bound the stores: every plan construction appends versions
+    # (write_version is eager) — same growth-control as q245 (r8 advice);
+    # keep=2 retains the v1/v2 pair the lifecycle tests read
+    vacuum(store, keep=2)
+    vacuum(sig_store, keep=2)
 
     # 3) census off the maintained table (read_current = the v2 snapshot)
     maintained = read_current(spark, store)

@@ -32,7 +32,8 @@ from . import url_quota  # noqa: F401  (registers q240)
 from . import source_overlap  # noqa: F401  (registers q241)
 from . import corpus_health  # noqa: F401  (registers q242-q243)
 from . import decontamination  # noqa: F401  (registers q244)
-from . import signature_maintenance  # noqa: F401  (registers q245; new modules import LAST — insertion order is registration order)
+from . import signature_maintenance  # noqa: F401  (registers q245)
+from . import ann_maintenance  # noqa: F401  (registers q246; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -46,15 +47,18 @@ from . import signature_maintenance  # noqa: F401  (registers q245; new modules 
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
 # Round-9 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r8 history): no never-driver-gated registrations at
-# round-open, so the aged r4-evidence cohort leads in staleness order —
+# CORRECTNESS_r1..r8 history): the never-driver-gated new-this-round
+# registration leads — q246 (maintained ANN/IVF index lifecycle, r8
+# verdict item 5) — then the aged r4-evidence cohort in staleness order —
 # the ANN/sketch heads q65/q104/q109/q157/q158/q43/q136, the analytics
 # pair q155/q156, the sketch/lakehouse families q159/q168/q165/q167,
 # the vectorized ANN kernels q120/q129/q130, the versioned-store heads
 # q149/q150/q160/q162, ranking/stats q151/q152/q161/q164/q166/q169,
 # the profiling cohort q170-q177, the covariance/semdedup twins
 # q140/q142/q146/q147 — with the tail filled by the next-oldest
-# evidence (r5 cohort: q183/q201/q199/q178-q182/q184-q187). The r8-gated
+# evidence (r5 cohort: q183/q201/q199/q178-q182/q184-q186; q187 rotated
+# off the tail by the q246 insertion — it returns on its staleness
+# clock). The r8-gated
 # heads (q244/q245 and the r3 cohort) rotated off on fresh evidence;
 # they return on their staleness clocks. Deliberately never scheduled:
 # q46/q81 (rows-only sketch values; q134/q136 carry their evidence) and
@@ -71,6 +75,7 @@ from . import signature_maintenance  # noqa: F401  (registers q245; new modules 
 PREFIX_ROUND: int = 9
 
 _PRIORITY: tuple[str, ...] = (
+    "q246_ann_index_maintenance",
     "q65_embedding_dup_pairs_vectorized",
     "q104_quantized_topk",
     "q109_quantized_topk_vectorized",
@@ -120,7 +125,6 @@ _PRIORITY: tuple[str, ...] = (
     "q184_bitmap_intersection",
     "q185_dup_graph_triangles",
     "q186_tfidf_doc_pairs",
-    "q187_ks_distance_pairs",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

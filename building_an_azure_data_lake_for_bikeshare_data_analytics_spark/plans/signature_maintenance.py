@@ -92,10 +92,16 @@ def q245(spark, sf):
         cross_pairs_from_signature_table,
         shingle_sets,
     )
-    from ..sources.versioned import read_current, write_version
+    from ..sources.versioned import (
+        read_current,
+        register_cleanup,
+        vacuum,
+        write_version,
+    )
 
     docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
     store = _store_path(spark)
+    register_cleanup(store)
 
     # one shingle relation feeds signature build AND the exact verify —
     # the same shared-relation discipline as q239
@@ -116,5 +122,10 @@ def q245(spark, sf):
     )
     # append the batch's signatures: the store is ready for the next batch
     write_version(stored.unionByName(batch_banded), store)
+    # each plan CONSTRUCTION appends two versions (write_version is an
+    # eager action) — bound the store so looped/long-lived sessions don't
+    # grow version directories without limit (r8 advice); keep=2 retains
+    # the v1/v2 pair the lifecycle tests read
+    vacuum(store, keep=2)
 
     return verified.orderBy("doc_a", "doc_b")

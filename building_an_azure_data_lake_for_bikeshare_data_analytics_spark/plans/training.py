@@ -681,12 +681,23 @@ def q103(spark, sf):
 
     The production point: re-deduping an append-only corpus from scratch is
     O((N+B)^2)-ish; checking batch-vs-corpus through the persisted LSH
-    index is O(B x collisions). The oracle is the EXHAUSTIVE cross-set
-    Jaccard, so the gate row also certifies cross-side LSH recall."""
+    index is O(B x collisions). Since r9 the corpus side's signatures come
+    from the MAINTAINED index artifact (plans/dedup_index.
+    corpus_signatures — the q245 stored-table lever as the default path),
+    so the batch pays batch-side signature compute only; the recompute
+    path remains incremental_near_dedup's fallback. The oracle is the
+    EXHAUSTIVE cross-set Jaccard, so the gate row also certifies
+    cross-side LSH recall through the stored-table candidates."""
     from ..operators.dedup import incremental_near_dedup
+    from .dedup_index import corpus_signatures
 
     docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
-    return incremental_near_dedup(docs, _doc_hash() >= 800, threshold=0.5)
+    return incremental_near_dedup(
+        docs,
+        _doc_hash() >= 800,
+        threshold=0.5,
+        corpus_banded=corpus_signatures(spark, sf),
+    )
 
 
 @query(

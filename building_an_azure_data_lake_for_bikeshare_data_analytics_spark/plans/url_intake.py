@@ -66,7 +66,7 @@ _URL_SQL = f"""WITH raw AS (
                  regexp_replace(
                      lower(regexp_replace(
                          regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-                         '^[^@]*@', '')),
+                         '^.*@', '')),
                      '^www\\.', ''),
                  ':(80|443)$', '') AS host_c,
              regexp_replace(

@@ -231,3 +231,24 @@ def vacuum(path: str, keep: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(path, f"{_PREFIX}{v}"))
             removed.append(v)
     return removed
+
+
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def register_cleanup(path: str) -> None:
+    """Remove a scratch store directory at interpreter exit (idempotent).
+
+    The per-session maintenance stores (q239's component table, q245's
+    signature table) live under the system temp dir keyed by
+    applicationId; a long-lived host running many sessions would
+    otherwise accumulate one directory per application (r8 advice).
+    Registered lazily by the query that creates the store — real
+    deployments that want the store to PERSIST simply never call this."""
+    if path in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(path)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)

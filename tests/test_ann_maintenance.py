@@ -1,0 +1,125 @@
+"""q246 maintained ANN (IVF) index lifecycle (plans/ann_maintenance.py,
+operators/similarity.assign_cells / ivf_topk_from_index).
+
+Pinned three ways (the house pattern, mirroring test_signature_maintenance):
+(1) the stored-index path returns row-for-row what a from-scratch
+``ivf_topk`` over the union computes with the same corpus-trained
+centroids — the maintenance ≡ recompute contract; (2) the registered
+query matches its fit-replay DuckDB oracle at smoke scale; (3) the store
+actually participates — v1 holds corpus assignments only, v2 the full
+corpus, and the centroid store holds exactly the k quantizer rows.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+    assign_cells,
+    ivf_topk,
+    ivf_topk_from_index,
+    kmeans_fit,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.ann_maintenance import (
+    _vec_hash,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.registry import (
+    ORACLES,
+    QUERIES,
+)
+
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+NAME = "q246_ann_index_maintenance"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _queries(emb):
+    return emb.where((_vec_hash() >= 800) & (F.col("vec_id") % 5 == 0)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+
+
+def test_stored_index_path_equals_recompute_path(spark):
+    """ivf_topk_from_index over (v1-assign ∪ batch-assign) must equal the
+    from-scratch ivf_topk over the union with identical centroids —
+    cell assignment is deterministic per vector, so the maintained table
+    IS the recomputed one."""
+    emb = _emb(spark)
+    corpus = emb.where(_vec_hash() < 800)
+    batch = emb.where(_vec_hash() >= 800)
+    cents = kmeans_fit(corpus, k=8, max_iter=8)
+    qs = _queries(emb)
+
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk(emb, qs, cents, k=5, nprobe=3)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+        .collect()
+    )
+    maintained = assign_cells(corpus, cents).unionByName(assign_cells(batch, cents))
+    got = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(maintained, qs, cents, k=5, nprobe=3)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_q246_matches_duckdb_oracle(spark):
+    got = [tuple(r) for r in QUERIES[NAME](spark, SF_SMOKE).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    orc = [tuple(r) for r in con.execute(ORACLES[NAME]).fetchall()]
+    assert len(got) == len(orc) > 0
+    assert got == orc
+
+
+def test_q246_store_lifecycle(spark):
+    """After a run: the run's first append = corpus assignments only;
+    current = every vector exactly once; centroid store = the k=8
+    quantizer rows; batch vectors appear in current but never in the
+    corpus-only version. Versions are addressed RELATIVE to current
+    (each run appends two and vacuums to keep=2, so absolute version
+    numbers shift when the session has run q246 before)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.ann_maintenance import (
+        _store_path,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        current_version,
+        read_current,
+        read_version,
+    )
+
+    QUERIES[NAME](spark, SF_SMOKE).collect()
+    store = _store_path(spark)
+    emb = _emb(spark)
+    n_all = emb.count()
+    n_corpus = emb.where(_vec_hash() < 800).count()
+
+    v1 = read_version(spark, store, current_version(store) - 1)
+    cur = read_current(spark, store)
+    assert v1.count() == n_corpus
+    assert cur.count() == n_all
+    assert cur.select("vec_id").distinct().count() == n_all
+    batch_ids = {
+        r["vec_id"] for r in emb.where(_vec_hash() >= 800).select("vec_id").collect()
+    }
+    v1_ids = {r["vec_id"] for r in v1.select("vec_id").collect()}
+    assert not (v1_ids & batch_ids)
+
+    cents = read_current(spark, store + "_centroids")
+    assert cents.count() == 8
+    assert {f.name for f in cents.schema.fields} == {"cell", "centroid"}

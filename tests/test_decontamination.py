@@ -10,6 +10,8 @@ ONE Generate over the corpus side regardless of benchmark count.
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pandas as pd
 import pytest
@@ -31,7 +33,12 @@ def _brute_force(path: str) -> list[tuple]:
     docs = pd.read_parquet(path, columns=["doc_id", "source", "text"])
 
     def shingles(text: str, n: int) -> set:
-        ts = text.strip().split()
+        # mirror the ENGINE tokenizer contract exactly (r8 advice):
+        # space-only trim + regex split that PRESERVES empty tokens
+        # (split(trim(text), '\s+') yields '' on leading tab/newline —
+        # the edge test_properties.py pins). Python strip()/split()
+        # would silently diverge on such docs.
+        ts = re.split(r"\s+", text.strip(" "))
         return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
 
     src_counts = docs.groupby("source").size().to_dict()

@@ -13,17 +13,28 @@ REST stage deltas, same discipline as stress_soak):
 * ``build_v1``   — PPJoin pairs over the existing ~80% corpus
   (q71 hash-split arithmetic) + CC + versioned-store write. The cost a
   deployment pays ONCE.
-* ``incr_update``— what a deployment pays PER INGEST BATCH (~20%):
-  v1 star edges (one row per indexed doc, replacing the historical pair
-  relation) ∪ LSH cross candidates (batch x collisions) ∪ batch-internal
-  PPJoin, then CC + store write.
-* ``sig_build_v1`` / ``incr_update_sigstore`` — the q245 lever applied:
-  the corpus side's banded signatures are written to the versioned
-  store ONCE (charged to sig_build_v1, alongside the index build), and
-  the update's cross candidates probe the STORED table with batch-only
-  signature compute (``cross_pairs_from_signature_table``). The delta
-  incr_update − incr_update_sigstore is exactly the corpus-proportional
-  byte term the plain update re-pays per batch.
+* ``sig_build_v1`` — the corpus side's banded signatures written to the
+  versioned store ONCE (alongside the index build; build_v1 +
+  sig_build_v1 together = the engine q239's step-1 cost, attributed
+  separately here).
+* ``incr_update``— what a deployment pays PER INGEST BATCH (~20%),
+  measured through the ENGINE DEFAULT path (r9: q239/q103 probe the
+  stored signature table — ``incremental_cross_pairs`` with
+  ``corpus_banded``): v1 star edges ∪ stored-table cross candidates
+  (batch-only signature compute) ∪ batch-internal PPJoin, then CC +
+  store write.
+* ``incr_update_recompute`` — the pre-r9 fallback (full-union signature
+  recompute per batch). The delta incr_update_recompute − incr_update
+  is exactly the corpus-proportional byte term the q245 lever removed
+  from the per-batch cost.
+* ``upd_*`` sub-phases (r8 verdict item 3) — the default update's bytes
+  attributed stage by stage: ``upd_star_edges`` (v1 component read, one
+  row per indexed doc — O(corpus), tiny constant), ``upd_batch_sigs`` /
+  ``upd_probe`` / ``upd_verify`` / ``upd_within`` (the per-batch kernel
+  proper), ``upd_cc_write`` (CC + the O(corpus) component-table write).
+  The residual super-linearity of the update's byte exponent should sit
+  in the O(corpus) rows, with the kernel rows ~linear — that attribution
+  is the point of the decomposition.
 * ``sig_build_v1_bucketed`` / ``incr_update_sigbucket`` — one lever
   deeper: the stored signatures as a BUCKETED table on (band, sig)
   (``sources/writers.overwrite_bucketed_table``), so the probe join
@@ -70,6 +81,8 @@ def main() -> None:
         tokens,
     )
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        _CKPT_LEVEL,
+        _verify_jaccard,
         banded_signature_table,
         cross_pairs_from_signature_table,
         incremental_cross_pairs,
@@ -85,6 +98,7 @@ def main() -> None:
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import get_spark
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
         read_current,
+        read_version,
         write_version,
     )
 
@@ -133,13 +147,28 @@ def main() -> None:
             write_version(comps_v1, store)
             return {"n": read_current(spark, store).count()}
 
+        def ph_sig_build_v1():
+            write_version(
+                banded_signature_table(shingles=state["sh_all"].where(_doc_hash() < 800)),
+                store + "_sigs",
+            )
+            return {"n": read_current(spark, store + "_sigs").count()}
+
         def ph_incr_update():
+            # the ENGINE DEFAULT (r9): cross candidates probe the STORED
+            # signature table via incremental_cross_pairs(corpus_banded=...)
+            # — exactly the path q239 runs, so this row IS the headline
+            # per-batch cost
             old = read_current(spark, store)
             star = old.select(
                 F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b")
             )
             cross = incremental_cross_pairs(
-                docs, is_new, threshold=0.5, shingles=state["sh_all"]
+                docs,
+                is_new,
+                threshold=0.5,
+                shingles=state["sh_all"],
+                corpus_banded=read_current(spark, store + "_sigs"),
             ).select("doc_a", "doc_b")
             within = prefix_filter_jaccard_pairs(
                 batch, threshold=0.5, shingles=state["sh_all"].where(_doc_hash() >= 800)
@@ -150,24 +179,18 @@ def main() -> None:
             write_version(comps_v2, store)
             return {"n": read_current(spark, store).count()}
 
-        def ph_sig_build_v1():
-            write_version(
-                banded_signature_table(shingles=state["sh_all"].where(_doc_hash() < 800)),
-                store + "_sigs",
-            )
-            return {"n": read_current(spark, store + "_sigs").count()}
-
-        def ph_incr_update_sigstore():
+        def ph_incr_update_recompute():
+            # the pre-r9 fallback: per-batch signature recompute over the
+            # full union — kept as the comparison variant; the delta vs
+            # ph_incr_update is the corpus-proportional term q245 removed.
+            # Appends v3; census reads the newest, identical by the q239
+            # convergence argument either way.
             old = read_current(spark, store)
             star = old.select(
                 F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b")
             )
-            stored_sigs = read_current(spark, store + "_sigs")
-            batch_sigs = banded_signature_table(
-                shingles=state["sh_all"].where(_doc_hash() >= 800)
-            )
-            cross = cross_pairs_from_signature_table(
-                stored_sigs, batch_sigs, state["sh_all"], threshold=0.5
+            cross = incremental_cross_pairs(
+                docs, is_new, threshold=0.5, shingles=state["sh_all"]
             ).select("doc_a", "doc_b")
             within = prefix_filter_jaccard_pairs(
                 batch, threshold=0.5, shingles=state["sh_all"].where(_doc_hash() >= 800)
@@ -175,10 +198,6 @@ def main() -> None:
             comps = connected_components(
                 star.unionByName(cross).unionByName(within), "doc_a", "doc_b"
             ).select(F.col("id").alias("doc_id"), "comp")
-            # mirror ph_incr_update's store write so the two phases are
-            # byte-comparable end to end (this appends v3; census reads
-            # the newest, which is identical by the q239 convergence
-            # argument either way)
             write_version(comps, store)
             return {"n": read_current(spark, store).count()}
 
@@ -253,11 +272,90 @@ def main() -> None:
         rows = {}
         rows["shingles"] = measure(spark, f"shingles {mult}x", ph_shingles)
         rows["build_v1"] = measure(spark, f"build_v1 {mult}x", ph_build_v1)
-        rows["incr_update"] = measure(spark, f"incr_update {mult}x", ph_incr_update)
         rows["sig_build_v1"] = measure(spark, f"sig_build_v1 {mult}x", ph_sig_build_v1)
-        rows["incr_update_sigstore"] = measure(
-            spark, f"incr_update_sigstore {mult}x", ph_incr_update_sigstore
+        rows["incr_update"] = measure(spark, f"incr_update {mult}x", ph_incr_update)
+        rows["incr_update_recompute"] = measure(
+            spark, f"incr_update_recompute {mult}x", ph_incr_update_recompute
         )
+
+        # -- update SUB-PHASE decomposition (r8 verdict item 3): attribute
+        # the default update's bytes to its internal stages so the
+        # per-batch kernel's own exponent is isolated from the two
+        # O(corpus)-with-tiny-constant terms (star edges, component-table
+        # write). Each stage forced independently; upd_probe materializes
+        # the candidate relation so upd_verify times the verify join alone.
+        sub_state: dict = {}
+
+        def ph_upd_star_edges():
+            star = read_version(spark, store, 1).select(
+                F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b")
+            )
+            return {"n": force_full(star)["n"]}
+
+        def ph_upd_batch_sigs():
+            sub_state["batch_sigs"] = banded_signature_table(
+                shingles=state["sh_all"].where(_doc_hash() >= 800)
+            ).localCheckpoint(storageLevel=_CKPT_LEVEL)
+            return {"n": sub_state["batch_sigs"].count()}
+
+        def ph_upd_probe():
+            stored_sigs = read_current(spark, store + "_sigs")
+            b = sub_state["batch_sigs"]
+            a, bb = stored_sigs.alias("a"), b.alias("b")
+            cand = (
+                a.join(
+                    bb,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                )
+                .distinct()
+            )
+            sub_state["cand"] = cand.localCheckpoint(storageLevel=_CKPT_LEVEL)
+            return {"n": sub_state["cand"].count()}
+
+        def ph_upd_verify():
+            v = _verify_jaccard(sub_state["cand"], state["sh_all"], 0.5)
+            return {"n": force_full(v)["n"]}
+
+        def ph_upd_within():
+            w = prefix_filter_jaccard_pairs(
+                batch, threshold=0.5, shingles=state["sh_all"].where(_doc_hash() >= 800)
+            )
+            return {"n": force_full(w)["n"]}
+
+        def ph_upd_cc_write():
+            # CC over (star ∪ cross ∪ within) + the O(corpus) component-
+            # table write, into a throwaway store so the main lifecycle's
+            # version history stays clean
+            star = read_version(spark, store, 1).select(
+                F.col("doc_id").alias("doc_a"), F.col("comp").alias("doc_b")
+            )
+            cross = _verify_jaccard(
+                sub_state["cand"], state["sh_all"], 0.5
+            ).select("doc_a", "doc_b")
+            within = prefix_filter_jaccard_pairs(
+                batch, threshold=0.5, shingles=state["sh_all"].where(_doc_hash() >= 800)
+            ).select("doc_a", "doc_b")
+            comps = connected_components(
+                star.unionByName(cross).unionByName(within), "doc_a", "doc_b"
+            ).select(F.col("id").alias("doc_id"), "comp")
+            write_version(comps, store + "_subphase")
+            return {"n": read_current(spark, store + "_subphase").count()}
+
+        for sub, fn in (
+            ("upd_star_edges", ph_upd_star_edges),
+            ("upd_batch_sigs", ph_upd_batch_sigs),
+            ("upd_probe", ph_upd_probe),
+            ("upd_verify", ph_upd_verify),
+            ("upd_within", ph_upd_within),
+            ("upd_cc_write", ph_upd_cc_write),
+        ):
+            rows[sub] = measure(spark, f"{sub} {mult}x", fn)
         rows["sig_build_v1_bucketed"] = measure(
             spark, f"sig_build_v1_bucketed {mult}x", ph_sig_build_v1_bucketed
         )
@@ -267,9 +365,12 @@ def main() -> None:
         rows["census_read"] = measure(spark, f"census_read {mult}x", ph_census_read)
         rows["rebuild_full"] = measure(spark, f"rebuild_full {mult}x", ph_rebuild_full)
         state["sh_all"].unpersist()
+        for k in ("batch_sigs", "cand"):
+            if k in sub_state:
+                sub_state[k].unpersist()
 
         rb = rows["rebuild_full"]
-        for label in ("incr_update", "incr_update_sigstore", "incr_update_sigbucket"):
+        for label in ("incr_update", "incr_update_recompute", "incr_update_sigbucket"):
             ru = rows[label]
             print(
                 f"  -> {label}/rebuild ratio {mult}x: wall "
@@ -285,9 +386,15 @@ def main() -> None:
     for ph in (
         "shingles",
         "build_v1",
-        "incr_update",
         "sig_build_v1",
-        "incr_update_sigstore",
+        "incr_update",
+        "incr_update_recompute",
+        "upd_star_edges",
+        "upd_batch_sigs",
+        "upd_probe",
+        "upd_verify",
+        "upd_within",
+        "upd_cc_write",
         "sig_build_v1_bucketed",
         "incr_update_sigbucket",
         "census_read",
