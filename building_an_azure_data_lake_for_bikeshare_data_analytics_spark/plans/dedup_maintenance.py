@@ -35,16 +35,16 @@ corpus with the exhaustive quadratic join + recursive CTE, so a green
 row certifies that incremental maintenance converged to the from-scratch
 answer — the invariant that lets a production pipeline never rebuild.
 
-Measured CHEAPER, not just correct (r8 soak,
+Measured CHEAPER, not just correct (r9 soak,
 ``tools/stress_maintenance.py``, SCALE_NOTES "Maintenance lifecycle
-soak"): at 1M docs the incremental update costs **0.10x the rebuild's
-wall and 0.45x its shuffle bytes** (61 s / 9.6 GB vs 605 s / 21.6 GB),
-and the update's wall exponent across 100k -> 1M is 0.54 vs the
-rebuild's 1.31 — the gap widens every decade, exactly the star-edge
-prediction (update scales with batch + components, not corpus). The
-update's remaining corpus-proportional term is the cross-candidate
-MinHash recompute; maintaining the signature/band table alongside the
-index is the identified lever to make bytes batch-proportional too.
+soak (r9)"): with the stored signature table as the default candidate
+source, at 1M docs the per-batch update costs **0.19x the rebuild's
+write bytes** (4.1 vs 21.7 GB wr; the pre-r9 recompute fallback paid
+0.40x) with byte exponent 1.03 across 100k -> 1M — batch-proportional.
+The signature table build (3.8 GB wr) is paid ONCE with the index. The
+sub-phase decomposition shows the signature kernel exactly linear
+(0.99-1.00) and the residual in the pair-structure stages
+(verify/within/CC, 1.10-1.18) — O(pairs), not O(corpus).
 
 Like the other iterative/CC queries, plan construction is eager (CC
 rounds localCheckpoint; the store versions are written during
