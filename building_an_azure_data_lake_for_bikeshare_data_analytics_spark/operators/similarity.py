@@ -1237,6 +1237,38 @@ def ivf_topk_vectorized(
     local top-k. Wall-clock at stress scale is minutes -> seconds
     (SCALE_NOTES); the candidate FRACTION (nprobe/k cells) is what
     transfers to 100 TB."""
+    return _ivf_topk_vectorized_impl(
+        corpus, queries, centroids, k, nprobe, stored_cells=False
+    )
+
+
+def ivf_topk_from_index_vectorized(
+    cells: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """``ivf_topk_vectorized`` against a PRE-ASSIGNED (vec_id, embedding,
+    cell) relation — the maintained-index deployment read path (q246's
+    stored table through the BLAS kernel): the per-batch cell argmax is
+    skipped entirely because the stored column IS the assignment, so a
+    query run pays masking + one matmul per Arrow batch and nothing
+    else. Row-equal to the fold ``ivf_topk_from_index`` by the same twin
+    contract as q130<->q56 (pinned in tests/test_ann_maintenance.py)."""
+    return _ivf_topk_vectorized_impl(
+        cells, queries, centroids, k, nprobe, stored_cells=True
+    )
+
+
+def _ivf_topk_vectorized_impl(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int,
+    nprobe: int,
+    stored_cells: bool,
+) -> DataFrame:
     import numpy as np
 
     probe = queries.select("query_id", "qe").limit(_MAX_DRIVER_QUERIES + 1).collect()
@@ -1246,6 +1278,8 @@ def ivf_topk_vectorized(
             "shard the query table for fact-sized query sets."
         )
     if not probe:
+        if stored_cells:
+            return ivf_topk_from_index(corpus, queries, centroids, k, nprobe)
         return ivf_topk(corpus, queries, centroids, k, nprobe)
     cents = np.array(centroids, dtype=np.int64)
     ncells = cents.shape[0]
@@ -1269,8 +1303,12 @@ def ivf_topk_vectorized(
             if pdf.empty:
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            X = np.floor(E * float(QUANT_SCALE)).astype(np.int64)
-            cell = ((X @ cents.T).astype(np.float64) / cnsq_sqrt[None, :]).argmax(axis=1)
+            if stored_cells:
+                # the maintained table carries the assignment — no argmax
+                cell = pdf["cell"].to_numpy(dtype=np.int64)
+            else:
+                X = np.floor(E * float(QUANT_SCALE)).astype(np.int64)
+                cell = ((X @ cents.T).astype(np.float64) / cnsq_sqrt[None, :]).argmax(axis=1)
             en = np.linalg.norm(E, axis=1)
             # dot-then-divide + half-away round — q64's recipe (see
             # _round4_half_away for the cross-engine rounding contract)
@@ -1290,7 +1328,8 @@ def ivf_topk_vectorized(
                 out_c.extend(col[order])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
 
-    cands = corpus.select("vec_id", "embedding").mapInPandas(
+    in_cols = ["vec_id", "embedding", "cell"] if stored_cells else ["vec_id", "embedding"]
+    cands = corpus.select(*in_cols).mapInPandas(
         part, "query_id long, neighbor_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -17,9 +17,14 @@ through the trained quantizer), and queries read the stored index:
    never refits, never re-assigns the corpus) and appended as v2. The
    per-batch cost is O(batch), zero corpus-side compute.
 3. **query** — the batch's sampled queries probe the stored v2 table
-   (``ivf_topk_from_index``: nprobe best cells per query via the stored
-   centroid literals, equi-join on cell, exact cosine re-rank). The
-   returned rows literally flow through stored parquet.
+   through the BLAS deployment kernel
+   (``ivf_topk_from_index_vectorized``: nprobe best cells per query via
+   the stored centroids, per-Arrow-batch masked matmul — the stored
+   ``cell`` column skips assignment compute entirely — exact cosine
+   re-rank). The returned rows literally flow through stored parquet;
+   the fold twin ``ivf_topk_from_index`` carries the same semantics and
+   is row-equal (tests/test_ann_maintenance.py, the q130<->q56 twin
+   contract).
 
 Because cell assignment is deterministic per vector given the centroids,
 v1 ∪ v2-append equals a from-scratch assignment of the full corpus with
@@ -122,7 +127,7 @@ def q246(spark, sf):
     IS the maintained artifact."""
     from ..operators.similarity import (
         assign_cells,
-        ivf_topk_from_index,
+        ivf_topk_from_index_vectorized,
         kmeans_fit,
     )
     from ..sources.versioned import (
@@ -165,11 +170,14 @@ def q246(spark, sf):
     )
     vacuum(store, keep=2)
 
-    # 3) query: the batch's sample probes the stored v2 index
+    # 3) query: the batch's sample probes the stored v2 index through the
+    #    BLAS deployment kernel (the stored cell column skips assignment
+    #    entirely; row-equal to the oracle-carrying fold twin — the
+    #    q130<->q56 contract, pinned in tests/test_ann_maintenance.py)
     qs = batch.where(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    out = ivf_topk_from_index(
+    out = ivf_topk_from_index_vectorized(
         read_current(spark, store), qs, stored_cents, k=5, nprobe=3
     )
     return out.orderBy("query_id", "rnk")

@@ -123,3 +123,34 @@ def test_q246_store_lifecycle(spark):
     cents = read_current(spark, store + "_centroids")
     assert cents.count() == 8
     assert {f.name for f in cents.schema.fields} == {"cell", "centroid"}
+
+
+def test_vectorized_index_probe_equals_fold(spark):
+    """ivf_topk_from_index_vectorized (the BLAS deployment read path over
+    the stored table) must be row-equal to the fold ivf_topk_from_index —
+    the q130<->q56 twin contract extended to the maintained-index probe."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        ivf_topk_from_index_vectorized,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.where(_vec_hash() < 800)
+    batch = emb.where(_vec_hash() >= 800)
+    cents = kmeans_fit(corpus, k=8, max_iter=8)
+    cells = assign_cells(corpus, cents).unionByName(assign_cells(batch, cents))
+    qs = _queries(emb)
+
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index(cells, qs, cents, k=5, nprobe=3)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_topk_from_index_vectorized(cells, qs, cents, k=5, nprobe=3)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
