@@ -1149,16 +1149,53 @@ def ivf_pq_rerank_topk(
     tie-breaks, so the composed output is value-checkable cross-engine —
     q125's DuckDB oracle replays BOTH fits (every KMeans and Lloyd
     codebook iteration) and the probe/prune/re-rank pipeline."""
+    index = ivf_pq_index(corpus, centroids, codebooks)
+    return ivf_pq_rerank_from_index(
+        index, corpus, queries, centroids, codebooks, k, nprobe, rerank_from
+    )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+) -> DataFrame:
+    """ONE map-only pass over the corpus emitting (vec_id, cell, code) —
+    the IVF-PQ index relation a deployment PERSISTS (q247 writes exactly
+    this to the versioned store; appending a batch = indexing the batch's
+    vectors only). At 100 TB this replaces the float corpus with a
+    ~1.5 TB code table partitioned by cell."""
     sub = len(codebooks[0][0])
     qv = quantize_vec(F.col("embedding"))
     codes = F.array(
         *[_pq_code(F.slice(qv, s * sub + 1, sub), cb) for s, cb in enumerate(codebooks)]
     )
-    index = corpus.select(
+    return corpus.select(
         "vec_id",
         _argmax_cell(qv, centroids).alias("cell"),
         codes.alias("code"),
     )
+
+
+def ivf_pq_rerank_from_index(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 3,
+    rerank_from: int = 20,
+) -> DataFrame:
+    """The probe -> ADC prune -> exact re-rank half of
+    ``ivf_pq_rerank_topk``, against a PRE-BUILT (vec_id, cell, code)
+    relation — the maintained-index read path (q247: ``index`` comes from
+    the versioned store, so a query run reads codes, never encodes).
+    ``corpus`` supplies raw embeddings for the re-rank only (the faiss
+    refine posture: codes in the index, floats stay in the lake and only
+    survivors' rows are read). ``ivf_pq_rerank_topk`` delegates here, so
+    stored-index and recompute paths share every ranking expression."""
+    sub = len(codebooks[0][0])
     qqv = quantize_vec(F.col("qe"))
     tbl = F.array(
         *[

@@ -1,5 +1,7 @@
-"""q246 — maintained ANN (IVF) index lifecycle: q245's stored-artifact
-pattern applied to the vector side (r8 verdict item 5).
+"""q246/q247 — maintained ANN index lifecycles: q245's stored-artifact
+pattern applied to the vector side (r8 verdict item 5). q246 maintains
+the IVF cell-assignment table; q247 the compressed IVF-PQ code table
+(see its docstring below).
 
 The IVF heads (q56/q130, the composed PQ stacks) refit or re-assign the
 whole corpus per query run — correct, but not what a deployment does. A
@@ -179,5 +181,147 @@ def q246(spark, sf):
     )
     out = ivf_topk_from_index_vectorized(
         read_current(spark, store), qs, stored_cents, k=5, nprobe=3
+    )
+    return out.orderBy("query_id", "rnk")
+
+
+def _maintained_ivf_pq_oracle(
+    kcells: int = 8, kmeans_iters: int = 8, nprobe: int = 3,
+    m: int = 4, ksub: int = 8, pq_iters: int = 4, dim: int = 64,
+    k: int = 5, train_rows: int = 100_000, rerank_from: int = 20,
+) -> str:
+    """q125's composed double-fit-replay oracle with the maintained split:
+    BOTH fits (coarse KMeans + all m PQ codebooks) train on the
+    CORPUS-side sample, the encode/assignment covers all vectors (v1 ∪
+    the deterministic batch append), queries are the batch's sample —
+    certifying the stored-codes read path value-for-value."""
+    from .curation import _pq_adc_pair_sql, _pq_ctes, _pq_oracle_tail
+
+    adc_terms, enc_joins, cb_joins = _pq_adc_pair_sql(m, pq_iters, dim, qref="qq")
+    return f"""WITH pts AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+    ptr AS MATERIALIZED (
+      SELECT vec_id, qv FROM pts WHERE {_VEC_HASH_SQL} < 800
+      ORDER BY vec_id LIMIT {train_rows}),
+    {_kmeans_ctes(kcells, kmeans_iters, dim)},
+    {_pq_ctes(m, ksub, pq_iters, dim)},
+    q AS (SELECT vec_id AS query_id, embedding AS qe, qv FROM pts
+          WHERE {_VEC_HASH_SQL} >= 800 AND vec_id % 5 = 0),
+    {_kmeans_qprobe_cte(nprobe, kmeans_iters, dim)},
+    p AS (
+      SELECT qp.query_id, e0.vec_id AS neighbor_id, ({adc_terms}) AS adc
+      FROM qprobe qp
+      JOIN q qq ON qq.query_id = qp.query_id
+      JOIN asn ON asn.cell = qp.cell
+      JOIN e0 ON e0.vec_id = asn.vec_id AND e0.vec_id <> qp.query_id
+      {enc_joins}
+      {cb_joins})
+    {_pq_oracle_tail(k, rerank_from)}
+    ORDER BY query_id, rnk"""
+
+
+def _pq_store_path(spark) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_annpq_index_{spark.sparkContext.applicationId}",
+    )
+
+
+@query(
+    "q247_ivf_pq_index_maintenance",
+    _maintained_ivf_pq_oracle(),
+    tags=("similarity", "ivf", "pq", "incremental", "versioned"),
+)
+def q247(spark, sf):
+    """q246's lifecycle for the COMPRESSED index (faiss IVF8,PQ4 shape):
+    the (vec_id, cell, code) table as the maintained store artifact.
+
+    1. v1 — coarse quantizer AND all m PQ codebooks trained on the
+       corpus side only (bounded driver samples); the corpus's codes
+       written to the store, centroids + codebooks to sibling stores.
+       At 100 TB this is the one full pass that turns the float corpus
+       into a ~1.5 TB code table — paid once.
+    2. per-batch — the NEW vectors are assigned + encoded through the
+       STORED centroid/codebook tables (bounded collects: 8 + m*ksub=32
+       rows — the quantizers, not data) and appended as v2. O(batch),
+       zero corpus-side compute, no refit (the faiss add() posture).
+    3. query — the batch's sample probes the stored code table
+       (ivf_pq_rerank_from_index: broadcast probe join on cell, exact
+       integer ADC prune to rerank_from, exact cosine re-rank against
+       raw embeddings — only survivors' floats are ever read).
+
+    Oracle: the composed double-fit replay restricted by the split.
+    Equality with the recompute path (ivf_pq_rerank_topk with the same
+    corpus-trained fits) is pinned in tests/test_ann_maintenance.py."""
+    from ..operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_rerank_from_index,
+        kmeans_fit,
+        pq_fit,
+    )
+    from ..sources.versioned import (
+        read_current,
+        register_cleanup,
+        vacuum,
+        write_version,
+    )
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    is_new = _vec_hash() >= 800
+    corpus, batch = emb.where(~is_new), emb.where(is_new)
+    store = _pq_store_path(spark)
+    cent_store = store + "_centroids"
+    book_store = store + "_codebooks"
+    for p in (store, cent_store, book_store):
+        register_cleanup(p)
+
+    # 1) v1: both quantizers trained on the corpus side; codes + the two
+    #    quantizer tables to the store
+    cents = kmeans_fit(corpus, k=8, max_iter=8)
+    books = pq_fit(corpus, m=4, ksub=8, max_iter=4)
+    write_version(ivf_pq_index(corpus, cents, books), store)
+    write_version(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, centroid array<bigint>",
+        ),
+        cent_store,
+    )
+    write_version(
+        spark.createDataFrame(
+            [(s, c, list(v)) for s, cb in enumerate(books) for c, v in enumerate(cb)],
+            "sub int, code int, vec array<bigint>",
+        ),
+        book_store,
+    )
+
+    # 2) per-batch: assign + encode NEW vectors through the stored tables
+    stored_cents = [
+        [int(x) for x in r["centroid"]]
+        for r in read_current(spark, cent_store).orderBy("cell").collect()
+    ]
+    book_rows = read_current(spark, book_store).orderBy("sub", "code").collect()
+    m = max(r["sub"] for r in book_rows) + 1
+    stored_books = [
+        [[int(x) for x in r["vec"]] for r in book_rows if r["sub"] == s]
+        for s in range(m)
+    ]
+    write_version(
+        read_current(spark, store).unionByName(
+            ivf_pq_index(batch, stored_cents, stored_books)
+        ),
+        store,
+    )
+    vacuum(store, keep=2)
+
+    # 3) query: stored codes probe + exact re-rank against raw embeddings
+    qs = batch.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    out = ivf_pq_rerank_from_index(
+        read_current(spark, store), emb, qs, stored_cents, stored_books,
+        k=5, nprobe=3, rerank_from=20,
     )
     return out.orderBy("query_id", "rnk")

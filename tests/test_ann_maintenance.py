@@ -154,3 +154,88 @@ def test_vectorized_index_probe_equals_fold(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_q247_stored_codes_equal_recompute(spark):
+    """q247's face: ivf_pq_rerank_from_index over (v1-index ∪ batch-index)
+    must equal the from-scratch ivf_pq_rerank_topk with the same
+    corpus-trained fits — assignment and PQ encode are deterministic per
+    vector, so the maintained code table IS the recomputed one."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_rerank_from_index,
+        ivf_pq_rerank_topk,
+        pq_fit,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.where(_vec_hash() < 800)
+    batch = emb.where(_vec_hash() >= 800)
+    cents = kmeans_fit(corpus, k=8, max_iter=8)
+    books = pq_fit(corpus, m=4, ksub=8, max_iter=4)
+    qs = _queries(emb)
+
+    want = sorted(
+        tuple(r)
+        for r in ivf_pq_rerank_topk(emb, qs, cents, books, k=5, nprobe=3, rerank_from=20)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+        .collect()
+    )
+    maintained = ivf_pq_index(corpus, cents, books).unionByName(
+        ivf_pq_index(batch, cents, books)
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_pq_rerank_from_index(
+            maintained, emb, qs, cents, books, k=5, nprobe=3, rerank_from=20
+        )
+        .select("query_id", "neighbor_id", "cos", "rnk")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_q247_matches_duckdb_oracle(spark):
+    name = "q247_ivf_pq_index_maintenance"
+    got = [tuple(r) for r in QUERIES[name](spark, SF_SMOKE).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    orc = [tuple(r) for r in con.execute(ORACLES[name]).fetchall()]
+    assert len(got) == len(orc) > 0
+    assert got == orc
+
+
+def test_q247_store_lifecycle(spark):
+    """The code store's current version covers every vector exactly once
+    with m=4 codes each; the codebook store holds m*ksub=32 rows; batch
+    vectors never appear in the corpus-only version."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.ann_maintenance import (
+        _pq_store_path,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        current_version,
+        read_current,
+        read_version,
+    )
+
+    QUERIES["q247_ivf_pq_index_maintenance"](spark, SF_SMOKE).collect()
+    store = _pq_store_path(spark)
+    emb = _emb(spark)
+    n_all = emb.count()
+    n_corpus = emb.where(_vec_hash() < 800).count()
+
+    v1 = read_version(spark, store, current_version(store) - 1)
+    cur = read_current(spark, store)
+    assert v1.count() == n_corpus
+    assert cur.count() == n_all
+    assert cur.where(F.size("code") != 4).count() == 0
+    batch_ids = {
+        r["vec_id"] for r in emb.where(_vec_hash() >= 800).select("vec_id").collect()
+    }
+    assert not ({r["vec_id"] for r in v1.select("vec_id").collect()} & batch_ids)
+    books = read_current(spark, store + "_codebooks")
+    assert books.count() == 32
