@@ -1,0 +1,165 @@
+"""q248 — maintained lexical (inverted) index: the stored-artifact
+lifecycle (q239/q245 dedup, q246/q247 vectors) applied to BM25 retrieval.
+
+A search deployment never re-tokenizes its corpus per batch or per
+query — it maintains the inverted index (the Lucene/Elasticsearch
+posture, here in Spark-table form):
+
+1. **v1 build** — the existing corpus (80% doc-hash split) is tokenized
+   ONCE; the full term-frequency relation (doc_id, tok, f) and the
+   doc-length table (doc_id, len) are written to the versioned store.
+   This is the expensive full-corpus pass, paid with the index.
+2. **per-batch append** — today's batch (20% side) is tokenized alone —
+   O(batch), zero corpus-side work — and its tf/len rows are APPENDED.
+   Term statistics are additive (df = distinct-doc count per term over
+   the union; N/avgdl from the union length table), so the maintained
+   index equals a from-scratch build exactly, by set algebra rather
+   than by luck.
+3. **query** — the per-batch retrieval question a crawl pipeline asks:
+   score the NEW docs against CORPUS-WIDE statistics (df/N/avgdl read
+   from the maintained index — the batch alone could not provide them)
+   and return the batch's top 20 by BM25 (q151's Robertson k1/b scorer,
+   same fixed query-term set). Zero tokenization at query time: every
+   input relation is a stored-table aggregate.
+
+Oracle: from-scratch BM25 over the FULL corpus (q151's CTE machinery —
+tokenize everything, global df/N/avgdl) with the final ranking
+restricted to batch docs — so a green row certifies both the maintained
+statistics and the batch scoring, end to end through stored parquet.
+
+Scale shape: tf/len appends are map-side (tokenize + two hash aggs over
+the BATCH only); df and the corpus stats are tiny broadcast aggregates
+over the stored index filtered to the query terms; the top-20 is
+TakeOrderedAndProject. At 100 TB the stored tf relation IS the inverted
+index (partitioned by term prefix in a real lake); the point this head
+pins is that no stage ever re-reads the corpus text.
+
+Reference scope note: the reference notebook has no text surface at all
+(SURVEY.md §2.6) — training-data-pipeline extension set.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..functions.text import tokens
+from .base import _t, query
+from .lakehouse import _BM25_B, _BM25_K1, _BM25_TERMS
+from .training import _HASH_SQL, _doc_hash
+
+
+def _store_path(spark) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_lex_index_{spark.sparkContext.applicationId}",
+    )
+
+
+def _batch_bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return rf"""
+WITH tk AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents),
+dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+stats AS (SELECT count(*) AS nd, sum(len) AS total_len FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS f
+       FROM tk WHERE tok IN ({terms}) GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(round(
+             ln(1 + (nd - df + 0.5) / (df + 0.5))
+             * (f * ({k1} + 1))
+             / (f + {k1} * (1 - {b} + {b} * len
+                            / (CAST(total_len AS DOUBLE) / nd))), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE {_HASH_SQL.replace("doc_id", "tf.doc_id")} >= 800
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS bm25
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM scored)
+WHERE rnk <= 20
+ORDER BY bm25 DESC, doc_id"""
+
+
+@query(
+    "q248_lexical_index_maintenance",
+    _batch_bm25_oracle(),
+    tags=("retrieval", "bm25", "text", "incremental", "versioned"),
+)
+def q248(spark, sf):
+    """Top-20 BATCH docs by BM25 under corpus-wide maintained statistics,
+    read entirely from the stored inverted index after the v1-build +
+    batch-append lifecycle. Like the other maintenance heads, plan
+    construction is eager — the store IS the subject."""
+    from ..sources.versioned import (
+        read_current,
+        register_cleanup,
+        vacuum,
+        write_version,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    is_new = _doc_hash() >= 800
+    store = _store_path(spark)
+    tf_store, dl_store = store + "_tf", store + "_dl"
+    register_cleanup(tf_store)
+    register_cleanup(dl_store)
+
+    def _index_rows(side):
+        tk = side.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        tf = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+        dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+        return tf, dl
+
+    # 1) v1: tokenize the existing corpus ONCE; tf + len tables to store
+    tf_v1, dl_v1 = _index_rows(docs.where(~is_new))
+    write_version(tf_v1, tf_store)
+    write_version(dl_v1, dl_store)
+
+    # 2) per-batch: tokenize the batch ALONE, append its rows
+    tf_b, dl_b = _index_rows(docs.where(is_new))
+    write_version(read_current(spark, tf_store).unionByName(tf_b), tf_store)
+    write_version(read_current(spark, dl_store).unionByName(dl_b), dl_store)
+    vacuum(tf_store, keep=2)
+    vacuum(dl_store, keep=2)
+
+    # 3) query: batch docs scored with MAINTAINED corpus-wide statistics —
+    #    every relation below reads stored parquet; no tokenization here
+    tf = read_current(spark, tf_store).where(F.col("tok").isin(*_BM25_TERMS))
+    dl = read_current(spark, dl_store)
+    stats = dl.agg(F.count(F.lit(1)).alias("nd"), F.sum("len").alias("total_len"))
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    avglen = F.col("total_len").cast("double") / F.col("nd")
+    idf = F.log(1 + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfpart = (F.col("f") * (_BM25_K1 + 1)) / (
+        F.col("f") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("len") / avglen)
+    )
+    scored = (
+        tf.where(_doc_hash() >= 800)
+        .join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.round(idf * tfpart, 6).cast(DecimalType(18, 6)))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+    )

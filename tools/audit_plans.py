@@ -51,6 +51,7 @@ BNLJ_WHITELIST = {
     "q145_logreg_probe": "1-row fitted-weight vector",
     "q148_char_entropy": "bounded alphabet spine",
     "q151_bm25_topk": "1-row corpus stats (N, avgdl)",
+    "q248_lexical_index_maintenance": "1-row corpus stats (N, avgdl) from the maintained len table",
     "q152_value_trend_ols": "1-row per-group power sums via join",
     "q153_minhash_jaccard_estimate": "1-row calibration totals",
     "q156_retention_cohorts": "bounded cohort-week spine",
