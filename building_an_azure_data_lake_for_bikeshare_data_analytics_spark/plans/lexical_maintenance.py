@@ -29,8 +29,9 @@ statistics and the batch scoring, end to end through stored parquet.
 
 Scale shape: tf/len appends are map-side (tokenize + two hash aggs over
 the BATCH only); df and the corpus stats are tiny broadcast aggregates
-over the stored index filtered to the query terms; the top-20 is
-TakeOrderedAndProject. At 100 TB the stored tf relation IS the inverted
+over the stored index filtered to the query terms; the doc-length table
+is O(corpus) so it is filtered to the batch docs being scored and
+equi-joined, never broadcast; the top-20 is TakeOrderedAndProject. At 100 TB the stored tf relation IS the inverted
 index (partitioned by term prefix in a real lake); the point this head
 pins is that no stage ever re-reads the corpus text.
 
@@ -56,6 +57,56 @@ def _store_path(spark) -> str:
     return os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_lex_index_{spark.sparkContext.applicationId}",
+    )
+
+
+def index_rows(side):
+    """Tokenize ONE side (corpus at v1 build, the batch at append) into
+    the two inverted-index relations: term frequencies (doc_id, tok, f)
+    and doc lengths (doc_id, len). Map-side tokenize + two hash aggs
+    over that side only — the whole point of the maintained index is
+    that this never runs over the corpus per batch."""
+    tk = side.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    return tf, dl
+
+
+def batch_bm25_from_tables(tf_all, dl_all):
+    """Top-20 BATCH docs by BM25 under corpus-wide statistics, computed
+    entirely from the tf/dl relations (stored parquet in q248; freshly
+    derived in the soak's no-index twin). No tokenization here.
+
+    Scale shape: dfreq (|query terms| rows) and stats (1 row) broadcast;
+    dl is O(corpus) so it is filtered to the batch docs being scored and
+    equi-joined, never broadcast."""
+    tf = tf_all.where(F.col("tok").isin(*_BM25_TERMS))
+    stats = dl_all.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("len").alias("total_len")
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    avglen = F.col("total_len").cast("double") / F.col("nd")
+    idf = F.log(1 + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfpart = (F.col("f") * (_BM25_K1 + 1)) / (
+        F.col("f") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("len") / avglen)
+    )
+    scored = (
+        tf.where(_doc_hash() >= 800)
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl_all.where(_doc_hash() >= 800), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.round(idf * tfpart, 6).cast(DecimalType(18, 6)))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
     )
 
 
@@ -116,50 +167,20 @@ def q248(spark, sf):
     register_cleanup(tf_store)
     register_cleanup(dl_store)
 
-    def _index_rows(side):
-        tk = side.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        tf = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
-        dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-        return tf, dl
-
     # 1) v1: tokenize the existing corpus ONCE; tf + len tables to store
-    tf_v1, dl_v1 = _index_rows(docs.where(~is_new))
+    tf_v1, dl_v1 = index_rows(docs.where(~is_new))
     write_version(tf_v1, tf_store)
     write_version(dl_v1, dl_store)
 
     # 2) per-batch: tokenize the batch ALONE, append its rows
-    tf_b, dl_b = _index_rows(docs.where(is_new))
+    tf_b, dl_b = index_rows(docs.where(is_new))
     write_version(read_current(spark, tf_store).unionByName(tf_b), tf_store)
     write_version(read_current(spark, dl_store).unionByName(dl_b), dl_store)
     vacuum(tf_store, keep=2)
     vacuum(dl_store, keep=2)
 
     # 3) query: batch docs scored with MAINTAINED corpus-wide statistics —
-    #    every relation below reads stored parquet; no tokenization here
-    tf = read_current(spark, tf_store).where(F.col("tok").isin(*_BM25_TERMS))
-    dl = read_current(spark, dl_store)
-    stats = dl.agg(F.count(F.lit(1)).alias("nd"), F.sum("len").alias("total_len"))
-    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    avglen = F.col("total_len").cast("double") / F.col("nd")
-    idf = F.log(1 + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tfpart = (F.col("f") * (_BM25_K1 + 1)) / (
-        F.col("f") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("len") / avglen)
-    )
-    scored = (
-        tf.where(_doc_hash() >= 800)
-        .join(F.broadcast(dfreq), "tok")
-        .join(F.broadcast(dl), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.round(idf * tfpart, 6).cast(DecimalType(18, 6)))
-            .cast("double")
-            .alias("score")
-        )
-    )
-    return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
-        .select("doc_id", F.round("score", 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+    #    every relation reads stored parquet; no tokenization here
+    return batch_bm25_from_tables(
+        read_current(spark, tf_store), read_current(spark, dl_store)
     )

@@ -31,10 +31,11 @@ from . import dedup_maintenance  # noqa: F401  (registers q239)
 from . import url_quota  # noqa: F401  (registers q240)
 from . import source_overlap  # noqa: F401  (registers q241)
 from . import corpus_health  # noqa: F401  (registers q242-q243)
-from . import decontamination  # noqa: F401  (registers q244)
+from . import decontamination  # noqa: F401  (registers q244, q249)
 from . import signature_maintenance  # noqa: F401  (registers q245)
 from . import ann_maintenance  # noqa: F401  (registers q246-q247)
-from . import lexical_maintenance  # noqa: F401  (registers q248; new modules import LAST — insertion order is registration order)
+from . import lexical_maintenance  # noqa: F401  (registers q248)
+from . import census_maintenance  # noqa: F401  (registers q250; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -49,18 +50,21 @@ from . import lexical_maintenance  # noqa: F401  (registers q248; new modules im
 #
 # Round-9 prefix (computed by evidence.build_prefix() from the committed
 # CORRECTNESS_r1..r8 history): the never-driver-gated new-this-round
-# registrations lead — q246 (maintained ANN/IVF index lifecycle, r8
-# verdict item 5), q247 (the compressed IVF-PQ index through the same
-# lifecycle, stored codes) and q248 (maintained lexical/BM25 inverted
-# index) — then the aged r4 cohort in staleness order —
+# registrations lead in insertion order — q249 (maintained benchmark
+# decontamination index; registers inside plans/decontamination, hence
+# before the later modules), q246 (maintained ANN/IVF index lifecycle,
+# r8 verdict item 5), q247 (the compressed IVF-PQ index through the same
+# lifecycle, stored codes), q248 (maintained lexical/BM25 inverted
+# index) and q250 (maintained corpus census, mergeable KMV state) —
+# then the aged r4 cohort in staleness order —
 # the ANN/sketch heads q65/q104/q109/q157/q158/q43/q136, the analytics
 # pair q155/q156, the sketch/lakehouse families q159/q168/q165/q167,
 # the vectorized ANN kernels q120/q129/q130, the versioned-store heads
 # q149/q150/q160/q162, ranking/stats q151/q152/q161/q164/q166/q169,
 # the profiling cohort q170-q177, the covariance/semdedup twins
 # q140/q142/q146/q147 — with the tail filled by the next-oldest
-# evidence (r5 cohort: q183/q201/q199/q178-q182/q184; q185-q187
-# rotated off the tail by the q246-q248 insertions — they return on
+# evidence (r5 cohort: q183/q201/q199/q178-q181; q182/q184-q187
+# rotated off the tail by the q246-q250 insertions — they return on
 # their staleness clocks). The r8-gated
 # heads (q244/q245 and the r3 cohort) rotated off on fresh evidence;
 # they return on their staleness clocks. Deliberately never scheduled:
@@ -78,9 +82,11 @@ from . import lexical_maintenance  # noqa: F401  (registers q248; new modules im
 PREFIX_ROUND: int = 9
 
 _PRIORITY: tuple[str, ...] = (
+    "q249_decontamination_index_maintenance",
     "q246_ann_index_maintenance",
     "q247_ivf_pq_index_maintenance",
     "q248_lexical_index_maintenance",
+    "q250_corpus_census_maintenance",
     "q65_embedding_dup_pairs_vectorized",
     "q104_quantized_topk",
     "q109_quantized_topk_vectorized",
@@ -126,8 +132,6 @@ _PRIORITY: tuple[str, ...] = (
     "q179_last_touch_attribution",
     "q180_lineitem_correlation",
     "q181_rendezvous_sharding",
-    "q182_table_checksum",
-    "q184_bitmap_intersection",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -77,6 +77,7 @@ BNLJ_WHITELIST = {
     "q238_url_host_dedup": "1-row total-docs scalar (quota flag)",
     "q243_vocab_growth": "1-row max-doc-id scalar + 10-row decile spine over <=11-row histograms",
     "q244_multi_benchmark_decontamination": "per-source doc counts (<=20 rows) x 3-row benchmark dim (constant-key join constant-folded to BNLJ)",
+    "q249_decontamination_index_maintenance": "same matrix tail as q244: batch per-source counts (<=20 rows) x 3-row benchmark dim (constant-key join constant-folded to BNLJ)",
     # bounded dimension spines (dates/hours), not scalars
     "q24_payment_dates_dim": "bounded date spine",
     "q25_trip_dates_dim": "bounded date/hour spine",
