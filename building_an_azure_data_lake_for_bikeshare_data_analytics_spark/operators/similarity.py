@@ -1468,6 +1468,101 @@ def ivf_pq_rerank_topk_vectorized(
     return _exact_cos_rerank(corpus, queries, cand, k)
 
 
+def ivf_pq_rerank_from_index_vectorized(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 3,
+    rerank_from: int = 20,
+) -> DataFrame:
+    """``ivf_pq_rerank_from_index`` through the numpy kernel — the
+    maintained-code-table deployment read path (q247's stored v2 relation
+    probed without the Column-fold's per-element HOF cost, the same
+    reason ``ivf_topk_from_index_vectorized`` exists for q246).
+
+    Cheaper than even ``ivf_pq_rerank_topk_vectorized``'s per-batch work:
+    the stored columns ARE the assignment and the codes, so a query run
+    pays exactly the per-query ADC LUT gathers over probed-cell rows —
+    no embedding decode, no cell argmax, no PQ encode, no float math
+    until the exact re-rank over the ≤ queries x rerank_from survivors.
+    Row-equal to the fold twin by the q130<->q56 contract (pinned in
+    tests/test_ann_maintenance.py): same integer ADC sums, same
+    (-adc, neighbor_id) prune order, shared ``_exact_cos_rerank`` tail.
+
+    At deployment scale the int64 code table is the only relation the
+    prune ever scans (~1.5 TB for a 100 TB float corpus), and each Arrow
+    batch contributes at most queries x rerank_from narrow rows to the
+    global prune window."""
+    import numpy as np
+
+    probe = queries.select("query_id", "qe").limit(_MAX_DRIVER_QUERIES + 1).collect()
+    if len(probe) > _MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"ivf_pq_rerank_from_index_vectorized: query set exceeds "
+            f"{_MAX_DRIVER_QUERIES} rows; shard the query table for "
+            "fact-sized query sets."
+        )
+    if not probe:
+        return ivf_pq_rerank_from_index(
+            index, corpus, queries, centroids, codebooks, k, nprobe, rerank_from
+        )
+    cents = np.array(centroids, dtype=np.int64)
+    books = np.array(codebooks, dtype=np.int64)
+    m, ksub, sub = books.shape
+    ncells = cents.shape[0]
+    qids = np.array([r["query_id"] for r in probe], dtype=np.int64)
+    Qf = np.array([list(r["qe"]) for r in probe], dtype=np.float64)
+    QQ = np.floor(Qf * float(QUANT_SCALE)).astype(np.int64)  # = quantize_vec
+    cnsq_sqrt = np.sqrt((cents * cents).sum(axis=1).astype(np.float64))
+    qscores = (QQ @ cents.T).astype(np.float64) / cnsq_sqrt[None, :]
+    probe_cells = np.stack(
+        [np.lexsort((np.arange(ncells), -qscores[i]))[:nprobe] for i in range(len(qids))]
+    )
+    T = np.einsum("qsd,scd->qsc", QQ.reshape(len(qids), m, sub), books)  # exact
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, T, probe_cells))
+
+    def part(batches):
+        import pandas as pd
+
+        ids, Tq, pc = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cell = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            vecids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_a = [], [], []
+            for j in range(len(ids)):
+                mask = np.isin(cell, pc[j]) & (vecids != ids[j])
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                adc = np.zeros(idx.size, dtype=np.int64)
+                for s in range(m):
+                    adc += Tq[j, s][codes[idx, s]]
+                order = np.lexsort((vecids[idx], -adc))[:rerank_from]
+                sel = idx[order]
+                out_q.extend([ids[j]] * len(sel))
+                out_n.extend(vecids[sel])
+                out_a.extend(adc[order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "adc": out_a})
+
+    local = index.select("vec_id", "cell", "code").mapInPandas(
+        part, "query_id long, neighbor_id long, adc long"
+    )
+    wprune = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        local.withColumn("crnk", F.row_number().over(wprune))
+        .where(F.col("crnk") <= rerank_from)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_cos_rerank(corpus, queries, cand, k)
+
+
 def pq_adc_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,

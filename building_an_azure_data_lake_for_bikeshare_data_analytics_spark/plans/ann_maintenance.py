@@ -247,17 +247,25 @@ def q247(spark, sf):
        STORED centroid/codebook tables (bounded collects: 8 + m*ksub=32
        rows — the quantizers, not data) and appended as v2. O(batch),
        zero corpus-side compute, no refit (the faiss add() posture).
-    3. query — the batch's sample probes the stored code table
-       (ivf_pq_rerank_from_index: broadcast probe join on cell, exact
-       integer ADC prune to rerank_from, exact cosine re-rank against
-       raw embeddings — only survivors' floats are ever read).
+    3. query — the batch's sample probes the stored code table through
+       the BLAS deployment kernel (ivf_pq_rerank_from_index_vectorized:
+       per-Arrow-batch integer ADC LUT gathers over probed-cell rows —
+       the stored columns ARE the assignment and codes, so nothing is
+       re-encoded — exact cosine re-rank against raw embeddings; only
+       survivors' floats are ever read). The fold twin
+       (ivf_pq_rerank_from_index) carries the same semantics and is
+       row-equal (tests/test_ann_maintenance.py, the q130<->q56 twin
+       contract); measured before shipping — the fold probe ran
+       corpus-proportional and 3.9x slower than brute force at 400k
+       vectors, the LUT kernel is what a deployment reads through
+       (SCALE_NOTES, r9 PQ lifecycle soak).
 
     Oracle: the composed double-fit replay restricted by the split.
     Equality with the recompute path (ivf_pq_rerank_topk with the same
     corpus-trained fits) is pinned in tests/test_ann_maintenance.py."""
     from ..operators.similarity import (
         ivf_pq_index,
-        ivf_pq_rerank_from_index,
+        ivf_pq_rerank_from_index_vectorized,
         kmeans_fit,
         pq_fit,
     )
@@ -320,7 +328,7 @@ def q247(spark, sf):
     qs = batch.where(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    out = ivf_pq_rerank_from_index(
+    out = ivf_pq_rerank_from_index_vectorized(
         read_current(spark, store), emb, qs, stored_cents, stored_books,
         k=5, nprobe=3, rerank_from=20,
     )

@@ -196,6 +196,48 @@ def test_q247_stored_codes_equal_recompute(spark):
     assert len(got) > 0
 
 
+def test_vectorized_pq_index_probe_equals_fold(spark):
+    """ivf_pq_rerank_from_index_vectorized (the ADC LUT deployment read
+    path over the stored code table — what q247 registers) must be
+    row-equal to the fold ivf_pq_rerank_from_index: same integer ADC
+    sums, same (-adc, id) prune order, same exact re-rank tail."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_rerank_from_index,
+        ivf_pq_rerank_from_index_vectorized,
+        pq_fit,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.where(_vec_hash() < 800)
+    batch = emb.where(_vec_hash() >= 800)
+    cents = kmeans_fit(corpus, k=8, max_iter=8)
+    books = pq_fit(corpus, m=4, ksub=8, max_iter=4)
+    qs = _queries(emb)
+    maintained = ivf_pq_index(corpus, cents, books).unionByName(
+        ivf_pq_index(batch, cents, books)
+    )
+
+    want = sorted(
+        tuple(r)
+        for r in ivf_pq_rerank_from_index(
+            maintained, emb, qs, cents, books, k=5, nprobe=3, rerank_from=20
+        )
+        .select("query_id", "neighbor_id", "cos", "rnk")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_pq_rerank_from_index_vectorized(
+            maintained, emb, qs, cents, books, k=5, nprobe=3, rerank_from=20
+        )
+        .select("query_id", "neighbor_id", "cos", "rnk")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
 def test_q247_matches_duckdb_oracle(spark):
     name = "q247_ivf_pq_index_maintenance"
     got = [tuple(r) for r in QUERIES[name](spark, SF_SMOKE).collect()]

@@ -19,9 +19,12 @@ Phases (same measure/force discipline as stress_maintenance):
 * ``reencode_full`` — full-corpus re-encode: the no-index per-batch
   alternative.
 * ``query_probe``   — the warm read path: batch-sampled queries probe
-  the stored v2 code table (``ivf_pq_rerank_from_index``: cell probe →
-  integer ADC prune to rerank_from → exact cosine re-rank; raw floats
-  read for survivors only).
+  the stored v2 code table (``ivf_pq_rerank_from_index_vectorized``:
+  per-Arrow-batch integer ADC LUT gathers over probed-cell rows → exact
+  cosine re-rank; raw floats read for survivors only). The fold twin was
+  measured first and ran corpus-proportional at 3.9x brute force at 400k
+  vectors — the LUT kernel replaced it in q247 (twin row-equality pinned
+  in tests/test_ann_maintenance.py).
 * ``brute_force``   — the same queries answered exactly with the BLAS
   kernel — the no-index query, for probe-cost context.
 
@@ -59,7 +62,7 @@ def main() -> None:
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
         brute_force_topk_vectorized,
         ivf_pq_index,
-        ivf_pq_rerank_from_index,
+        ivf_pq_rerank_from_index_vectorized,
         kmeans_fit,
         pq_fit,
     )
@@ -131,7 +134,7 @@ def main() -> None:
             }
 
         def ph_query_probe():
-            out = ivf_pq_rerank_from_index(
+            out = ivf_pq_rerank_from_index_vectorized(
                 read_current(spark, store), emb, qs,
                 state["cents"], state["books"],
                 k=5, nprobe=3, rerank_from=20,
