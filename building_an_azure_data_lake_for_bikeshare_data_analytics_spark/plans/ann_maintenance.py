@@ -133,6 +133,7 @@ def q246(spark, sf):
         kmeans_fit,
     )
     from ..sources.versioned import (
+        append_version,
         read_current,
         register_cleanup,
         vacuum,
@@ -167,9 +168,9 @@ def q246(spark, sf):
         for r in read_current(spark, cent_store).orderBy("cell").collect()
     ]
     batch_asn = assign_cells(batch, stored_cents)
-    write_version(
-        read_current(spark, store).unionByName(batch_asn), store
-    )
+    # append_version: only the batch's rows are physically written (the
+    # new version is a manifest over v1's files + the delta part)
+    append_version(batch_asn, store)
     vacuum(store, keep=2)
 
     # 3) query: the batch's sample probes the stored v2 index through the
@@ -270,6 +271,7 @@ def q247(spark, sf):
         pq_fit,
     )
     from ..sources.versioned import (
+        append_version,
         read_current,
         register_cleanup,
         vacuum,
@@ -316,12 +318,7 @@ def q247(spark, sf):
         [[int(x) for x in r["vec"]] for r in book_rows if r["sub"] == s]
         for s in range(m)
     ]
-    write_version(
-        read_current(spark, store).unionByName(
-            ivf_pq_index(batch, stored_cents, stored_books)
-        ),
-        store,
-    )
+    append_version(ivf_pq_index(batch, stored_cents, stored_books), store)
     vacuum(store, keep=2)
 
     # 3) query: stored codes probe + exact re-rank against raw embeddings

@@ -303,6 +303,7 @@ def q249(spark, sf):
     contamination matrix, zero rows included."""
     from .training import _doc_hash
     from ..sources.versioned import (
+        append_version,
         read_current,
         register_cleanup,
         vacuum,
@@ -318,13 +319,9 @@ def q249(spark, sf):
     # 1) v1: the initially-registered benchmarks' shingle table
     write_version(bench_shingle_table(d, BENCHMARKS[:2]), store)
 
-    # 2) append: the NEW benchmark's shingles only — O(benchmark)
-    write_version(
-        read_current(spark, store).unionByName(
-            bench_shingle_table(d, BENCHMARKS[2:])
-        ),
-        store,
-    )
+    # 2) append: the NEW benchmark's shingles only — O(benchmark); the
+    #    delta part is all that's physically written
+    append_version(bench_shingle_table(d, BENCHMARKS[2:]), store)
     vacuum(store, keep=2)
 
     # 3) query: the NEW batch probed against the STORED table

@@ -154,6 +154,7 @@ def q248(spark, sf):
     batch-append lifecycle. Like the other maintenance heads, plan
     construction is eager — the store IS the subject."""
     from ..sources.versioned import (
+        append_version,
         read_current,
         register_cleanup,
         vacuum,
@@ -172,10 +173,14 @@ def q248(spark, sf):
     write_version(tf_v1, tf_store)
     write_version(dl_v1, dl_store)
 
-    # 2) per-batch: tokenize the batch ALONE, append its rows
+    # 2) per-batch: tokenize the batch ALONE; append_version physically
+    #    writes ONLY the batch's rows (the new version is a manifest over
+    #    the v1 files + the delta part — O(batch) IO, not an O(corpus)
+    #    copy-on-write rewrite; the r9 lexical soak measured the rewrite
+    #    as the bulk of the append wall)
     tf_b, dl_b = index_rows(docs.where(is_new))
-    write_version(read_current(spark, tf_store).unionByName(tf_b), tf_store)
-    write_version(read_current(spark, dl_store).unionByName(dl_b), dl_store)
+    append_version(tf_b, tf_store)
+    append_version(dl_b, dl_store)
     vacuum(tf_store, keep=2)
     vacuum(dl_store, keep=2)
 

@@ -93,6 +93,7 @@ def q245(spark, sf):
         shingle_sets,
     )
     from ..sources.versioned import (
+        append_version,
         read_current,
         register_cleanup,
         vacuum,
@@ -120,8 +121,10 @@ def q245(spark, sf):
     verified = cross_pairs_from_signature_table(
         stored, batch_banded, sh_all, threshold=0.5
     )
-    # append the batch's signatures: the store is ready for the next batch
-    write_version(stored.unionByName(batch_banded), store)
+    # append the batch's signatures: the store is ready for the next
+    # batch. append_version writes ONLY the batch's rows (manifest over
+    # the v1 files + delta part) — O(batch) IO, not an O(corpus) rewrite
+    append_version(batch_banded, store)
     # each plan CONSTRUCTION appends two versions (write_version is an
     # eager action) — bound the store so looped/long-lived sessions don't
     # grow version directories without limit (r8 advice); keep=2 retains

@@ -116,6 +116,73 @@ def write_version(
     return version
 
 
+_MANIFEST = "_PARTS"
+_PARTS_DIR = "_parts"
+
+
+def _parts_of(path: str, version: int) -> list[str]:
+    """The data directories (relative to the table root) composing one
+    version: a full snapshot IS its own directory; an appended version
+    carries a manifest listing inherited parts + its own delta part."""
+    vdir = os.path.join(path, f"{_PREFIX}{version}")
+    man = os.path.join(vdir, _MANIFEST)
+    if os.path.exists(man):
+        with open(man) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    return [f"{_PREFIX}{version}"]
+
+
+def append_version(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, backend: str = "auto"
+) -> int:
+    """Write ``df`` as the next version WITHOUT rewriting existing data:
+    only the new rows are physically written; the new version is a
+    manifest referencing the previous version's data directories plus
+    the new delta part. read_version/read_current resolve manifests
+    transparently, so v(k) still reads as the full logical table.
+
+    This is the lakehouse append the maintenance lifecycles
+    (q245/q246-q249) need at 100 TB: ``write_version(current ∪ batch)``
+    is snapshot-correct but pays an O(corpus) physical rewrite per
+    batch — measured in the r9 lexical soak as the bulk of the append
+    wall — while this path pays O(batch) IO with identical read-back
+    semantics (row-multiset equal, pinned in tests/test_versioned.py).
+
+    Requires an existing current version (an append with nothing to
+    append to is a full write — use write_version) and an
+    append-compatible schema (parquet union-by-position across parts;
+    schema evolution goes through write_version). With the delta
+    backend this IS Delta's native ``mode('append')``."""
+    if resolve_backend(path, backend) == "delta":
+        w = df.write.format("delta").mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+        return current_version(path) or 0
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"append_version: no committed version at {path} (use write_version)"
+        )
+    version = cur + 1
+    part_rel = os.path.join(_PARTS_DIR, f"p{version}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(os.path.join(path, part_rel))
+    vdir = os.path.join(path, f"{_PREFIX}{version}")
+    os.makedirs(vdir, exist_ok=True)
+    tmp_man = os.path.join(vdir, _MANIFEST + ".tmp")
+    with open(tmp_man, "w") as f:
+        f.write("\n".join(_parts_of(path, cur) + [part_rel]) + "\n")
+    os.replace(tmp_man, os.path.join(vdir, _MANIFEST))
+    tmp = os.path.join(path, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(path, _POINTER))  # atomic pointer flip
+    return version
+
+
 def read_current(spark: SparkSession, path: str) -> DataFrame:
     v = current_version(path)
     if v is None:
@@ -132,7 +199,8 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     vdir = os.path.join(path, f"{_PREFIX}{version}")
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"version {version} not found (or vacuumed) at {path}")
-    return spark.read.parquet(vdir)
+    parts = _parts_of(path, version)
+    return spark.read.parquet(*[os.path.join(path, p) for p in parts])
 
 
 def merge_upsert(
@@ -225,11 +293,24 @@ def vacuum(path: str, keep: int = 2) -> list[int]:
     keep_set = set(vs[-max(keep, 1):])
     if cur is not None:
         keep_set.add(cur)
+    # appended versions reference earlier data directories (older full
+    # snapshots and _parts/ deltas) through their manifests — anything a
+    # KEPT version references must survive, whatever its own version
+    # number; unreferenced _parts/ deltas are garbage-collected.
+    referenced: set[str] = set()
+    for v in keep_set:
+        referenced.update(_parts_of(path, v))
     removed = []
     for v in vs:
-        if v not in keep_set:
+        if v not in keep_set and f"{_PREFIX}{v}" not in referenced:
             shutil.rmtree(os.path.join(path, f"{_PREFIX}{v}"))
             removed.append(v)
+    pdir = os.path.join(path, _PARTS_DIR)
+    if os.path.isdir(pdir):
+        for name in os.listdir(pdir):
+            rel = os.path.join(_PARTS_DIR, name)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(pdir, name), ignore_errors=True)
     return removed
 
 

@@ -167,3 +167,71 @@ def test_lake_roundtrip_parity_merge_cdf_optimize(spark, tmp_path, backend):
     V.vacuum(p, keep=1)
     got = {r["id"]: (r["tag"], r["x"]) for r in V.read_current(spark, p).collect()}
     assert got == {1: ("t2", 2), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_append_version_equals_union_write(spark, tmp_path):
+    """append_version(batch) must read back row-multiset-equal to
+    write_version(current ∪ batch) — the O(batch)-IO append contract."""
+    p = str(tmp_path / "ap")
+    base = spark.createDataFrame([(i, f"r{i}") for i in range(100)], ["id", "s"])
+    batch = spark.createDataFrame([(i, f"r{i}") for i in range(100, 130)], ["id", "s"])
+    v1 = V.write_version(base, p)
+    v2 = V.append_version(batch, p)
+    assert v2 == v1 + 1
+    got = sorted(tuple(r) for r in V.read_current(spark, p).collect())
+    want = sorted(tuple(r) for r in base.unionByName(batch).collect())
+    assert got == want
+    # time travel still addresses the pre-append snapshot
+    assert V.read_version(spark, p, v1).count() == 100
+    # the appended version physically wrote ONLY the delta part
+    import os
+
+    vdir = tmp_path / "ap" / f"_v{v2}"
+    assert (vdir / "_PARTS").exists()
+    assert not any(f.suffix == ".parquet" for f in vdir.iterdir())
+
+
+def test_append_version_chain_and_vacuum_keeps_referenced(spark, tmp_path):
+    """A chain of appends reads back complete, and vacuum never removes
+    a directory a KEPT version's manifest references — even when that
+    directory belongs to a version outside the keep window."""
+    p = str(tmp_path / "apv")
+    V.write_version(
+        spark.createDataFrame([(i,) for i in range(10)], ["id"]), p
+    )
+    for k in range(3):
+        V.append_version(
+            spark.createDataFrame([(100 + 10 * k + j,) for j in range(10)], ["id"]),
+            p,
+        )
+    assert V.read_current(spark, p).count() == 40
+    removed = V.vacuum(p, keep=1)
+    # v1 (the full snapshot) is outside keep=1 but referenced by v4's
+    # manifest — it must survive; same for every referenced _parts delta
+    assert V.read_current(spark, p).count() == 40
+    got = sorted(r["id"] for r in V.read_current(spark, p).collect())
+    assert got == sorted(list(range(10)) + [100 + 10 * k + j for k in range(3) for j in range(10)])
+    # the un-referenced middle MANIFEST versions are reclaimable
+    assert all(v in (2, 3) for v in removed)
+
+
+def test_append_version_requires_existing_table(spark, tmp_path):
+    p = str(tmp_path / "apx")
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(FileNotFoundError):
+        V.append_version(df, p)
+
+
+def test_append_version_then_full_write_vacuum_gc_parts(spark, tmp_path):
+    """After a full write supersedes an append chain, vacuum reclaims the
+    no-longer-referenced delta parts."""
+    import os
+
+    p = str(tmp_path / "apgc")
+    V.write_version(spark.createDataFrame([(1,)], ["id"]), p)
+    V.append_version(spark.createDataFrame([(2,)], ["id"]), p)
+    V.write_version(spark.createDataFrame([(9,)], ["id"]), p)  # v3 full
+    V.vacuum(p, keep=1)
+    assert [r["id"] for r in V.read_current(spark, p).collect()] == [9]
+    parts_dir = tmp_path / "apgc" / "_parts"
+    assert not parts_dir.exists() or not any(parts_dir.iterdir())
