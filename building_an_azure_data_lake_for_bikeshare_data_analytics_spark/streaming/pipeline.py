@@ -704,3 +704,54 @@ def tokenizer_validated_docs_stream(
     q = writer.start()
     q.awaitTermination()
     return out
+
+
+def maintained_signature_store_stream(
+    docs: DataFrame,
+    store: str,
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """Streaming index maintenance: each micro-batch of incoming docs is
+    tokenized/shingled/banded ALONE and committed to the versioned
+    signature store — q245's maintenance lifecycle in its production
+    Structured Streaming shape. The first batch creates v1 with
+    ``write_version``; every later batch lands through
+    ``append_version``'s manifest commit, so per-micro-batch physical IO
+    is O(batch) (the store-append lever, SCALE_NOTES r9) and the store
+    is probe-ready between batches.
+
+    foreachBatch + availableNow (the incremental ingestion-job shape,
+    like lm_scored_docs_stream). Returns (epoch_id, committed_version)
+    per non-empty micro-batch.
+
+    Determinism: a doc's banded signature rows depend only on its text
+    and the fixed hash family, so after the stream drains the store's
+    CURRENT version equals the from-scratch banded table over all
+    streamed docs REGARDLESS of how the stream was chunked — the parity
+    test's exact-equality contract (tests/test_streaming.py)."""
+    from ..functions.text import tokens as _tokens
+    from ..operators.dedup import banded_signature_table, shingle_sets
+    from ..sources.versioned import append_version, current_version, write_version
+
+    out: list[tuple] = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sig = banded_signature_table(
+            shingles=shingle_sets(
+                batch_df.select("doc_id", _tokens("text").alias("ts")), 3
+            )
+        )
+        if current_version(store) is None:
+            v = write_version(sig, store)
+        else:
+            v = append_version(sig, store)
+        out.append((epoch_id, v))
+
+    writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out

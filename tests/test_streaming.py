@@ -710,3 +710,46 @@ def test_tokenizer_validation_stream_matches_batch_and_q235(spark, docs_src_dir)
         for r in QUERIES["q235_tokenizer_roundtrip"](spark, SF_SMOKE).collect()
     }
     assert by_source == q235  # (b)
+
+
+def test_maintained_signature_store_stream_matches_batch(spark, docs_dir, tmp_path):
+    """Streaming index maintenance parity: after the micro-batches drain,
+    the versioned signature store's current version must equal the
+    from-scratch banded table over every streamed doc — chunking must
+    not matter, and each micro-batch must have committed its own store
+    version (v1 full write, then manifest appends)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+        tokens,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        banded_signature_table,
+        shingle_sets,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        maintained_signature_store_stream,
+    )
+
+    store = str(tmp_path / "sigstream")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    rows = maintained_signature_store_stream(stream, store)
+    assert len(rows) >= 2, "expected multiple micro-batches"
+    # one committed version per non-empty micro-batch, strictly increasing
+    assert [v for _, v in rows] == sorted({v for _, v in rows})
+
+    streamed = spark.read.parquet(docs_dir).select("doc_id", "text")
+    want = sorted(
+        tuple(r)
+        for r in banded_signature_table(
+            shingles=shingle_sets(streamed.select("doc_id", tokens("text").alias("ts")), 3)
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in read_current(spark, store).collect())
+    assert got == want
+    assert len(got) > 0
