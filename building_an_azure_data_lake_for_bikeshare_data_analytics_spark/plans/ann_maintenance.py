@@ -330,3 +330,73 @@ def q247(spark, sf):
         k=5, nprobe=3, rerank_from=20,
     )
     return out.orderBy("query_id", "rnk")
+
+
+def _maint_brute_oracle() -> str:
+    """Exact brute-force top-5 for q246's query set (the batch sample),
+    neighbors over the FULL corpus — the q39/q64 oracle shape with the
+    maintained-lifecycle query filter."""
+    return f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings
+                   WHERE {_VEC_HASH_SQL} >= 800 AND vec_id % 5 = 0),
+         p AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      round({_DOT.format(a='qe', b='e.embedding')}
+                            / (sqrt({_DOT.format(a='qe', b='qe')})
+                               * sqrt({_DOT.format(a='e.embedding', b='e.embedding')})),
+                            4) AS cos
+               FROM embeddings e, q WHERE e.vec_id <> query_id)
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM p)
+        WHERE rnk <= 5"""
+
+
+@query(
+    "q251_maintained_index_recall",
+    f"""WITH ex AS ({_maint_brute_oracle()}),
+         ap AS ({_maintained_ivf_oracle()})
+    SELECT query_id, hits, CAST(hits AS DOUBLE) / 5 AS recall_at_5
+    FROM (SELECT e.query_id, count(a.neighbor_id) AS hits
+          FROM ex e LEFT JOIN ap a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY 1)
+    ORDER BY query_id""",
+    tags=("similarity", "ann", "recall", "evaluation", "incremental", "versioned"),
+)
+def q251(spark, sf):
+    """Per-query recall@5 of the MAINTAINED IVF index (q246's stored-table
+    probe) against the exact brute-force top-5 — q154's index-quality
+    contract extended to the maintained path: the evaluation a deployment
+    runs after every index maintenance cycle, before trusting the store
+    for retrieval. Both inputs carry full oracles (q246's fit-replay,
+    the q39/q64 brute top-k), so their composition does too; the recall
+    join itself is the q154 shape (two per-query top-5 relations,
+    broadcast-joinable overlap count, exact division by the literal k).
+
+    Scale shape: the expensive side (exact top-k for the sampled query
+    set) is the q64 BLAS kernel — one matmul per Arrow batch; the recall
+    join touches only 5 rows per sampled query regardless of corpus
+    size."""
+    from ..operators.similarity import brute_force_topk_vectorized
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    qs = emb.where((_vec_hash() >= 800) & (F.col("vec_id") % 5 == 0)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = brute_force_topk_vectorized(emb, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = q246(spark, sf).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left_outer")
+        .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+        .withColumn("recall_at_5", F.col("hits").cast("double") / F.lit(5))
+        .orderBy("query_id")
+    )

@@ -33,7 +33,7 @@ from . import source_overlap  # noqa: F401  (registers q241)
 from . import corpus_health  # noqa: F401  (registers q242-q243)
 from . import decontamination  # noqa: F401  (registers q244, q249)
 from . import signature_maintenance  # noqa: F401  (registers q245)
-from . import ann_maintenance  # noqa: F401  (registers q246-q247)
+from . import ann_maintenance  # noqa: F401  (registers q246-q247, q251)
 from . import lexical_maintenance  # noqa: F401  (registers q248)
 from . import census_maintenance  # noqa: F401  (registers q250; new modules import LAST — insertion order is registration order)
 
@@ -54,17 +54,18 @@ from . import census_maintenance  # noqa: F401  (registers q250; new modules imp
 # decontamination index; registers inside plans/decontamination, hence
 # before the later modules), q246 (maintained ANN/IVF index lifecycle,
 # r8 verdict item 5), q247 (the compressed IVF-PQ index through the same
-# lifecycle, stored codes), q248 (maintained lexical/BM25 inverted
-# index) and q250 (maintained corpus census, mergeable KMV state) —
-# then the aged r4 cohort in staleness order —
+# lifecycle, stored codes), q251 (recall@5 of the maintained index vs
+# exact — q154's quality contract on the stored path), q248 (maintained
+# lexical/BM25 inverted index) and q250 (maintained corpus census,
+# mergeable KMV state) — then the aged r4 cohort in staleness order —
 # the ANN/sketch heads q65/q104/q109/q157/q158/q43/q136, the analytics
 # pair q155/q156, the sketch/lakehouse families q159/q168/q165/q167,
 # the vectorized ANN kernels q120/q129/q130, the versioned-store heads
 # q149/q150/q160/q162, ranking/stats q151/q152/q161/q164/q166/q169,
 # the profiling cohort q170-q177, the covariance/semdedup twins
 # q140/q142/q146/q147 — with the tail filled by the next-oldest
-# evidence (r5 cohort: q183/q201/q199/q178-q181; q182/q184-q187
-# rotated off the tail by the q246-q250 insertions — they return on
+# evidence (r5 cohort: q183/q201/q199/q178-q180; q181/q182/q184-q187
+# rotated off the tail by the q246-q251 insertions — they return on
 # their staleness clocks). The r8-gated
 # heads (q244/q245 and the r3 cohort) rotated off on fresh evidence;
 # they return on their staleness clocks. Deliberately never scheduled:
@@ -85,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "q249_decontamination_index_maintenance",
     "q246_ann_index_maintenance",
     "q247_ivf_pq_index_maintenance",
+    "q251_maintained_index_recall",
     "q248_lexical_index_maintenance",
     "q250_corpus_census_maintenance",
     "q65_embedding_dup_pairs_vectorized",
@@ -131,7 +133,6 @@ _PRIORITY: tuple[str, ...] = (
     "q178_jl_projection",
     "q179_last_touch_attribution",
     "q180_lineitem_correlation",
-    "q181_rendezvous_sharding",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
