@@ -1332,10 +1332,28 @@ def _ivf_topk_vectorized_impl(
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((qids, Qf, qn, probe_cells))
 
+    # queries grouped by their probed-cell COMBINATION (≤ C(ncells,
+    # nprobe) groups): per Arrow batch the matmul then covers ONLY the
+    # probed rows for exactly the queries that probe them — the flop
+    # count is the probed fraction, not rows x all-queries. The first
+    # formulation did the FULL matmul and masked per query afterwards:
+    # measured at 1.2M vectors it cost 3.9x BRUTE FORCE (234 s vs 60 s,
+    # wall exp 2.43 — the full matmul saved nothing and the per-query
+    # np.isin over every batch row went superlinar in n_queries x rows;
+    # SCALE_NOTES r9 ANN lifecycle third point). Results are unchanged:
+    # same dot-then-divide + half-away rounding, same (cos desc, id asc)
+    # tie-break, per-(query, batch) top-k is a superset of the global
+    # top-k so the final window is exact — twin row-equality re-pinned.
+    combos: dict[tuple, list[int]] = {}
+    for j in range(len(qids)):
+        combos.setdefault(tuple(sorted(probe_cells[j])), []).append(j)
+    bq2 = sc.broadcast(combos)
+
     def part(batches):
         import pandas as pd
 
         ids, Qm, qnv, pc = bq.value
+        combo_map = bq2.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1347,22 +1365,30 @@ def _ivf_topk_vectorized_impl(
                 X = np.floor(E * float(QUANT_SCALE)).astype(np.int64)
                 cell = ((X @ cents.T).astype(np.float64) / cnsq_sqrt[None, :]).argmax(axis=1)
             en = np.linalg.norm(E, axis=1)
-            # dot-then-divide + half-away round — q64's recipe (see
-            # _round4_half_away for the cross-engine rounding contract)
-            S = _round4_half_away((E @ Qm.T) / (en[:, None] * qnv[None, :]))
             vecids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cell_rows = {c: np.nonzero(cell == c)[0] for c in np.unique(cell)}
             out_q, out_n, out_c = [], [], []
-            for j in range(len(ids)):
-                mask = np.isin(cell, pc[j]) & (vecids != ids[j])
-                idx = np.nonzero(mask)[0]
-                if idx.size == 0:
+            for combo, qjs in combo_map.items():
+                parts = [cell_rows[c] for c in combo if c in cell_rows]
+                if not parts:
                     continue
-                col = S[idx, j]
-                order = np.lexsort((vecids[idx], -col))[:k]
-                sel = idx[order]
-                out_q.extend([ids[j]] * len(sel))
-                out_n.extend(vecids[sel])
-                out_c.extend(col[order])
+                idx = np.concatenate(parts)
+                Es, ens, vids = E[idx], en[idx], vecids[idx]
+                qj = np.asarray(qjs)
+                # dot-then-divide + half-away round — q64's recipe (see
+                # _round4_half_away for the cross-engine rounding contract)
+                S = _round4_half_away(
+                    (Es @ Qm[qj].T) / (ens[:, None] * qnv[qj][None, :])
+                )
+                for t, j in enumerate(qjs):
+                    keep = vids != ids[j]
+                    col, vid = S[keep, t], vids[keep]
+                    if col.size == 0:
+                        continue
+                    order = np.lexsort((vid, -col))[:k]
+                    out_q.extend([ids[j]] * len(order))
+                    out_n.extend(vid[order])
+                    out_c.extend(col[order])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
 
     in_cols = ["vec_id", "embedding", "cell"] if stored_cells else ["vec_id", "embedding"]
