@@ -48,29 +48,19 @@ from . import census_maintenance  # noqa: F401  (registers q250; new modules imp
 # CORRECTNESS_r*.json history and fail on any drift from this tuple —
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-9 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r8 history): the never-driver-gated new-this-round
-# registrations lead in insertion order — q249 (maintained benchmark
-# decontamination index; registers inside plans/decontamination, hence
-# before the later modules), q246 (maintained ANN/IVF index lifecycle,
-# r8 verdict item 5), q247 (the compressed IVF-PQ index through the same
-# lifecycle, stored codes), q251 (recall@5 of the maintained index vs
-# exact — q154's quality contract on the stored path), q248 (maintained
-# lexical/BM25 inverted index) and q250 (maintained corpus census,
-# mergeable KMV state) — then the aged r4 cohort in staleness order —
-# the ANN/sketch heads q65/q104/q109/q157/q158/q43/q136, the analytics
-# pair q155/q156, the sketch/lakehouse families q159/q168/q165/q167,
-# the vectorized ANN kernels q120/q129/q130, the versioned-store heads
-# q149/q150/q160/q162, ranking/stats q151/q152/q161/q164/q166/q169,
-# the profiling cohort q170-q177, the covariance/semdedup twins
-# q140/q142/q146/q147 — with the tail filled by the next-oldest
-# evidence (r5 cohort: q183/q201/q199/q178-q180; q181/q182/q184-q187
-# rotated off the tail by the q246-q251 insertions — they return on
-# their staleness clocks). The r8-gated
-# heads (q244/q245 and the r3 cohort) rotated off on fresh evidence;
-# they return on their staleness clocks. Deliberately never scheduled:
-# q46/q81 (rows-only sketch values; q134/q136 carry their evidence) and
-# fixture-tagged superseded folds (q56/q118/q125).
+# Round-10 prefix (computed by evidence.build_prefix() from the committed
+# CORRECTNESS_r1..r9 history): no never-gated registrations this round,
+# so the whole prefix is the staleness ladder — the r5-evidence cohort
+# leads (q181/q182/q184-q198/q200/q202-q225: sharding/checksum/bitmap/
+# graph/stats heads, the interval-join family, the LM/perplexity/privacy
+# cohort, probe-quality and distribution-shift heads — all last gated in
+# round 5, at the staleness floor), then the tail fills with the oldest
+# r6-evidence queries in schedule order (q02-q09, the core agg battery).
+# The r9-gated heads (q246-q251 lifecycles and the r4 cohort) rotated
+# off on fresh evidence; they return on their staleness clocks.
+# Deliberately never scheduled: q46/q81 (rows-only sketch values;
+# q134/q136 carry their evidence) and fixture-tagged superseded folds
+# (q56/q118/q125).
 #
 # PREFIX_ROUND records which round's deterministic schedule this tuple IS.
 # The driver writes CORRECTNESS_r{PREFIX_ROUND}.json AFTER the end-of-round
@@ -80,59 +70,59 @@ from . import census_maintenance  # noqa: F401  (registers q250; new modules imp
 # window while still hard-failing on genuine drift from the schedule the
 # tuple was frozen for (r5 verdict item 5).
 # ---------------------------------------------------------------------------
-PREFIX_ROUND: int = 9
+PREFIX_ROUND: int = 10
 
 _PRIORITY: tuple[str, ...] = (
-    "q249_decontamination_index_maintenance",
-    "q246_ann_index_maintenance",
-    "q247_ivf_pq_index_maintenance",
-    "q251_maintained_index_recall",
-    "q248_lexical_index_maintenance",
-    "q250_corpus_census_maintenance",
-    "q65_embedding_dup_pairs_vectorized",
-    "q104_quantized_topk",
-    "q109_quantized_topk_vectorized",
-    "q157_token_pmi_pairs",
-    "q158_dup_graph_pagerank",
-    "q43_embedding_dup_pairs",
-    "q136_histogram_quantiles",
-    "q155_funnel_conversion",
-    "q156_retention_cohorts",
-    "q159_kmv_merge",
-    "q168_theta_intersection",
-    "q165_weighted_sample",
-    "q167_integrity_audit",
-    "q120_pq_adc_topk_vectorized",
-    "q129_ivf_pq_rerank_vectorized",
-    "q130_ivf_ann_vectorized",
-    "q149_merge_upsert",
-    "q150_scd2_history",
-    "q151_bm25_topk",
-    "q152_value_trend_ols",
-    "q160_temporal_version_join",
-    "q161_zone_map_pruning",
-    "q162_version_diff_cdf",
-    "q164_zorder_layout",
-    "q166_compaction_plan",
-    "q169_hll_distinct",
-    "q170_column_profile",
-    "q171_pareto_frontier",
-    "q172_grouping_sets",
-    "q173_event_transitions",
-    "q174_mad_outliers",
-    "q175_chi_square_independence",
-    "q176_join_size_estimate",
-    "q177_sorted_neighborhood",
-    "q140_embedding_covariance",
-    "q142_embedding_covariance_vectorized",
-    "q146_semantic_dedup_cells",
-    "q147_semantic_dedup_cells_vectorized",
-    "q183_rolling_distinct_kmv",
-    "q201_temperature_mix",
-    "q199_rrf_fusion",
-    "q178_jl_projection",
-    "q179_last_touch_attribution",
-    "q180_lineitem_correlation",
+    "q181_rendezvous_sharding",
+    "q182_table_checksum",
+    "q184_bitmap_intersection",
+    "q185_dup_graph_triangles",
+    "q186_tfidf_doc_pairs",
+    "q187_ks_distance_pairs",
+    "q188_spend_gini",
+    "q189_probe_lift_curve",
+    "q190_incremental_join_view",
+    "q191_cusum_changepoint",
+    "q192_time_to_convert",
+    "q193_knn_classify",
+    "q194_multi_touch_attribution",
+    "q195_daily_volume_acf",
+    "q196_benford_digits",
+    "q197_stratified_kfold",
+    "q198_information_gain",
+    "q200_source_overlap",
+    "q202_interval_overlap_join",
+    "q203_interval_stacking",
+    "q204_containment_join",
+    "q205_gap_fill_interpolate",
+    "q206_kneser_ney_lm_score",
+    "q209_perplexity_buckets",
+    "q208_vocab_coverage_curve",
+    "q207_k_anonymity_audit",
+    "q210_score_length_bias",
+    "q211_probe_auc",
+    "q212_calibration_bins",
+    "q213_margin_mining",
+    "q214_ann_ndcg",
+    "q215_zipf_fit",
+    "q216_embedding_anisotropy",
+    "q217_temporal_embargo_split",
+    "q218_conformal_probe_sets",
+    "q219_source_psi",
+    "q220_mmr_rerank",
+    "q221_excess_loss_reweight",
+    "q222_heavy_hitters_exact",
+    "q223_quantile_normalize",
+    "q224_distinct_ngrams",
+    "q225_probe_ks_separation",
+    "q02_sum_price_by_dow",
+    "q03_avg_price_by_orderdate",
+    "q04_sum_price_by_orderdate",
+    "q05_avg_extprice_by_supp",
+    "q06_sum_extprice_by_supp",
+    "q07_avg_extprice_by_part",
+    "q08_sum_extprice_by_part",
+    "q09_sum_price_by_acct_band",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
