@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
 from .base import _t, query
+from .training import _HASH_SQL
 
 #: (benchmark name, benchmark source, n-gram size, threshold in 1e-4
 #: units of the doc's distinct-shingle fraction). thresh_e4=0 means "any
@@ -231,16 +232,17 @@ def q244(spark, sf):
 # ---------------------------------------------------------------------------
 
 #: probe-side restriction for the maintained head: only the NEW batch
-#: (the 20% doc-hash split — training._HASH_SQL's arithmetic, spelled
-#: identically here and in the Spark Column)
-_BATCH_PRED = " AND ((s.doc_id % 100003) * 2654435761) % 1000 >= 800"
+#: (the 20% doc-hash split). Built FROM training._HASH_SQL so the oracle
+#: predicate and the Spark _doc_hash() Column share one source of truth —
+#: if the split arithmetic ever changes they move together (r9 advice).
+_BATCH_PRED = " AND " + _HASH_SQL.replace("doc_id", "s.doc_id") + " >= 800"
 
 _MAINT_DECON_SQL = (
     r"""WITH tok AS (SELECT doc_id, source,
                             string_split_regex(trim(text), '\s+') AS ts
                      FROM documents),
     src_n AS (SELECT source, count(*) AS n_docs FROM documents
-              WHERE ((doc_id % 100003) * 2654435761) % 1000 >= 800
+              WHERE """ + _HASH_SQL + """ >= 800
               GROUP BY 1),
     bdim(benchmark, bsrc) AS (VALUES """
     + ", ".join(f"('{name}', '{bsrc}')" for name, bsrc, _, _ in BENCHMARKS)

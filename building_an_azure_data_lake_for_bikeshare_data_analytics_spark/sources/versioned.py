@@ -150,10 +150,20 @@ def append_version(
 
     Requires an existing current version (an append with nothing to
     append to is a full write — use write_version) and an
-    append-compatible schema (parquet union-by-position across parts;
-    schema evolution goes through write_version). With the delta
-    backend this IS Delta's native ``mode('append')``."""
+    append-compatible schema: columns are resolved BY NAME across parts
+    (``spark.read.parquet`` over multiple part directories matches by
+    column name), so every part must carry the same column set; schema
+    evolution goes through write_version. With the delta backend this IS
+    Delta's native ``mode('append')``."""
     if resolve_backend(path, backend) == "delta":
+        # match the parquet branch's contract: appending to a path with no
+        # committed version is an error, not an implicit table create —
+        # Delta's mode('append') would otherwise silently bootstrap a new
+        # table here (r9 advice)
+        if not _is_delta_path(path):
+            raise FileNotFoundError(
+                f"append_version: no committed version at {path} (use write_version)"
+            )
         w = df.write.format("delta").mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -312,6 +322,38 @@ def vacuum(path: str, keep: int = 2) -> list[int]:
             if rel not in referenced:
                 shutil.rmtree(os.path.join(pdir, name), ignore_errors=True)
     return removed
+
+
+_EPOCHS = "_EPOCHS"
+
+
+def applied_epochs(path: str) -> dict[int, int]:
+    """epoch_id -> committed version, from the store's streaming-commit
+    ledger (empty if the store has never been fed by a stream)."""
+    ledger = os.path.join(path, _EPOCHS)
+    if not os.path.exists(ledger):
+        return {}
+    out: dict[int, int] = {}
+    with open(ledger) as f:
+        for ln in f:
+            if ln.strip():
+                e, v = ln.split()
+                out[int(e)] = int(v)
+    return out
+
+
+def record_epoch(path: str, epoch_id: int, version: int) -> None:
+    """Record a streaming micro-batch commit (atomic rewrite of the tiny
+    ledger). With a checkpointed foreachBatch sink, a micro-batch replayed
+    after a mid-epoch failure re-arrives with the SAME epoch_id — the sink
+    consults ``applied_epochs`` and skips the duplicate append, keeping
+    the store's drain-equality contract exactly-once (r9 advice)."""
+    epochs = applied_epochs(path)
+    epochs[int(epoch_id)] = int(version)
+    tmp = os.path.join(path, _EPOCHS + ".tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(f"{e} {v}" for e, v in sorted(epochs.items())) + "\n")
+    os.replace(tmp, os.path.join(path, _EPOCHS))
 
 
 _CLEANUP_REGISTERED: set[str] = set()

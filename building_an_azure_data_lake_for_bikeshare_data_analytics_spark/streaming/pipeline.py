@@ -706,6 +706,59 @@ def tokenizer_validated_docs_stream(
     return out
 
 
+def _signature_batch_rows(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's banded signature rows (tokenize/shingle/band the
+    batch ALONE — the per-batch index work of the q245 lifecycle)."""
+    from ..functions.text import tokens as _tokens
+    from ..operators.dedup import banded_signature_table, shingle_sets
+
+    return banded_signature_table(
+        shingles=shingle_sets(
+            batch_df.select("doc_id", _tokens("text").alias("ts")), 3
+        )
+    )
+
+
+def commit_store_batch(
+    rows: DataFrame, store: str, epoch_id: int, dedupe_epochs: bool,
+    partition_by: list[str] | None = None,
+) -> int | None:
+    """Commit one micro-batch's derived rows to a versioned store:
+    write_version bootstraps, append_version lands every later batch
+    (manifest commit, O(batch) IO). Returns the committed version, or
+    None for an empty batch.
+
+    Exactly-once (``dedupe_epochs=True``, i.e. the stream runs with a
+    checkpoint): a micro-batch replayed after a mid-epoch failure
+    re-arrives with the SAME epoch_id; the store's ``_EPOCHS`` ledger is
+    consulted and the duplicate append is skipped, returning the version
+    the original commit produced (r9 advice — without this, a replay
+    would double-append the batch's rows and break drain equality).
+    Shared by every maintained-store stream (signature, lexical tf/dl,
+    census)."""
+    from ..sources.versioned import (
+        append_version,
+        applied_epochs,
+        current_version,
+        record_epoch,
+        write_version,
+    )
+
+    if not rows.take(1):
+        return None
+    if dedupe_epochs:
+        seen = applied_epochs(store)
+        if int(epoch_id) in seen:  # replayed epoch: already committed
+            return seen[int(epoch_id)]
+    if current_version(store) is None:
+        v = write_version(rows, store, partition_by=partition_by)
+    else:
+        v = append_version(rows, store, partition_by=partition_by)
+    if dedupe_epochs:
+        record_epoch(store, int(epoch_id), v)
+    return v
+
+
 def maintained_signature_store_stream(
     docs: DataFrame,
     store: str,
@@ -728,26 +781,24 @@ def maintained_signature_store_stream(
     and the fixed hash family, so after the stream drains the store's
     CURRENT version equals the from-scratch banded table over all
     streamed docs REGARDLESS of how the stream was chunked — the parity
-    test's exact-equality contract (tests/test_streaming.py)."""
-    from ..functions.text import tokens as _tokens
-    from ..operators.dedup import banded_signature_table, shingle_sets
-    from ..sources.versioned import append_version, current_version, write_version
+    test's exact-equality contract (tests/test_streaming.py).
 
+    Exactly-once: with a checkpoint, a micro-batch replayed after a
+    mid-epoch failure re-arrives with the SAME epoch_id; the sink
+    records each committed epoch_id in the store's ``_EPOCHS`` ledger
+    and skips duplicates, so the replay cannot double-append the batch's
+    signature rows (r9 advice). Without a checkpoint there is no replay
+    (and epoch_ids of unrelated runs may collide), so the ledger is not
+    consulted."""
     out: list[tuple] = []
+    dedupe_epochs = checkpoint_dir is not None
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        sig = banded_signature_table(
-            shingles=shingle_sets(
-                batch_df.select("doc_id", _tokens("text").alias("ts")), 3
-            )
+        committed = commit_store_batch(
+            _signature_batch_rows(batch_df), store, epoch_id, dedupe_epochs
         )
-        if current_version(store) is None:
-            v = write_version(sig, store)
-        else:
-            v = append_version(sig, store)
-        out.append((epoch_id, v))
+        if committed is not None:
+            out.append((epoch_id, committed))
 
     writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:

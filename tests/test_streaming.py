@@ -753,3 +753,52 @@ def test_maintained_signature_store_stream_matches_batch(spark, docs_dir, tmp_pa
     got = sorted(tuple(r) for r in read_current(spark, store).collect())
     assert got == want
     assert len(got) > 0
+
+
+def test_commit_store_batch_epoch_replay_is_idempotent(spark, docs_dir, tmp_path):
+    """Exactly-once contract of the maintained-store sink (r9 advice):
+    with a checkpointed stream, a micro-batch replayed after a mid-epoch
+    failure re-arrives with the SAME epoch_id — the second commit of that
+    epoch must be a no-op returning the original version, leaving the
+    store's contents (and so drain equality) intact. A NEW epoch_id must
+    still append."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        applied_epochs,
+        read_current,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        _signature_batch_rows,
+        commit_store_batch,
+    )
+
+    store = str(tmp_path / "sigreplay")
+    docs = spark.read.parquet(docs_dir).select("doc_id", "text")
+    b0 = docs.where("doc_id % 2 = 0")
+    b1 = docs.where("doc_id % 2 = 1")
+
+    v0 = commit_store_batch(_signature_batch_rows(b0), store, 0, True)
+    n0 = read_current(spark, store).count()
+    assert v0 == 1 and n0 > 0
+
+    # replay of epoch 0 (same data re-delivered): no new version, no new rows
+    v0r = commit_store_batch(_signature_batch_rows(b0), store, 0, True)
+    assert v0r == v0
+    assert read_current(spark, store).count() == n0
+
+    # a genuinely new epoch appends
+    v1 = commit_store_batch(_signature_batch_rows(b1), store, 1, True)
+    assert v1 == v0 + 1
+    n1 = read_current(spark, store).count()
+    assert n1 > n0
+
+    # replay of epoch 1 after its commit: still a no-op
+    assert commit_store_batch(_signature_batch_rows(b1), store, 1, True) == v1
+    assert read_current(spark, store).count() == n1
+    assert applied_epochs(store) == {0: v0, 1: v1}
+
+    # an UNCHECKPOINTED stream (dedupe_epochs=False) never consults the
+    # ledger: same epoch_id commits again
+    store2 = str(tmp_path / "sigreplay_nockpt")
+    va = commit_store_batch(_signature_batch_rows(b0), store2, 0, False)
+    vb = commit_store_batch(_signature_batch_rows(b0), store2, 0, False)
+    assert (va, vb) == (1, 2)

@@ -8,7 +8,8 @@ Phases (same measure/force discipline as stress_maintenance):
   the sample caps, demonstrating the bounded-fit posture.
 * ``assign_v1``      — corpus cell assignment written to the versioned
   store (+ centroid table). The cost paid ONCE, with the index.
-* ``batch_append``   — what a deployment pays PER INGEST BATCH: assign
+* ``batch_append``   — what a deployment pays PER INGEST BATCH through
+  the SHIPPED q246 path (``append_version`` manifest commit): assign
   the NEW vectors only (through the stored centroids) and append. The
   maintained-index claim is this row vs reassign_full.
 * ``reassign_full``  — full-corpus re-assignment: what a deployment
@@ -63,7 +64,9 @@ def main() -> None:
     )
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import get_spark
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        append_version,
         read_current,
+        read_version,
         write_version,
     )
 
@@ -108,9 +111,18 @@ def main() -> None:
             return {"n": read_current(spark, store).count()}
 
         def ph_batch_append():
-            cur = read_current(spark, store)
+            # the SHIPPED q246 append: manifest commit, O(batch) IO
+            append_version(assign_cells(batch, state["cents"]), store)
+            return {"n": read_current(spark, store).count()}
+
+        def ph_batch_append_rewrite():
+            # the pre-lever rewrite path (write_version(v1 ∪ batch)),
+            # measured for the delta; restores the same logical contents
             write_version(
-                cur.unionByName(assign_cells(batch, state["cents"])), store
+                read_version(spark, store, 1).unionByName(
+                    assign_cells(batch, state["cents"])
+                ),
+                store,
             )
             return {"n": read_current(spark, store).count()}
 
@@ -131,6 +143,9 @@ def main() -> None:
         rows["ivf_fit_v1"] = measure(spark, f"ivf_fit_v1 {mult}x", ph_fit)
         rows["assign_v1"] = measure(spark, f"assign_v1 {mult}x", ph_assign_v1)
         rows["batch_append"] = measure(spark, f"batch_append {mult}x", ph_batch_append)
+        rows["batch_append_rewrite"] = measure(
+            spark, f"batch_append_rewrite {mult}x", ph_batch_append_rewrite
+        )
         rows["reassign_full"] = measure(
             spark, f"reassign_full {mult}x", ph_reassign_full
         )
@@ -159,6 +174,7 @@ def main() -> None:
             "ivf_fit_v1",
             "assign_v1",
             "batch_append",
+            "batch_append_rewrite",
             "reassign_full",
             "query_probe",
             "brute_force",

@@ -7,9 +7,15 @@ q249 phases:
 * ``decon_build_v1``    — the first two benchmarks' shingle sets
   derived from their eval sources → versioned store. Paid at suite
   registration.
-* ``decon_bench_append``— registering ONE new benchmark: its own
-  shingle derivation only, appended. The claim is this row vs
-  decon_rebuild (re-deriving the whole suite).
+* ``decon_bench_append``— registering ONE new benchmark through the
+  SHIPPED q249 path: its own shingle derivation only, landed via
+  ``append_version``'s manifest commit (O(benchmark) physical IO). The
+  claim is this row vs decon_rebuild (re-deriving the whole suite).
+* ``decon_bench_append_rewrite`` — the pre-lever alternative,
+  ``write_version(read_current ∪ new benchmark)``: pays a full-store
+  rewrite per registration. Separate phase so the shipped path and the
+  rewrite delta are both reproducible from this committed tool (r9
+  advice).
 * ``decon_rebuild``     — all benchmarks from scratch (no-index
   registration alternative).
 * ``decon_screen_batch``— the per-batch cost a deployment pays: the
@@ -76,7 +82,9 @@ def main() -> None:
     )
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import get_spark
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        append_version,
         read_current,
+        read_version,
         write_version,
     )
 
@@ -116,8 +124,15 @@ def main() -> None:
             return {"n": read_current(spark, dstore).count()}
 
         def ph_decon_bench_append():
+            # the SHIPPED q249 append: manifest commit, O(benchmark) IO
+            append_version(bench_shingle_table(d, BENCHMARKS[2:]), dstore)
+            return {"n": read_current(spark, dstore).count()}
+
+        def ph_decon_bench_append_rewrite():
+            # the pre-lever rewrite path, measured for the delta; restores
+            # the same logical contents (v1 benchmarks ∪ the new one)
             write_version(
-                read_current(spark, dstore).unionByName(
+                read_version(spark, dstore, 1).unionByName(
                     bench_shingle_table(d, BENCHMARKS[2:])
                 ),
                 dstore,
@@ -145,6 +160,11 @@ def main() -> None:
         )
         rows["decon_bench_append"] = measure(
             spark, f"decon_bench_append {mult}x", ph_decon_bench_append
+        )
+        rows["decon_bench_append_rewrite"] = measure(
+            spark,
+            f"decon_bench_append_rewrite {mult}x",
+            ph_decon_bench_append_rewrite,
         )
         rows["decon_rebuild"] = measure(
             spark, f"decon_rebuild {mult}x", ph_decon_rebuild
@@ -201,7 +221,8 @@ def main() -> None:
         all_rows[f"{mult}x"] = rows
 
         for a, b, tag in (
-            ("decon_bench_append", "decon_rebuild", "register-one-benchmark"),
+            ("decon_bench_append",
+            "decon_bench_append_rewrite", "decon_rebuild", "register-one-benchmark"),
             ("decon_screen_batch", "decon_screen_rescan", "screen-per-batch"),
             ("census_batch_merge", "census_rebuild", "census-per-batch"),
         ):
@@ -221,6 +242,7 @@ def main() -> None:
         for ph in (
             "decon_build_v1",
             "decon_bench_append",
+            "decon_bench_append_rewrite",
             "decon_rebuild",
             "decon_screen_batch",
             "decon_screen_rescan",

@@ -13,10 +13,18 @@ Phases (same measure/force discipline as stress_maintenance):
 * ``build_v1``        — tokenize the CORPUS side (80% doc-hash split)
   once; tf (doc_id, tok, f) and dl (doc_id, len) written to the
   versioned store. Paid once, with the index.
-* ``batch_append``    — what a deployment pays PER INGEST BATCH:
-  tokenize the NEW docs only and append their tf/dl rows (term stats
-  are additive, so the maintained index equals a from-scratch build by
-  set algebra). The maintained-index claim is this row vs rebuild_full.
+* ``batch_append``    — what a deployment pays PER INGEST BATCH through
+  the SHIPPED q248 path: tokenize the NEW docs only and land their tf/dl
+  rows via ``append_version``'s manifest commit (O(batch) physical IO —
+  the store-append lever, SCALE_NOTES r9 addendum). Term stats are
+  additive, so the maintained index equals a from-scratch build by set
+  algebra. The maintained-index claim is this row vs rebuild_full.
+* ``batch_append_rewrite`` — the pre-lever alternative,
+  ``write_version(read_current ∪ batch)``: snapshot-correct but pays an
+  O(corpus) physical rewrite per batch. Kept as its own phase so the
+  46.4 -> 22.7 s lever measurement stays reproducible from this committed
+  tool (r9 advice — the shipped path and the rewrite are now BOTH
+  measured, as separate rows).
 * ``rebuild_full``    — from-scratch index build over the full corpus
   to a fresh store: the no-index per-batch alternative.
 * ``query_stored``    — the warm read path: top-20 batch docs by BM25
@@ -64,7 +72,9 @@ def main() -> None:
     )
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import get_spark
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        append_version,
         read_current,
+        read_version,
         write_version,
     )
 
@@ -109,12 +119,22 @@ def main() -> None:
             return {"n": read_current(spark, tf_store).count()}
 
         def ph_batch_append():
+            # the SHIPPED q248 append: manifest commit, O(batch) IO
+            tf_b, dl_b = index_rows(batch)
+            append_version(tf_b, tf_store)
+            append_version(dl_b, dl_store)
+            return {"n": read_current(spark, tf_store).count()}
+
+        def ph_batch_append_rewrite():
+            # the pre-lever rewrite path, measured for the delta; restores
+            # the store to the same logical contents (corpus ∪ batch), so
+            # later phases read identical data either way
             tf_b, dl_b = index_rows(batch)
             write_version(
-                read_current(spark, tf_store).unionByName(tf_b), tf_store
+                read_version(spark, tf_store, 1).unionByName(tf_b), tf_store
             )
             write_version(
-                read_current(spark, dl_store).unionByName(dl_b), dl_store
+                read_version(spark, dl_store, 1).unionByName(dl_b), dl_store
             )
             return {"n": read_current(spark, tf_store).count()}
 
@@ -138,6 +158,9 @@ def main() -> None:
         rows["build_v1"] = measure(spark, f"build_v1 {mult}x", ph_build_v1)
         rows["batch_append"] = measure(
             spark, f"batch_append {mult}x", ph_batch_append
+        )
+        rows["batch_append_rewrite"] = measure(
+            spark, f"batch_append_rewrite {mult}x", ph_batch_append_rewrite
         )
         rows["rebuild_full"] = measure(
             spark, f"rebuild_full {mult}x", ph_rebuild_full
@@ -172,6 +195,7 @@ def main() -> None:
         for ph in (
             "build_v1",
             "batch_append",
+            "batch_append_rewrite",
             "rebuild_full",
             "query_stored",
             "query_scratch",

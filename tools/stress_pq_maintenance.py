@@ -13,9 +13,15 @@ Phases (same measure/force discipline as stress_maintenance):
   vec-hash split), both driver-sample bounded. Paid once.
 * ``encode_v1``     — corpus codes written to the versioned store
   (+ centroid/codebook sibling tables). Paid once, with the index.
-* ``batch_append``  — what a deployment pays PER INGEST BATCH: assign +
-  encode the NEW vectors only through the STORED quantizer tables and
-  append. The maintained-index claim is this row vs reencode_full.
+* ``batch_append``  — what a deployment pays PER INGEST BATCH through
+  the SHIPPED q247 path: assign + encode the NEW vectors only through
+  the STORED quantizer tables, landed via ``append_version``'s manifest
+  commit (O(batch) physical IO). The maintained-index claim is this row
+  vs reencode_full.
+* ``batch_append_rewrite`` — the pre-lever alternative,
+  ``write_version(v1 ∪ batch)``: pays an O(corpus) code-table rewrite
+  per batch. Separate phase so both paths stay reproducible from this
+  committed tool (r9 advice).
 * ``reencode_full`` — full-corpus re-encode: the no-index per-batch
   alternative.
 * ``query_probe``   — the warm read path: batch-sampled queries probe
@@ -71,7 +77,9 @@ def main() -> None:
     )
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.session import get_spark
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        append_version,
         read_current,
+        read_version,
         write_version,
     )
 
@@ -117,9 +125,17 @@ def main() -> None:
             return {"n": read_current(spark, store).count()}
 
         def ph_batch_append():
-            cur = read_current(spark, store)
+            # the SHIPPED q247 append: manifest commit, O(batch) IO
+            append_version(
+                ivf_pq_index(batch, state["cents"], state["books"]), store
+            )
+            return {"n": read_current(spark, store).count()}
+
+        def ph_batch_append_rewrite():
+            # the pre-lever rewrite path (write_version(v1 ∪ batch)),
+            # measured for the delta; restores the same logical contents
             write_version(
-                cur.unionByName(
+                read_version(spark, store, 1).unionByName(
                     ivf_pq_index(batch, state["cents"], state["books"])
                 ),
                 store,
@@ -149,6 +165,9 @@ def main() -> None:
         rows["fits_v1"] = measure(spark, f"fits_v1 {mult}x", ph_fits)
         rows["encode_v1"] = measure(spark, f"encode_v1 {mult}x", ph_encode_v1)
         rows["batch_append"] = measure(spark, f"batch_append {mult}x", ph_batch_append)
+        rows["batch_append_rewrite"] = measure(
+            spark, f"batch_append_rewrite {mult}x", ph_batch_append_rewrite
+        )
         rows["reencode_full"] = measure(
             spark, f"reencode_full {mult}x", ph_reencode_full
         )
@@ -177,6 +196,7 @@ def main() -> None:
             "fits_v1",
             "encode_v1",
             "batch_append",
+            "batch_append_rewrite",
             "reencode_full",
             "query_probe",
             "brute_force",
