@@ -210,7 +210,17 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"version {version} not found (or vacuumed) at {path}")
     parts = _parts_of(path, version)
-    return spark.read.parquet(*[os.path.join(path, p) for p in parts])
+    # one scan per manifest part, unioned BY NAME: each part directory is
+    # its own partition-discovery root, so hive-style partition columns
+    # (band=…/cell=…) resolve per part — a single multi-path read would
+    # refuse the differing _v<k>/ vs _parts/ depths
+    # (CONFLICTING_DIRECTORY_STRUCTURES). Catalyst pushes filters through
+    # the union into every scan, so partition pruning works per part.
+    dfs = [spark.read.parquet(os.path.join(path, p)) for p in parts]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def merge_upsert(
@@ -275,6 +285,74 @@ def merge_upsert(
     else:
         merged = untouched.unionByName(updates)
     return write_version(merged, path, partition_by=partition_by)
+
+
+def table_files(path: str, version: int | None = None) -> list[str]:
+    """Absolute paths of the parquet data files composing one version
+    (current by default) — the read-amplification metric ``compact``
+    exists to bound: a long append chain opens one file set per delta
+    part; a compacted snapshot opens one set total."""
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    out: list[str] = []
+    for rel in _parts_of(path, v):
+        for root, _dirs, names in os.walk(os.path.join(path, rel)):
+            out.extend(
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            )
+    return sorted(out)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    backend: str = "auto",
+) -> int:
+    """Rewrite the table's CURRENT logical contents as one full snapshot
+    version (Delta OPTIMIZE's role for the manifest store): a long-lived
+    store accumulates one small delta part per ``append_version`` plus
+    manifest indirection; compaction collapses the chain back to a
+    single snapshot directory, after which the existing ``vacuum`` rules
+    garbage-collect the superseded parts (nothing references them once
+    the pre-compact versions age out of the keep window).
+
+    Row multiset is unchanged (pinned in tests/test_versioned.py); this
+    is purely a physical-layout operation. Output file count is sized
+    from the chain's on-disk bytes / ``target_file_bytes`` (the same
+    small-file planning question q166 answers from metadata — here the
+    manifest IS the metadata), floored at one file; with
+    ``partition_by`` the rewrite instead hash-repartitions on the
+    partition keys so each partition directory lands as one file, and
+    partition pruning keeps working across the compaction.
+
+    Delta backend: delegates to ``OPTIMIZE``'s ``executeCompaction``
+    (bin-packing small files natively; Delta appends never build
+    manifest chains, so this is the only compaction it needs)."""
+    if resolve_backend(path, backend) == "delta":
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, path).optimize().executeCompaction()
+        return current_version(path) or 0
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    df = read_version(spark, path, cur)
+    if partition_by:
+        df = df.repartition(*partition_by)
+    else:
+        import math
+
+        total = sum(os.path.getsize(f) for f in table_files(path, cur))
+        df = df.coalesce(max(1, math.ceil(total / target_file_bytes)))
+    # write-then-flip: the snapshot materializes fully in its own _v<k>
+    # directory (a PLAIN snapshot — no manifest) before the pointer moves,
+    # so this is safe even though df reads the table's current version
+    return write_version(df, path, partition_by=partition_by)
 
 
 def vacuum(path: str, keep: int = 2) -> list[int]:

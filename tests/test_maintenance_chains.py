@@ -154,3 +154,48 @@ def test_pq_code_table_three_batch_chain(spark, tmp_path):
     ).select("query_id", "neighbor_id", "cos", "rnk")
     assert _rows(got) == _rows(want)
     assert len(_rows(got)) > 0
+
+
+def test_lexical_chain_compact_equals_scratch(spark, tmp_path):
+    """v1 + 2 appends + compact == from-scratch: compaction collapses the
+    manifest chain to one snapshot without changing the logical index,
+    and the post-compact store keeps answering identically."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.lexical_maintenance import (
+        batch_bm25_from_tables,
+        index_rows,
+    )
+
+    docs = _docs(spark).select("doc_id", "text")
+    t1, t2, t3 = _tranches(docs)
+    tf_p, dl_p = str(tmp_path / "ctf"), str(tmp_path / "cdl")
+
+    tf1, dl1 = index_rows(t1)
+    V.write_version(tf1, tf_p)
+    V.write_version(dl1, dl_p)
+    for t in (t2, t3):
+        tf_b, dl_b = index_rows(t)
+        V.append_version(tf_b, tf_p)
+        V.append_version(dl_b, dl_p)
+
+    files_chain = len(V.table_files(tf_p))
+    want = _rows(
+        batch_bm25_from_tables(
+            V.read_current(spark, tf_p), V.read_current(spark, dl_p)
+        )
+    )
+    V.compact(spark, tf_p)
+    V.compact(spark, dl_p)
+    V.vacuum(tf_p, keep=1)
+    V.vacuum(dl_p, keep=1)
+
+    tf_all, dl_all = index_rows(docs)
+    assert _rows(V.read_current(spark, tf_p)) == _rows(tf_all)
+    assert _rows(V.read_current(spark, dl_p)) == _rows(dl_all)
+    # physically fewer files, same answers through the consumer path
+    assert len(V.table_files(tf_p)) < files_chain
+    got = _rows(
+        batch_bm25_from_tables(
+            V.read_current(spark, tf_p), V.read_current(spark, dl_p)
+        )
+    )
+    assert got == want and len(got) > 0

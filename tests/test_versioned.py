@@ -235,3 +235,75 @@ def test_append_version_then_full_write_vacuum_gc_parts(spark, tmp_path):
     assert [r["id"] for r in V.read_current(spark, p).collect()] == [9]
     parts_dir = tmp_path / "apgc" / "_parts"
     assert not parts_dir.exists() or not any(parts_dir.iterdir())
+
+
+def test_compact_collapses_append_chain(spark, tmp_path):
+    """compact(): v1 + N appends + compact reads back row-multiset-equal
+    to the from-scratch union, as ONE plain snapshot (no manifest), with
+    strictly fewer data files than the chain — and vacuum can then GC
+    every superseded delta part."""
+    p = str(tmp_path / "cmp")
+    base = spark.createDataFrame([(i, f"r{i}") for i in range(50)], ["id", "s"])
+    V.write_version(base, p)
+    want_rows = [(i, f"r{i}") for i in range(50)]
+    for k in range(4):
+        lo = 100 + 10 * k
+        V.append_version(
+            spark.createDataFrame(
+                [(i, f"r{i}") for i in range(lo, lo + 10)], ["id", "s"]
+            ),
+            p,
+        )
+        want_rows += [(i, f"r{i}") for i in range(lo, lo + 10)]
+    files_before = len(V.table_files(p))
+    v = V.compact(spark, p)
+    assert v == 6  # v1 + 4 appends + the compaction snapshot
+    got = sorted(tuple(r) for r in V.read_current(spark, p).collect())
+    assert got == sorted(want_rows)
+    # one plain snapshot: no _PARTS manifest, fewer files than the chain
+    import os
+
+    vdir = tmp_path / "cmp" / f"_v{v}"
+    assert not (vdir / "_PARTS").exists()
+    files_after = len(V.table_files(p))
+    assert files_after < files_before
+    # time travel to the pre-compact chain still works until vacuumed
+    assert V.read_version(spark, p, 5).count() == 90
+    # once the chain ages out, its delta parts are reclaimable
+    V.vacuum(p, keep=1)
+    parts_dir = tmp_path / "cmp" / "_parts"
+    assert not parts_dir.exists() or not any(parts_dir.iterdir())
+    assert sorted(tuple(r) for r in V.read_current(spark, p).collect()) == sorted(
+        want_rows
+    )
+
+
+def test_compact_preserves_partitioning(spark, tmp_path):
+    """A partitioned store compacts into one file per partition directory
+    and stays partition-discoverable (pruning keeps working)."""
+    p = str(tmp_path / "cmpp")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(60)], ["id", "band", "s"]
+    )
+    V.write_version(df, p, partition_by=["band"])
+    V.append_version(
+        spark.createDataFrame(
+            [(i, i % 3, f"r{i}") for i in range(100, 130)], ["id", "band", "s"]
+        ),
+        p,
+        partition_by=["band"],
+    )
+    v = V.compact(spark, p, partition_by=["band"])
+    cur = V.read_current(spark, p)
+    assert cur.count() == 90
+    assert set(cur.columns) == {"id", "band", "s"}
+    # one file per band directory
+    import os
+
+    vdir = str(tmp_path / "cmpp" / f"_v{v}")
+    for b in (0, 1, 2):
+        bdir = os.path.join(vdir, f"band={b}")
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(files) == 1, (b, files)
+    # partition filter still prunes to one directory's rows
+    assert cur.where("band = 1").count() == 30
