@@ -116,12 +116,18 @@ def shingle_sets(docs_tokens: DataFrame, shingle_n: int = 3) -> DataFrame:
 
 
 def _banded_signatures(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, shingle) -> exploded (doc_id, band, sig) band-bucket rows."""
+    """(doc_id, shingle) -> exploded (doc_id, sig, band) band-bucket rows.
+
+    ``band`` is deliberately the LAST column: it is the stored table's
+    hive-partition key (q239/q245 write the store ``partition_by=['band']``),
+    and a partitioned parquet read appends partition columns after the
+    data columns — emitting it last keeps builder output and store
+    read-back column-order identical."""
     return _bands_from_sigs(minhash_signature(sh, num_hashes), num_hashes, bands)
 
 
 def _bands_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, h0..h{k-1}) signature rows -> exploded (doc_id, band, sig)."""
+    """(doc_id, h0..h{k-1}) signature rows -> exploded (doc_id, sig, band)."""
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
@@ -134,7 +140,7 @@ def _bands_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ]
     return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select("doc_id", F.col("bs.sig").alias("sig"), F.col("bs.band").alias("band"))
 
 
 def _lsh_candidates_from_shingles(

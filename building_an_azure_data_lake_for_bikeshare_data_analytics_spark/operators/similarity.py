@@ -1160,11 +1160,14 @@ def ivf_pq_index(
     centroids: list[list[int]],
     codebooks: list[list[list[int]]],
 ) -> DataFrame:
-    """ONE map-only pass over the corpus emitting (vec_id, cell, code) —
+    """ONE map-only pass over the corpus emitting (vec_id, code, cell) —
     the IVF-PQ index relation a deployment PERSISTS (q247 writes exactly
-    this to the versioned store; appending a batch = indexing the batch's
-    vectors only). At 100 TB this replaces the float corpus with a
-    ~1.5 TB code table partitioned by cell."""
+    this to the versioned store, ``partition_by=['cell']``; appending a
+    batch = indexing the batch's vectors only). At 100 TB this replaces
+    the float corpus with a ~1.5 TB code table partitioned by cell.
+    ``cell`` is last because it is the hive-partition key: a partitioned
+    read appends partition columns after the data columns, so builder
+    output and store read-back keep identical column order."""
     sub = len(codebooks[0][0])
     qv = quantize_vec(F.col("embedding"))
     codes = F.array(
@@ -1172,8 +1175,8 @@ def ivf_pq_index(
     )
     return corpus.select(
         "vec_id",
-        _argmax_cell(qv, centroids).alias("cell"),
         codes.alias("code"),
+        _argmax_cell(qv, centroids).alias("cell"),
     )
 
 
@@ -1392,7 +1395,18 @@ def _ivf_topk_vectorized_impl(
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
 
     in_cols = ["vec_id", "embedding", "cell"] if stored_cells else ["vec_id", "embedding"]
-    cands = corpus.select(*in_cols).mapInPandas(
+    src = corpus.select(*in_cols)
+    if stored_cells:
+        # rows outside the UNION of probed cells can never be candidates
+        # (every combo group masks to its probed cells) — filter them with
+        # LITERALS on the stored cell column, so when the index store is
+        # hive-partitioned by cell (q246) the scan prunes to the probed
+        # directories: the stored-index read is nprobe∪-proportional, not
+        # O(corpus)
+        probed = sorted({int(c) for c in probe_cells.ravel()})
+        if len(probed) < ncells:
+            src = src.where(F.col("cell").isin(*probed))
+    cands = src.mapInPandas(
         part, "query_id long, neighbor_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -1577,7 +1591,15 @@ def ivf_pq_rerank_from_index_vectorized(
                 out_a.extend(adc[order])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "adc": out_a})
 
-    local = index.select("vec_id", "cell", "code").mapInPandas(
+    src = index.select("vec_id", "cell", "code")
+    # literal filter on the UNION of probed cells: rows outside it are
+    # masked out per query anyway, and with the code store partitioned by
+    # cell (q247) the scan prunes to the probed directories — the ADC
+    # prune reads nprobe∪/ncells of the stored table, not all of it
+    probed_all = sorted({int(c) for c in probe_cells.ravel()})
+    if len(probed_all) < ncells:
+        src = src.where(F.col("cell").isin(*probed_all))
+    local = src.mapInPandas(
         part, "query_id long, neighbor_id long, adc long"
     )
     wprune = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))

@@ -150,9 +150,11 @@ def q246(spark, sf):
 
     # 1) v1: quantizer trained on the corpus side ONLY (kmeans_fit's
     #    bounded lowest-id driver sample — the faiss posture); corpus
-    #    assignments + the k centroid rows to the store
+    #    assignments + the k centroid rows to the store. The assignment
+    #    table is hive-partitioned on its probe key (cell), so a query
+    #    run's stored-index read prunes to the nprobe'd cell directories
     cents = kmeans_fit(corpus, k=8, max_iter=8)
-    write_version(assign_cells(corpus, cents), store)
+    write_version(assign_cells(corpus, cents), store, partition_by=["cell"])
     write_version(
         spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)],
@@ -170,7 +172,7 @@ def q246(spark, sf):
     batch_asn = assign_cells(batch, stored_cents)
     # append_version: only the batch's rows are physically written (the
     # new version is a manifest over v1's files + the delta part)
-    append_version(batch_asn, store)
+    append_version(batch_asn, store, partition_by=["cell"])
     vacuum(store, keep=2)
 
     # 3) query: the batch's sample probes the stored v2 index through the
@@ -291,7 +293,7 @@ def q247(spark, sf):
     #    quantizer tables to the store
     cents = kmeans_fit(corpus, k=8, max_iter=8)
     books = pq_fit(corpus, m=4, ksub=8, max_iter=4)
-    write_version(ivf_pq_index(corpus, cents, books), store)
+    write_version(ivf_pq_index(corpus, cents, books), store, partition_by=["cell"])
     write_version(
         spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)],
@@ -318,7 +320,10 @@ def q247(spark, sf):
         [[int(x) for x in r["vec"]] for r in book_rows if r["sub"] == s]
         for s in range(m)
     ]
-    append_version(ivf_pq_index(batch, stored_cents, stored_books), store)
+    append_version(
+        ivf_pq_index(batch, stored_cents, stored_books), store,
+        partition_by=["cell"],
+    )
     vacuum(store, keep=2)
 
     # 3) query: stored codes probe + exact re-rank against raw embeddings

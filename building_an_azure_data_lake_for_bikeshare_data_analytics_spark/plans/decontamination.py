@@ -151,16 +151,19 @@ def bench_shingle_table(d, benchmarks):
     maintains."""
     bench = None
     for name, bsrc, n, te4 in benchmarks:
+        # benchmark LAST: it is the stored table's hive-partition key
+        # (q249 writes partition_by=['benchmark']), and a partitioned
+        # read appends partition columns after the data columns
         part = (
             d.where(F.col("source") == bsrc)
             .select(F.explode(word_shingles(F.col("ts"), n)).alias("sh"))
             .distinct()
             .select(
-                F.lit(name).alias("benchmark"),
                 F.lit(bsrc).alias("bsrc"),
                 F.lit(n).alias("n"),
                 "sh",
                 F.lit(te4).alias("thresh_e4"),
+                F.lit(name).alias("benchmark"),
             )
         )
         bench = part if bench is None else bench.unionByName(part)
@@ -318,12 +321,18 @@ def q249(spark, sf):
     store = _store_path(spark)
     register_cleanup(store)
 
-    # 1) v1: the initially-registered benchmarks' shingle table
-    write_version(bench_shingle_table(d, BENCHMARKS[:2]), store)
+    # 1) v1: the initially-registered benchmarks' shingle table, hive-
+    #    partitioned by benchmark — a screen against any benchmark subset
+    #    prunes to those benchmarks' directories
+    write_version(
+        bench_shingle_table(d, BENCHMARKS[:2]), store, partition_by=["benchmark"]
+    )
 
     # 2) append: the NEW benchmark's shingles only — O(benchmark); the
     #    delta part is all that's physically written
-    append_version(bench_shingle_table(d, BENCHMARKS[2:]), store)
+    append_version(
+        bench_shingle_table(d, BENCHMARKS[2:]), store, partition_by=["benchmark"]
+    )
     vacuum(store, keep=2)
 
     # 3) query: the NEW batch probed against the STORED table

@@ -152,7 +152,11 @@ def q239(spark, sf):
         pairs_v1.select("doc_a", "doc_b"), "doc_a", "doc_b"
     ).select(F.col("id").alias("doc_id"), "comp")
     write_version(comps_v1, store)
-    write_version(banded_signature_table(shingles=sh_all.where(~sh_new)), sig_store)
+    write_version(
+        banded_signature_table(shingles=sh_all.where(~sh_new)),
+        sig_store,
+        partition_by=["band"],
+    )
 
     # 2) incremental: star edges from the stored v1 + cross + within-batch;
     #    cross candidates probe the STORED signature table — the update's

@@ -109,9 +109,14 @@ def q245(spark, sf):
     sh_all = shingle_sets(docs, 3).localCheckpoint(storageLevel=_CKPT_LEVEL)
     is_new = _doc_hash() >= 800
 
-    # 1) v1: the corpus side's signatures, stored with the index
+    # 1) v1: the corpus side's signatures, stored with the index and
+    #    hive-partitioned by band: each band's probe task reads exactly
+    #    its band directory, and band-restricted maintenance (re-verify /
+    #    re-band one band) prunes the other b-1 directories
     write_version(
-        banded_signature_table(shingles=sh_all.where(~is_new)), store
+        banded_signature_table(shingles=sh_all.where(~is_new)),
+        store,
+        partition_by=["band"],
     )
 
     # 2) batch signatures (the ONLY signature compute a batch pays),
@@ -124,7 +129,7 @@ def q245(spark, sf):
     # append the batch's signatures: the store is ready for the next
     # batch. append_version writes ONLY the batch's rows (manifest over
     # the v1 files + delta part) — O(batch) IO, not an O(corpus) rewrite
-    append_version(batch_banded, store)
+    append_version(batch_banded, store, partition_by=["band"])
     # each plan CONSTRUCTION appends two versions (write_version is an
     # eager action) — bound the store so looped/long-lived sessions don't
     # grow version directories without limit (r8 advice); keep=2 retains

@@ -216,7 +216,17 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     # refuse the differing _v<k>/ vs _parts/ depths
     # (CONFLICTING_DIRECTORY_STRUCTURES). Catalyst pushes filters through
     # the union into every scan, so partition pruning works per part.
-    dfs = [spark.read.parquet(os.path.join(path, p)) for p in parts]
+    # A PARTITIONED write of an empty batch emits no data files at all
+    # (no partition directories) — skip such parts; an unpartitioned
+    # empty write still emits a schema-carrying empty file and reads fine.
+    def _has_data(rel: str) -> bool:
+        for root, _dirs, names in os.walk(os.path.join(path, rel)):
+            if any(n.endswith(".parquet") and not n.startswith(("_", ".")) for n in names):
+                return True
+        return False
+
+    live = [p for p in parts if _has_data(p)] or parts
+    dfs = [spark.read.parquet(os.path.join(path, p)) for p in live]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)

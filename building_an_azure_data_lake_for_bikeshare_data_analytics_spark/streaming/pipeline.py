@@ -795,10 +795,143 @@ def maintained_signature_store_stream(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         committed = commit_store_batch(
-            _signature_batch_rows(batch_df), store, epoch_id, dedupe_epochs
+            _signature_batch_rows(batch_df), store, epoch_id, dedupe_epochs,
+            partition_by=["band"],
         )
         if committed is not None:
             out.append((epoch_id, committed))
+
+    writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out
+
+
+def commit_store_merge(
+    rows: DataFrame, store: str, epoch_id: int, dedupe_epochs: bool, merge_fn,
+    partition_by: list[str] | None = None,
+) -> int | None:
+    """``commit_store_batch`` for MERGE-maintained state (the q250 census
+    posture): the first batch bootstraps the store, every later batch is
+    combined with the current state via ``merge_fn(current, rows)`` and
+    written as the next snapshot (algebraic state is small — sums /
+    min-max / bottom-k rows — so the snapshot write is O(state), not
+    O(corpus)). A merge is NOT naturally idempotent (re-merging a
+    replayed batch double-counts), which is exactly why the ``_EPOCHS``
+    ledger gates it under checkpointed replay."""
+    from ..sources.versioned import (
+        applied_epochs,
+        current_version,
+        record_epoch,
+        write_version,
+    )
+
+    if not rows.take(1):
+        return None
+    if dedupe_epochs:
+        seen = applied_epochs(store)
+        if int(epoch_id) in seen:
+            return seen[int(epoch_id)]
+    spark = rows.sparkSession
+    if current_version(store) is None:
+        v = write_version(rows, store, partition_by=partition_by)
+    else:
+        from ..sources.versioned import read_current
+
+        v = write_version(
+            merge_fn(read_current(spark, store), rows), store,
+            partition_by=partition_by,
+        )
+    if dedupe_epochs:
+        record_epoch(store, int(epoch_id), v)
+    return v
+
+
+def maintained_lexical_index_stream(
+    docs: DataFrame,
+    tf_store: str,
+    dl_store: str,
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """Streaming lexical-index maintenance: each micro-batch of incoming
+    docs is tokenized ALONE and its term-frequency / doc-length rows are
+    committed to the q248 versioned stores — the maintained inverted
+    index in its production Structured Streaming shape (r9 verdict item
+    5: the signature store's foreachBatch lifecycle, extended to the
+    retrieval artifact). First batch bootstraps each store, later
+    batches land through append_version's manifest commit (O(batch) IO),
+    hive-partitioned on the probe keys (tok_bucket / hb) exactly like
+    the batch head.
+
+    Returns (epoch_id, tf_version, dl_version) per non-empty batch.
+
+    Drain equality: tf/dl are PER-DOC aggregates and the file source
+    never splits one doc across micro-batches, so after the stream
+    drains each store's current version equals the from-scratch
+    ``index_rows`` over all streamed docs regardless of chunking —
+    pinned in tests/test_streaming.py. Exactly-once under checkpointed
+    replay via the stores' ``_EPOCHS`` ledgers (commit_store_batch)."""
+    from ..plans.lexical_maintenance import index_rows
+
+    out: list[tuple] = []
+    dedupe_epochs = checkpoint_dir is not None
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        tf_b, dl_b = index_rows(batch_df.select("doc_id", "text"))
+        v_tf = commit_store_batch(
+            tf_b, tf_store, epoch_id, dedupe_epochs, partition_by=["tok_bucket"]
+        )
+        v_dl = commit_store_batch(
+            dl_b, dl_store, epoch_id, dedupe_epochs, partition_by=["hb"]
+        )
+        if v_tf is not None or v_dl is not None:
+            out.append((epoch_id, v_tf, v_dl))
+
+    writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out
+
+
+def maintained_census_store_stream(
+    docs: DataFrame,
+    stats_store: str,
+    kmv_store: str,
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """Streaming census maintenance: each micro-batch's census state
+    (per-source stats row + KMV retained hashes, computed over the batch
+    ALONE) is MERGED into the q250 stores — sums add, min/max combine,
+    bottom-k re-ranks (``bottomk(A ∪ B) = bottomk(bottomk(A) ∪
+    bottomk(B))``), so after the stream drains the stored state equals
+    the from-scratch census over all streamed docs regardless of
+    chunking (pinned in tests/test_streaming.py).
+
+    Returns (epoch_id, stats_version, kmv_version) per non-empty batch.
+    Exactly-once under checkpointed replay via the ``_EPOCHS`` ledgers —
+    essential here because a re-merged batch would double-count sums
+    (commit_store_merge)."""
+    from ..plans.census_maintenance import _census_state, _merge_kmv, _merge_stats
+
+    out: list[tuple] = []
+    dedupe_epochs = checkpoint_dir is not None
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        stats_b, kmv_b = _census_state(
+            batch_df.select("doc_id", "source", "text", "n_chars")
+        )
+        v_s = commit_store_merge(
+            stats_b, stats_store, epoch_id, dedupe_epochs, _merge_stats
+        )
+        v_k = commit_store_merge(
+            kmv_b, kmv_store, epoch_id, dedupe_epochs, _merge_kmv
+        )
+        if v_s is not None or v_k is not None:
+            out.append((epoch_id, v_s, v_k))
 
     writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:

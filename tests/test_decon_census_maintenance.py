@@ -77,8 +77,9 @@ def test_q249_stored_index_equals_from_scratch(spark):
     )
     got = sorted(tuple(r) for r in stored.collect())
     assert got == want
-    # every registered benchmark present in the stored index
-    names = {r[0] for r in got}
+    # every registered benchmark present in the stored index (benchmark is
+    # the LAST column: it is the store's hive-partition key)
+    names = {r["benchmark"] for r in stored.collect()}
     assert names == {name for name, _, _, _ in BENCHMARKS}
 
 

@@ -802,3 +802,86 @@ def test_commit_store_batch_epoch_replay_is_idempotent(spark, docs_dir, tmp_path
     va = commit_store_batch(_signature_batch_rows(b0), store2, 0, False)
     vb = commit_store_batch(_signature_batch_rows(b0), store2, 0, False)
     assert (va, vb) == (1, 2)
+
+
+def test_maintained_lexical_index_stream_matches_batch(spark, docs_dir, tmp_path):
+    """Streaming lexical-index maintenance parity: after the micro-batches
+    drain, the tf/dl stores' current versions equal the from-scratch
+    index_rows over every streamed doc — chunking must not matter (per-doc
+    aggregates, docs never split across batches), and each non-empty batch
+    committed its own versions through the manifest append."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.lexical_maintenance import (
+        index_rows,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        maintained_lexical_index_stream,
+    )
+
+    tf_p, dl_p = str(tmp_path / "lexstream_tf"), str(tmp_path / "lexstream_dl")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    rows = maintained_lexical_index_stream(stream, tf_p, dl_p)
+    assert len(rows) >= 2, "expected multiple micro-batches"
+    assert [v for _, v, _ in rows] == sorted({v for _, v, _ in rows})
+
+    streamed = spark.read.parquet(docs_dir).select("doc_id", "text")
+    tf_all, dl_all = index_rows(streamed)
+    got_tf = sorted(tuple(r) for r in read_current(spark, tf_p).collect())
+    got_dl = sorted(tuple(r) for r in read_current(spark, dl_p).collect())
+    assert got_tf == sorted(tuple(r) for r in tf_all.collect())
+    assert got_dl == sorted(tuple(r) for r in dl_all.collect())
+    assert len(got_tf) > 0 and len(got_dl) > 0
+    # the stores carry their hive-partition keys (probe-pruning layout)
+    import os
+
+    assert any(
+        d.startswith("tok_bucket=")
+        for d in os.listdir(os.path.join(tf_p, "_v1"))
+        if not d.startswith("_")
+    )
+
+
+def test_maintained_census_store_stream_matches_batch(spark, docs_dir, tmp_path):
+    """Streaming census maintenance parity: merged per-batch state after
+    the drain equals the from-scratch census state over all streamed docs
+    (the mergeability identities composed across micro-batches), with
+    exactly-once semantics under the epoch ledger."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.census_maintenance import (
+        _census_state,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        maintained_census_store_stream,
+    )
+
+    sp, kp = str(tmp_path / "censtream_stats"), str(tmp_path / "censtream_kmv")
+    # docs_dir has (doc_id, text); derive the census columns the same way
+    # on both the stream and the batch side
+    enrich = lambda df: df.withColumn(  # noqa: E731
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"))
+    ).withColumn("n_chars", F.length("text"))
+    stream = enrich(
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    rows = maintained_census_store_stream(stream, sp, kp)
+    assert len(rows) >= 2, "expected multiple micro-batches"
+
+    batch = enrich(spark.read.parquet(docs_dir).select("doc_id", "text"))
+    stats_all, kmv_all = _census_state(batch)
+    got_stats = sorted(tuple(r) for r in read_current(spark, sp).collect())
+    got_kmv = sorted(tuple(r) for r in read_current(spark, kp).collect())
+    assert got_stats == sorted(tuple(r) for r in stats_all.collect())
+    assert got_kmv == sorted(tuple(r) for r in kmv_all.collect())
+    assert len(got_stats) > 0 and len(got_kmv) > 0
