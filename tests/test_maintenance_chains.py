@@ -199,3 +199,81 @@ def test_lexical_chain_compact_equals_scratch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_ivf_drift_chain_recall_machinery(spark, tmp_path):
+    """Index aging (r10): a 3-append chain whose later batches come from
+    SHIFTED embedding distributions (reverse / negate — orthogonal
+    transforms, so norms are preserved but the v1 cell structure is
+    wrong for them), assigned through the STALE v1 centroids. Pins that
+    (a) the chained store still equals from-scratch assignment with the
+    same centroids (append correctness is drift-independent), and
+    (b) q251's recall machinery yields a valid per-step curve, with the
+    refreshed (retrained) index recovering at least the stale index's
+    recall on the drifted queries. The measured decay curve at scale
+    lives in SCALE_NOTES (tools/stress_index_aging.py)."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        assign_cells,
+        brute_force_topk_vectorized,
+        ivf_topk_from_index_vectorized,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    third = F.col("vec_id") % 3
+    t1 = emb.where(third == 0)
+    # drifted tranches: orthogonal transforms of the raw vectors
+    t2 = emb.where(third == 1).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    t3 = emb.where(third == 2).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    cents_v1 = kmeans_fit(t1, k=8, max_iter=8)
+    p = str(tmp_path / "drift")
+
+    V.write_version(assign_cells(t1, cents_v1), p, partition_by=["cell"])
+    union = t1
+    recalls = []
+    for t in (t2, t3):
+        V.append_version(assign_cells(t, cents_v1), p, partition_by=["cell"])
+        union = union.unionByName(t)
+        qs = t.where(F.col("vec_id") % 7 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+        exact = brute_force_topk_vectorized(union, qs, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        approx = ivf_topk_from_index_vectorized(
+            V.read_current(spark, p), qs, cents_v1, k=5, nprobe=3
+        ).select("query_id", "neighbor_id")
+        nq = qs.count()
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+        recalls.append(hits / (nq * 5))
+
+    # (a) chain == from-scratch assignment with the same stale centroids
+    scratch = assign_cells(t1, cents_v1).unionByName(
+        assign_cells(t2, cents_v1)
+    ).unionByName(assign_cells(t3, cents_v1))
+    assert _rows(V.read_current(spark, p)) == _rows(scratch)
+    # (b) the recall curve is valid and the refresh recovers
+    assert all(0.0 <= r <= 1.0 for r in recalls), recalls
+    cents_fresh = kmeans_fit(union, k=8, max_iter=8)
+    V.write_version(assign_cells(union, cents_fresh), p, partition_by=["cell"])
+    qs3 = t3.where(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact3 = brute_force_topk_vectorized(union, qs3, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    fresh = ivf_topk_from_index_vectorized(
+        V.read_current(spark, p), qs3, cents_fresh, k=5, nprobe=3
+    ).select("query_id", "neighbor_id")
+    nq3 = qs3.count()
+    r_fresh = exact3.join(fresh, ["query_id", "neighbor_id"]).count() / (nq3 * 5)
+    assert r_fresh >= recalls[-1] - 1e-9, (r_fresh, recalls)
