@@ -176,9 +176,10 @@ def q252(spark, sf):
     corpus_d, batch_d = d.where(~is_new), d.where(is_new)
 
     # ---- v1 builds (corpus side of the shared relation; paid once) ----
-    sh = shingle_sets(d.select("doc_id", "ts"), 3)
     write_version(
-        banded_signature_table(shingles=sh.where(_doc_hash() < 800)),
+        banded_signature_table(
+            shingles=shingle_sets(corpus_d.select("doc_id", "ts"), 3)
+        ),
         sig_s,
         partition_by=["band"],
     )
@@ -202,9 +203,21 @@ def q252(spark, sf):
     )
 
     # ---- the composed batch update: every append derives from the ONE
-    #      shared batch-side relation (plus one embeddings-batch scan) ----
+    #      shared batch-side relation (plus one embeddings-batch scan).
+    #      The batch's multi-size tagged shingle relation is ALSO shared:
+    #      corpus_shingles carries every requested n-gram size, and its
+    #      n=3 slice IS shingle_sets' relation (same word_shingles
+    #      expression, per-doc distinct) — one shingle explode feeds both
+    #      the signature append and the decontamination screen ----
+    tagged_b = corpus_shingles(
+        batch_d.select("doc_id", "source", "ts")
+    ).localCheckpoint(storageLevel=_CKPT_LEVEL)
     v_sig = append_version(
-        banded_signature_table(shingles=sh.where(_doc_hash() >= 800)),
+        banded_signature_table(
+            shingles=tagged_b.where(F.col("n") == 3).select(
+                "doc_id", F.col("sh").alias("shingle")
+            )
+        ),
         sig_s,
         partition_by=["band"],
     )
@@ -220,13 +233,9 @@ def q252(spark, sf):
     )
     # census state the batch contributes to the q250 merge
     stats_b, kmv_b = _census_state(batch_d.select("doc_id", "source", "text", "n_chars"))
-    # decon: the batch screened against the STORED benchmark table
-    matrix = probe_matrix(
-        spark,
-        corpus_shingles(batch_d.select("doc_id", "source", "ts")),
-        read_current(spark, dec_s),
-        batch_d,
-    )
+    # decon: the batch screened against the STORED benchmark table,
+    # reading the SAME tagged shingle checkpoint
+    matrix = probe_matrix(spark, tagged_b, read_current(spark, dec_s), batch_d)
     for p in (sig_s, tf_s, dl_s, ivf_s):
         vacuum(p, keep=2)
 

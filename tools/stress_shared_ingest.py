@@ -144,20 +144,28 @@ def main() -> None:
 
         def batch_updates(shared):
             """The five artifact updates for ONE ingest batch. ``shared``
-            is the pre-tokenized batch relation (composed path) or None
-            (independent path — every update tokenizes from raw text)."""
+            is (pre-tokenized batch, pre-shingled tagged batch) in the
+            composed path, or None (independent path — every update
+            tokenizes/shingles from raw text itself)."""
             if shared is not None:
-                b_ts = shared
+                b_ts, tagged_b = shared
             else:
                 b_ts = raw.where(is_new).select(
                     "doc_id", "source", "text", "n_chars",
                     tokens("text").alias("ts"),
                 )
-            # 1) signature append
+                tagged_b = None
+            # 1) signature append (composed: the n=3 slice of the shared
+            #    tagged shingle relation IS shingle_sets' relation)
+            sig_sh = (
+                tagged_b.where(F.col("n") == 3).select(
+                    "doc_id", F.col("sh").alias("shingle")
+                )
+                if tagged_b is not None
+                else shingle_sets(b_ts.select("doc_id", "ts"), 3)
+            )
             V.append_version(
-                banded_signature_table(
-                    shingles=shingle_sets(b_ts.select("doc_id", "ts"), 3)
-                ),
+                banded_signature_table(shingles=sig_sh),
                 sig_s,
                 partition_by=["band"],
             )
@@ -168,7 +176,9 @@ def main() -> None:
             # 4) decon screen against the stored table
             m = probe_matrix(
                 spark,
-                corpus_shingles(b_ts.select("doc_id", "source", "ts")),
+                tagged_b
+                if tagged_b is not None
+                else corpus_shingles(b_ts.select("doc_id", "source", "ts")),
                 V.read_current(spark, dec_s),
                 b_ts,
             )
@@ -191,7 +201,7 @@ def main() -> None:
         state: dict = {}
 
         def ph_shared_scan():
-            state["shared"] = (
+            b_ts = (
                 raw.where(is_new)
                 .select(
                     "doc_id", "source", "text", "n_chars",
@@ -199,7 +209,11 @@ def main() -> None:
                 )
                 .localCheckpoint(storageLevel=_CKPT_LEVEL)
             )
-            return {"n": state["shared"].count()}
+            tagged_b = corpus_shingles(
+                b_ts.select("doc_id", "source", "ts")
+            ).localCheckpoint(storageLevel=_CKPT_LEVEL)
+            state["shared"] = (b_ts, tagged_b)
+            return {"n": b_ts.count() + tagged_b.count()}
 
         def ph_composed():
             return batch_updates(state["shared"])
