@@ -170,17 +170,31 @@ def bench_shingle_table(d, benchmarks):
     return bench
 
 
+def doc_hits(corpus, bench):
+    """Per-doc contamination hits: one (doc_id, source, benchmark) row for
+    every doc whose matched-shingle fraction clears that benchmark's
+    threshold (integer-exact compare). This is the MERGEABLE unit of the
+    screen — disjoint doc batches union to the from-scratch hit set, which
+    is what lets the streaming lifecycle append each micro-batch's hits to
+    a versioned contamination ledger (streaming/pipeline.py). ``benchmark``
+    is emitted LAST: it is the ledger's hive-partition key."""
+    return (
+        corpus.join(F.broadcast(bench), ["n", "sh"])
+        .where(F.col("source") != F.col("bsrc"))
+        .groupBy("doc_id", "source", "benchmark", "thresh_e4")
+        .agg(F.count(F.lit(1)).alias("m"), F.max("tot").alias("tot"))
+        .where((F.col("m") >= 1) & (F.col("m") * 10000 >= F.col("thresh_e4") * F.col("tot")))
+        .select("doc_id", "source", "benchmark")
+    )
+
+
 def probe_matrix(spark, corpus, bench, src_docs):
     """Probe the shingled corpus side against the benchmark relation and
     return the FULL (source x benchmark) contamination matrix over
     ``src_docs`` (zero rows included — an auditor needs "src7 is clean
     against b2" as a row, not an absence)."""
     hits = (
-        corpus.join(F.broadcast(bench), ["n", "sh"])
-        .where(F.col("source") != F.col("bsrc"))
-        .groupBy("doc_id", "source", "benchmark", "thresh_e4")
-        .agg(F.count(F.lit(1)).alias("m"), F.max("tot").alias("tot"))
-        .where((F.col("m") >= 1) & (F.col("m") * 10000 >= F.col("thresh_e4") * F.col("tot")))
+        doc_hits(corpus, bench)
         .groupBy("source", "benchmark")
         .agg(F.count(F.lit(1)).alias("n_cont"))
     )

@@ -809,6 +809,115 @@ def maintained_signature_store_stream(
     return out
 
 
+def screened_ingest_stream(
+    docs: DataFrame,
+    bench_store: str,
+    ledger_store: str,
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """Streaming decontamination screening: each micro-batch of incoming
+    (doc_id, source, text) docs is shingled ALONE (q244's one-Generate
+    tagged explode, over the batch only) and probed against the STORED
+    benchmark shingle table — q249's maintained artifact — with the
+    per-doc hits appended to a versioned contamination LEDGER,
+    hive-partitioned by benchmark. This is the ingest-side half of the
+    q249 lifecycle in its production Structured Streaming shape: the
+    benchmark index is maintained by the (rare) registration path; the
+    (constant) ingest stream only reads it.
+
+    Returns (epoch_id, committed_version) per micro-batch that produced
+    hits (a clean batch appends nothing and commits no version).
+
+    Drain equality: a doc's hits depend only on its own shingles and the
+    stored benchmark table, so after the stream drains the ledger's
+    current version equals ``doc_hits`` over all streamed docs regardless
+    of chunking (tests/test_streaming.py). Exactly-once under
+    checkpointed replay via the ledger's ``_EPOCHS`` ledger
+    (commit_store_batch)."""
+    from ..functions.text import tokens as _tokens
+    from ..plans.decontamination import corpus_shingles, doc_hits
+    from ..sources.versioned import read_current
+
+    out: list[tuple] = []
+    dedupe_epochs = checkpoint_dir is not None
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        bench = read_current(batch_df.sparkSession, bench_store)
+        hits = doc_hits(
+            corpus_shingles(
+                batch_df.select("doc_id", "source", _tokens("text").alias("ts"))
+            ),
+            bench,
+        )
+        v = commit_store_batch(
+            hits, ledger_store, epoch_id, dedupe_epochs, partition_by=["benchmark"]
+        )
+        if v is not None:
+            out.append((epoch_id, v))
+
+    writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out
+
+
+def maintained_ivf_store_stream(
+    vecs: DataFrame,
+    store: str,
+    cent_store: str,
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """Streaming vector-index maintenance: each micro-batch of
+    (vec_id, embedding) rows is assigned to IVF cells through the STORED
+    centroids and appended to the q246 cell-assignment store — the
+    maintained ANN index in its production Structured Streaming shape.
+    The quantizer is trained OFFLINE at build time (q246's faiss
+    posture) and lives in its own store; the stream re-reads it per
+    micro-batch (bounded collect: exactly k centroid rows) so a batch
+    quantizer refresh is picked up without restarting the stream.
+
+    Returns (epoch_id, committed_version) per non-empty micro-batch.
+
+    Drain equality: cell assignment is per-row deterministic against the
+    fixed centroids, so after the stream drains the store's current
+    version equals ``assign_cells`` over all streamed vectors regardless
+    of chunking (tests/test_streaming.py); the stale-quantizer aging of
+    this exact shape is measured in tools/stress_index_aging.py
+    (SCALE_NOTES r10, occupancy-skew refresh trigger). Exactly-once
+    under checkpointed replay via the store's ``_EPOCHS`` ledger."""
+    from ..operators.similarity import assign_cells
+    from ..sources.versioned import read_current
+
+    out: list[tuple] = []
+    dedupe_epochs = checkpoint_dir is not None
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        cents = [
+            [int(x) for x in r["centroid"]]
+            for r in read_current(batch_df.sparkSession, cent_store)
+            .orderBy("cell")
+            .collect()
+        ]
+        v = commit_store_batch(
+            assign_cells(batch_df.select("vec_id", "embedding"), cents),
+            store,
+            epoch_id,
+            dedupe_epochs,
+            partition_by=["cell"],
+        )
+        if v is not None:
+            out.append((epoch_id, v))
+
+    writer = vecs.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out
+
+
 def commit_store_merge(
     rows: DataFrame, store: str, epoch_id: int, dedupe_epochs: bool, merge_fn,
     partition_by: list[str] | None = None,

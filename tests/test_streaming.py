@@ -885,3 +885,160 @@ def test_maintained_census_store_stream_matches_batch(spark, docs_dir, tmp_path)
     assert got_stats == sorted(tuple(r) for r in stats_all.collect())
     assert got_kmv == sorted(tuple(r) for r in kmv_all.collect())
     assert len(got_stats) > 0 and len(got_kmv) > 0
+
+
+@pytest.fixture(scope="module")
+def docs_decon_dir(tmp_path_factory):
+    """(doc_id, source, text) split into 3 chunk files, with a planted
+    verbatim copy of a src0 doc under a NEW source in the final chunk — a
+    guaranteed contamination hit against the zero-threshold b_src0_5
+    benchmark, so the screen stream has something to ledger."""
+    import time
+
+    import duckdb
+
+    d = tmp_path_factory.mktemp("docs_decon_stream")
+    out = d / "docs"
+    out.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE dd AS SELECT doc_id, source, text FROM read_parquet('{SF_SMOKE}/documents.parquet') ORDER BY doc_id"
+    )
+    n = con.execute("SELECT count(*) FROM dd").fetchone()[0]
+    step = (n + 2) // 3
+    for i in range(3):
+        extra = (
+            " UNION ALL SELECT * FROM (SELECT 999001 AS doc_id, 'srcX' AS source, text "
+            "FROM dd WHERE source = 'src0' AND length(text) > 50 ORDER BY doc_id LIMIT 1)"
+            if i == 2
+            else ""
+        )
+        con.execute(
+            f"COPY (SELECT * FROM (SELECT * FROM dd ORDER BY doc_id LIMIT {step} OFFSET {i * step})"
+            f"{extra}) TO '{out}/part{i}.parquet' (FORMAT PARQUET)"
+        )
+        time.sleep(1.1)
+    return str(out)
+
+
+def test_screened_ingest_stream_matches_batch(spark, docs_decon_dir, tmp_path):
+    """Streaming decontamination parity: after the micro-batches drain,
+    the contamination ledger's current version equals the from-scratch
+    per-doc hit relation over every streamed doc probed against the SAME
+    stored benchmark table — chunking must not matter (a doc's hits
+    depend only on its own shingles), and the planted verbatim src0 copy
+    must be in the ledger."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+        tokens,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.decontamination import (
+        BENCHMARKS,
+        bench_shingle_table,
+        corpus_shingles,
+        doc_hits,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+        write_version,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        screened_ingest_stream,
+    )
+
+    # the maintained benchmark index (q249's artifact), registered once
+    # batch-side from the eval sources
+    bench_p, ledger_p = str(tmp_path / "benchstore"), str(tmp_path / "deconledger")
+    d_all = (
+        spark.read.parquet(docs_decon_dir)
+        .where("source <> 'srcX'")
+        .select("doc_id", "source", tokens("text").alias("ts"))
+    )
+    write_version(
+        bench_shingle_table(d_all, BENCHMARKS), bench_p, partition_by=["benchmark"]
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_decon_dir)
+    )
+    rows = screened_ingest_stream(stream, bench_p, ledger_p)
+    assert len(rows) >= 1, "expected at least one ledgered micro-batch"
+    assert [v for _, v in rows] == sorted({v for _, v in rows})
+
+    streamed = spark.read.parquet(docs_decon_dir).select(
+        "doc_id", "source", tokens("text").alias("ts")
+    )
+    want = sorted(
+        tuple(r)
+        for r in doc_hits(
+            corpus_shingles(streamed), read_current(spark, bench_p)
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in read_current(spark, ledger_p).collect())
+    assert got == want
+    # the planted verbatim copy of a src0 doc must have been caught
+    assert any(r[0] == 999001 and r[2] == "b_src0_5" for r in got)
+
+
+def test_maintained_ivf_store_stream_matches_batch(spark, emb_stream_dir, tmp_path):
+    """Streaming ANN-index maintenance parity: after the micro-batches
+    drain, the cell-assignment store's current version equals
+    ``assign_cells`` over every streamed vector through the SAME stored
+    centroids — chunking must not matter (assignment is per-row
+    deterministic against a fixed quantizer), and each non-empty batch
+    committed its own version through the manifest append."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        assign_cells,
+        kmeans_fit,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+        write_version,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        maintained_ivf_store_stream,
+    )
+
+    store, cent_p = str(tmp_path / "ivfstream"), str(tmp_path / "ivfstream_cents")
+    # quantizer trained OFFLINE on the corpus side (q246's build posture),
+    # persisted to its own store; the stream only assigns through it
+    corpus = read_parquet_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(corpus, k=4, max_iter=4)
+    write_version(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<bigint>"
+        ),
+        cent_p,
+    )
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_stream_dir)
+    )
+    rows = maintained_ivf_store_stream(stream, store, cent_p)
+    assert len(rows) >= 2, "expected multiple micro-batches"
+    assert [v for _, v in rows] == sorted({v for _, v in rows})
+
+    streamed = spark.read.parquet(emb_stream_dir).select("vec_id", "embedding")
+    want = sorted(
+        (r["vec_id"], tuple(r["embedding"]), r["cell"])
+        for r in assign_cells(streamed, cents).collect()
+    )
+    got = sorted(
+        (r["vec_id"], tuple(r["embedding"]), r["cell"])
+        for r in read_current(spark, store).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    # the store carries its hive-partition key (probe-pruning layout)
+    import os
+
+    assert any(
+        d.startswith("cell=")
+        for d in os.listdir(os.path.join(store, "_v1"))
+        if not d.startswith("_")
+    )
