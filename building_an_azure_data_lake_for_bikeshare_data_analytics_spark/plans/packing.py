@@ -1,0 +1,221 @@
+"""q253/q254 — the two batch-assembly operators between a curated corpus
+and a training run: sequence packing and mixture sampling.
+
+**q253 sequence packing** — pretraining consumes fixed-length token
+sequences, not documents. The standard assembly (GPT-style
+concatenate-and-chunk) concatenates each shard's documents in a
+deterministic order and slices the token stream into capacity-C
+sequences, letting documents span sequence boundaries. The operator's
+whole output is derivable from one prefix sum: a doc occupying token
+offsets [start, start + n) contributes to sequences
+floor(start/C) .. floor((start+n-1)/C), with an exact per-sequence token
+contribution. Output: one row per (shard, seq_id) with the number of
+contributing docs and the sequence's filled token count (== C except
+each shard's tail sequence) — the packing manifest a loader reads.
+
+Scale shape: the prefix sum is a window cumsum PER SHARD (shard =
+doc_id mod NSHARDS), so the only shuffle is hash-partitioning by shard
+and the in-shard sort — exactly how a real pipeline packs (each worker
+packs its shard independently; a GLOBAL document order would serialize
+the corpus through one task, which is why the shard key is part of the
+operator's contract, not a test convenience). The boundary explode is
+map-side (sequence() spans are 1-2 elements for typical docs); the final
+per-sequence agg shuffles on (shard, seq_id). NSHARDS scales with the
+cluster at 100 TB; it is fixed here so the packing layout is
+deterministic and oracle-checkable.
+
+**q254 mixture sampling** — a training mix reweights sources
+(upsample curated, downsample crawl). Deterministic realization: per
+source, a token budget share target_s = floor(T * w_s / W) (weights
+integer, T = half the corpus's tokens), realized by hash-threshold
+sampling — keep doc iff hash6(doc_id) < rate_e6_s where rate_e6_s =
+min(1e6, floor(target_s * 1e6 / tokens_s)). Every step is integer
+arithmetic, so the sampled set is exactly reproducible (and
+APPEND-STABLE: a doc's membership never changes as the corpus grows,
+the same property the q41 split and the q249 batch predicate rely on).
+Output per source: the realized rate and the sampled doc/token counts.
+
+Scale shape: one hash-agg for per-source token totals (|sources| rows),
+the rate table derived from it with a broadcast of the 1-row global
+aggregate, then a broadcast semi-side join of the rate table onto the
+corpus scan and one final hash-agg. Two corpus scans total at worst —
+and a deployment replaces the first with a read of the maintained
+census store (q250 already stores per-source token-bearing state), so
+the marginal cost of re-deriving a mix is one filtered scan.
+
+Reference scope note: the reference notebook has no training-assembly
+surface (SURVEY.md §2.6) — training-data-pipeline extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import token_count
+from .base import _t, query
+from .extensions import _TOKS
+
+#: tokens per packed training sequence
+_SEQ_CAP = 256
+#: independent packing shards (one per worker at deployment scale)
+_NSHARDS = 8
+
+#: mixture weight per source: deterministic from the source name so the
+#: head needs no side-channel weight table — last character mod 3 + 1
+#: gives weights in {1,2,3} across the testdata's src0..src19
+_W_SQL = "CAST(ascii(substr(source, -1, 1)) % 3 + 1 AS BIGINT)"
+
+
+def _w_col() -> F.Column:
+    return (F.ascii(F.substring(F.col("source"), -1, 1)) % 3 + 1).cast("bigint")
+
+
+#: fine-grained deterministic doc hash on [0, 1e6) — the q41/_HASH_SQL
+#: split hash is 1000-granular; rates need e6 granularity
+_HASH6_SQL = "((doc_id % 99991) * 2654435761) % 1000000"
+
+
+def _hash6_col() -> F.Column:
+    return ((F.col("doc_id") % 99991) * F.lit(2654435761)) % F.lit(1_000_000)
+
+
+_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % {_NSHARDS} AS INTEGER) AS shard,
+         CAST(len({_TOKS}) AS BIGINT) AS n_toks
+  FROM documents),
+c AS (
+  SELECT shard, doc_id, n_toks,
+         CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tok_start
+  FROM t),
+s AS (
+  SELECT shard, n_toks, tok_start,
+         unnest(generate_series(tok_start // {_SEQ_CAP},
+                                (tok_start + n_toks - 1) // {_SEQ_CAP})) AS seq
+  FROM c)
+SELECT shard,
+       CAST(seq AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(tok_start + n_toks, (seq + 1) * {_SEQ_CAP})
+                - GREATEST(tok_start, seq * {_SEQ_CAP})) AS BIGINT) AS fill
+FROM s GROUP BY shard, seq ORDER BY shard, seq_id"""
+
+
+@query(
+    "q253_sequence_packing",
+    _PACKING_SQL,
+    tags=("training", "packing", "window", "one-scan"),
+)
+def q253(spark, sf):
+    """Concatenate-and-chunk packing manifest: per (shard, seq_id), how
+    many docs contribute and the exact token fill. Every sequence except
+    each shard's tail must fill to _SEQ_CAP — pinned in
+    tests/test_packing.py; here the manifest itself is the output."""
+    t = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_NSHARDS)).cast("int").alias("shard"),
+        token_count("text").cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "shard",
+        "n_toks",
+        F.coalesce(F.sum("n_toks").over(w), F.lit(0)).alias("tok_start"),
+    )
+    cap = F.lit(_SEQ_CAP)
+    s = c.select(
+        "shard",
+        "n_toks",
+        "tok_start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / cap),
+                F.floor((F.col("tok_start") + F.col("n_toks") - 1) / cap),
+            )
+        ).alias("seq"),
+    )
+    return (
+        s.groupBy("shard", F.col("seq").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.least(F.col("tok_start") + F.col("n_toks"), (F.col("seq") + 1) * cap)
+                - F.greatest(F.col("tok_start"), F.col("seq") * cap)
+            ).alias("fill"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH tok AS (
+  SELECT source, {_W_SQL} AS w,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS toks
+  FROM documents GROUP BY source),
+g AS (SELECT SUM(w) AS sw, SUM(toks) AS st FROM tok),
+rate AS (
+  SELECT source, toks,
+         LEAST(1000000,
+               ((st // 2) * w // sw) * 1000000 // toks) AS rate_e6
+  FROM tok, g),
+kept AS (
+  SELECT d.source, len({_TOKS}) AS n_toks
+  FROM documents d JOIN rate r ON d.source = r.source
+  WHERE {_HASH6_SQL} < r.rate_e6)
+SELECT r.source,
+       CAST(r.rate_e6 AS BIGINT) AS rate_e6,
+       CAST(coalesce(count(k.source), 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(SUM(k.n_toks), 0) AS BIGINT) AS n_tokens
+FROM rate r LEFT JOIN kept k ON r.source = k.source
+GROUP BY r.source, r.rate_e6 ORDER BY r.source"""
+
+
+@query(
+    "q254_mixture_sampling",
+    _MIXTURE_SQL,
+    tags=("training", "sample", "mixture", "deterministic"),
+)
+def q254(spark, sf):
+    """Deterministic mixture realization: per source, the integer-exact
+    hash threshold that meets its weighted share of a half-corpus token
+    budget, plus the doc/token counts the threshold actually keeps.
+    Columns: source, rate_e6, n_docs, n_tokens."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", token_count("text").cast("bigint").alias("n_toks")
+    )
+    tok = d.groupBy("source").agg(F.sum("n_toks").alias("toks")).withColumn(
+        "w", _w_col()
+    )
+    g = tok.agg(F.sum("w").alias("sw"), F.sum("toks").alias("st"))
+    # integer floor division throughout (expr: DIV) — the SQL twin's //
+    rate = tok.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000),
+            F.expr("(st DIV 2) * w DIV sw * 1000000 DIV toks"),
+        ).alias("rate_e6"),
+    )
+    kept = (
+        d.join(F.broadcast(rate), "source")
+        .where(_hash6_col() < F.col("rate_e6"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    return (
+        rate.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("rate_e6").cast("bigint").alias("rate_e6"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )

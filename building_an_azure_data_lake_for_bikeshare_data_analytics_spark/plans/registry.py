@@ -36,7 +36,8 @@ from . import signature_maintenance  # noqa: F401  (registers q245)
 from . import ann_maintenance  # noqa: F401  (registers q246-q247, q251)
 from . import lexical_maintenance  # noqa: F401  (registers q248)
 from . import census_maintenance  # noqa: F401  (registers q250)
-from . import ingest_composed  # noqa: F401  (registers q252; new modules import LAST — insertion order is registration order)
+from . import ingest_composed  # noqa: F401  (registers q252)
+from . import packing  # noqa: F401  (registers q253-q254; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -50,15 +51,15 @@ from . import ingest_composed  # noqa: F401  (registers q252; new modules import
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
 # Round-10 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r9 history): the never-gated new-this-round q252
-# (composed shared-scan ingest — one batch updates every maintained
-# artifact off one tokenize pass) leads, then the staleness ladder — the
-# r5-evidence cohort (q181/q182/q184-q198/q200/q202-q225: sharding/
-# checksum/bitmap/graph/stats heads, the interval-join family, the
-# LM/perplexity/privacy cohort, probe-quality and distribution-shift
+# CORRECTNESS_r1..r9 history): the never-gated new-this-round heads lead
+# in insertion order — q252 (composed shared-scan ingest), q253
+# (sequence packing), q254 (mixture sampling) — then the staleness
+# ladder: the r5-evidence cohort (q181/q182/q184-q198/q200/q202-q225:
+# sharding/checksum/bitmap/graph/stats heads, the interval-join family,
+# the LM/perplexity/privacy cohort, probe-quality and distribution-shift
 # heads — all last gated in round 5, at the staleness floor), with the
 # tail filled by the oldest r6-evidence queries in schedule order
-# (q02-q08, the core agg battery).
+# (q02-q06, the core agg battery).
 # The r9-gated heads (q246-q251 lifecycles and the r4 cohort) rotated
 # off on fresh evidence; they return on their staleness clocks.
 # Deliberately never scheduled: q46/q81 (rows-only sketch values;
@@ -77,6 +78,8 @@ PREFIX_ROUND: int = 10
 
 _PRIORITY: tuple[str, ...] = (
     "q252_composed_ingest_update",
+    "q253_sequence_packing",
+    "q254_mixture_sampling",
     "q181_rendezvous_sharding",
     "q182_table_checksum",
     "q184_bitmap_intersection",
@@ -124,8 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "q04_sum_price_by_orderdate",
     "q05_avg_extprice_by_supp",
     "q06_sum_extprice_by_supp",
-    "q07_avg_extprice_by_part",
-    "q08_sum_extprice_by_part",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1,0 +1,83 @@
+"""q253 sequence packing / q254 mixture sampling — semantic invariants
+beyond the DuckDB value-hash gate (tools/verify_oracle.py)."""
+
+from pyspark.sql import functions as F
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+    token_count,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+    _NSHARDS,
+    _SEQ_CAP,
+    q253,
+    q254,
+)
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.readers import (
+    read_parquet_table,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_packing_manifest_invariants(spark):
+    rows = q253(spark, SF_SMOKE).collect()
+    assert rows, "empty packing manifest"
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+
+    docs = read_parquet_table(spark, SF_SMOKE, "documents")
+    total_toks = docs.select(F.sum(token_count("text"))).first()[0]
+    n_docs = docs.count()
+
+    assert set(by_shard) == set(range(_NSHARDS))
+    for shard, rs in by_shard.items():
+        seqs = [r["seq_id"] for r in rs]
+        # each shard's token stream is chunked contiguously from offset 0
+        assert seqs == list(range(len(seqs)))
+        # every sequence fills to capacity except the shard's tail
+        for r in rs[:-1]:
+            assert r["fill"] == _SEQ_CAP, (shard, r)
+        assert 1 <= rs[-1]["fill"] <= _SEQ_CAP
+
+    # token conservation: the manifest's fills partition the corpus tokens
+    assert sum(r["fill"] for r in rows) == total_toks
+    # doc conservation: a doc spanning k sequences appears k times, so the
+    # manifest's doc column is >= the doc count and bounded by docs+seqs
+    n_appearances = sum(r["n_docs"] for r in rows)
+    assert n_docs <= n_appearances <= n_docs + len(rows)
+
+
+def test_mixture_sampling_invariants(spark):
+    out = {r["source"]: r for r in q254(spark, SF_SMOKE).collect()}
+    docs = read_parquet_table(spark, SF_SMOKE, "documents")
+    per_src = {
+        r["source"]: (r["n"], r["toks"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(token_count("text")).alias("toks"),
+        )
+        .collect()
+    }
+    assert set(out) == set(per_src), "one output row per source, kept or not"
+    for src, r in out.items():
+        n, toks = per_src[src]
+        assert 0 <= r["rate_e6"] <= 1_000_000
+        assert 0 <= r["n_docs"] <= n
+        assert 0 <= r["n_tokens"] <= toks
+        # a full-rate source keeps everything, a zero-rate source nothing
+        if r["rate_e6"] == 1_000_000:
+            assert (r["n_docs"], r["n_tokens"]) == (n, toks)
+        if r["rate_e6"] == 0:
+            assert (r["n_docs"], r["n_tokens"]) == (0, 0)
+    # the mix must actually downsample overall (budget is half the corpus)
+    assert sum(r["n_tokens"] for r in out.values()) < sum(
+        t for _, t in per_src.values()
+    )
+
+    # deterministic: the sampled realization is reproducible bit-for-bit
+    again = {r["source"]: r for r in q254(spark, SF_SMOKE).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
