@@ -105,19 +105,14 @@ SELECT shard,
 FROM s GROUP BY shard, seq ORDER BY shard, seq_id"""
 
 
-@query(
-    "q253_sequence_packing",
-    _PACKING_SQL,
-    tags=("training", "packing", "window", "one-scan"),
-)
-def q253(spark, sf):
-    """Concatenate-and-chunk packing manifest: per (shard, seq_id), how
-    many docs contribute and the exact token fill. Every sequence except
-    each shard's tail must fill to _SEQ_CAP — pinned in
-    tests/test_packing.py; here the manifest itself is the output."""
-    t = _t(spark, sf, "documents").select(
+def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP):
+    """The q253 plan body over an arbitrary (doc_id, text) relation —
+    shared by the gated head and tools/stress_packing.py (which scales
+    ``nshards`` with the corpus the way a deployment scales it with the
+    cluster)."""
+    t = docs.select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(_NSHARDS)).cast("int").alias("shard"),
+        F.pmod(F.col("doc_id"), F.lit(nshards)).cast("int").alias("shard"),
         token_count("text").cast("bigint").alias("n_toks"),
     )
     w = (
@@ -130,7 +125,7 @@ def q253(spark, sf):
         "n_toks",
         F.coalesce(F.sum("n_toks").over(w), F.lit(0)).alias("tok_start"),
     )
-    cap = F.lit(_SEQ_CAP)
+    cap = F.lit(cap_toks)
     s = c.select(
         "shard",
         "n_toks",
@@ -153,6 +148,19 @@ def q253(spark, sf):
         )
         .orderBy("shard", "seq_id")
     )
+
+
+@query(
+    "q253_sequence_packing",
+    _PACKING_SQL,
+    tags=("training", "packing", "window", "one-scan"),
+)
+def q253(spark, sf):
+    """Concatenate-and-chunk packing manifest: per (shard, seq_id), how
+    many docs contribute and the exact token fill. Every sequence except
+    each shard's tail must fill to _SEQ_CAP — pinned in
+    tests/test_packing.py; here the manifest itself is the output."""
+    return packing_manifest(_t(spark, sf, "documents").select("doc_id", "text"))
 
 
 _MIXTURE_SQL = f"""
@@ -178,17 +186,10 @@ FROM rate r LEFT JOIN kept k ON r.source = k.source
 GROUP BY r.source, r.rate_e6 ORDER BY r.source"""
 
 
-@query(
-    "q254_mixture_sampling",
-    _MIXTURE_SQL,
-    tags=("training", "sample", "mixture", "deterministic"),
-)
-def q254(spark, sf):
-    """Deterministic mixture realization: per source, the integer-exact
-    hash threshold that meets its weighted share of a half-corpus token
-    budget, plus the doc/token counts the threshold actually keeps.
-    Columns: source, rate_e6, n_docs, n_tokens."""
-    d = _t(spark, sf, "documents").select(
+def mixture_summary(docs):
+    """The q254 plan body over an arbitrary (doc_id, source, text)
+    relation — shared by the gated head and tools/stress_packing.py."""
+    d = docs.select(
         "doc_id", "source", token_count("text").cast("bigint").alias("n_toks")
     )
     tok = d.groupBy("source").agg(F.sum("n_toks").alias("toks")).withColumn(
@@ -218,4 +219,19 @@ def q254(spark, sf):
             F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "q254_mixture_sampling",
+    _MIXTURE_SQL,
+    tags=("training", "sample", "mixture", "deterministic"),
+)
+def q254(spark, sf):
+    """Deterministic mixture realization: per source, the integer-exact
+    hash threshold that meets its weighted share of a half-corpus token
+    budget, plus the doc/token counts the threshold actually keeps.
+    Columns: source, rate_e6, n_docs, n_tokens."""
+    return mixture_summary(
+        _t(spark, sf, "documents").select("doc_id", "source", "text")
     )

@@ -21,6 +21,26 @@ def _partition_filters(df) -> list[str]:
     return re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
 
 
+def _store_partition_dirs(store: str) -> set[str]:
+    """Hive-partition directory names across the CURRENT version's data
+    directories. Resolved through the version pointer + manifests, not a
+    hardcoded ``_v1``: the app-scoped store may already carry versions
+    from an earlier test in the same session (test_audit constructs
+    every plan, and the maintenance heads build eagerly), in which case
+    the head's own run lands at v(n+1)/v(n+2) and its vacuum(keep=2)
+    GCs ``_v1``."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        _parts_of,
+        current_version,
+    )
+
+    names: set[str] = set()
+    for rel in _parts_of(store, current_version(store)):
+        p = os.path.join(store, rel)
+        names |= {d for d in os.listdir(p) if "=" in d and not d.startswith("_")}
+    return names
+
+
 def test_lexical_store_layout_and_probe_pruning(spark):
     """q248's tf store is partitioned by token-prefix bucket and the dl
     store by doc-hash century; the BM25 probe's scans carry literal
@@ -33,15 +53,9 @@ def test_lexical_store_layout_and_probe_pruning(spark):
     df = QUERIES["q248_lexical_index_maintenance"](spark, SF_SMOKE)
     store = _store_path(spark)
     assert any(
-        d.startswith("tok_bucket=")
-        for d in os.listdir(os.path.join(store + "_tf", "_v1"))
-        if not d.startswith("_")
+        d.startswith("tok_bucket=") for d in _store_partition_dirs(store + "_tf")
     )
-    assert any(
-        d.startswith("hb=")
-        for d in os.listdir(os.path.join(store + "_dl", "_v1"))
-        if not d.startswith("_")
-    )
+    assert any(d.startswith("hb=") for d in _store_partition_dirs(store + "_dl"))
     pf = _partition_filters(df)
     assert any("tok_bucket" in f and " IN " in f for f in pf), pf
     assert any(re.search(r"hb.* IN \(8,9\)", f) for f in pf), pf
@@ -68,11 +82,7 @@ def test_ivf_store_partitioned_by_cell_and_probe_filters_probed_union(spark):
 
     QUERIES["q246_ann_index_maintenance"](spark, SF_SMOKE).collect()
     store = _store_path(spark)
-    assert any(
-        d.startswith("cell=")
-        for d in os.listdir(os.path.join(store, "_v1"))
-        if not d.startswith("_")
-    )
+    assert any(d.startswith("cell=") for d in _store_partition_dirs(store))
     # ONE query probes nprobe=2 of 8 cells -> the probed union is a strict
     # subset and must appear as a literal partition filter on the scan
     cents = [
@@ -112,11 +122,7 @@ def test_decon_store_partitioned_by_benchmark_single_screen_prunes(spark):
 
     QUERIES["q249_decontamination_index_maintenance"](spark, SF_SMOKE).collect()
     store = _store_path(spark)
-    assert any(
-        d.startswith("benchmark=")
-        for d in os.listdir(os.path.join(store, "_v1"))
-        if not d.startswith("_")
-    )
+    assert any(d.startswith("benchmark=") for d in _store_partition_dirs(store))
     name = BENCHMARKS[0][0]
     one = read_current(spark, store).where(F.col("benchmark") == name)
     pf = _partition_filters(one)
