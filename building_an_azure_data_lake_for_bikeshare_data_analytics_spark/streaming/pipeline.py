@@ -918,6 +918,106 @@ def maintained_ivf_store_stream(
     return out
 
 
+def composed_ingest_stream(
+    docs: DataFrame,
+    store_root: str,
+    bench_store: str,
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """The q252 composed shared-scan ingest in its production Structured
+    Streaming shape: ONE stream of (doc_id, source, text, n_chars) docs
+    maintains EVERY text-side artifact — each micro-batch is tokenized
+    ONCE and shingled ONCE (the multi-size tagged relation, whose n=3
+    slice feeds the signature append while the full relation feeds the
+    decontamination screen), and the derived rows commit to:
+
+    * ``<root>_sig``    — banded signature store (q245), band-partitioned
+    * ``<root>_tf/_dl`` — lexical index stores (q248), bucket/century-part.
+    * ``<root>_stats/_kmv`` — census merge state (q250)
+    * ``<root>_ledger`` — per-doc contamination hits screened against the
+      STORED q249 benchmark table (read-only input), benchmark-part.
+
+    The vector-side artifact keeps its own stream
+    (maintained_ivf_store_stream) because its source is the embeddings
+    stream, not the document stream.
+
+    Returns (epoch_id, v_sig, v_tf, v_dl, v_stats, v_kmv, v_ledger) per
+    non-empty micro-batch (None where that store had nothing to commit,
+    e.g. a clean batch appends no ledger rows).
+
+    Drain equality per store vs its batch builder is pinned in
+    tests/test_streaming.py — the per-doc/mergeable-state arguments of
+    the five standalone streams compose unchanged. Exactly-once under
+    checkpointed replay: every store consults its own ``_EPOCHS`` ledger,
+    so a replayed micro-batch that died mid-fan-out re-commits ONLY the
+    stores that missed it (per-store idempotence makes the multi-store
+    fan-out restartable without coordination)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens as _tokens
+    from ..operators.dedup import _CKPT_LEVEL, banded_signature_table
+    from ..plans.census_maintenance import _census_state, _merge_kmv, _merge_stats
+    from ..plans.decontamination import corpus_shingles, doc_hits
+    from ..plans.lexical_maintenance import index_rows_from_tokens
+    from ..sources.versioned import read_current
+
+    out: list[tuple] = []
+    dedupe_epochs = checkpoint_dir is not None
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        b = batch_df.select(
+            "doc_id", "source", "text", "n_chars", _tokens("text").alias("ts")
+        ).localCheckpoint(storageLevel=_CKPT_LEVEL)
+        tagged = corpus_shingles(b.select("doc_id", "source", "ts")).localCheckpoint(
+            storageLevel=_CKPT_LEVEL
+        )
+        v_sig = commit_store_batch(
+            banded_signature_table(
+                shingles=tagged.where(F.col("n") == 3).select(
+                    "doc_id", F.col("sh").alias("shingle")
+                )
+            ),
+            store_root + "_sig",
+            epoch_id,
+            dedupe_epochs,
+            partition_by=["band"],
+        )
+        tf_b, dl_b = index_rows_from_tokens(b.select("doc_id", "ts"))
+        v_tf = commit_store_batch(
+            tf_b, store_root + "_tf", epoch_id, dedupe_epochs,
+            partition_by=["tok_bucket"],
+        )
+        v_dl = commit_store_batch(
+            dl_b, store_root + "_dl", epoch_id, dedupe_epochs, partition_by=["hb"]
+        )
+        stats_b, kmv_b = _census_state(
+            b.select("doc_id", "source", "text", "n_chars")
+        )
+        v_st = commit_store_merge(
+            stats_b, store_root + "_stats", epoch_id, dedupe_epochs, _merge_stats
+        )
+        v_km = commit_store_merge(
+            kmv_b, store_root + "_kmv", epoch_id, dedupe_epochs, _merge_kmv
+        )
+        v_led = commit_store_batch(
+            doc_hits(tagged, read_current(batch_df.sparkSession, bench_store)),
+            store_root + "_ledger",
+            epoch_id,
+            dedupe_epochs,
+            partition_by=["benchmark"],
+        )
+        out.append((epoch_id, v_sig, v_tf, v_dl, v_st, v_km, v_led))
+
+    writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out
+
+
 def commit_store_merge(
     rows: DataFrame, store: str, epoch_id: int, dedupe_epochs: bool, merge_fn,
     partition_by: list[str] | None = None,

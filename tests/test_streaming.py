@@ -1042,3 +1042,90 @@ def test_maintained_ivf_store_stream_matches_batch(spark, emb_stream_dir, tmp_pa
         for d in os.listdir(os.path.join(store, "_v1"))
         if not d.startswith("_")
     )
+
+
+def test_composed_ingest_stream_matches_batch_builders(spark, docs_decon_dir, tmp_path):
+    """Streaming composed ingest parity: ONE drained stream must leave
+    every text-side maintained store equal to its standalone batch
+    builder over all streamed docs — the per-doc / mergeable-state
+    drain-equality arguments of the five standalone streams must survive
+    composition behind one shared tokenize/shingle pass."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+        tokens,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.dedup import (
+        banded_signature_table,
+        shingle_sets,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.census_maintenance import (
+        _census_state,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.decontamination import (
+        BENCHMARKS,
+        bench_shingle_table,
+        corpus_shingles,
+        doc_hits,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.lexical_maintenance import (
+        index_rows,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+        write_version,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        composed_ingest_stream,
+    )
+
+    root = str(tmp_path / "composed")
+    bench_p = str(tmp_path / "composed_bench")
+    enrich = lambda df: df.withColumn("n_chars", F.length("text"))  # noqa: E731
+
+    all_docs = enrich(spark.read.parquet(docs_decon_dir))
+    write_version(
+        bench_shingle_table(
+            all_docs.where("source <> 'srcX'").select(
+                "doc_id", "source", tokens("text").alias("ts")
+            ),
+            BENCHMARKS,
+        ),
+        bench_p,
+        partition_by=["benchmark"],
+    )
+
+    stream = enrich(
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_decon_dir)
+    )
+    rows = composed_ingest_stream(stream, root, bench_p)
+    assert len(rows) >= 2, "expected multiple micro-batches"
+
+    def rowset(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ts_all = all_docs.select("doc_id", tokens("text").alias("ts"))
+    want_sig = banded_signature_table(
+        shingles=shingle_sets(ts_all, 3)
+    )
+    assert rowset(read_current(spark, root + "_sig")) == rowset(want_sig)
+
+    tf_all, dl_all = index_rows(all_docs.select("doc_id", "text"))
+    assert rowset(read_current(spark, root + "_tf")) == rowset(tf_all)
+    assert rowset(read_current(spark, root + "_dl")) == rowset(dl_all)
+
+    stats_all, kmv_all = _census_state(
+        all_docs.select("doc_id", "source", "text", "n_chars")
+    )
+    assert rowset(read_current(spark, root + "_stats")) == rowset(stats_all)
+    assert rowset(read_current(spark, root + "_kmv")) == rowset(kmv_all)
+
+    want_hits = doc_hits(
+        corpus_shingles(all_docs.select("doc_id", "source", tokens("text").alias("ts"))),
+        read_current(spark, bench_p),
+    )
+    got_hits = rowset(read_current(spark, root + "_ledger"))
+    assert got_hits == rowset(want_hits)
+    assert any(r[0] == 999001 for r in got_hits), "planted dup must be ledgered"
