@@ -235,3 +235,91 @@ def q254(spark, sf):
     return mixture_summary(
         _t(spark, sf, "documents").select("doc_id", "source", "text")
     )
+
+
+_REPETITION_SQL = f"""
+WITH tok AS (
+  SELECT source, {_W_SQL} AS w,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS toks
+  FROM documents GROUP BY source),
+g AS (SELECT SUM(w) AS sw FROM tok),
+plan AS (
+  SELECT source, toks,
+         (2 * (SELECT SUM(toks) FROM tok)) * w // sw AS target
+  FROM tok, g),
+rate AS (
+  SELECT source, toks, target,
+         target // toks AS epochs,
+         (target % toks) * 1000000 // toks AS rem_rate_e6
+  FROM plan),
+rem AS (
+  SELECT d.source, len({_TOKS}) AS n_toks
+  FROM documents d JOIN rate r ON d.source = r.source
+  WHERE {_HASH6_SQL} < r.rem_rate_e6)
+SELECT r.source,
+       CAST(r.epochs AS BIGINT) AS epochs,
+       CAST(r.rem_rate_e6 AS BIGINT) AS rem_rate_e6,
+       CAST(coalesce(count(m.source), 0) AS BIGINT) AS n_docs_rem,
+       CAST(r.epochs * r.toks + coalesce(SUM(m.n_toks), 0) AS BIGINT)
+           AS n_tokens_planned
+FROM rate r LEFT JOIN rem m ON r.source = m.source
+GROUP BY r.source, r.epochs, r.rem_rate_e6, r.toks ORDER BY r.source"""
+
+
+def repetition_plan(docs):
+    """The q255 plan body over an arbitrary (doc_id, source, text)
+    relation — the data-constrained (upsampling) half of the mixture
+    family: when a source's weighted target EXCEEDS its available
+    tokens, the mix repeats the source whole ``epochs`` times and
+    realizes the remainder with q254's hash threshold. Same integer
+    arithmetic, same append-stability."""
+    d = docs.select(
+        "doc_id", "source", token_count("text").cast("bigint").alias("n_toks")
+    )
+    tok = d.groupBy("source").agg(F.sum("n_toks").alias("toks")).withColumn(
+        "w", _w_col()
+    )
+    g = tok.agg(F.sum("w").alias("sw"), F.sum("toks").alias("st"))
+    rate = tok.crossJoin(F.broadcast(g)).select(
+        "source",
+        "toks",
+        F.expr("2 * st * w DIV sw DIV toks").alias("epochs"),
+        F.expr("(2 * st * w DIV sw) % toks * 1000000 DIV toks").alias(
+            "rem_rate_e6"
+        ),
+    )
+    rem = (
+        d.join(F.broadcast(rate), "source")
+        .where(_hash6_col() < F.col("rem_rate_e6"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs_rem"), F.sum("n_toks").alias("rem_toks"))
+    )
+    return (
+        rate.join(rem, "source", "left")
+        .select(
+            "source",
+            F.col("epochs").cast("bigint").alias("epochs"),
+            F.col("rem_rate_e6").cast("bigint").alias("rem_rate_e6"),
+            F.coalesce(F.col("n_docs_rem"), F.lit(0)).cast("bigint").alias("n_docs_rem"),
+            (F.col("epochs") * F.col("toks") + F.coalesce(F.col("rem_toks"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_planned"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q255_repetition_mixture",
+    _REPETITION_SQL,
+    tags=("training", "sample", "mixture", "upsampling", "deterministic"),
+)
+def q255(spark, sf):
+    """Upsampling mixture plan under a 2x-corpus token budget: per
+    source, whole-corpus repetition epochs plus the integer-exact
+    remainder threshold — the data-constrained mix (sources repeat when
+    their weighted target exceeds their tokens). Columns: source,
+    epochs, rem_rate_e6, n_docs_rem, n_tokens_planned."""
+    return repetition_plan(
+        _t(spark, sf, "documents").select("doc_id", "source", "text")
+    )
