@@ -708,3 +708,39 @@ def test_hubness_rides_the_blas_kernel(spark):
     assert "MapInPandas" in tree
     assert "BatchEvalPython" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_packing_single_data_shuffle(spark):
+    """q253: the packing manifest must cost exactly ONE data shuffle —
+    the window's hashpartitioning(shard). The (shard, seq) aggregation
+    must REUSE that partitioning (shard is a subset of the grouping
+    keys, so EnsureRequirements adds no second hash Exchange); the only
+    other Exchange is the output sort's rangepartitioning. The scan must
+    prune to (doc_id, text)."""
+    full = _plan(spark, "q253_sequence_packing")
+    assert full.count("Arguments: hashpartitioning") == 1, full
+    assert full.count("Arguments: rangepartitioning") == 1
+    tree = full.split("\n\n")[0]
+    assert tree.count("Exchange") == 2
+    assert "Window" in tree and "Generate" in tree
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in full
+
+
+def test_mixture_rate_joins_broadcast(spark):
+    """q254/q255: the |sources|-row rate table must broadcast onto the
+    corpus scan (never shuffle the corpus for the realization join), and
+    the hash-threshold comparison must evaluate inside that join's
+    condition, not in a later stage."""
+    for q, rate_col in (
+        ("q254_mixture_sampling", "rate_e6"),
+        ("q255_repetition_mixture", "rem_rate_e6"),
+    ):
+        full = _plan(spark, q)
+        assert "BroadcastHashJoin" in full, q
+        assert "CartesianProduct" not in full, q
+        # the threshold filter rides the broadcast join of the rate table
+        cond = [
+            ln for ln in full.splitlines()
+            if "Join condition:" in ln and rate_col in ln
+        ]
+        assert cond, (q, full)
