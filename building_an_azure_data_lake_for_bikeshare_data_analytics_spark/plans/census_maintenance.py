@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import H60_SQL, h60
+from ..functions.text import token_count
 from .analytics_ext import _KMV_SPACE
 from .base import _t, query
 from .training import _HASH_SQL, _doc_hash
@@ -75,6 +76,7 @@ def _census_state(side):
     stats = side.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(token_count("text")).cast("long").alias("sum_toks"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
@@ -97,6 +99,7 @@ def _merge_stats(a, b):
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.sum("sum_chars").cast("long").alias("sum_chars"),
+            F.sum("sum_toks").cast("long").alias("sum_toks"),
             F.min("min_doc_id").alias("min_doc_id"),
             F.max("max_doc_id").alias("max_doc_id"),
         )
@@ -120,6 +123,8 @@ def _merge_kmv(a, b):
 _CENSUS_SQL = f"""WITH s AS (
       SELECT source, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS sum_toks,
              min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       FROM documents GROUP BY 1),
     h AS (SELECT DISTINCT source, {H60_SQL.format(x="text")} AS h
@@ -129,7 +134,7 @@ _CENSUS_SQL = f"""WITH s AS (
           FROM h),
     k AS (SELECT source, count(*) AS m, max(h) AS xk
           FROM r WHERE rn <= {_CK} GROUP BY 1)
-    SELECT s.source, s.n_docs, s.sum_chars,
+    SELECT s.source, s.n_docs, s.sum_chars, s.sum_toks,
            CAST(k.m AS INTEGER) AS n_retained,
            k.xk AS kth_hash,
            CASE WHEN k.m < {_CK} THEN CAST(k.m AS DOUBLE)
@@ -147,8 +152,10 @@ _CENSUS_SQL = f"""WITH s AS (
 def q250(spark, sf):
     """Per-source corpus census finalized from the MAINTAINED state
     tables after the v1-build + batch-merge lifecycle. Columns: source,
-    n_docs, sum_chars, n_retained, kth_hash, distinct_text_est,
-    min_doc_id, max_doc_id. Like the other maintenance heads, plan
+    n_docs, sum_chars, sum_toks, n_retained, kth_hash,
+    distinct_text_est, min_doc_id, max_doc_id. ``sum_toks`` makes the
+    stored census the rate source for the q256 mixture derivation —
+    the mix is re-derived from maintained state, zero corpus rescans. Like the other maintenance heads, plan
     construction is eager — the store is the subject. The oracle is the
     from-scratch census over the full corpus (the doc-hash split
     recomposed): equality certifies the merge identities value-for-value
@@ -206,6 +213,7 @@ def q250(spark, sf):
             "source",
             "n_docs",
             "sum_chars",
+            "sum_toks",
             "n_retained",
             "kth_hash",
             est.alias("distinct_text_est"),

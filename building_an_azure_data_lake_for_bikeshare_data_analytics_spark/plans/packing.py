@@ -1,5 +1,7 @@
-"""q253/q254 — the two batch-assembly operators between a curated corpus
-and a training run: sequence packing and mixture sampling.
+"""q253-q256 — the batch-assembly operators between a curated corpus
+and a training run: sequence packing and the mixture family
+(downsampling rates q254, upsampling epochs q255, census-fed rate
+derivation q256).
 
 **q253 sequence packing** — pretraining consumes fixed-length token
 sequences, not documents. The standard assembly (GPT-style
@@ -39,9 +41,9 @@ Scale shape: one hash-agg for per-source token totals (|sources| rows),
 the rate table derived from it with a broadcast of the 1-row global
 aggregate, then a broadcast semi-side join of the rate table onto the
 corpus scan and one final hash-agg. Two corpus scans total at worst —
-and a deployment replaces the first with a read of the maintained
-census store (q250 already stores per-source token-bearing state), so
-the marginal cost of re-deriving a mix is one filtered scan.
+and q256 replaces the first with a read of the maintained census store
+(q250's stats table stores per-source sum_toks), so re-deriving a mix
+costs |sources| stored rows plus one filtered realization scan.
 
 Reference scope note: the reference notebook has no training-assembly
 surface (SURVEY.md §2.6) — training-data-pipeline extension set.
@@ -186,15 +188,19 @@ FROM rate r LEFT JOIN kept k ON r.source = k.source
 GROUP BY r.source, r.rate_e6 ORDER BY r.source"""
 
 
-def mixture_summary(docs):
+def mixture_summary(docs, tok=None):
     """The q254 plan body over an arbitrary (doc_id, source, text)
-    relation — shared by the gated head and tools/stress_packing.py."""
+    relation — shared by the gated head and tools/stress_packing.py.
+    ``tok`` overrides the per-source (source, toks) totals relation:
+    q256 passes the MAINTAINED census stats table here, which removes
+    the first of the two corpus scans — the rate derivation then reads
+    |sources| stored rows and only the realization touches the corpus."""
     d = docs.select(
         "doc_id", "source", token_count("text").cast("bigint").alias("n_toks")
     )
-    tok = d.groupBy("source").agg(F.sum("n_toks").alias("toks")).withColumn(
-        "w", _w_col()
-    )
+    if tok is None:
+        tok = d.groupBy("source").agg(F.sum("n_toks").alias("toks"))
+    tok = tok.withColumn("w", _w_col())
     g = tok.agg(F.sum("w").alias("sw"), F.sum("toks").alias("st"))
     # integer floor division throughout (expr: DIV) — the SQL twin's //
     rate = tok.crossJoin(F.broadcast(g)).select(
@@ -323,3 +329,51 @@ def q255(spark, sf):
     return repetition_plan(
         _t(spark, sf, "documents").select("doc_id", "source", "text")
     )
+
+
+@query(
+    "q256_mixture_from_census",
+    _MIXTURE_SQL,
+    tags=("training", "sample", "mixture", "incremental", "versioned"),
+)
+def q256(spark, sf):
+    """q254's mixture realization with the rate table derived from the
+    MAINTAINED corpus census (q250's lifecycle: v1 corpus state +
+    batch-merge, stored sum_toks per source) instead of a corpus scan —
+    the maintained artifacts COMPOSING: re-deriving a training mix costs
+    |sources| stored rows for the rates plus exactly one filtered corpus
+    scan for the realization. The oracle is q254's from-scratch SQL
+    verbatim, so a green row certifies that the stored census totals
+    reproduce the scan-derived mix value-for-value through the merge."""
+    import os
+    import tempfile
+
+    from ..sources.versioned import (
+        read_current,
+        register_cleanup,
+        vacuum,
+        write_version,
+    )
+    from .census_maintenance import _census_state, _merge_stats
+    from .training import _doc_hash
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text", "n_chars")
+    is_new = _doc_hash() >= 800
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_census_mix_{spark.sparkContext.applicationId}",
+    )
+    register_cleanup(store)
+
+    # the q250 stats lifecycle: v1 corpus state, batch state merged in
+    stats_v1, _ = _census_state(docs.where(~is_new))
+    write_version(stats_v1, store)
+    stats_b, _ = _census_state(docs.where(is_new))
+    write_version(_merge_stats(read_current(spark, store), stats_b), store)
+    vacuum(store, keep=2)
+
+    # rates from MAINTAINED state; realization = the only corpus scan
+    tok = read_current(spark, store).select(
+        "source", F.col("sum_toks").alias("toks")
+    )
+    return mixture_summary(docs.select("doc_id", "source", "text"), tok=tok)

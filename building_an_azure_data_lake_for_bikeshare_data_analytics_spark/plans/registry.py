@@ -37,7 +37,7 @@ from . import ann_maintenance  # noqa: F401  (registers q246-q247, q251)
 from . import lexical_maintenance  # noqa: F401  (registers q248)
 from . import census_maintenance  # noqa: F401  (registers q250)
 from . import ingest_composed  # noqa: F401  (registers q252)
-from . import packing  # noqa: F401  (registers q253-q255; new modules import LAST — insertion order is registration order)
+from . import packing  # noqa: F401  (registers q253-q256; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -54,13 +54,13 @@ from . import packing  # noqa: F401  (registers q253-q255; new modules import LA
 # CORRECTNESS_r1..r9 history): the never-gated new-this-round heads lead
 # in insertion order — q252 (composed shared-scan ingest), q253
 # (sequence packing), q254 (mixture sampling), q255 (repetition
-# mixture) — then the staleness
+# mixture), q256 (census-fed mixture) — then the staleness
 # ladder: the r5-evidence cohort (q181/q182/q184-q198/q200/q202-q225:
 # sharding/checksum/bitmap/graph/stats heads, the interval-join family,
 # the LM/perplexity/privacy cohort, probe-quality and distribution-shift
 # heads — all last gated in round 5, at the staleness floor), with the
 # tail filled by the oldest r6-evidence queries in schedule order
-# (q02-q05, the core agg battery).
+# (q02-q04, the core agg battery).
 # The r9-gated heads (q246-q251 lifecycles and the r4 cohort) rotated
 # off on fresh evidence; they return on their staleness clocks.
 # Deliberately never scheduled: q46/q81 (rows-only sketch values;
@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "q253_sequence_packing",
     "q254_mixture_sampling",
     "q255_repetition_mixture",
+    "q256_mixture_from_census",
     "q181_rendezvous_sharding",
     "q182_table_checksum",
     "q184_bitmap_intersection",
@@ -127,7 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     "q02_sum_price_by_dow",
     "q03_avg_price_by_orderdate",
     "q04_sum_price_by_orderdate",
-    "q05_avg_extprice_by_supp",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
