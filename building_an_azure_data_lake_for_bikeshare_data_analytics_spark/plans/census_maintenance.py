@@ -57,6 +57,7 @@ from ..functions.hashing import H60_SQL, h60
 from ..functions.text import token_count
 from .analytics_ext import _KMV_SPACE
 from .base import _t, query
+from .extensions import _TOKS
 from .training import _HASH_SQL, _doc_hash
 
 _CK = 64  # sketch size; same k as the q134 gate sketch
@@ -123,8 +124,7 @@ def _merge_kmv(a, b):
 _CENSUS_SQL = f"""WITH s AS (
       SELECT source, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-                 AS sum_toks,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS sum_toks,
              min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       FROM documents GROUP BY 1),
     h AS (SELECT DISTINCT source, {H60_SQL.format(x="text")} AS h

@@ -86,8 +86,9 @@ _PACKING_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          CAST(doc_id % {_NSHARDS} AS INTEGER) AS shard,
-         CAST(len({_TOKS}) AS BIGINT) AS n_toks
-  FROM documents),
+         CAST(COALESCE(len({_TOKS}), 0) AS BIGINT) AS n_toks
+  FROM documents
+  WHERE COALESCE(len({_TOKS}), 0) > 0),
 c AS (
   SELECT shard, doc_id, n_toks,
          CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
@@ -112,11 +113,19 @@ def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP):
     shared by the gated head and tools/stress_packing.py (which scales
     ``nshards`` with the corpus the way a deployment scales it with the
     cluster)."""
+    # NULL text guard: size(split(NULL)) is -1 under legacy sizeOfNull and
+    # NULL under ANSI — either would make the boundary sequence() DESCEND
+    # and emit phantom manifest rows while the DuckDB twin (len = NULL)
+    # silently skips the doc. Clamp to 0 and drop token-less docs BEFORE
+    # the window (they contribute 0 to every cumsum, so exclusion is
+    # offset-neutral), keeping the twins aligned for NULL/empty text.
     t = docs.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(nshards)).cast("int").alias("shard"),
-        token_count("text").cast("bigint").alias("n_toks"),
-    )
+        F.greatest(F.coalesce(token_count("text"), F.lit(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -173,8 +182,9 @@ WITH tok AS (
 g AS (SELECT SUM(w) AS sw, SUM(toks) AS st FROM tok),
 rate AS (
   SELECT source, toks,
-         LEAST(1000000,
-               ((st // 2) * w // sw) * 1000000 // toks) AS rate_e6
+         CASE WHEN (st // 2) * w // sw >= toks THEN 1000000
+              ELSE (st // 2) * w // sw % toks * 1000000 // toks
+         END AS rate_e6
   FROM tok, g),
 kept AS (
   SELECT d.source, len({_TOKS}) AS n_toks
@@ -202,12 +212,18 @@ def mixture_summary(docs, tok=None):
         tok = d.groupBy("source").agg(F.sum("n_toks").alias("toks"))
     tok = tok.withColumn("w", _w_col())
     g = tok.agg(F.sum("w").alias("sw"), F.sum("toks").alias("st"))
-    # integer floor division throughout (expr: DIV) — the SQL twin's //
+    # integer floor division throughout (expr: DIV) — the SQL twin's //.
+    # Remainder form (target % toks), as in q255: target can approach half
+    # the corpus token total, and target * 1e6 would wrap int64 once the
+    # corpus exceeds ~1.8e13 tokens — inside the 100 TB envelope. With the
+    # remainder the multiplicand is bounded by ONE source's tokens; when
+    # target >= toks the source is kept whole (rate 1e6), identical to the
+    # former LEAST(1e6, …) value at every scale that doesn't overflow.
     rate = tok.crossJoin(F.broadcast(g)).select(
         "source",
-        F.least(
-            F.lit(1_000_000),
-            F.expr("(st DIV 2) * w DIV sw * 1000000 DIV toks"),
+        F.expr(
+            "CASE WHEN (st DIV 2) * w DIV sw >= toks THEN 1000000 "
+            "ELSE (st DIV 2) * w DIV sw % toks * 1000000 DIV toks END"
         ).alias("rate_e6"),
     )
     kept = (
