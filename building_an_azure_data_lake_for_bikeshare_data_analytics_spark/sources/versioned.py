@@ -11,10 +11,39 @@ capabilities the reference actually relies on (SURVEY.md §3.4):
    reproducibility (``read_version``), with ``vacuum`` to reclaim space.
 
 This is deliberately a minimal log-structured design (one pointer, numbered
-snapshot dirs), not a Delta reimplementation: no transaction log, no
-concurrent multi-writer protocol. At 100 TB each version directory is a
-normal (optionally partitioned) parquet dataset; the pointer flip is O(1)
-regardless of data size.
+snapshot dirs), not a Delta reimplementation: no transaction log. At 100 TB
+each version directory is a normal (optionally partitioned) parquet dataset;
+the pointer flip is O(1) regardless of data size.
+
+**Concurrent writers** (Delta's optimistic-concurrency posture, scaled to
+the manifest store): data materializes OUTSIDE any lock (staging dirs /
+uniquely-named delta parts), then the metadata commit — manifest write +
+pointer flip — runs under a per-store ``O_EXCL`` lockfile with stale-lock
+takeover, and validates against the version the writer based its work on:
+
+* ``append_version`` **commutes**: its manifest is rebuilt from whatever
+  ``_CURRENT`` names at commit time, so an append racing another append or
+  a ``compact`` is never lost — it reparents onto the latest version.
+* ``write_version`` (and ``merge_upsert`` through it) is a read-transform-
+  OVERWRITE: if another commit landed after the writer captured its base
+  version, flipping would silently discard that commit, so it raises
+  ``ConcurrentWriteError`` (Delta's ConcurrentAppendException posture) —
+  the caller re-reads and retries.
+* ``compact`` is pure physical optimization: if appends landed while it
+  rewrote, it reparents (compacted snapshot + the newer delta parts); if a
+  full rewrite superseded the version it compacted, it abandons its
+  staging output and reports the store unchanged — never clobbering data.
+* ``vacuum`` runs under the same lock, and its unreferenced-``_parts``
+  sweep skips directories younger than ``grace_seconds`` — an in-flight
+  append writes its delta part BEFORE taking the lock, so a racing vacuum
+  must not reap a part whose manifest commit is seconds away.
+
+The lockfile protocol assumes a POSIX-coherent filesystem (local disk,
+NFS with proper O_EXCL) — the store's stated scope; on object stores the
+delta backend's own log protocol takes over. Stale-lock takeover
+(``stale_after``) recovers from a writer that died holding the lock; the
+takeover window must exceed any real commit critical section (the locked
+region is metadata-only — rename + two tiny file writes).
 
 When the ``delta-spark`` package is present (``session.delta_available``),
 every entry point routes through REAL Delta instead: ``format('delta')``
@@ -28,6 +57,10 @@ remains the fallback in codec-less environments like this container.
 from __future__ import annotations
 
 import os
+import shutil
+import time
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,6 +68,73 @@ from ..session import delta_available
 
 _POINTER = "_CURRENT"
 _PREFIX = "_v"
+_LOCK = "_LOCK"
+_UNSET = object()
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A snapshot commit lost its CAS check: another writer committed a
+    version after this writer captured its base. Re-read the table and
+    retry the transform (Delta's optimistic-concurrency posture)."""
+
+
+@contextmanager
+def writer_lock(path: str, timeout: float = 120.0, stale_after: float = 300.0):
+    """Per-store writer mutex: ``O_EXCL``-create of a ``_LOCK`` file inside
+    the store directory, held only across the metadata critical section
+    (manifest write + pointer flip — never across data materialization).
+
+    ``stale_after`` recovers from a writer that died holding the lock: a
+    lockfile older than the window is unlinked and re-contended (best
+    effort — two waiters may both unlink; ``O_EXCL`` arbitrates the
+    re-acquire). ``timeout`` bounds the wait for a LIVE holder."""
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, _LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > stale_after:
+                    os.unlink(lock)  # stale takeover; loop re-contends O_EXCL
+                    continue
+            except OSError:
+                continue  # holder released between exists and stat — retry
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"writer_lock: {lock} held by a live writer past {timeout}s"
+                )
+            time.sleep(0.05)
+            continue
+        try:
+            os.write(fd, f"{os.getpid()}\n".encode())
+        finally:
+            os.close(fd)
+        break
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _flip_pointer(path: str, version: int) -> None:
+    tmp = os.path.join(path, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(path, _POINTER))  # atomic pointer flip
+
+
+def _write_manifest(path: str, version: int, parts: list[str]) -> None:
+    vdir = os.path.join(path, f"{_PREFIX}{version}")
+    os.makedirs(vdir, exist_ok=True)
+    tmp_man = os.path.join(vdir, _MANIFEST + ".tmp")
+    with open(tmp_man, "w") as f:
+        f.write("\n".join(parts) + "\n")
+    os.replace(tmp_man, os.path.join(vdir, _MANIFEST))
 
 
 def _is_delta_path(path: str) -> bool:
@@ -87,15 +187,28 @@ def current_version(path: str) -> int | None:
 
 
 def write_version(
-    df: DataFrame, path: str, partition_by: list[str] | None = None, backend: str = "auto"
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    backend: str = "auto",
+    expected_base=_UNSET,
 ) -> int:
     """Write ``df`` as the next version of the table and flip the pointer.
 
     Safe even when ``df`` reads from the table's current version: the new
-    snapshot is fully materialized in its own directory before the pointer
-    moves (write-then-flip, the essence of snapshot isolation). With the
-    delta backend, Delta's own snapshot isolation provides the same
-    guarantee natively."""
+    snapshot is fully materialized in its own (staging) directory before
+    the pointer moves (write-then-flip, the essence of snapshot
+    isolation). With the delta backend, Delta's own snapshot isolation
+    provides the same guarantee natively.
+
+    Concurrency: the snapshot commit is a CAS on ``_CURRENT`` — the flip
+    happens only if the pointer still names ``expected_base`` (by default
+    the version current when this call started, i.e. the version ``df``
+    was derived from). If another writer committed meanwhile, flipping
+    would silently discard that commit, so ``ConcurrentWriteError`` is
+    raised and the staging output removed; re-read and retry. Callers
+    whose ``df`` reads an EARLIER pinned version pass that version as
+    ``expected_base`` explicitly."""
     if resolve_backend(path, backend) == "delta":
         w = df.write.format("delta").mode("overwrite").option("overwriteSchema", "true")
         if partition_by:
@@ -103,16 +216,23 @@ def write_version(
         w.save(path)
         return current_version(path) or 0
     os.makedirs(path, exist_ok=True)
-    version = (current_version(path) or 0) + 1
-    vdir = os.path.join(path, f"{_PREFIX}{version}")
+    base = current_version(path) if expected_base is _UNSET else expected_base
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(vdir)
-    tmp = os.path.join(path, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(path, _POINTER))  # atomic pointer flip
+    w.parquet(staging)
+    with writer_lock(path):
+        cur = current_version(path)
+        if cur != base:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"write_version at {path}: based on v{base} but _CURRENT is "
+                f"now v{cur} — another writer committed; re-read and retry"
+            )
+        version = (cur or 0) + 1
+        os.rename(staging, os.path.join(path, f"{_PREFIX}{version}"))
+        _flip_pointer(path, version)
     return version
 
 
@@ -154,7 +274,13 @@ def append_version(
     (``spark.read.parquet`` over multiple part directories matches by
     column name), so every part must carry the same column set; schema
     evolution goes through write_version. With the delta backend this IS
-    Delta's native ``mode('append')``."""
+    Delta's native ``mode('append')``.
+
+    Concurrency: appends COMMUTE, so this path never loses the race — the
+    delta part lands under a unique name outside the lock, and the
+    manifest is rebuilt at commit time from whatever ``_CURRENT`` names
+    THEN (reparenting over any append/compact that landed while this
+    batch materialized)."""
     if resolve_backend(path, backend) == "delta":
         # match the parquet branch's contract: appending to a path with no
         # committed version is an error, not an implicit table create —
@@ -174,22 +300,23 @@ def append_version(
         raise FileNotFoundError(
             f"append_version: no committed version at {path} (use write_version)"
         )
-    version = cur + 1
-    part_rel = os.path.join(_PARTS_DIR, f"p{version}")
+    # unique part name: concurrent appends must not clobber each other's
+    # data directories (both would otherwise guess the same p<k+1>)
+    part_rel = os.path.join(_PARTS_DIR, f"p{cur + 1}_{uuid.uuid4().hex[:8]}")
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(os.path.join(path, part_rel))
-    vdir = os.path.join(path, f"{_PREFIX}{version}")
-    os.makedirs(vdir, exist_ok=True)
-    tmp_man = os.path.join(vdir, _MANIFEST + ".tmp")
-    with open(tmp_man, "w") as f:
-        f.write("\n".join(_parts_of(path, cur) + [part_rel]) + "\n")
-    os.replace(tmp_man, os.path.join(vdir, _MANIFEST))
-    tmp = os.path.join(path, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(path, _POINTER))  # atomic pointer flip
+    with writer_lock(path):
+        cur = current_version(path)  # reparent onto whatever is current NOW
+        if cur is None:
+            shutil.rmtree(os.path.join(path, part_rel), ignore_errors=True)
+            raise FileNotFoundError(
+                f"append_version: store at {path} vanished during the append"
+            )
+        version = cur + 1
+        _write_manifest(path, version, _parts_of(path, cur) + [part_rel])
+        _flip_pointer(path, version)
     return version
 
 
@@ -342,7 +469,14 @@ def compact(
 
     Delta backend: delegates to ``OPTIMIZE``'s ``executeCompaction``
     (bin-packing small files natively; Delta appends never build
-    manifest chains, so this is the only compaction it needs)."""
+    manifest chains, so this is the only compaction it needs).
+
+    Concurrency: compaction is purely physical, so a lost race never loses
+    rows — if appends landed while the snapshot was being rewritten, the
+    commit REPARENTS (manifest = compacted snapshot + the delta parts
+    added since); if a full rewrite superseded the compacted version, the
+    staging output is abandoned and the store left as the rewrite made it
+    (returning that current version)."""
     if resolve_backend(path, backend) == "delta":
         from delta.tables import DeltaTable
 
@@ -359,21 +493,67 @@ def compact(
 
         total = sum(os.path.getsize(f) for f in table_files(path, cur))
         df = df.coalesce(max(1, math.ceil(total / target_file_bytes)))
-    # write-then-flip: the snapshot materializes fully in its own _v<k>
-    # directory (a PLAIN snapshot — no manifest) before the pointer moves,
-    # so this is safe even though df reads the table's current version
-    return write_version(df, path, partition_by=partition_by)
+    # write-then-commit: the snapshot materializes fully in a staging
+    # directory before any metadata changes, so this is safe even though
+    # df reads the table's current version
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    return _commit_compact(path, staging, cur)
 
 
-def vacuum(path: str, keep: int = 2) -> list[int]:
+def _commit_compact(path: str, staging: str, base: int) -> int:
+    """CAS commit of a compacted snapshot staged at ``staging`` that holds
+    the full logical contents of version ``base``. Split out from
+    ``compact`` so the race window (appends/rewrites landing between the
+    snapshot read and the commit) is directly testable."""
+    with writer_lock(path):
+        cur = current_version(path)
+        if cur == base:
+            version = cur + 1
+            os.rename(staging, os.path.join(path, f"{_PREFIX}{version}"))
+            _flip_pointer(path, version)
+            return version
+        base_parts = set(_parts_of(path, base)) if cur is not None else set()
+        cur_parts = _parts_of(path, cur) if cur is not None else []
+        if cur is None or not base_parts.issubset(cur_parts):
+            # a full rewrite superseded the version we compacted: our
+            # snapshot no longer describes the table — abandon, keep theirs
+            shutil.rmtree(staging, ignore_errors=True)
+            if cur is None:
+                raise FileNotFoundError(
+                    f"compact: store at {path} vanished during the rewrite"
+                )
+            return cur
+        # only appends landed meanwhile: reparent — compacted snapshot
+        # replaces base's parts, the newer delta parts ride on top
+        version = cur + 1
+        os.makedirs(os.path.join(path, _PARTS_DIR), exist_ok=True)
+        comp_rel = os.path.join(_PARTS_DIR, f"c{version}_{uuid.uuid4().hex[:8]}")
+        os.rename(staging, os.path.join(path, comp_rel))
+        newer = [p for p in cur_parts if p not in base_parts]
+        _write_manifest(path, version, [comp_rel] + newer)
+        _flip_pointer(path, version)
+        return version
+
+
+def vacuum(path: str, keep: int = 2, grace_seconds: float = 300.0) -> list[int]:
     """Drop all but the newest ``keep`` versions (never the current one).
     Returns the removed version numbers.
+
+    Runs under the store's writer lock, and the unreferenced-``_parts``
+    sweep skips directories modified within ``grace_seconds``: an
+    in-flight ``append_version`` materializes its delta part BEFORE
+    taking the lock, so a part can be legitimately unreferenced for the
+    seconds between its write and its manifest commit. Pass
+    ``grace_seconds=0`` only when no concurrent writers exist (tests,
+    single-threaded maintenance).
 
     Delta backend: delegates to ``DeltaTable.vacuum`` (Delta retains by
     TIME, not version count — files unreferenced by the current snapshot
     are removed; returns [] since Delta doesn't report version numbers)."""
-    import shutil
-
     if _is_delta_path(path):
         from pyspark.sql import SparkSession as _S
 
@@ -386,30 +566,49 @@ def vacuum(path: str, keep: int = 2) -> list[int]:
         DeltaTable.forPath(spark, path).vacuum(0.0)
         return []
 
-    cur = current_version(path)
-    vs = _versions(path)
-    keep_set = set(vs[-max(keep, 1):])
-    if cur is not None:
-        keep_set.add(cur)
-    # appended versions reference earlier data directories (older full
-    # snapshots and _parts/ deltas) through their manifests — anything a
-    # KEPT version references must survive, whatever its own version
-    # number; unreferenced _parts/ deltas are garbage-collected.
-    referenced: set[str] = set()
-    for v in keep_set:
-        referenced.update(_parts_of(path, v))
-    removed = []
-    for v in vs:
-        if v not in keep_set and f"{_PREFIX}{v}" not in referenced:
-            shutil.rmtree(os.path.join(path, f"{_PREFIX}{v}"))
-            removed.append(v)
-    pdir = os.path.join(path, _PARTS_DIR)
-    if os.path.isdir(pdir):
-        for name in os.listdir(pdir):
-            rel = os.path.join(_PARTS_DIR, name)
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(pdir, name), ignore_errors=True)
-    return removed
+    with writer_lock(path):
+        cur = current_version(path)
+        vs = _versions(path)
+        keep_set = set(vs[-max(keep, 1):])
+        if cur is not None:
+            keep_set.add(cur)
+        # appended versions reference earlier data directories (older full
+        # snapshots and _parts/ deltas) through their manifests — anything a
+        # KEPT version references must survive, whatever its own version
+        # number; unreferenced _parts/ deltas are garbage-collected.
+        referenced: set[str] = set()
+        for v in keep_set:
+            referenced.update(_parts_of(path, v))
+        removed = []
+        for v in vs:
+            if v not in keep_set and f"{_PREFIX}{v}" not in referenced:
+                shutil.rmtree(os.path.join(path, f"{_PREFIX}{v}"))
+                removed.append(v)
+        pdir = os.path.join(path, _PARTS_DIR)
+        if os.path.isdir(pdir):
+            for name in os.listdir(pdir):
+                rel = os.path.join(_PARTS_DIR, name)
+                if rel in referenced:
+                    continue
+                full = os.path.join(pdir, name)
+                try:
+                    if time.time() - os.path.getmtime(full) < grace_seconds:
+                        continue  # possibly an in-flight append's part
+                except OSError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+        # staging dirs are either in-flight (younger than grace) or orphans
+        # from a writer that died before its CAS commit
+        for name in os.listdir(path):
+            if name.startswith("_staging_"):
+                full = os.path.join(path, name)
+                try:
+                    if time.time() - os.path.getmtime(full) < grace_seconds:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+        return removed
 
 
 _EPOCHS = "_EPOCHS"

@@ -231,7 +231,7 @@ def test_append_version_then_full_write_vacuum_gc_parts(spark, tmp_path):
     V.write_version(spark.createDataFrame([(1,)], ["id"]), p)
     V.append_version(spark.createDataFrame([(2,)], ["id"]), p)
     V.write_version(spark.createDataFrame([(9,)], ["id"]), p)  # v3 full
-    V.vacuum(p, keep=1)
+    V.vacuum(p, keep=1, grace_seconds=0)
     assert [r["id"] for r in V.read_current(spark, p).collect()] == [9]
     parts_dir = tmp_path / "apgc" / "_parts"
     assert not parts_dir.exists() or not any(parts_dir.iterdir())
@@ -270,7 +270,7 @@ def test_compact_collapses_append_chain(spark, tmp_path):
     # time travel to the pre-compact chain still works until vacuumed
     assert V.read_version(spark, p, 5).count() == 90
     # once the chain ages out, its delta parts are reclaimable
-    V.vacuum(p, keep=1)
+    V.vacuum(p, keep=1, grace_seconds=0)
     parts_dir = tmp_path / "cmp" / "_parts"
     assert not parts_dir.exists() or not any(parts_dir.iterdir())
     assert sorted(tuple(r) for r in V.read_current(spark, p).collect()) == sorted(
