@@ -539,6 +539,47 @@ def _commit_compact(path: str, staging: str, base: int) -> int:
         return version
 
 
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    max_parts: int | None = 16,
+    max_files: int | None = None,
+    partition_by: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int | None:
+    """The compaction CADENCE policy: compact iff the store's read
+    amplification crossed a bound — manifest chain deeper than
+    ``max_parts`` data directories, or more than ``max_files`` physical
+    parquet files (each partitioned append writes up to
+    tasks x partition-values files, so file count is the axis that
+    actually grows per batch). Returns the compacted version, or None
+    when the store is within bounds (the common case — the check costs
+    one manifest read, plus a file-tree walk only if ``max_files`` is
+    set).
+
+    Designed to be invoked from the append path itself (streaming
+    ``commit_store_batch``, batch lifecycles): the store then sawtooths —
+    file count climbs for ~``max_parts`` batches, one compaction folds it
+    back to one file set, repeat — so read cost stays bounded no matter
+    how long the deployment runs, at an amortized rewrite cost of
+    O(corpus / max_parts) per batch. A racing append is safe either way
+    (compact reparents); ``None`` bounds disable that axis."""
+    cur = current_version(path)
+    if cur is None:
+        return None
+    over = max_parts is not None and len(_parts_of(path, cur)) > max_parts
+    if not over and max_files is not None:
+        over = len(table_files(path, cur)) > max_files
+    if not over:
+        return None
+    return compact(
+        spark,
+        path,
+        partition_by=partition_by,
+        target_file_bytes=target_file_bytes,
+    )
+
+
 def vacuum(path: str, keep: int = 2, grace_seconds: float = 300.0) -> list[int]:
     """Drop all but the newest ``keep`` versions (never the current one).
     Returns the removed version numbers.

@@ -722,6 +722,8 @@ def _signature_batch_rows(batch_df: DataFrame) -> DataFrame:
 def commit_store_batch(
     rows: DataFrame, store: str, epoch_id: int, dedupe_epochs: bool,
     partition_by: list[str] | None = None,
+    compact_max_parts: int | None = None,
+    compact_max_files: int | None = None,
 ) -> int | None:
     """Commit one micro-batch's derived rows to a versioned store:
     write_version bootstraps, append_version lands every later batch
@@ -735,11 +737,20 @@ def commit_store_batch(
     the original commit produced (r9 advice — without this, a replay
     would double-append the batch's rows and break drain equality).
     Shared by every maintained-store stream (signature, lexical tf/dl,
-    census)."""
+    census).
+
+    ``compact_max_parts`` / ``compact_max_files`` opt in to the
+    compaction cadence policy (``versioned.maybe_compact``): after the
+    epoch is recorded, the store compacts whenever its manifest depth or
+    physical file count crossed the bound, so a long-lived stream's read
+    amplification sawtooths under a constant ceiling instead of growing
+    one delta part per micro-batch. Off by default — the gated heads
+    keep deterministic store layouts."""
     from ..sources.versioned import (
         append_version,
         applied_epochs,
         current_version,
+        maybe_compact,
         record_epoch,
         write_version,
     )
@@ -756,6 +767,17 @@ def commit_store_batch(
         v = append_version(rows, store, partition_by=partition_by)
     if dedupe_epochs:
         record_epoch(store, int(epoch_id), v)
+    if compact_max_parts is not None or compact_max_files is not None:
+        # compaction is physical-only: the recorded epoch->version mapping
+        # stays valid for replay skipping (replays compare epoch_id, and
+        # rows are never re-appended after a compact)
+        maybe_compact(
+            rows.sparkSession,
+            store,
+            max_parts=compact_max_parts,
+            max_files=compact_max_files,
+            partition_by=partition_by,
+        )
     return v
 
 

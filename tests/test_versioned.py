@@ -307,3 +307,60 @@ def test_compact_preserves_partitioning(spark, tmp_path):
         assert len(files) == 1, (b, files)
     # partition filter still prunes to one directory's rows
     assert cur.where("band = 1").count() == 30
+
+
+def test_maybe_compact_policy_bounds(spark, tmp_path):
+    """maybe_compact: no-op within bounds, compacts past them, and under
+    a per-append invocation the chain depth sawtooths under the bound
+    while the row multiset stays the running union."""
+    p = str(tmp_path / "mc")
+    V.write_version(spark.createDataFrame([(0,)], ["id"]), p)
+    assert V.maybe_compact(spark, p, max_parts=3) is None  # within bounds
+    want, depths = [0], []
+    for i in range(1, 11):
+        V.append_version(spark.createDataFrame([(i,)], ["id"]), p)
+        want.append(i)
+        V.maybe_compact(spark, p, max_parts=3)
+        depths.append(len(V._parts_of(p, V.current_version(p))))
+    # sawtooth: post-policy depth never exceeds max_parts and keeps
+    # collapsing back to a single snapshot
+    assert max(depths) == 3 and depths.count(1) >= 3
+    assert sorted(r["id"] for r in V.read_current(spark, p).collect()) == want
+
+
+def test_maybe_compact_max_files_axis(spark, tmp_path):
+    """The file-count bound triggers even when the chain is shallow —
+    the axis partitioned appends actually grow."""
+    p = str(tmp_path / "mf")
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], ["id", "band"])
+    V.write_version(df, p, partition_by=["band"])
+    V.append_version(
+        spark.createDataFrame([(i, i % 3) for i in range(30, 60)], ["id", "band"]),
+        p,
+        partition_by=["band"],
+    )
+    n_before = len(V.table_files(p))
+    assert V.maybe_compact(spark, p, max_parts=None, max_files=n_before + 1) is None
+    v = V.maybe_compact(
+        spark, p, max_parts=None, max_files=n_before - 1, partition_by=["band"]
+    )
+    assert v is not None
+    assert len(V.table_files(p)) == 3  # one file per band directory
+    assert V.read_current(spark, p).count() == 60
+
+
+def test_commit_store_batch_with_compaction_cadence(spark, tmp_path):
+    """The streaming commit path with the cadence policy on: drain
+    equality holds across compactions and replayed epochs still dedupe."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import commit_store_batch
+
+    p = str(tmp_path / "ccb")
+    for e in range(8):
+        rows = spark.createDataFrame([(e * 10 + j,) for j in range(10)], ["id"])
+        commit_store_batch(rows, p, e, dedupe_epochs=True, compact_max_parts=3)
+    assert len(V._parts_of(p, V.current_version(p))) <= 4
+    # replayed epoch: skipped, not re-appended, even after compactions
+    replay = spark.createDataFrame([(5,)], ["id"])
+    commit_store_batch(replay, p, 3, dedupe_epochs=True, compact_max_parts=3)
+    got = sorted(r["id"] for r in V.read_current(spark, p).collect())
+    assert got == list(range(80))
