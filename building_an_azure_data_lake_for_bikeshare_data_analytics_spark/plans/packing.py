@@ -82,12 +82,15 @@ def _hash6_col() -> F.Column:
     return ((F.col("doc_id") % 99991) * F.lit(2654435761)) % F.lit(1_000_000)
 
 
-_PACKING_SQL = f"""
-WITH t AS (
+def _packing_body(src: str) -> str:
+    """The q253 packing SQL (CTEs + final select) over source relation
+    ``src`` — templated so composed heads (q257's mix -> pack) can run
+    the identical arithmetic over a derived CTE."""
+    return f"""t AS (
   SELECT doc_id,
          CAST(doc_id % {_NSHARDS} AS INTEGER) AS shard,
          CAST(COALESCE(len({_TOKS}), 0) AS BIGINT) AS n_toks
-  FROM documents
+  FROM {src}
   WHERE COALESCE(len({_TOKS}), 0) > 0),
 c AS (
   SELECT shard, doc_id, n_toks,
@@ -108,11 +111,23 @@ SELECT shard,
 FROM s GROUP BY shard, seq ORDER BY shard, seq_id"""
 
 
-def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP):
+_PACKING_SQL = "WITH " + _packing_body("documents")
+
+
+def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP, base=None):
     """The q253 plan body over an arbitrary (doc_id, text) relation —
     shared by the gated head and tools/stress_packing.py (which scales
     ``nshards`` with the corpus the way a deployment scales it with the
-    cluster)."""
+    cluster).
+
+    ``base`` (optional): a (shard, base_toks) relation of per-shard token
+    offsets already packed — each shard's cumsum then CONTINUES from its
+    stored offset instead of zero, so the rows are a batch's additive
+    CONTRIBUTION to an existing packing manifest (the q258 maintained
+    store's append path): per (shard, seq_id), n_docs and fill are sums,
+    and stored-state + batch-contribution == from-scratch pack of the
+    union exactly, because batch docs follow existing docs in the
+    per-shard order. Broadcast join — |shards| rows."""
     # NULL text guard: size(split(NULL)) is -1 under legacy sizeOfNull and
     # NULL under ANSI — either would make the boundary sequence() DESCEND
     # and emit phantom manifest rows while the DuckDB twin (len = NULL)
@@ -136,6 +151,15 @@ def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP):
         "n_toks",
         F.coalesce(F.sum("n_toks").over(w), F.lit(0)).alias("tok_start"),
     )
+    if base is not None:
+        c = (
+            c.join(F.broadcast(base), "shard", "left")
+            .withColumn(
+                "tok_start",
+                F.col("tok_start") + F.coalesce(F.col("base_toks"), F.lit(0)),
+            )
+            .drop("base_toks")
+        )
     cap = F.lit(cap_toks)
     s = c.select(
         "shard",
@@ -174,8 +198,9 @@ def q253(spark, sf):
     return packing_manifest(_t(spark, sf, "documents").select("doc_id", "text"))
 
 
-_MIXTURE_SQL = f"""
-WITH tok AS (
+#: the q254 rate-derivation CTEs (tok, g, rate) — shared verbatim by the
+#: mixture summary and the composed mix -> pack head (q257)
+_RATE_CTES = f"""tok AS (
   SELECT source, {_W_SQL} AS w,
          CAST(SUM(len({_TOKS})) AS BIGINT) AS toks
   FROM documents GROUP BY source),
@@ -185,7 +210,10 @@ rate AS (
          CASE WHEN (st // 2) * w // sw >= toks THEN 1000000
               ELSE (st // 2) * w // sw % toks * 1000000 // toks
          END AS rate_e6
-  FROM tok, g),
+  FROM tok, g)"""
+
+_MIXTURE_SQL = f"""
+WITH {_RATE_CTES},
 kept AS (
   SELECT d.source, len({_TOKS}) AS n_toks
   FROM documents d JOIN rate r ON d.source = r.source
@@ -198,34 +226,56 @@ FROM rate r LEFT JOIN kept k ON r.source = k.source
 GROUP BY r.source, r.rate_e6 ORDER BY r.source"""
 
 
-def mixture_summary(docs, tok=None):
-    """The q254 plan body over an arbitrary (doc_id, source, text)
-    relation — shared by the gated head and tools/stress_packing.py.
+def mixture_rates(docs, tok=None):
+    """The q254 rate table (source, rate_e6) — the _RATE_CTES twin.
     ``tok`` overrides the per-source (source, toks) totals relation:
     q256 passes the MAINTAINED census stats table here, which removes
-    the first of the two corpus scans — the rate derivation then reads
-    |sources| stored rows and only the realization touches the corpus."""
-    d = docs.select(
-        "doc_id", "source", token_count("text").cast("bigint").alias("n_toks")
-    )
+    the rate derivation's corpus scan (|sources| stored rows instead).
+
+    Integer floor division throughout (expr: DIV) — the SQL twin's //.
+    Remainder form (target % toks), as in q255: target can approach half
+    the corpus token total, and target * 1e6 would wrap int64 once the
+    corpus exceeds ~1.8e13 tokens — inside the 100 TB envelope. With the
+    remainder the multiplicand is bounded by ONE source's tokens; when
+    target >= toks the source is kept whole (rate 1e6), identical to the
+    former LEAST(1e6, …) value at every scale that doesn't overflow."""
     if tok is None:
-        tok = d.groupBy("source").agg(F.sum("n_toks").alias("toks"))
+        tok = (
+            docs.select("source", token_count("text").cast("bigint").alias("n_toks"))
+            .groupBy("source")
+            .agg(F.sum("n_toks").alias("toks"))
+        )
     tok = tok.withColumn("w", _w_col())
     g = tok.agg(F.sum("w").alias("sw"), F.sum("toks").alias("st"))
-    # integer floor division throughout (expr: DIV) — the SQL twin's //.
-    # Remainder form (target % toks), as in q255: target can approach half
-    # the corpus token total, and target * 1e6 would wrap int64 once the
-    # corpus exceeds ~1.8e13 tokens — inside the 100 TB envelope. With the
-    # remainder the multiplicand is bounded by ONE source's tokens; when
-    # target >= toks the source is kept whole (rate 1e6), identical to the
-    # former LEAST(1e6, …) value at every scale that doesn't overflow.
-    rate = tok.crossJoin(F.broadcast(g)).select(
+    return tok.crossJoin(F.broadcast(g)).select(
         "source",
         F.expr(
             "CASE WHEN (st DIV 2) * w DIV sw >= toks THEN 1000000 "
             "ELSE (st DIV 2) * w DIV sw % toks * 1000000 DIV toks END"
         ).alias("rate_e6"),
     )
+
+
+def mixture_kept(docs, tok=None):
+    """The realized sampled corpus: ``docs`` rows kept by the q254 hash
+    threshold, original columns intact — the relation a deployment
+    actually feeds downstream (q257 packs it). One corpus scan, plus the
+    rate derivation's (zero when ``tok`` is the maintained census)."""
+    rate = mixture_rates(docs, tok)
+    return (
+        docs.join(F.broadcast(rate), "source")
+        .where(_hash6_col() < F.col("rate_e6"))
+        .drop("rate_e6")
+    )
+
+
+def mixture_summary(docs, tok=None):
+    """The q254 plan body over an arbitrary (doc_id, source, text)
+    relation — shared by the gated head and tools/stress_packing.py."""
+    d = docs.select(
+        "doc_id", "source", token_count("text").cast("bigint").alias("n_toks")
+    )
+    rate = mixture_rates(docs, tok)
     kept = (
         d.join(F.broadcast(rate), "source")
         .where(_hash6_col() < F.col("rate_e6"))
@@ -393,3 +443,36 @@ def q256(spark, sf):
         "source", F.col("sum_toks").alias("toks")
     )
     return mixture_summary(docs.select("doc_id", "source", "text"), tok=tok)
+
+
+_MIX_PACK_SQL = (
+    "WITH "
+    + _RATE_CTES
+    + f""",
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN rate r ON d.source = r.source
+  WHERE {_HASH6_SQL} < r.rate_e6),
+"""
+    + _packing_body("kept")
+)
+
+
+@query(
+    "q257_mixture_packing",
+    _MIX_PACK_SQL,
+    tags=("training", "packing", "mixture", "composed"),
+)
+def q257(spark, sf):
+    """The deployment batch-assembly pipeline end to end: pack the
+    SAMPLED set — q254's mixture realization (broadcast rate table,
+    hash-threshold keep) feeds q253's packing manifest directly,
+    composing the two existing bodies (``mixture_kept`` ->
+    ``packing_manifest``). This also exercises the packing window on a
+    filtered, source-skewed input — the realistic shape: per-shard doc
+    order stays doc_id (append-stable), only the kept docs occupy token
+    offsets. The oracle composes the two SQL twins verbatim (rate CTEs
+    -> kept CTE -> window cumsum). Columns: shard, seq_id, n_docs,
+    fill."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    return packing_manifest(mixture_kept(docs).select("doc_id", "text"))

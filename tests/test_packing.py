@@ -112,3 +112,66 @@ def test_repetition_mixture_invariants(spark):
     total = sum(per_src.values())
     planned = sum(r["n_tokens_planned"] for r in out.values())
     assert abs(planned - 2 * total) <= total // 10, (planned, 2 * total)
+
+
+def test_packed_store_chain_equals_scratch(spark, tmp_path):
+    """q258's maintained packed manifest: v1(corpus) + batch append
+    (continued per-shard cumsum) finalizes EXACTLY to the from-scratch
+    pack of the union — additive state, not a tail rewrite."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packed_store import (
+        _finalize,
+        packed_store_lifecycle,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        packing_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 37) % 90 + 1))) for i in range(400)],
+        ["doc_id", "text"],
+    )
+    corpus, batch = docs.where("doc_id < 320"), docs.where("doc_id >= 320")
+    store = str(tmp_path / "packed")
+    cur = packed_store_lifecycle(spark, store, corpus, batch)
+
+    # the batch really lands as CONTRIBUTION rows: at least one shard's
+    # boundary (shard, seq_id) appears in both the snapshot and the delta
+    raw_keys = [(r["shard"], r["seq_id"]) for r in cur.collect()]
+    assert len(raw_keys) > len(set(raw_keys)), "no merged tail contribution"
+
+    got = [tuple(r) for r in _finalize(cur).collect()]
+    want = [tuple(r) for r in packing_manifest(docs).collect()]
+    assert got == want
+
+
+def test_packed_store_partition_pruning(spark, tmp_path):
+    """The store is hive-partitioned by shard across snapshot AND delta
+    parts, and a one-shard probe's scans carry shard PartitionFilters."""
+    import os
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packed_store import (
+        packed_store_lifecycle,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        _parts_of,
+        current_version,
+        read_current,
+    )
+    from test_store_partitioning import _partition_filters
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 11) % 40 + 1))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "packedp")
+    packed_store_lifecycle(
+        spark, store, docs.where("doc_id < 160"), docs.where("doc_id >= 160")
+    )
+    for rel in _parts_of(store, current_version(store)):
+        assert any(
+            d.startswith("shard=") for d in os.listdir(os.path.join(store, rel))
+        ), rel
+    probe = read_current(spark, store).where("shard = 3")
+    pf = _partition_filters(probe)
+    assert pf and all("shard" in f for f in pf), pf
+    assert probe.count() > 0

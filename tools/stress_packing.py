@@ -38,6 +38,7 @@ def main() -> None:
     )
 
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        mixture_kept,
         mixture_summary,
         packing_manifest,
     )
@@ -91,6 +92,30 @@ def main() -> None:
             ),
         )
         rows.append({**r, "mult": mult, "n_docs": n})
+
+        # q257 composed mix -> pack: the packing window over the SAMPLED,
+        # source-skewed set. The claim under soak: the shuffle still
+        # carries per-doc metadata only (~bytes/doc constant, never text).
+        kept = mixture_kept(docs.select("doc_id", "source", "text")).select(
+            "doc_id", "text"
+        )
+        n_kept = kept.count()
+        r = measure(
+            spark,
+            f"{tag}_mix_pack",
+            lambda: dict(force_full(packing_manifest(kept)).asDict()),
+        )
+        rows.append(
+            {
+                **r,
+                "mult": mult,
+                "n_docs": n,
+                "n_kept": n_kept,
+                "shuffle_bytes_per_kept_doc": round(
+                    r.get("shuffle_write_mb", 0.0) * 1e6 / max(n_kept, 1), 2
+                ),
+            }
+        )
 
     print(json.dumps(rows))
 
