@@ -38,7 +38,8 @@ from . import lexical_maintenance  # noqa: F401  (registers q248)
 from . import census_maintenance  # noqa: F401  (registers q250)
 from . import ingest_composed  # noqa: F401  (registers q252)
 from . import packing  # noqa: F401  (registers q253-q257)
-from . import packed_store  # noqa: F401  (registers q258; new modules import LAST — insertion order is registration order)
+from . import packed_store  # noqa: F401  (registers q258)
+from . import census_evolution  # noqa: F401  (registers q259; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry

@@ -253,7 +253,11 @@ def _parts_of(path: str, version: int) -> list[str]:
 
 
 def append_version(
-    df: DataFrame, path: str, partition_by: list[str] | None = None, backend: str = "auto"
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    backend: str = "auto",
+    allow_new_columns: bool = False,
 ) -> int:
     """Write ``df`` as the next version WITHOUT rewriting existing data:
     only the new rows are physically written; the new version is a
@@ -272,9 +276,14 @@ def append_version(
     append to is a full write — use write_version) and an
     append-compatible schema: columns are resolved BY NAME across parts
     (``spark.read.parquet`` over multiple part directories matches by
-    column name), so every part must carry the same column set; schema
-    evolution goes through write_version. With the delta backend this IS
-    Delta's native ``mode('append')``.
+    column name). Column REMOVALS are rejected loudly — always (a batch
+    silently missing a column would null-corrupt the table). Column
+    ADDITIONS are schema evolution: with ``allow_new_columns=True`` the
+    batch may carry columns older parts lack; reads null-fill them in
+    the older rows (``unionByName(allowMissingColumns=True)``), so a
+    statistic added later costs an O(batch) append, not the O(corpus)
+    ``write_version`` rewrite. With the delta backend this IS Delta's
+    native ``mode('append')`` (+ ``mergeSchema`` when evolving).
 
     Concurrency: appends COMMUTE, so this path never loses the race — the
     delta part lands under a unique name outside the lock, and the
@@ -290,7 +299,10 @@ def append_version(
             raise FileNotFoundError(
                 f"append_version: no committed version at {path} (use write_version)"
             )
+        _validate_append_schema(df, path, allow_new_columns)
         w = df.write.format("delta").mode("append")
+        if allow_new_columns:
+            w = w.option("mergeSchema", "true")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(path)
@@ -300,6 +312,7 @@ def append_version(
         raise FileNotFoundError(
             f"append_version: no committed version at {path} (use write_version)"
         )
+    _validate_append_schema(df, path, allow_new_columns)
     # unique part name: concurrent appends must not clobber each other's
     # data directories (both would otherwise guess the same p<k+1>)
     part_rel = os.path.join(_PARTS_DIR, f"p{cur + 1}_{uuid.uuid4().hex[:8]}")
@@ -318,6 +331,29 @@ def append_version(
         _write_manifest(path, version, _parts_of(path, cur) + [part_rel])
         _flip_pointer(path, version)
     return version
+
+
+def _validate_append_schema(df: DataFrame, path: str, allow_new_columns: bool) -> None:
+    """Write-time schema contract for appends: removals always loud, new
+    columns only behind the evolution flag. Validated at WRITE time
+    because the read path null-fills by name — without this check a
+    batch missing a column would silently corrupt the table."""
+    have = set(read_current(df.sparkSession, path).columns)
+    got = set(df.columns)
+    missing = have - got
+    if missing:
+        raise ValueError(
+            f"append_version at {path}: batch is missing column(s) "
+            f"{sorted(missing)} — a column removal is not an append; "
+            "rewrite through write_version"
+        )
+    new = got - have
+    if new and not allow_new_columns:
+        raise ValueError(
+            f"append_version at {path}: batch adds column(s) {sorted(new)}; "
+            "pass allow_new_columns=True to evolve the schema (older rows "
+            "read back null-filled)"
+        )
 
 
 def read_current(spark: SparkSession, path: str) -> DataFrame:
@@ -356,7 +392,9 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     dfs = [spark.read.parquet(os.path.join(path, p)) for p in live]
     out = dfs[0]
     for d in dfs[1:]:
-        out = out.unionByName(d)
+        # allowMissingColumns: older parts null-fill columns added by a
+        # later evolved append; write-time validation keeps removals loud
+        out = out.unionByName(d, allowMissingColumns=True)
     return out
 
 

@@ -364,3 +364,43 @@ def test_commit_store_batch_with_compaction_cadence(spark, tmp_path):
     commit_store_batch(replay, p, 3, dedupe_epochs=True, compact_max_parts=3)
     got = sorted(r["id"] for r in V.read_current(spark, p).collect())
     assert got == list(range(80))
+
+
+def test_append_schema_evolution_add_column(spark, tmp_path):
+    """Evolved append: new column rides in O(batch); older rows read
+    back null-filled; aggregates over the new column see batch rows only."""
+    p = str(tmp_path / "evo")
+    V.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"]), p
+    )
+    V.append_version(
+        spark.createDataFrame([(3, "c", 30)], ["id", "s", "extra"]),
+        p,
+        allow_new_columns=True,
+    )
+    cur = V.read_current(spark, p)
+    assert set(cur.columns) == {"id", "s", "extra"}
+    got = {r["id"]: r["extra"] for r in cur.collect()}
+    assert got == {1: None, 2: None, 3: 30}
+    # a later non-evolved append of the WIDE schema is a plain append
+    V.append_version(
+        spark.createDataFrame([(4, "d", 40)], ["id", "s", "extra"]), p
+    )
+    assert V.read_current(spark, p).count() == 4
+
+
+def test_append_schema_removal_always_raises(spark, tmp_path):
+    p = str(tmp_path / "evr")
+    V.write_version(spark.createDataFrame([(1, "a")], ["id", "s"]), p)
+    with pytest.raises(ValueError, match="removal"):
+        V.append_version(spark.createDataFrame([(2,)], ["id"]), p)
+    with pytest.raises(ValueError, match="removal"):
+        V.append_version(
+            spark.createDataFrame([(2,)], ["id"]), p, allow_new_columns=True
+        )
+    # new column without the flag: loud too
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        V.append_version(
+            spark.createDataFrame([(2, "b", 1)], ["id", "s", "x"]), p
+        )
+    assert V.read_current(spark, p).count() == 1  # store untouched
