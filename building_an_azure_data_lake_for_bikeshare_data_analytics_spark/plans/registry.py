@@ -52,19 +52,16 @@ from . import census_evolution  # noqa: F401  (registers q259; new modules impor
 # CORRECTNESS_r*.json history and fail on any drift from this tuple —
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-10 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r9 history): the never-gated new-this-round heads lead
-# in insertion order — q252 (composed shared-scan ingest), q253
-# (sequence packing), q254 (mixture sampling), q255 (repetition
-# mixture), q256 (census-fed mixture) — then the staleness
-# ladder: the r5-evidence cohort (q181/q182/q184-q198/q200/q202-q225:
-# sharding/checksum/bitmap/graph/stats heads, the interval-join family,
-# the LM/perplexity/privacy cohort, probe-quality and distribution-shift
-# heads — all last gated in round 5, at the staleness floor), with the
-# tail filled by the oldest r6-evidence queries in schedule order
-# (q02-q04, the core agg battery).
-# The r9-gated heads (q246-q251 lifecycles and the r4 cohort) rotated
-# off on fresh evidence; they return on their staleness clocks.
+# Round-11 prefix (computed by evidence.build_prefix() from the committed
+# CORRECTNESS_r1..r10 history): the never-gated new-this-round heads lead
+# in insertion order — q257 (mix -> pack composition), q258 (packed-
+# sequence maintained store), q259 (census schema evolution) — then the
+# staleness ladder: the r6-evidence cohort at the floor (q05-q20/q22,
+# the supplier/part/membership/date-dim agg batteries; q42-q52/q54/
+# q59-q62/q66-q69, the event-analytics and text-intake families; and
+# q226-q237, the intake/experiment/diagnostics cohort).
+# The r10-gated heads (q252-q256 and the r5 cohort) rotated off on
+# fresh evidence; they return on their staleness clocks.
 # Deliberately never scheduled: q46/q81 (rows-only sketch values;
 # q134/q136 carry their evidence) and fixture-tagged superseded folds
 # (q56/q118/q125).
@@ -77,59 +74,59 @@ from . import census_evolution  # noqa: F401  (registers q259; new modules impor
 # window while still hard-failing on genuine drift from the schedule the
 # tuple was frozen for (r5 verdict item 5).
 # ---------------------------------------------------------------------------
-PREFIX_ROUND: int = 10
+PREFIX_ROUND: int = 11
 
 _PRIORITY: tuple[str, ...] = (
-    "q252_composed_ingest_update",
-    "q253_sequence_packing",
-    "q254_mixture_sampling",
-    "q255_repetition_mixture",
-    "q256_mixture_from_census",
-    "q181_rendezvous_sharding",
-    "q182_table_checksum",
-    "q184_bitmap_intersection",
-    "q185_dup_graph_triangles",
-    "q186_tfidf_doc_pairs",
-    "q187_ks_distance_pairs",
-    "q188_spend_gini",
-    "q189_probe_lift_curve",
-    "q190_incremental_join_view",
-    "q191_cusum_changepoint",
-    "q192_time_to_convert",
-    "q193_knn_classify",
-    "q194_multi_touch_attribution",
-    "q195_daily_volume_acf",
-    "q196_benford_digits",
-    "q197_stratified_kfold",
-    "q198_information_gain",
-    "q200_source_overlap",
-    "q202_interval_overlap_join",
-    "q203_interval_stacking",
-    "q204_containment_join",
-    "q205_gap_fill_interpolate",
-    "q206_kneser_ney_lm_score",
-    "q209_perplexity_buckets",
-    "q208_vocab_coverage_curve",
-    "q207_k_anonymity_audit",
-    "q210_score_length_bias",
-    "q211_probe_auc",
-    "q212_calibration_bins",
-    "q213_margin_mining",
-    "q214_ann_ndcg",
-    "q215_zipf_fit",
-    "q216_embedding_anisotropy",
-    "q217_temporal_embargo_split",
-    "q218_conformal_probe_sets",
-    "q219_source_psi",
-    "q220_mmr_rerank",
-    "q221_excess_loss_reweight",
-    "q222_heavy_hitters_exact",
-    "q223_quantile_normalize",
-    "q224_distinct_ngrams",
-    "q225_probe_ks_separation",
-    "q02_sum_price_by_dow",
-    "q03_avg_price_by_orderdate",
-    "q04_sum_price_by_orderdate",
+    "q257_mixture_packing",
+    "q258_packed_store_maintenance",
+    "q259_census_schema_evolution",
+    "q05_avg_extprice_by_supp",
+    "q06_sum_extprice_by_supp",
+    "q07_avg_extprice_by_part",
+    "q08_sum_extprice_by_part",
+    "q09_sum_price_by_acct_band",
+    "q10_avg_price_by_acct_band",
+    "q11_avg_price_by_membership",
+    "q12_sum_price_by_membership",
+    "q13_sum_amount_by_month",
+    "q14_avg_amount_by_month",
+    "q15_sum_amount_by_quarter",
+    "q16_avg_amount_by_quarter",
+    "q17_sum_amount_by_year",
+    "q18_avg_amount_by_year",
+    "q19_member_avg_by_acct_band",
+    "q20_member_sum_by_acct_band",
+    "q22_member_spend_duration",
+    "q54_dedup_keep_rows",
+    "q62_bpe_token_count",
+    "q66_doc_chunks",
+    "q69_source_stats",
+    "q42_hourly_event_stats",
+    "q44_top_tokens",
+    "q45_distinct_users_by_type",
+    "q47_user_running_value",
+    "q48_sessionize",
+    "q49_event_type_pivot",
+    "q50_props_json_extract",
+    "q51_pricing_summary",
+    "q52_segment_shipping",
+    "q59_member_users_with_events",
+    "q60_order_counts_left_outer",
+    "q61_customers_with_events_semi",
+    "q67_value_percentiles",
+    "q68_status_priority_cube",
+    "q226_dedup_yield_curve",
+    "q227_tokenizer_fertility",
+    "q228_functional_dependency_audit",
+    "q229_candidate_key_profile",
+    "q230_churn_survival_km",
+    "q231_cuped_readout",
+    "q232_conversion_ztest",
+    "q233_embedding_hubness",
+    "q234_volume_anomaly_flags",
+    "q235_tokenizer_roundtrip",
+    "q236_chunk_roundtrip",
+    "q237_t_closeness_audit",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1051,10 +1051,19 @@ def commit_store_merge(
     min-max / bottom-k rows — so the snapshot write is O(state), not
     O(corpus)). A merge is NOT naturally idempotent (re-merging a
     replayed batch double-counts), which is exactly why the ``_EPOCHS``
-    ledger gates it under checkpointed replay."""
+    ledger gates it under checkpointed replay.
+
+    Concurrency: the merge is a read-transform-overwrite, so the commit
+    pins the VERSION IT READ as the CAS base (``expected_base``) — if a
+    concurrent writer (e.g. a maintenance ``compact``) commits in
+    between, ``write_version`` refuses rather than discarding that
+    commit, and the merge is re-derived from the new current (bounded
+    retries; the state is O(sources), so a retry is cheap)."""
     from ..sources.versioned import (
+        ConcurrentWriteError,
         applied_epochs,
         current_version,
+        read_version,
         record_epoch,
         write_version,
     )
@@ -1066,15 +1075,24 @@ def commit_store_merge(
         if int(epoch_id) in seen:
             return seen[int(epoch_id)]
     spark = rows.sparkSession
-    if current_version(store) is None:
-        v = write_version(rows, store, partition_by=partition_by)
-    else:
-        from ..sources.versioned import read_current
-
-        v = write_version(
-            merge_fn(read_current(spark, store), rows), store,
-            partition_by=partition_by,
-        )
+    for attempt in range(3):
+        base = current_version(store)
+        try:
+            if base is None:
+                v = write_version(
+                    rows, store, partition_by=partition_by, expected_base=None
+                )
+            else:
+                v = write_version(
+                    merge_fn(read_version(spark, store, base), rows),
+                    store,
+                    partition_by=partition_by,
+                    expected_base=base,
+                )
+            break
+        except ConcurrentWriteError:
+            if attempt == 2:
+                raise
     if dedupe_epochs:
         record_epoch(store, int(epoch_id), v)
     return v
@@ -1163,6 +1181,64 @@ def maintained_census_store_stream(
         )
         if v_s is not None or v_k is not None:
             out.append((epoch_id, v_s, v_k))
+
+    writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return out
+
+
+def maintained_packed_store_stream(
+    docs: DataFrame,
+    store: str,
+    checkpoint_dir: str | None = None,
+) -> list[tuple]:
+    """Streaming batch-assembly maintenance: each micro-batch of incoming
+    (doc_id, text) docs extends the q258 packed-sequence store — the
+    SIXTH maintained-artifact class in its production Structured
+    Streaming shape. The first batch bootstraps the store with its own
+    pack; every later batch reads the per-shard packed token offsets
+    from the STORE (|shards| stored rows), packs the batch ALONE with
+    the continued cumsum (``packing_manifest(base=...)``), and lands the
+    additive contribution rows through ``commit_store_batch``'s manifest
+    append, shard-partitioned.
+
+    Ordering contract: per-shard packing order IS arrival order, so the
+    drained store equals the from-scratch pack of all streamed docs
+    exactly when micro-batches arrive in that order (the file source's
+    oldest-first default; pinned in tests/test_streaming.py). Out-of-
+    order arrival still yields a VALID packing — of the order that
+    actually arrived — the same contract a real ingestion pipeline has.
+
+    Exactly-once under checkpointed replay via the store's ``_EPOCHS``
+    ledger: the replayed batch's contribution rows are recomputed but
+    never re-appended, so offsets never double-advance."""
+    from pyspark.sql import functions as F
+
+    from ..plans.packing import packing_manifest
+    from ..sources.versioned import current_version, read_current
+
+    out: list[tuple] = []
+    dedupe_epochs = checkpoint_dir is not None
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.select("doc_id", "text")
+        if current_version(store) is None:
+            contrib = packing_manifest(b)
+        else:
+            base = (
+                read_current(batch_df.sparkSession, store)
+                .groupBy("shard")
+                .agg(F.sum("fill").alias("base_toks"))
+            )
+            contrib = packing_manifest(b, base=base)
+        v = commit_store_batch(
+            contrib, store, epoch_id, dedupe_epochs, partition_by=["shard"]
+        )
+        if v is not None:
+            out.append((epoch_id, v))
 
     writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:

@@ -1129,3 +1129,83 @@ def test_composed_ingest_stream_matches_batch_builders(spark, docs_decon_dir, tm
     got_hits = rowset(read_current(spark, root + "_ledger"))
     assert got_hits == rowset(want_hits)
     assert any(r[0] == 999001 for r in got_hits), "planted dup must be ledgered"
+
+
+def test_maintained_packed_store_stream_matches_batch(spark, docs_dir, tmp_path):
+    """Streaming packed-store maintenance parity (the sixth maintained
+    artifact): after the micro-batches drain in arrival order, the
+    finalized store equals the from-scratch pack over every streamed
+    doc — the continued-cumsum contributions compose across any
+    chunking, and each non-empty micro-batch commits its own version."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packed_store import (
+        _finalize,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        packing_manifest,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        maintained_packed_store_stream,
+    )
+
+    store = str(tmp_path / "packedstream")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    rows = maintained_packed_store_stream(stream, store)
+    assert len(rows) >= 2, "expected multiple micro-batches"
+    assert [v for _, v in rows] == sorted({v for _, v in rows})
+
+    streamed = spark.read.parquet(docs_dir).select("doc_id", "text")
+    want = [tuple(r) for r in packing_manifest(streamed).collect()]
+    got = [tuple(r) for r in _finalize(read_current(spark, store)).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_commit_store_merge_retries_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A concurrent commit (e.g. maintenance compact) landing between the
+    merge's read and its write must not be discarded OR crash the stream:
+    the pinned-base CAS refuses, and the merge re-derives from the new
+    current and succeeds on retry."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources import versioned as V
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        commit_store_merge,
+    )
+
+    store = str(tmp_path / "csm")
+    V.write_version(spark.createDataFrame([("a", 1)], ["k", "n"]), store)
+
+    real_write = V.write_version
+    intruder = spark.createDataFrame([("b", 10)], ["k", "n"])
+    state = {"fired": False}
+
+    def racing_write(df, path, partition_by=None, backend="auto", expected_base=V._UNSET):
+        if not state["fired"]:
+            state["fired"] = True
+            # the concurrent writer commits first; the merge's pinned base
+            # is then stale and its own CAS must refuse
+            merged = (
+                V.read_current(spark, path).unionByName(intruder)
+                .groupBy("k").agg(F.sum("n").alias("n"))
+            )
+            real_write(merged, path)
+        return real_write(
+            df, path, partition_by=partition_by, backend=backend,
+            expected_base=expected_base,
+        )
+
+    monkeypatch.setattr(V, "write_version", racing_write)
+    merge_fn = lambda a, b: a.unionByName(b).groupBy("k").agg(F.sum("n").alias("n"))
+    v = commit_store_merge(
+        spark.createDataFrame([("a", 5)], ["k", "n"]), store, 0, False, merge_fn
+    )
+    assert v is not None and state["fired"]
+    got = {r["k"]: r["n"] for r in V.read_current(spark, store).collect()}
+    # both the intruder's commit and the merged batch survive
+    assert got == {"a": 6, "b": 10}

@@ -56,6 +56,7 @@ BNLJ_WHITELIST = {
     "q254_mixture_sampling": "1-row global weight/token totals x the |sources|-row rate table",
     "q255_repetition_mixture": "same shape as q254: 1-row global totals x the |sources|-row rate table",
     "q256_mixture_from_census": "same shape as q254 with the totals read from the census store: 1-row global totals x |sources|-row rate table",
+    "q257_mixture_packing": "q254's rate derivation feeding the pack: 1-row global totals x the |sources|-row rate table",
     "q152_value_trend_ols": "1-row per-group power sums via join",
     "q153_minhash_jaccard_estimate": "1-row calibration totals",
     "q156_retention_cohorts": "bounded cohort-week spine",
