@@ -51,7 +51,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from .base import _t, query
-from .packing import _PACKING_SQL, packing_manifest
+from .packing import _PACKING_SQL, _SPANS_SQL, packing_manifest, packing_spans
 
 
 def _finalize(manifest):
@@ -118,3 +118,55 @@ def q258(spark, sf):
     )
     vacuum(store, keep=2)
     return _finalize(cur)
+
+
+def span_store_lifecycle(spark, store: str, corpus, batch):
+    """q260's v1 build + one batch append: the loader-facing span table
+    (shard, seq_id, doc_id, seq_off, doc_off, n_span), shard-partitioned.
+    Span rows are per-doc facts, so the batch's rows (offsets continued
+    from the stored per-shard totals: sum(n_span) == packed tokens per
+    shard) are purely additive — no row is ever rewritten, not even the
+    boundary sequence's."""
+    from ..sources.versioned import append_version, read_current, write_version
+
+    write_version(packing_spans(corpus), store, partition_by=["shard"])
+    base = (
+        read_current(spark, store)
+        .groupBy("shard")
+        .agg(F.sum("n_span").alias("base_toks"))
+    )
+    append_version(packing_spans(batch, base=base), store, partition_by=["shard"])
+    return read_current(spark, store)
+
+
+@query(
+    "q260_packed_spans_store",
+    _SPANS_SQL,
+    tags=("training", "packing", "incremental", "versioned"),
+)
+def q260(spark, sf):
+    """The packed-sequence SPAN table from the maintained store after the
+    v1-build + batch-append lifecycle — the relation a data loader
+    actually reads to materialize sequence (shard, seq_id): which doc,
+    which token slice, in what order. Columns: shard, seq_id, doc_id,
+    seq_off, doc_off, n_span. Oracle: the from-scratch span SQL over the
+    full corpus — a green row certifies every stored slice boundary
+    value-for-value through the append. Same monotone doc_id split and
+    eager store construction as q258."""
+    from ..sources.versioned import register_cleanup, vacuum
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    thr = docs.agg((F.max("doc_id") * 4).cast("bigint")).first()[0] // 5
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_spans_{spark.sparkContext.applicationId}",
+    )
+    register_cleanup(store)
+    cur = span_store_lifecycle(
+        spark,
+        store,
+        docs.where(F.col("doc_id") < thr),
+        docs.where(F.col("doc_id") >= thr),
+    )
+    vacuum(store, keep=2)
+    return cur.orderBy("shard", "seq_id", "doc_id")

@@ -82,10 +82,11 @@ def _hash6_col() -> F.Column:
     return ((F.col("doc_id") % 99991) * F.lit(2654435761)) % F.lit(1_000_000)
 
 
-def _packing_body(src: str) -> str:
-    """The q253 packing SQL (CTEs + final select) over source relation
-    ``src`` — templated so composed heads (q257's mix -> pack) can run
-    the identical arithmetic over a derived CTE."""
+def _stage_ctes(src: str) -> str:
+    """The shared t/c/s packing CTEs (tokenize -> per-shard cumsum ->
+    boundary explode) over source relation ``src`` — the SQL twin of
+    ``_span_stage``, shared by the manifest (q253/q257/q258) and span
+    (q260) finals."""
     return f"""t AS (
   SELECT doc_id,
          CAST(doc_id % {_NSHARDS} AS INTEGER) AS shard,
@@ -99,10 +100,17 @@ c AS (
                        0) AS BIGINT) AS tok_start
   FROM t),
 s AS (
-  SELECT shard, n_toks, tok_start,
+  SELECT shard, doc_id, n_toks, tok_start,
          unnest(generate_series(tok_start // {_SEQ_CAP},
                                 (tok_start + n_toks - 1) // {_SEQ_CAP})) AS seq
-  FROM c)
+  FROM c)"""
+
+
+def _packing_body(src: str) -> str:
+    """The q253 packing SQL (CTEs + final select) over source relation
+    ``src`` — templated so composed heads (q257's mix -> pack) can run
+    the identical arithmetic over a derived CTE."""
+    return f"""{_stage_ctes(src)}
 SELECT shard,
        CAST(seq AS BIGINT) AS seq_id,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -111,7 +119,24 @@ SELECT shard,
 FROM s GROUP BY shard, seq ORDER BY shard, seq_id"""
 
 
+def _spans_body(src: str) -> str:
+    """The q260 span SQL (CTEs + final select): one row per
+    (doc x sequence) crossing with the exact token slice."""
+    return f"""{_stage_ctes(src)}
+SELECT shard,
+       CAST(seq AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(GREATEST(tok_start, seq * {_SEQ_CAP}) - seq * {_SEQ_CAP} AS BIGINT)
+           AS seq_off,
+       CAST(GREATEST(tok_start, seq * {_SEQ_CAP}) - tok_start AS BIGINT)
+           AS doc_off,
+       CAST(LEAST(tok_start + n_toks, (seq + 1) * {_SEQ_CAP})
+            - GREATEST(tok_start, seq * {_SEQ_CAP}) AS BIGINT) AS n_span
+FROM s ORDER BY shard, seq_id, doc_id"""
+
+
 _PACKING_SQL = "WITH " + _packing_body("documents")
+_SPANS_SQL = "WITH " + _spans_body("documents")
 
 
 def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP, base=None):
@@ -128,6 +153,27 @@ def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP, ba
     and stored-state + batch-contribution == from-scratch pack of the
     union exactly, because batch docs follow existing docs in the
     per-shard order. Broadcast join — |shards| rows."""
+    cap = F.lit(cap_toks)
+    s = _span_stage(docs, nshards, cap_toks, base)
+    return (
+        s.groupBy("shard", F.col("seq").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.least(F.col("tok_start") + F.col("n_toks"), (F.col("seq") + 1) * cap)
+                - F.greatest(F.col("tok_start"), F.col("seq") * cap)
+            ).alias("fill"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+def _span_stage(docs, nshards: int, cap_toks: int, base=None):
+    """The shared (doc x sequence) crossing stage of the packing family:
+    per-shard doc_id-ordered token cumsum, then the boundary explode —
+    one row per sequence a doc touches, carrying (shard, doc_id, n_toks,
+    tok_start, seq). packing_manifest aggregates it per sequence;
+    packing_spans projects the loader-facing span columns from it."""
     # NULL text guard: size(split(NULL)) is -1 under legacy sizeOfNull and
     # NULL under ANSI — either would make the boundary sequence() DESCEND
     # and emit phantom manifest rows while the DuckDB twin (len = NULL)
@@ -148,6 +194,7 @@ def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP, ba
     )
     c = t.select(
         "shard",
+        "doc_id",
         "n_toks",
         F.coalesce(F.sum("n_toks").over(w), F.lit(0)).alias("tok_start"),
     )
@@ -161,8 +208,9 @@ def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP, ba
             .drop("base_toks")
         )
     cap = F.lit(cap_toks)
-    s = c.select(
+    return c.select(
         "shard",
+        "doc_id",
         "n_toks",
         "tok_start",
         F.explode(
@@ -172,16 +220,34 @@ def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP, ba
             )
         ).alias("seq"),
     )
+
+
+def packing_spans(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP, base=None):
+    """The LOADER-facing packing relation: one row per (doc x sequence)
+    crossing with the exact token slice — (shard, seq_id, doc_id,
+    seq_off: where in the sequence the slice starts, doc_off: where in
+    the doc it starts, n_span: its length). A data loader materializing
+    sequence ``(shard, seq_id)`` reads its span rows, fetches each doc,
+    and concatenates ``text_tokens[doc_off : doc_off + n_span]`` in
+    doc_id order — ``sum(n_span) == the manifest's fill`` per sequence
+    (same arithmetic, pinned by the shared ``_span_stage``). Span rows
+    are PER-DOC facts, so a batch's spans (continued offsets, ``base``)
+    are purely additive — the q260 store appends them with no row ever
+    rewritten."""
+    cap = F.lit(cap_toks)
+    cut_lo = F.greatest(F.col("tok_start"), F.col("seq") * cap)
+    cut_hi = F.least(F.col("tok_start") + F.col("n_toks"), (F.col("seq") + 1) * cap)
     return (
-        s.groupBy("shard", F.col("seq").alias("seq_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.least(F.col("tok_start") + F.col("n_toks"), (F.col("seq") + 1) * cap)
-                - F.greatest(F.col("tok_start"), F.col("seq") * cap)
-            ).alias("fill"),
+        _span_stage(docs, nshards, cap_toks, base)
+        .select(
+            "shard",
+            F.col("seq").cast("bigint").alias("seq_id"),
+            "doc_id",
+            (cut_lo - F.col("seq") * cap).cast("bigint").alias("seq_off"),
+            (cut_lo - F.col("tok_start")).cast("bigint").alias("doc_off"),
+            (cut_hi - cut_lo).cast("bigint").alias("n_span"),
         )
-        .orderBy("shard", "seq_id")
+        .orderBy("shard", "seq_id", "doc_id")
     )
 
 

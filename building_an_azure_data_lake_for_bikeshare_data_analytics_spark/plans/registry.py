@@ -38,7 +38,7 @@ from . import lexical_maintenance  # noqa: F401  (registers q248)
 from . import census_maintenance  # noqa: F401  (registers q250)
 from . import ingest_composed  # noqa: F401  (registers q252)
 from . import packing  # noqa: F401  (registers q253-q257)
-from . import packed_store  # noqa: F401  (registers q258)
+from . import packed_store  # noqa: F401  (registers q258, q260)
 from . import census_evolution  # noqa: F401  (registers q259; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
@@ -55,7 +55,8 @@ from . import census_evolution  # noqa: F401  (registers q259; new modules impor
 # Round-11 prefix (computed by evidence.build_prefix() from the committed
 # CORRECTNESS_r1..r10 history): the never-gated new-this-round heads lead
 # in insertion order — q257 (mix -> pack composition), q258 (packed-
-# sequence maintained store), q259 (census schema evolution) — then the
+# sequence maintained store), q259 (census schema evolution), q260
+# (packed spans store) — then the
 # staleness ladder: the r6-evidence cohort at the floor (q05-q20/q22,
 # the supplier/part/membership/date-dim agg batteries; q42-q52/q54/
 # q59-q62/q66-q69, the event-analytics and text-intake families; and
@@ -79,6 +80,7 @@ PREFIX_ROUND: int = 11
 _PRIORITY: tuple[str, ...] = (
     "q257_mixture_packing",
     "q258_packed_store_maintenance",
+    "q260_packed_spans_store",
     "q259_census_schema_evolution",
     "q05_avg_extprice_by_supp",
     "q06_sum_extprice_by_supp",
@@ -126,7 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     "q234_volume_anomaly_flags",
     "q235_tokenizer_roundtrip",
     "q236_chunk_roundtrip",
-    "q237_t_closeness_audit",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -277,3 +277,66 @@ def test_ivf_drift_chain_recall_machinery(spark, tmp_path):
     nq3 = qs3.count()
     r_fresh = exact3.join(fresh, ["query_id", "neighbor_id"]).count() / (nq3 * 5)
     assert r_fresh >= recalls[-1] - 1e-9, (r_fresh, recalls)
+
+
+def test_ivf_refresh_policy_trigger_and_refresh(spark, tmp_path):
+    """The r11 aging POLICY: build a store on clustered vectors and record
+    its health baseline; drift-append a batch that funnels into few cells
+    through the stale centroids (occ_skew inflates); refresh_due flips;
+    maybe_refresh retrains from the STORED vectors, rewrites assignments,
+    restores occ_skew and re-records the baseline — with the vec_id
+    multiset unchanged (the refresh is physical/layout only)."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        assign_cells,
+        kmeans_fit,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.ann_maintenance import (
+        index_health,
+        maybe_refresh,
+        record_health,
+        refresh_due,
+        stored_health,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    half = F.col("vec_id") % 2
+    v1_side = emb.where(half == 0)
+    # the drifted batch: a large constant shift collapses its spread
+    # relative to the v1 centroids -> most of it lands in ONE stale cell
+    batch = emb.where(half == 1).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 0 + F.lit(9.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    p = str(tmp_path / "refresh")
+    cents_v1 = kmeans_fit(v1_side, k=8, max_iter=6)
+    V.write_version(assign_cells(v1_side, cents_v1), p, partition_by=["cell"])
+    record_health(p, index_health(spark, p))
+    base = stored_health(p)
+    assert base is not None and 0 < base["occ_skew"] < 1
+
+    due0, _ = refresh_due(spark, p, factor=3.0)
+    assert not due0  # healthy at build
+    assert maybe_refresh(spark, p, k=8, factor=3.0) is None  # no-op when healthy
+
+    V.append_version(assign_cells(batch, cents_v1), p, partition_by=["cell"])
+    due1, cur1 = refresh_due(spark, p, factor=3.0)
+    assert due1 and cur1["occ_skew"] > 3.0 * base["occ_skew"], (base, cur1)
+
+    ids_before = sorted(
+        r["vec_id"] for r in V.read_current(spark, p).select("vec_id").collect()
+    )
+    v = maybe_refresh(spark, p, k=8, factor=3.0)
+    assert v is not None
+    due2, cur2 = refresh_due(spark, p, factor=3.0)
+    assert not due2 and cur2["occ_skew"] < cur1["occ_skew"]
+    assert stored_health(p)["occ_skew"] == cur2["occ_skew"]  # baseline re-recorded
+    ids_after = sorted(
+        r["vec_id"] for r in V.read_current(spark, p).select("vec_id").collect()
+    )
+    assert ids_after == ids_before

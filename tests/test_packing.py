@@ -175,3 +175,40 @@ def test_packed_store_partition_pruning(spark, tmp_path):
     pf = _partition_filters(probe)
     assert pf and all("shard" in f for f in pf), pf
     assert probe.count() > 0
+
+
+def test_span_store_consistent_with_manifest(spark, tmp_path):
+    """q260's span table and q258's manifest are two finals over the same
+    stage: per (shard, seq_id), sum(n_span) == fill and count == n_docs —
+    through the maintained lifecycles of BOTH stores, with the spans
+    store purely additive (no duplicate (shard, seq_id, doc_id) keys)."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packed_store import (
+        _finalize,
+        packed_store_lifecycle,
+        span_store_lifecycle,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 53) % 70 + 1))) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    corpus, batch = docs.where("doc_id < 240"), docs.where("doc_id >= 240")
+    man = _finalize(
+        packed_store_lifecycle(spark, str(tmp_path / "m"), corpus, batch)
+    )
+    spans = span_store_lifecycle(spark, str(tmp_path / "s"), corpus, batch)
+    assert spans.count() == spans.select("shard", "seq_id", "doc_id").distinct().count()
+    rolled = spans.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_span").cast("bigint").alias("fill"),
+    )
+    assert rolled.exceptAll(man).count() == 0
+    assert man.exceptAll(rolled).count() == 0
+    # every span lies inside its sequence and its doc
+    bad = spans.where(
+        (F.col("seq_off") < 0) | (F.col("doc_off") < 0) | (F.col("n_span") <= 0)
+        | (F.col("seq_off") + F.col("n_span") > 256)
+    )
+    assert bad.count() == 0
