@@ -481,6 +481,7 @@ def maybe_refresh(
     k: int = 32,
     factor: float = 3.0,
     max_iter: int = 8,
+    cent_store: str | None = None,
 ) -> int | None:
     """Evaluate the aging trigger and, when due, perform the refresh the
     r10 soak prescribed: retrain the coarse quantizer on the CURRENT
@@ -489,6 +490,14 @@ def maybe_refresh(
     (cell-partitioned, snapshot-isolated — probes against the old
     version are undisturbed), and re-record the health baseline.
     Returns the new version, or None when the index is healthy.
+
+    ``cent_store``: the sibling quantizer store (q246's layout: (cell,
+    centroid) rows). When given, the refreshed centroids are written
+    there as the next version, so writers that assign THROUGH the stored
+    quantizer (the batch append path, ``maintained_ivf_store_stream``)
+    pick up the new cells on their next read — without this the
+    assignment store and the quantizer would silently diverge after a
+    refresh.
 
     Scale shape: the retrain is the same bounded-collect Lloyd's fit as
     the build (KMEANS_TRAIN_ROWS sample cap); the rewrite is one
@@ -504,5 +513,13 @@ def maybe_refresh(
     vecs = read_current(spark, store).select("vec_id", "embedding")
     cents = kmeans_fit(vecs, k=k, max_iter=max_iter)
     v = write_version(assign_cells(vecs, cents), store, partition_by=["cell"])
+    if cent_store is not None:
+        write_version(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cell int, centroid array<bigint>",
+            ),
+            cent_store,
+        )
     record_health(store, index_health(spark, store))
     return v

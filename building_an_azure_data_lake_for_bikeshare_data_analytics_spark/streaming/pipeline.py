@@ -890,6 +890,8 @@ def maintained_ivf_store_stream(
     store: str,
     cent_store: str,
     checkpoint_dir: str | None = None,
+    refresh_factor: float | None = None,
+    refresh_k: int = 8,
 ) -> list[tuple]:
     """Streaming vector-index maintenance: each micro-batch of
     (vec_id, embedding) rows is assigned to IVF cells through the STORED
@@ -908,8 +910,23 @@ def maintained_ivf_store_stream(
     of chunking (tests/test_streaming.py); the stale-quantizer aging of
     this exact shape is measured in tools/stress_index_aging.py
     (SCALE_NOTES r10, occupancy-skew refresh trigger). Exactly-once
-    under checkpointed replay via the store's ``_EPOCHS`` ledger."""
+    under checkpointed replay via the store's ``_EPOCHS`` ledger.
+
+    ``refresh_factor`` opts in to the r11 aging policy
+    (``ann_maintenance.maybe_refresh``): after each commit the store's
+    occupancy skew is compared against its recorded baseline (one k-row
+    agg), and when drift has inflated it past the factor, the quantizer
+    retrains from the stored vectors and BOTH stores rotate — the next
+    micro-batch assigns through the refreshed centroids, exactly the
+    "picked up without restarting the stream" path above. Off by
+    default (deterministic drain-equality contract)."""
     from ..operators.similarity import assign_cells
+    from ..plans.ann_maintenance import (
+        index_health,
+        maybe_refresh,
+        record_health,
+        stored_health,
+    )
     from ..sources.versioned import read_current
 
     out: list[tuple] = []
@@ -931,6 +948,15 @@ def maintained_ivf_store_stream(
         )
         if v is not None:
             out.append((epoch_id, v))
+        if refresh_factor is not None and v is not None:
+            spark = batch_df.sparkSession
+            if stored_health(store) is None:  # baseline on first commit
+                record_health(store, index_health(spark, store))
+            else:
+                maybe_refresh(
+                    spark, store, k=refresh_k, factor=refresh_factor,
+                    cent_store=cent_store,
+                )
 
     writer = vecs.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:

@@ -1209,3 +1209,88 @@ def test_commit_store_merge_retries_on_concurrent_commit(spark, tmp_path, monkey
     got = {r["k"]: r["n"] for r in V.read_current(spark, store).collect()}
     # both the intruder's commit and the merged batch survive
     assert got == {"a": 6, "b": 10}
+
+
+def test_ivf_stream_refresh_policy_rotates_both_stores(spark, tmp_path):
+    """The aging policy wired into the IVF stream: a drifted micro-batch
+    funnels into one stale cell, the in-stream trigger fires, and BOTH
+    stores rotate — the assignment store is rewritten healthy and the
+    centroid store gains the retrained quantizer (so later batches assign
+    through the refreshed cells). No vector is lost across the refresh."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.operators.similarity import (
+        kmeans_fit,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.ann_maintenance import (
+        refresh_due,
+        stored_health,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        current_version,
+        read_current,
+        write_version,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        maintained_ivf_store_stream,
+    )
+
+    emb = read_parquet_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    healthy = emb.where("vec_id % 4 = 0")
+    drifted = emb.where("vec_id % 4 != 0").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 0 + F.lit(9.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    src = tmp_path / "drift_src"
+    src.mkdir()
+
+    def _stage_file(df, name):
+        import glob
+        import shutil
+
+        d = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        shutil.move(part, str(src / name))
+
+    _stage_file(healthy, "f1.parquet")
+    time.sleep(1.1)  # distinct mtimes: file source drains oldest-first
+    _stage_file(drifted, "f2.parquet")
+
+    store, cent_p = str(tmp_path / "ivfr"), str(tmp_path / "ivfr_cents")
+    cents = kmeans_fit(healthy, k=8, max_iter=4)
+    write_version(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<bigint>"
+        ),
+        cent_p,
+    )
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    # the drifted batch is 3x the baseline corpus and collapses into one
+    # stale cell, so post-drift occ_skew >= 0.75 while the k=8 baseline
+    # sits well under 0.42 — factor 1.8 trips deterministically (the 3x
+    # production constant is pinned in test_maintenance_chains; this test
+    # pins the STREAM wiring: trigger -> retrain -> both stores rotate)
+    rows = maintained_ivf_store_stream(
+        stream, store, cent_p, refresh_factor=1.8, refresh_k=8
+    )
+    assert len(rows) == 2
+    assert stored_health(store) is not None
+    assert current_version(cent_p) >= 2, "centroid store did not rotate"
+    due, _ = refresh_due(spark, store, factor=1.8)
+    assert not due  # re-baselined healthy after the refresh
+    got_ids = sorted(r["vec_id"] for r in read_current(spark, store).collect())
+    want_ids = sorted(
+        r["vec_id"] for r in healthy.unionByName(drifted).select("vec_id").collect()
+    )
+    assert got_ids == want_ids
