@@ -143,9 +143,25 @@ def main() -> None:
         )
         return hits / max(nq * 5, 1), float(occ), float(cand)
 
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.ann_maintenance import (
+        index_health,
+        maybe_refresh,
+        record_health,
+        refresh_due,
+    )
+
     v1_side = emb.where(slot < steps)  # half the ids, unshifted
     cents_v1 = kmeans_fit(v1_side, k=32, max_iter=8)
     V.write_version(assign_cells(v1_side, cents_v1), store, partition_by=["cell"])
+    cent_store = store + "_cents"
+    V.write_version(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents_v1)],
+            "cell int, centroid array<bigint>",
+        ),
+        cent_store,
+    )
+    record_health(store, index_health(spark, store))  # the policy baseline
     qs0 = v1_side.where(F.col("vec_id") % 997 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -179,15 +195,21 @@ def main() -> None:
              "cand_frac": round(c, 4)}
         )
 
-    # refresh: retrain on the CURRENT corpus, rebuild, re-measure the
-    # final step's queries — the recovery a triggered refresh buys
-    cents_fresh = kmeans_fit(corpus_now, k=32, max_iter=8)
-    V.write_version(
-        assign_cells(corpus_now, cents_fresh), store, partition_by=["cell"]
-    )
+    # refresh: the SHIPPED policy path end to end — the r10-documented
+    # trigger must fire on the drifted store, maybe_refresh retrains from
+    # the stored vectors and rotates BOTH stores, and the re-measured
+    # metrics show the recovery a triggered refresh buys
+    due, cur_h = refresh_due(spark, store, factor=3.0)
+    assert due, f"aging trigger did not fire: {cur_h}"
+    v_ref = maybe_refresh(spark, store, k=32, factor=3.0, cent_store=cent_store)
+    assert v_ref is not None
+    cents_fresh = [
+        [int(x) for x in r["centroid"]]
+        for r in V.read_current(spark, cent_store).orderBy("cell").collect()
+    ]
     rf, sf_, cf = recall_and_skew(corpus_now, last_qs, cents_fresh)
     print(
-        f"  refresh (retrained on current corpus): recall@5 {rf:.4f}  "
+        f"  refresh (maybe_refresh policy, factor 3.0): recall@5 {rf:.4f}  "
         f"occ_skew {sf_:.4f}  cand_frac {cf:.4f}"
     )
     curve.append(
