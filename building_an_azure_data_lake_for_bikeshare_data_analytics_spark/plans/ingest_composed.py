@@ -36,6 +36,12 @@ Artifact semantics (one row each, ordered by artifact):
   quantizer and appended to the cell store (q246).
 * ``lexical_tf_appended`` / ``lexical_dl_appended`` — term-frequency and
   doc-length rows appended to the q248 stores.
+* ``packed_seqs_appended`` — contribution rows appended to the q258
+  packed-sequence store (one per (shard, seq) the batch touches, with
+  each shard's cumsum continued from the stored offsets; the oracle
+  replays the arrival-order pack — corpus first, then batch — as
+  ``ORDER BY isnew, doc_id`` in the window). Token counts come from the
+  SHARED tokenized scan (``size(ts)``), not a re-tokenize.
 * ``signature_rows_appended`` — banded signature rows appended to the
   q245 store (batch docs with ≥1 shingle × bands).
 
@@ -64,6 +70,7 @@ from ..functions.hashing import H60_SQL
 from ..functions.text import tokens
 from .base import _t, query
 from .census_maintenance import _CK, _census_state
+from .packing import _NSHARDS, _SEQ_CAP
 from .decontamination import _MAINT_DECON_SQL
 from .training import _HASH_SQL, _doc_hash
 
@@ -98,6 +105,26 @@ _COMPOSED_SQL = f"""WITH tk AS (
     UNION ALL
     SELECT 'lexical_tf_appended', CAST(count(*) AS BIGINT)
     FROM (SELECT DISTINCT doc_id, tok FROM tk)
+    UNION ALL
+    SELECT 'packed_seqs_appended', CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT shard, seq FROM (
+            SELECT shard, isnew,
+                   unnest(generate_series(tok_start // {_SEQ_CAP},
+                                          (tok_start + n_toks - 1) // {_SEQ_CAP})) AS seq
+            FROM (
+              SELECT shard, isnew, n_toks,
+                     CAST(COALESCE(SUM(n_toks) OVER (
+                            PARTITION BY shard ORDER BY isnew, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS tok_start
+              FROM (
+                SELECT doc_id, {_HASH_SQL} >= 800 AS isnew,
+                       CAST(doc_id % {_NSHARDS} AS INTEGER) AS shard,
+                       CAST(COALESCE(len(string_split_regex(trim(text), '\\s+')), 0)
+                            AS BIGINT) AS n_toks
+                FROM documents
+                WHERE COALESCE(len(string_split_regex(trim(text), '\\s+')), 0) > 0)))
+          WHERE isnew)
     UNION ALL
     SELECT 'signature_rows_appended',
            CAST({_BANDS} * count(*) AS BIGINT)
@@ -159,10 +186,13 @@ def q252(spark, sf):
         write_version,
     )
 
+    from .packing import packing_manifest
+
     root = _store_root(spark)
     sig_s, tf_s, dl_s = root + "_sig", root + "_tf", root + "_dl"
     dec_s, ivf_s, cen_s = root + "_decon", root + "_ivf", root + "_cents"
-    for p in (sig_s, tf_s, dl_s, dec_s, ivf_s, cen_s):
+    pk_s = root + "_packed"
+    for p in (sig_s, tf_s, dl_s, dec_s, ivf_s, cen_s, pk_s):
         register_cleanup(p)
 
     # THE shared scan: documents read + tokenized once, materialized;
@@ -190,6 +220,13 @@ def q252(spark, sf):
         bench_shingle_table(d.select("doc_id", "source", "ts"), BENCHMARKS),
         dec_s,
         partition_by=["benchmark"],
+    )
+    # packed-sequence store (q258's artifact): v1 pack of the corpus side,
+    # token counts from the SHARED tokenized scan (size(ts) — no re-tokenize)
+    write_version(
+        packing_manifest(corpus_d.select("doc_id", F.size("ts").alias("n_toks"))),
+        pk_s,
+        partition_by=["shard"],
     )
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     vec_new = _vec_hash() >= 800
@@ -231,12 +268,27 @@ def q252(spark, sf):
     v_ivf = append_version(
         assign_cells(emb.where(vec_new), stored_cents), ivf_s, partition_by=["cell"]
     )
+    # packed store: the batch's contribution rows continue each shard's
+    # cumsum from the STORED offsets (arrival order = corpus then batch),
+    # token counts again from the shared scan
+    pk_base = (
+        read_current(spark, pk_s)
+        .groupBy("shard")
+        .agg(F.sum("fill").alias("base_toks"))
+    )
+    v_pk = append_version(
+        packing_manifest(
+            batch_d.select("doc_id", F.size("ts").alias("n_toks")), base=pk_base
+        ),
+        pk_s,
+        partition_by=["shard"],
+    )
     # census state the batch contributes to the q250 merge
     stats_b, kmv_b = _census_state(batch_d.select("doc_id", "source", "text", "n_chars"))
     # decon: the batch screened against the STORED benchmark table,
     # reading the SAME tagged shingle checkpoint
     matrix = probe_matrix(spark, tagged_b, read_current(spark, dec_s), batch_d)
-    for p in (sig_s, tf_s, dl_s, ivf_s):
+    for p in (sig_s, tf_s, dl_s, ivf_s, pk_s):
         vacuum(p, keep=2)
 
     # ---- the update census, read back through the stores ----
@@ -257,6 +309,9 @@ def q252(spark, sf):
         .unionByName(tag("ivf_rows_appended", _delta_n(spark, ivf_s, v_ivf - 1, v_ivf)))
         .unionByName(tag("lexical_dl_appended", _delta_n(spark, dl_s, v_dl - 1, v_dl)))
         .unionByName(tag("lexical_tf_appended", _delta_n(spark, tf_s, v_tf - 1, v_tf)))
+        .unionByName(
+            tag("packed_seqs_appended", _delta_n(spark, pk_s, v_pk - 1, v_pk))
+        )
         .unionByName(
             tag("signature_rows_appended", _delta_n(spark, sig_s, v_sig - 1, v_sig))
         )

@@ -180,12 +180,20 @@ def _span_stage(docs, nshards: int, cap_toks: int, base=None):
     # silently skips the doc. Clamp to 0 and drop token-less docs BEFORE
     # the window (they contribute 0 to every cumsum, so exclusion is
     # offset-neutral), keeping the twins aligned for NULL/empty text.
+    # A relation already carrying ``n_toks`` (the composed ingest's shared
+    # tokenized scan — q252 passes size(ts)) skips the re-tokenize; the
+    # same clamp applies.
+    n_toks = (
+        F.coalesce(F.col("n_toks").cast("bigint"), F.lit(0))
+        if "n_toks" in docs.columns
+        else F.greatest(F.coalesce(token_count("text"), F.lit(0)), F.lit(0)).cast(
+            "bigint"
+        )
+    )
     t = docs.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(nshards)).cast("int").alias("shard"),
-        F.greatest(F.coalesce(token_count("text"), F.lit(0)), F.lit(0))
-        .cast("bigint")
-        .alias("n_toks"),
+        F.greatest(n_toks, F.lit(0)).alias("n_toks"),
     ).where(F.col("n_toks") > 0)
     w = (
         Window.partitionBy("shard")

@@ -989,9 +989,9 @@ def composed_ingest_stream(
     (maintained_ivf_store_stream) because its source is the embeddings
     stream, not the document stream.
 
-    Returns (epoch_id, v_sig, v_tf, v_dl, v_stats, v_kmv, v_ledger) per
-    non-empty micro-batch (None where that store had nothing to commit,
-    e.g. a clean batch appends no ledger rows).
+    Returns (epoch_id, v_sig, v_tf, v_dl, v_stats, v_kmv, v_ledger,
+    v_packed) per non-empty micro-batch (None where that store had
+    nothing to commit, e.g. a clean batch appends no ledger rows).
 
     Drain equality per store vs its batch builder is pinned in
     tests/test_streaming.py — the per-doc/mergeable-state arguments of
@@ -1007,7 +1007,8 @@ def composed_ingest_stream(
     from ..plans.census_maintenance import _census_state, _merge_kmv, _merge_stats
     from ..plans.decontamination import corpus_shingles, doc_hits
     from ..plans.lexical_maintenance import index_rows_from_tokens
-    from ..sources.versioned import read_current
+    from ..plans.packing import packing_manifest
+    from ..sources.versioned import current_version, read_current
 
     out: list[tuple] = []
     dedupe_epochs = checkpoint_dir is not None
@@ -1056,7 +1057,24 @@ def composed_ingest_stream(
             dedupe_epochs,
             partition_by=["benchmark"],
         )
-        out.append((epoch_id, v_sig, v_tf, v_dl, v_st, v_km, v_led))
+        # packed-sequence store (q258's artifact, the sixth class): token
+        # counts from the SAME shared tokenized relation; later batches
+        # continue each shard's cumsum from the stored offsets
+        pk_store = store_root + "_packed"
+        pk_in = b.select("doc_id", F.size("ts").alias("n_toks"))
+        if current_version(pk_store) is None:
+            pk_rows = packing_manifest(pk_in)
+        else:
+            pk_base = (
+                read_current(batch_df.sparkSession, pk_store)
+                .groupBy("shard")
+                .agg(F.sum("fill").alias("base_toks"))
+            )
+            pk_rows = packing_manifest(pk_in, base=pk_base)
+        v_pk = commit_store_batch(
+            pk_rows, pk_store, epoch_id, dedupe_epochs, partition_by=["shard"]
+        )
+        out.append((epoch_id, v_sig, v_tf, v_dl, v_st, v_km, v_led, v_pk))
 
     writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:

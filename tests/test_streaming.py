@@ -1130,6 +1130,22 @@ def test_composed_ingest_stream_matches_batch_builders(spark, docs_decon_dir, tm
     assert got_hits == rowset(want_hits)
     assert any(r[0] == 999001 for r in got_hits), "planted dup must be ledgered"
 
+    # the sixth artifact: the packed store's finalized manifest equals the
+    # from-scratch pack of all streamed docs (micro-batches arrive in
+    # doc_id order here — the monotone-arrival contract)
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packed_store import (
+        _finalize,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        packing_manifest,
+    )
+
+    want_pack = packing_manifest(all_docs.select("doc_id", "text"))
+    got_pack = _finalize(read_current(spark, root + "_packed"))
+    assert [tuple(r) for r in got_pack.collect()] == [
+        tuple(r) for r in want_pack.collect()
+    ]
+
 
 def test_maintained_packed_store_stream_matches_batch(spark, docs_dir, tmp_path):
     """Streaming packed-store maintenance parity (the sixth maintained
