@@ -52,17 +52,16 @@ from . import census_evolution  # noqa: F401  (registers q259; new modules impor
 # CORRECTNESS_r*.json history and fail on any drift from this tuple —
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-11 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r10 history): the never-gated new-this-round heads lead
-# in insertion order — q257 (mix -> pack composition), q258 (packed-
-# sequence maintained store), q259 (census schema evolution), q260
-# (packed spans store) — then the
-# staleness ladder: the r6-evidence cohort at the floor (q05-q20/q22,
-# the supplier/part/membership/date-dim agg batteries; q42-q52/q54/
-# q59-q62/q66-q69, the event-analytics and text-intake families; and
-# q226-q237, the intake/experiment/diagnostics cohort).
-# The r10-gated heads (q252-q256 and the r5 cohort) rotated off on
-# fresh evidence; they return on their staleness clocks.
+# Round-12 prefix (computed by evidence.build_prefix() from the committed
+# CORRECTNESS_r1..r11 history): q237_t_closeness_audit leads — its r6
+# evidence would breach the 6-round staleness floor after a green r12
+# gate otherwise — then the r7-evidence staleness cohort: q24-q30 (dim
+# builds, date probe, top-k, distinct, anti-join, rollup), q31-q38 +
+# q128 (text intake and near-dup batteries), q57-q58/q70-q97 (SQL entry,
+# as-of, training-prep, quality families), and q238-q242 (url intake /
+# dedup-maintenance cohort). The r11-gated heads (q257-q260 and the r6
+# cohort) rotated off on fresh evidence; they return on their staleness
+# clocks.
 # Deliberately never scheduled: q46/q81 (rows-only sketch values;
 # q134/q136 carry their evidence) and fixture-tagged superseded folds
 # (q56/q118/q125).
@@ -75,59 +74,59 @@ from . import census_evolution  # noqa: F401  (registers q259; new modules impor
 # window while still hard-failing on genuine drift from the schedule the
 # tuple was frozen for (r5 verdict item 5).
 # ---------------------------------------------------------------------------
-PREFIX_ROUND: int = 11
+PREFIX_ROUND: int = 12
 
 _PRIORITY: tuple[str, ...] = (
-    "q257_mixture_packing",
-    "q258_packed_store_maintenance",
-    "q260_packed_spans_store",
-    "q259_census_schema_evolution",
-    "q05_avg_extprice_by_supp",
-    "q06_sum_extprice_by_supp",
-    "q07_avg_extprice_by_part",
-    "q08_sum_extprice_by_part",
-    "q09_sum_price_by_acct_band",
-    "q10_avg_price_by_acct_band",
-    "q11_avg_price_by_membership",
-    "q12_sum_price_by_membership",
-    "q13_sum_amount_by_month",
-    "q14_avg_amount_by_month",
-    "q15_sum_amount_by_quarter",
-    "q16_avg_amount_by_quarter",
-    "q17_sum_amount_by_year",
-    "q18_avg_amount_by_year",
-    "q19_member_avg_by_acct_band",
-    "q20_member_sum_by_acct_band",
-    "q22_member_spend_duration",
-    "q54_dedup_keep_rows",
-    "q62_bpe_token_count",
-    "q66_doc_chunks",
-    "q69_source_stats",
-    "q42_hourly_event_stats",
-    "q44_top_tokens",
-    "q45_distinct_users_by_type",
-    "q47_user_running_value",
-    "q48_sessionize",
-    "q49_event_type_pivot",
-    "q50_props_json_extract",
-    "q51_pricing_summary",
-    "q52_segment_shipping",
-    "q59_member_users_with_events",
-    "q60_order_counts_left_outer",
-    "q61_customers_with_events_semi",
-    "q67_value_percentiles",
-    "q68_status_priority_cube",
-    "q226_dedup_yield_curve",
-    "q227_tokenizer_fertility",
-    "q228_functional_dependency_audit",
-    "q229_candidate_key_profile",
-    "q230_churn_survival_km",
-    "q231_cuped_readout",
-    "q232_conversion_ztest",
-    "q233_embedding_hubness",
-    "q234_volume_anomaly_flags",
-    "q235_tokenizer_roundtrip",
-    "q236_chunk_roundtrip",
+    "q237_t_closeness_audit",
+    "q24_payment_dates_dim",
+    "q25_trip_dates_dim",
+    "q26_date_range_probe",
+    "q27_top_orders_per_customer",
+    "q28_distinct_segments",
+    "q29_customers_without_events",
+    "q30_status_priority_rollup",
+    "q31_doc_token_count",
+    "q32_doc_quality",
+    "q33_lang_guess",
+    "q34_doc_fingerprint",
+    "q35_dedup_exact",
+    "q37_minhash_lsh_pairs",
+    "q128_lsh_candidates_salted",
+    "q38_simhash",
+    "q70_event_neighbors",
+    "q57_sql_cte_subquery",
+    "q58_asof_last_order",
+    "q71_hash_split",
+    "q72_stratified_sample",
+    "q73_dup_components",
+    "q74_pack_sequences",
+    "q75_pii_scan",
+    "q76_benchmark_contamination",
+    "q77_moment_stats",
+    "q78_value_range_join",
+    "q79_purchasers_clean_union",
+    "q80_activity_full_outer",
+    "q82_gap_fill_forward",
+    "q83_tfidf_top_terms",
+    "q84_value_outliers",
+    "q85_value_histogram",
+    "q86_price_deciles",
+    "q87_user_type_profile",
+    "q88_repetition_ratio",
+    "q89_status_priority_sets",
+    "q90_edit_distance_pairs",
+    "q91_top_user_by_type",
+    "q92_first_stopword_position",
+    "q93_union_by_name",
+    "q94_measure_unpivot",
+    "q95_supplier_revenue_rank",
+    "q96_trailing_hour_stats",
+    "q97_salted_flag_totals",
+    "q238_url_host_dedup",
+    "q239_dedup_index_maintenance",
+    "q240_domain_quota_enforce",
+    "q241_cross_source_overlap",
+    "q242_dedup_identity_ladder",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
