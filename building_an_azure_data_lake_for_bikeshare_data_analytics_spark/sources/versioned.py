@@ -24,6 +24,10 @@ takeover, and validates against the version the writer based its work on:
 * ``append_version`` **commutes**: its manifest is rebuilt from whatever
   ``_CURRENT`` names at commit time, so an append racing another append or
   a ``compact`` is never lost — it reparents onto the latest version.
+  Appends whose rows were DERIVED from store state (the packed-sequence
+  store continues per-shard offsets read from the current version) do NOT
+  commute semantically: they pass ``expected_base`` and get the same CAS
+  refusal ``write_version`` gives — never a silent double-fill.
 * ``write_version`` (and ``merge_upsert`` through it) is a read-transform-
   OVERWRITE: if another commit landed after the writer captured its base
   version, flipping would silently discard that commit, so it raises
@@ -38,12 +42,12 @@ takeover, and validates against the version the writer based its work on:
   append writes its delta part BEFORE taking the lock, so a racing vacuum
   must not reap a part whose manifest commit is seconds away.
 
-The lockfile protocol assumes a POSIX-coherent filesystem (local disk,
-NFS with proper O_EXCL) — the store's stated scope; on object stores the
-delta backend's own log protocol takes over. Stale-lock takeover
-(``stale_after``) recovers from a writer that died holding the lock; the
-takeover window must exceed any real commit critical section (the locked
-region is metadata-only — rename + two tiny file writes).
+The lock is a kernel-arbitrated ``fcntl.flock`` on a persistent ``_LOCK``
+file, which assumes a POSIX-coherent filesystem (local disk, NFSv4) —
+the store's stated scope; on object stores the delta backend's own log
+protocol takes over. A holder that dies releases automatically (the
+kernel drops flocks with the process), so there is no stale-lock window
+to tune and no takeover protocol to race.
 
 When the ``delta-spark`` package is present (``session.delta_available``),
 every entry point routes through REAL Delta instead: ``format('delta')``
@@ -80,45 +84,55 @@ class ConcurrentWriteError(RuntimeError):
 
 @contextmanager
 def writer_lock(path: str, timeout: float = 120.0, stale_after: float = 300.0):
-    """Per-store writer mutex: ``O_EXCL``-create of a ``_LOCK`` file inside
-    the store directory, held only across the metadata critical section
-    (manifest write + pointer flip — never across data materialization).
+    """Per-store writer mutex: an ``fcntl.flock`` exclusive lock on a
+    persistent ``_LOCK`` file inside the store directory, held only
+    across the metadata critical section (manifest write + pointer flip
+    — never across data materialization).
 
-    ``stale_after`` recovers from a writer that died holding the lock: a
-    lockfile older than the window is unlinked and re-contended (best
-    effort — two waiters may both unlink; ``O_EXCL`` arbitrates the
-    re-acquire). ``timeout`` bounds the wait for a LIVE holder."""
+    flock is kernel-arbitrated and dropped automatically when the holder
+    dies, so there is no staleness concept and no takeover protocol. The
+    mtime-based takeover this replaces (r11 advice) had two holes: two
+    waiters could both stat a stale lockfile and the second unlink would
+    remove the first winner's FRESH ``O_EXCL`` lock (two concurrent
+    holders), and a LIVE holder whose critical section outlasted the
+    window was usurped mid-hold. Here a live holder simply blocks
+    waiters until it releases; ``timeout`` bounds that wait.
+    ``stale_after`` is retained for signature compatibility and ignored.
+
+    The lockfile persists between holds — release never unlinks it.
+    Unlink-on-release would reopen the classic flock race: a waiter that
+    opened the old inode acquires the lock on an UNLINKED file while a
+    newcomer creates and locks a fresh one — two holders again. A
+    leftover ``_LOCK`` from a dead process is just an unlocked file.
+
+    Scope: POSIX-coherent filesystems (local disk, NFSv4 — flock maps to
+    byte-range leases there); object stores use the delta backend's own
+    log protocol instead. flock is per open-file-description, so threads
+    within one process exclude each other too (each hold opens its own
+    fd)."""
+    del stale_after  # legacy knob: flock has no staleness (see docstring)
+    import fcntl
+
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, _LOCK)
     deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(lock) > stale_after:
-                    os.unlink(lock)  # stale takeover; loop re-contends O_EXCL
-                    continue
-            except OSError:
-                continue  # holder released between exists and stat — retry
-            if time.monotonic() >= deadline:
-                raise TimeoutError(
-                    f"writer_lock: {lock} held by a live writer past {timeout}s"
-                )
-            time.sleep(0.05)
-            continue
-        try:
-            os.write(fd, f"{os.getpid()}\n".encode())
-        finally:
-            os.close(fd)
-        break
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except (BlockingIOError, InterruptedError):
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"writer_lock: {lock} held by a live writer past {timeout}s"
+                    )
+                time.sleep(0.05)
+        os.ftruncate(fd, 0)
+        os.write(fd, f"{os.getpid()}\n".encode())  # debuggability only
         yield
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        os.close(fd)  # releases the flock
 
 
 def _flip_pointer(path: str, version: int) -> None:
@@ -173,6 +187,19 @@ def _versions(path: str) -> list[int]:
         if name.startswith(_PREFIX) and name[len(_PREFIX):].isdigit():
             out.append(int(name[len(_PREFIX):]))
     return sorted(out)
+
+
+def _next_version(path: str, cur: int | None) -> int:
+    """Allocate the next version number: one past BOTH the pointer and any
+    on-disk ``_v`` directory. A writer that crashed between materializing
+    ``_v{k+1}`` (manifest write / staging rename) and flipping the pointer
+    leaves an orphan directory; allocating ``cur + 1`` would then
+    ``os.rename`` onto a non-empty directory and wedge every subsequent
+    full rewrite until manual cleanup (r11 advice). An orphan allocated
+    PAST is just an unreferenced version: it ages out of vacuum's
+    newest-``keep`` window and is reclaimed there. Call under the writer
+    lock."""
+    return max(_versions(path) + [cur or 0]) + 1
 
 
 def current_version(path: str) -> int | None:
@@ -230,7 +257,7 @@ def write_version(
                 f"write_version at {path}: based on v{base} but _CURRENT is "
                 f"now v{cur} — another writer committed; re-read and retry"
             )
-        version = (cur or 0) + 1
+        version = _next_version(path, cur)
         os.rename(staging, os.path.join(path, f"{_PREFIX}{version}"))
         _flip_pointer(path, version)
     return version
@@ -258,6 +285,7 @@ def append_version(
     partition_by: list[str] | None = None,
     backend: str = "auto",
     allow_new_columns: bool = False,
+    expected_base=_UNSET,
 ) -> int:
     """Write ``df`` as the next version WITHOUT rewriting existing data:
     only the new rows are physically written; the new version is a
@@ -285,11 +313,24 @@ def append_version(
     ``write_version`` rewrite. With the delta backend this IS Delta's
     native ``mode('append')`` (+ ``mergeSchema`` when evolving).
 
-    Concurrency: appends COMMUTE, so this path never loses the race — the
-    delta part lands under a unique name outside the lock, and the
-    manifest is rebuilt at commit time from whatever ``_CURRENT`` names
-    THEN (reparenting over any append/compact that landed while this
-    batch materialized)."""
+    Concurrency: PURE appends commute, so by default this path never
+    loses the race — the delta part lands under a unique name outside
+    the lock, and the manifest is rebuilt at commit time from whatever
+    ``_CURRENT`` names THEN (reparenting over any append/compact that
+    landed while this batch materialized). Appends whose rows were
+    DERIVED from store state do NOT commute: the packed-sequence store
+    continues per-shard offsets read from the current version, so two
+    such appends racing from the same base would silently double-fill
+    the same (shard, seq_id) — the read finalizer SUMS them, no error
+    surfaces. Those callers pass ``expected_base`` (the version their
+    rows were derived from): if ``_CURRENT`` moved past it,
+    ``ConcurrentWriteError`` is raised and the staged part removed —
+    re-derive from the new current and retry (see
+    ``commit_store_derived``'s bounded-retry loop). If the store moved
+    but the caller did NOT pin a base (a commuting append racing an
+    evolved append), the schema contract is RE-validated against the new
+    current inside the lock — without this a batch missing a just-added
+    column would land and silently null-fill (r11 advice TOCTOU)."""
     if resolve_backend(path, backend) == "delta":
         # match the parquet branch's contract: appending to a path with no
         # committed version is an error, not an implicit table create —
@@ -300,6 +341,8 @@ def append_version(
                 f"append_version: no committed version at {path} (use write_version)"
             )
         _validate_append_schema(df, path, allow_new_columns)
+        # expected_base is not forwarded: Delta's own transaction log
+        # serializes commits and raises its native concurrency errors
         w = df.write.format("delta").mode("append")
         if allow_new_columns:
             w = w.option("mergeSchema", "true")
@@ -320,6 +363,22 @@ def append_version(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(os.path.join(path, part_rel))
+    return _commit_append(path, part_rel, df, allow_new_columns, cur, expected_base)
+
+
+def _commit_append(
+    path: str,
+    part_rel: str,
+    df: DataFrame,
+    allow_new_columns: bool,
+    validated: int,
+    expected_base=_UNSET,
+) -> int:
+    """The locked commit phase of ``append_version``: CAS check for
+    derived appends, schema re-validation when the store moved since the
+    pre-write check, manifest reparent, pointer flip. Split out so the
+    race windows (a commit landing between part materialization and this
+    commit) are directly testable."""
     with writer_lock(path):
         cur = current_version(path)  # reparent onto whatever is current NOW
         if cur is None:
@@ -327,7 +386,24 @@ def append_version(
             raise FileNotFoundError(
                 f"append_version: store at {path} vanished during the append"
             )
-        version = cur + 1
+        if expected_base is not _UNSET and cur != expected_base:
+            shutil.rmtree(os.path.join(path, part_rel), ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"append_version at {path}: rows derived from v{expected_base} "
+                f"but _CURRENT is now v{cur} — another writer committed; "
+                "re-derive from the new current and retry"
+            )
+        if cur != validated:
+            # TOCTOU guard (r11 advice): an evolved append may have added a
+            # column between the pre-write validation and this commit — a
+            # batch missing it would land and read back silently
+            # null-filled. Pure pyarrow footer reads, no Spark job.
+            try:
+                _validate_append_schema(df, path, allow_new_columns)
+            except ValueError:
+                shutil.rmtree(os.path.join(path, part_rel), ignore_errors=True)
+                raise
+        version = _next_version(path, cur)
         _write_manifest(path, version, _parts_of(path, cur) + [part_rel])
         _flip_pointer(path, version)
     return version
@@ -583,7 +659,7 @@ def _commit_compact(path: str, staging: str, base: int) -> int:
     with writer_lock(path):
         cur = current_version(path)
         if cur == base:
-            version = cur + 1
+            version = _next_version(path, cur)
             os.rename(staging, os.path.join(path, f"{_PREFIX}{version}"))
             _flip_pointer(path, version)
             return version
@@ -600,7 +676,7 @@ def _commit_compact(path: str, staging: str, base: int) -> int:
             return cur
         # only appends landed meanwhile: reparent — compacted snapshot
         # replaces base's parts, the newer delta parts ride on top
-        version = cur + 1
+        version = _next_version(path, cur)
         os.makedirs(os.path.join(path, _PARTS_DIR), exist_ok=True)
         comp_rel = os.path.join(_PARTS_DIR, f"c{version}_{uuid.uuid4().hex[:8]}")
         os.rename(staging, os.path.join(path, comp_rel))
@@ -692,9 +768,10 @@ def vacuum(path: str, keep: int = 2, grace_seconds: float = 300.0) -> list[int]:
         for v in keep_set:
             referenced.update(_parts_of(path, v))
         removed = []
+        doomed: list[str] = []
         for v in vs:
             if v not in keep_set and f"{_PREFIX}{v}" not in referenced:
-                shutil.rmtree(os.path.join(path, f"{_PREFIX}{v}"))
+                doomed.append(os.path.join(path, f"{_PREFIX}{v}"))
                 removed.append(v)
         pdir = os.path.join(path, _PARTS_DIR)
         if os.path.isdir(pdir):
@@ -708,7 +785,7 @@ def vacuum(path: str, keep: int = 2, grace_seconds: float = 300.0) -> list[int]:
                         continue  # possibly an in-flight append's part
                 except OSError:
                     continue
-                shutil.rmtree(full, ignore_errors=True)
+                doomed.append(full)
         # staging dirs are either in-flight (younger than grace) or orphans
         # from a writer that died before its CAS commit
         for name in os.listdir(path):
@@ -719,8 +796,18 @@ def vacuum(path: str, keep: int = 2, grace_seconds: float = 300.0) -> list[int]:
                         continue
                 except OSError:
                     continue
-                shutil.rmtree(full, ignore_errors=True)
-        return removed
+                doomed.append(full)
+    # the DECISION runs under the lock; the deletes run after release.
+    # rmtree of whole version trees is the one store operation whose wall
+    # scales with data size — holding the mutex across it would block every
+    # concurrent commit for the duration (r11 advice). Deferred deletion is
+    # safe: everything in ``doomed`` is unreferenced by every kept version,
+    # version numbers are never reused (``_next_version`` allocates past
+    # orphans), and a new commit only references parts of the version it
+    # reparents onto — nothing can re-reference a doomed path.
+    for d in doomed:
+        shutil.rmtree(d, ignore_errors=True)
+    return removed
 
 
 _EPOCHS = "_EPOCHS"

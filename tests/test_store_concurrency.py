@@ -126,16 +126,102 @@ def test_writer_lock_blocks_then_times_out(tmp_path):
         assert time.monotonic() - t0 >= 0.3
 
 
-def test_writer_lock_stale_takeover(tmp_path):
+def test_writer_lock_dead_holder_does_not_block(tmp_path):
+    """A crashed writer's leftover lockfile carries no flock (the kernel
+    dropped it with the process), so acquisition is immediate — no
+    staleness window to wait out, no takeover protocol to race."""
     p = str(tmp_path / "stale")
     os.makedirs(p)
     lock = os.path.join(p, "_LOCK")
     with open(lock, "w") as f:
         f.write("dead\n")
     os.utime(lock, (time.time() - 3600, time.time() - 3600))
-    with V.writer_lock(p, timeout=1.0, stale_after=300.0):
+    t0 = time.monotonic()
+    with V.writer_lock(p, timeout=1.0):
         pass  # acquired despite the dead holder's lockfile
-    assert not os.path.exists(lock)
+    assert time.monotonic() - t0 < 0.5
+    # the lockfile persists by design: unlink-on-release would reopen the
+    # flock ghost-inode race (two holders)
+    assert os.path.exists(lock)
+
+
+def test_writer_lock_live_holder_never_usurped(tmp_path):
+    """The r11-advice hole in the mtime protocol: a live holder whose
+    critical section outlasted stale_after was usurped mid-hold. With
+    flock a live holder blocks waiters regardless of hold duration — the
+    waiter times out instead of stealing the lock."""
+    p = str(tmp_path / "live")
+    with V.writer_lock(p):
+        with pytest.raises(TimeoutError):
+            # stale_after far below the hold duration: must NOT take over
+            with V.writer_lock(p, timeout=0.4, stale_after=0.01):
+                pass
+
+
+def test_orphan_version_dir_does_not_wedge_rewrites(spark, tmp_path):
+    """A writer that crashes between materializing _v{k+1} and flipping
+    the pointer leaves an orphan directory; version allocation must skip
+    past it (renaming staging onto a non-empty dir raises OSError and
+    would wedge every subsequent full rewrite — r11 advice)."""
+    p = str(tmp_path / "orphan")
+    V.write_version(_ids(spark, 0, 5), p)  # v1, _CURRENT = 1
+    # simulate the crash: _v2 exists with data, pointer still says 1
+    _ids(spark, 90, 95).write.parquet(os.path.join(p, "_v2"))
+    assert V.current_version(p) == 1
+    v = V.write_version(_ids(spark, 10, 15), p)  # must not collide with _v2
+    assert v == 3
+    assert _all_ids(spark, p) == list(range(10, 15))
+    # the orphan ages out of the keep window once newer versions exist
+    V.write_version(_ids(spark, 20, 25), p)
+    V.write_version(_ids(spark, 30, 35), p)
+    removed = V.vacuum(p, keep=2, grace_seconds=0)
+    assert 2 in removed and not os.path.exists(os.path.join(p, "_v2"))
+
+
+def test_append_expected_base_cas_conflict_raises(spark, tmp_path):
+    """A derived append (rows computed FROM store state, the packed-store
+    posture) pins the version it read as expected_base: if another commit
+    lands first, the append must raise — never silently land rows derived
+    from a superseded base (the r11 double-fill finding)."""
+    p = str(tmp_path / "dcas")
+    V.write_version(_ids(spark, 0, 5), p)  # v1 — the derived batch's base
+    V.append_version(_ids(spark, 5, 8), p)  # interleaved commit -> v2
+    with pytest.raises(V.ConcurrentWriteError):
+        V.append_version(_ids(spark, 100, 105), p, expected_base=1)
+    assert _all_ids(spark, p) == list(range(8))  # store untouched
+    # the staged delta part was cleaned up, not leaked: everything left in
+    # _parts/ is referenced by the current manifest
+    pdir = os.path.join(p, V._PARTS_DIR)
+    on_disk = {os.path.join(V._PARTS_DIR, n) for n in os.listdir(pdir)}
+    referenced = set(V._parts_of(p, V.current_version(p)))
+    assert on_disk <= referenced
+
+
+def test_append_revalidates_schema_after_concurrent_evolution(spark, tmp_path):
+    """TOCTOU (r11 advice): batch validated against v_k, then an evolved
+    append adds a column before the commit. The locked commit phase must
+    re-validate and reject the now-incomplete batch instead of landing
+    rows that read back silently null-filled."""
+    p = str(tmp_path / "toctou")
+    V.write_version(_ids(spark, 0, 5), p)  # v1: schema (id)
+    validated = V.current_version(p)
+    # the racing batch's delta part is already on disk (pre-lock phase done)
+    part_rel = os.path.join(V._PARTS_DIR, "p2_toctou")
+    batch = _ids(spark, 5, 10)
+    batch.write.parquet(os.path.join(p, part_rel))
+    # concurrent EVOLVED append commits first: schema grows to (id, score)
+    from pyspark.sql import functions as F
+
+    V.append_version(
+        _ids(spark, 10, 12).withColumn("score", F.lit(1.0)),
+        p,
+        allow_new_columns=True,
+    )
+    with pytest.raises(ValueError, match="missing column"):
+        V._commit_append(p, part_rel, batch, False, validated)
+    assert not os.path.exists(os.path.join(p, part_rel))  # part cleaned up
+    # a batch CARRYING the evolved schema still lands fine
+    V.append_version(_ids(spark, 20, 22).withColumn("score", F.lit(2.0)), p)
 
 
 def test_vacuum_grace_protects_inflight_part(spark, tmp_path):
