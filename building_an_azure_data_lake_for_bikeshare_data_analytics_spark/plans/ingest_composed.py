@@ -224,7 +224,10 @@ def q252(spark, sf):
     # packed-sequence store (q258's artifact): v1 pack of the corpus side,
     # token counts from the SHARED tokenized scan (size(ts) — no re-tokenize)
     write_version(
-        packing_manifest(corpus_d.select("doc_id", F.size("ts").alias("n_toks"))),
+        packing_manifest(
+            corpus_d.select("doc_id", F.size("ts").alias("n_toks")),
+            with_doc_bounds=True,
+        ),
         pk_s,
         partition_by=["shard"],
     )
@@ -269,19 +272,19 @@ def q252(spark, sf):
         assign_cells(emb.where(vec_new), stored_cents), ivf_s, partition_by=["cell"]
     )
     # packed store: the batch's contribution rows continue each shard's
-    # cumsum from the STORED offsets (arrival order = corpus then batch),
-    # token counts again from the shared scan
-    pk_base = (
-        read_current(spark, pk_s)
-        .groupBy("shard")
-        .agg(F.sum("fill").alias("base_toks"))
-    )
-    v_pk = append_version(
-        packing_manifest(
-            batch_d.select("doc_id", F.size("ts").alias("n_toks")), base=pk_base
-        ),
+    # cumsum from the STORED offsets through the race-safe derived append
+    # (expected_base CAS + bounded re-derive). require_monotone=False:
+    # THIS head's arrival order is corpus-then-batch by a doc HASH split
+    # (the oracle packs ORDER BY isnew, doc_id), so batch doc_ids
+    # legitimately interleave the corpus's — the pack is of arrival
+    # order, exactly what the oracle certifies
+    from .packed_store import packed_append
+
+    v_pk = packed_append(
+        spark,
         pk_s,
-        partition_by=["shard"],
+        batch_d.select("doc_id", F.size("ts").alias("n_toks")),
+        require_monotone=False,
     )
     # census state the batch contributes to the q250 merge
     stats_b, kmv_b = _census_state(batch_d.select("doc_id", "source", "text", "n_chars"))

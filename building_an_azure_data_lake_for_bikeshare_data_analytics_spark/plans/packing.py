@@ -139,7 +139,13 @@ _PACKING_SQL = "WITH " + _packing_body("documents")
 _SPANS_SQL = "WITH " + _spans_body("documents")
 
 
-def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP, base=None):
+def packing_manifest(
+    docs,
+    nshards: int = _NSHARDS,
+    cap_toks: int = _SEQ_CAP,
+    base=None,
+    with_doc_bounds: bool = False,
+):
     """The q253 plan body over an arbitrary (doc_id, text) relation —
     shared by the gated head and tools/stress_packing.py (which scales
     ``nshards`` with the corpus the way a deployment scales it with the
@@ -152,18 +158,32 @@ def packing_manifest(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP, ba
     store's append path): per (shard, seq_id), n_docs and fill are sums,
     and stored-state + batch-contribution == from-scratch pack of the
     union exactly, because batch docs follow existing docs in the
-    per-shard order. Broadcast join — |shards| rows."""
+    per-shard order. Broadcast join — |shards| rows.
+
+    ``with_doc_bounds``: additionally carry ``min_doc``/``max_doc`` per
+    (shard, seq_id) — the doc_id range contributing to the row. The
+    maintained store writes with bounds so its append path can VALIDATE
+    the monotone-arrival contract above at write time (batch min vs
+    stored max per shard, see ``packed_store.packed_append``) instead of
+    trusting it; the finalized relation drops them, so the gated heads'
+    schemas are unchanged."""
     cap = F.lit(cap_toks)
     s = _span_stage(docs, nshards, cap_toks, base)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.least(F.col("tok_start") + F.col("n_toks"), (F.col("seq") + 1) * cap)
+            - F.greatest(F.col("tok_start"), F.col("seq") * cap)
+        ).alias("fill"),
+    ]
+    if with_doc_bounds:
+        aggs += [
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ]
     return (
         s.groupBy("shard", F.col("seq").alias("seq_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.least(F.col("tok_start") + F.col("n_toks"), (F.col("seq") + 1) * cap)
-                - F.greatest(F.col("tok_start"), F.col("seq") * cap)
-            ).alias("fill"),
-        )
+        .agg(*aggs)
         .orderBy("shard", "seq_id")
     )
 

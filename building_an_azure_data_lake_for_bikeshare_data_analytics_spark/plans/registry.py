@@ -53,9 +53,11 @@ from . import census_evolution  # noqa: F401  (registers q259; new modules impor
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
 # Round-12 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r11 history): q237_t_closeness_audit leads — its r6
-# evidence would breach the 6-round staleness floor after a green r12
-# gate otherwise — then the r7-evidence staleness cohort: q24-q30 (dim
+# CORRECTNESS_r1..r11 history): the never-gated new-this-round head leads
+# — q261 (loader-side packed-sequence materialization) — then
+# q237_t_closeness_audit (its r6 evidence would breach the 6-round
+# staleness floor after a green r12 gate otherwise) and the r7-evidence
+# staleness cohort: q24-q30 (dim
 # builds, date probe, top-k, distinct, anti-join, rollup), q31-q38 +
 # q128 (text intake and near-dup batteries), q57-q58/q70-q97 (SQL entry,
 # as-of, training-prep, quality families), and q238-q242 (url intake /
@@ -77,6 +79,7 @@ from . import census_evolution  # noqa: F401  (registers q259; new modules impor
 PREFIX_ROUND: int = 12
 
 _PRIORITY: tuple[str, ...] = (
+    "q261_packed_loader_read",
     "q237_t_closeness_audit",
     "q24_payment_dates_dim",
     "q25_trip_dates_dim",
@@ -126,7 +129,6 @@ _PRIORITY: tuple[str, ...] = (
     "q239_dedup_index_maintenance",
     "q240_domain_quota_enforce",
     "q241_cross_source_overlap",
-    "q242_dedup_identity_ladder",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -724,6 +724,7 @@ def commit_store_batch(
     partition_by: list[str] | None = None,
     compact_max_parts: int | None = None,
     compact_max_files: int | None = None,
+    allow_new_columns: bool = False,
 ) -> int | None:
     """Commit one micro-batch's derived rows to a versioned store:
     write_version bootstraps, append_version lands every later batch
@@ -745,7 +746,14 @@ def commit_store_batch(
     physical file count crossed the bound, so a long-lived stream's read
     amplification sawtooths under a constant ceiling instead of growing
     one delta part per micro-batch. Off by default — the gated heads
-    keep deterministic store layouts."""
+    keep deterministic store layouts.
+
+    ``allow_new_columns`` opts the append into schema evolution (the
+    q259 posture, forwarded to ``append_version``): a stream whose
+    row-builder starts emitting a new statistic mid-deployment lands it
+    as an O(batch) evolved append — older rows read back null-filled —
+    instead of failing loudly or forcing a corpus rewrite. Removals stay
+    loud regardless."""
     from ..sources.versioned import (
         append_version,
         applied_epochs,
@@ -764,7 +772,10 @@ def commit_store_batch(
     if current_version(store) is None:
         v = write_version(rows, store, partition_by=partition_by)
     else:
-        v = append_version(rows, store, partition_by=partition_by)
+        v = append_version(
+            rows, store, partition_by=partition_by,
+            allow_new_columns=allow_new_columns,
+        )
     if dedupe_epochs:
         record_epoch(store, int(epoch_id), v)
     if compact_max_parts is not None or compact_max_files is not None:
@@ -1007,8 +1018,7 @@ def composed_ingest_stream(
     from ..plans.census_maintenance import _census_state, _merge_kmv, _merge_stats
     from ..plans.decontamination import corpus_shingles, doc_hits
     from ..plans.lexical_maintenance import index_rows_from_tokens
-    from ..plans.packing import packing_manifest
-    from ..sources.versioned import current_version, read_current
+    from ..sources.versioned import read_current
 
     out: list[tuple] = []
     dedupe_epochs = checkpoint_dir is not None
@@ -1059,20 +1069,12 @@ def composed_ingest_stream(
         )
         # packed-sequence store (q258's artifact, the sixth class): token
         # counts from the SAME shared tokenized relation; later batches
-        # continue each shard's cumsum from the stored offsets
-        pk_store = store_root + "_packed"
+        # continue each shard's cumsum from the stored offsets through
+        # the DERIVED commit (expected_base CAS + monotone guard) —
+        # a concurrent packed writer can no longer silently double-fill
         pk_in = b.select("doc_id", F.size("ts").alias("n_toks"))
-        if current_version(pk_store) is None:
-            pk_rows = packing_manifest(pk_in)
-        else:
-            pk_base = (
-                read_current(batch_df.sparkSession, pk_store)
-                .groupBy("shard")
-                .agg(F.sum("fill").alias("base_toks"))
-            )
-            pk_rows = packing_manifest(pk_in, base=pk_base)
-        v_pk = commit_store_batch(
-            pk_rows, pk_store, epoch_id, dedupe_epochs, partition_by=["shard"]
+        v_pk = commit_packed_batch(
+            pk_in, store_root + "_packed", epoch_id, dedupe_epochs
         )
         out.append((epoch_id, v_sig, v_tf, v_dl, v_st, v_km, v_led, v_pk))
 
@@ -1082,6 +1084,48 @@ def composed_ingest_stream(
     q = writer.start()
     q.awaitTermination()
     return out
+
+
+def commit_packed_batch(
+    rows_in: DataFrame, store: str, epoch_id: int, dedupe_epochs: bool
+) -> int | None:
+    """``commit_store_batch`` for the packed-sequence store, whose append
+    rows are DERIVED from store state (each shard's cumsum continues from
+    the stored offsets): the derived-append path must not use the plain
+    commuting commit — two writers continuing from the same offsets would
+    silently double-fill the same (shard, seq_id), and the summing
+    finalizer would hide it (r11 verdict item 2). The first batch
+    bootstraps the store; every later batch goes through
+    ``packed_store.packed_append``: offsets + high-water doc_id read from
+    a pinned version, monotone-arrival guard, ``expected_base`` CAS with
+    bounded re-derive. Same ``_EPOCHS`` exactly-once ledger as the other
+    stores. ``rows_in`` is a (doc_id, text) or (doc_id, n_toks) relation."""
+    from ..plans.packed_store import packed_append
+    from ..plans.packing import packing_manifest
+    from ..sources.versioned import (
+        applied_epochs,
+        current_version,
+        record_epoch,
+        write_version,
+    )
+
+    if not rows_in.take(1):
+        return None
+    if dedupe_epochs:
+        seen = applied_epochs(store)
+        if int(epoch_id) in seen:  # replayed epoch: already committed
+            return seen[int(epoch_id)]
+    if current_version(store) is None:
+        v = write_version(
+            packing_manifest(rows_in, with_doc_bounds=True),
+            store,
+            partition_by=["shard"],
+        )
+    else:
+        v = packed_append(rows_in.sparkSession, store, rows_in)
+    if dedupe_epochs:
+        record_epoch(store, int(epoch_id), v)
+    return v
 
 
 def commit_store_merge(
@@ -1147,6 +1191,7 @@ def maintained_lexical_index_stream(
     tf_store: str,
     dl_store: str,
     checkpoint_dir: str | None = None,
+    dl_with_uniq: bool = False,
 ) -> list[tuple]:
     """Streaming lexical-index maintenance: each micro-batch of incoming
     docs is tokenized ALONE and its term-frequency / doc-length rows are
@@ -1165,19 +1210,29 @@ def maintained_lexical_index_stream(
     drains each store's current version equals the from-scratch
     ``index_rows`` over all streamed docs regardless of chunking —
     pinned in tests/test_streaming.py. Exactly-once under checkpointed
-    replay via the stores' ``_EPOCHS`` ledgers (commit_store_batch)."""
+    replay via the stores' ``_EPOCHS`` ledgers (commit_store_batch).
+
+    ``dl_with_uniq``: the dl rows additionally carry ``n_uniq``
+    (distinct tokens per doc), and the dl commit opts into schema
+    evolution — a deployment that flips this flag on a LIVE store lands
+    the new statistic as O(batch) evolved appends (pre-evolution rows
+    read back null-filled), with the store's drain-equality on the
+    original columns unchanged. Pinned in tests/test_streaming.py."""
     from ..plans.lexical_maintenance import index_rows
 
     out: list[tuple] = []
     dedupe_epochs = checkpoint_dir is not None
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        tf_b, dl_b = index_rows(batch_df.select("doc_id", "text"))
+        tf_b, dl_b = index_rows(
+            batch_df.select("doc_id", "text"), dl_with_uniq=dl_with_uniq
+        )
         v_tf = commit_store_batch(
             tf_b, tf_store, epoch_id, dedupe_epochs, partition_by=["tok_bucket"]
         )
         v_dl = commit_store_batch(
-            dl_b, dl_store, epoch_id, dedupe_epochs, partition_by=["hb"]
+            dl_b, dl_store, epoch_id, dedupe_epochs, partition_by=["hb"],
+            allow_new_columns=dl_with_uniq,
         )
         if v_tf is not None or v_dl is not None:
             out.append((epoch_id, v_tf, v_dl))
@@ -1249,37 +1304,25 @@ def maintained_packed_store_stream(
     additive contribution rows through ``commit_store_batch``'s manifest
     append, shard-partitioned.
 
-    Ordering contract: per-shard packing order IS arrival order, so the
-    drained store equals the from-scratch pack of all streamed docs
-    exactly when micro-batches arrive in that order (the file source's
-    oldest-first default; pinned in tests/test_streaming.py). Out-of-
-    order arrival still yields a VALID packing — of the order that
-    actually arrived — the same contract a real ingestion pipeline has.
+    Ordering contract: per-shard packing order IS arrival order, and
+    since r12 the append VALIDATES it — a micro-batch whose doc_ids fall
+    at or below a shard's stored high-water mark is rejected loudly
+    (``ValueError`` from the monotone guard) instead of silently
+    producing a manifest that no longer equals the scratch pack;
+    backfills rebuild from scratch. The commit also pins the version the
+    offsets were read from (``expected_base`` CAS), so a concurrent
+    packed writer gets a loud conflict + re-derive, never a silent
+    double-fill (r11 verdict item 2).
 
     Exactly-once under checkpointed replay via the store's ``_EPOCHS``
     ledger: the replayed batch's contribution rows are recomputed but
     never re-appended, so offsets never double-advance."""
-    from pyspark.sql import functions as F
-
-    from ..plans.packing import packing_manifest
-    from ..sources.versioned import current_version, read_current
-
     out: list[tuple] = []
     dedupe_epochs = checkpoint_dir is not None
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        b = batch_df.select("doc_id", "text")
-        if current_version(store) is None:
-            contrib = packing_manifest(b)
-        else:
-            base = (
-                read_current(batch_df.sparkSession, store)
-                .groupBy("shard")
-                .agg(F.sum("fill").alias("base_toks"))
-            )
-            contrib = packing_manifest(b, base=base)
-        v = commit_store_batch(
-            contrib, store, epoch_id, dedupe_epochs, partition_by=["shard"]
+        v = commit_packed_batch(
+            batch_df.select("doc_id", "text"), store, epoch_id, dedupe_epochs
         )
         if v is not None:
             out.append((epoch_id, v))

@@ -212,3 +212,177 @@ def test_span_store_consistent_with_manifest(spark, tmp_path):
         | (F.col("seq_off") + F.col("n_span") > 256)
     )
     assert bad.count() == 0
+
+
+def test_packed_append_rejects_out_of_order_batch(spark, tmp_path):
+    """The monotone-arrival guard (r11 verdict item 2): a batch whose
+    doc_ids fall at or below a shard's stored high-water mark would
+    silently produce a manifest that no longer equals the scratch pack —
+    the append must reject it loudly, and the store must be untouched."""
+    import pytest
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packed_store import (
+        packed_append,
+        span_append,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        packing_manifest,
+        packing_spans,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        current_version,
+        write_version,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 19) % 50 + 1))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    corpus = docs.where("doc_id >= 100")  # stores docs 100..199
+    backfill = docs.where("doc_id < 100")  # arrives LATER with LOWER ids
+
+    store = str(tmp_path / "mono_m")
+    write_version(packing_manifest(corpus, with_doc_bounds=True), store,
+                  partition_by=["shard"])
+    v_before = current_version(store)
+    with pytest.raises(ValueError, match="out-of-order batch"):
+        packed_append(spark, store, backfill)
+    assert current_version(store) == v_before  # nothing committed
+
+    sstore = str(tmp_path / "mono_s")
+    write_version(packing_spans(corpus), sstore, partition_by=["shard"])
+    with pytest.raises(ValueError, match="out-of-order batch"):
+        span_append(spark, sstore, backfill)
+
+
+def test_packed_append_interleaved_writer_serializes_correctly(spark, tmp_path):
+    """The r11 double-fill race, pinned: a derived append whose base was
+    superseded must NOT land (ConcurrentWriteError via expected_base) —
+    and the retry loop re-derives from the new current, so the final
+    store still equals the from-scratch pack of everything."""
+    import pytest
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packed_store import (
+        _finalize,
+        packed_append,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        packing_manifest,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources import (
+        versioned as V,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 29) % 60 + 1))) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    c0 = docs.where("doc_id < 100")
+    b1 = docs.where("doc_id >= 100 and doc_id < 200")
+    b2 = docs.where("doc_id >= 200")
+
+    store = str(tmp_path / "race_pk")
+    V.write_version(packing_manifest(c0, with_doc_bounds=True), store,
+                    partition_by=["shard"])
+
+    # the losing writer's derivation: contribution rows computed from v1
+    base_v = V.current_version(store)
+    state = V.read_version(spark, store, base_v).groupBy("shard").agg(
+        F.sum("fill").alias("base_toks")
+    )
+    stale_contrib = packing_manifest(b2, base=state, with_doc_bounds=True)
+
+    # the interleaved writer commits b1 first (continues from v1 correctly)
+    packed_append(spark, store, b1)
+
+    # the stale commit must refuse — landing it would double-fill the
+    # boundary (shard, seq_id)s that b1 already extended
+    with pytest.raises(V.ConcurrentWriteError):
+        V.append_version(stale_contrib, store, partition_by=["shard"],
+                         expected_base=base_v)
+
+    # the retrying path re-derives from the new current and converges
+    packed_append(spark, store, b2)
+    got = [tuple(r) for r in _finalize(
+        V.read_current(spark, store)).collect()]
+    want = [tuple(r) for r in packing_manifest(docs).collect()]
+    assert got == want
+
+
+def test_loader_materialization_produces_training_bytes(spark, tmp_path):
+    """q261's contract, pinned end-to-end: for every sequence the
+    materialized token stream BYTE-equals the corresponding slice of the
+    shard's scratch-pack token stream (concatenate all docs' tokens in
+    doc_id order, cut every 256), and n_tokens equals the manifest fill."""
+    import hashlib
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packed_store import (
+        _LOADER_SHARD,
+        materialize_sequences,
+        span_store_lifecycle,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        _NSHARDS,
+        _SEQ_CAP,
+        packing_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range((i * 41) % 80 + 1)))
+         for i in range(240)],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "loader")
+    span_store_lifecycle(
+        spark, store, docs.where("doc_id < 200"), docs.where("doc_id >= 200")
+    )
+    got = {
+        r["seq_id"]: r
+        for r in materialize_sequences(spark, store, docs, _LOADER_SHARD).collect()
+    }
+
+    # scratch reconstruction on the driver (small fixture): the shard's
+    # full token stream in doc_id order, cut every _SEQ_CAP tokens
+    stream: list[str] = []
+    for i in range(240):
+        if i % _NSHARDS == _LOADER_SHARD:
+            stream.extend(f"w{i}_{j}" for j in range((i * 41) % 80 + 1))
+    want_seqs = {
+        k: stream[k * _SEQ_CAP:(k + 1) * _SEQ_CAP]
+        for k in range((len(stream) + _SEQ_CAP - 1) // _SEQ_CAP)
+    }
+    assert set(got) == set(want_seqs)
+    for k, toks in want_seqs.items():
+        assert got[k]["n_tokens"] == len(toks)
+        want_md5 = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert got[k]["seq_md5"] == want_md5, f"seq {k}: materialized bytes differ"
+
+    # n_tokens == the manifest's fill, per sequence
+    fills = {
+        r["seq_id"]: r["fill"]
+        for r in packing_manifest(docs).where(f"shard = {_LOADER_SHARD}").collect()
+    }
+    assert {k: r["n_tokens"] for k, r in got.items()} == fills
+
+
+def test_loader_read_partition_prunes_on_shard(spark, tmp_path):
+    """The loader read's span-store scans must carry shard
+    PartitionFilters — a loader worker reads ITS slice, not the store."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packed_store import (
+        materialize_sequences,
+        span_store_lifecycle,
+    )
+    from test_store_partitioning import _partition_filters
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 13) % 50 + 1))) for i in range(160)],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "loaderp")
+    span_store_lifecycle(
+        spark, store, docs.where("doc_id < 120"), docs.where("doc_id >= 120")
+    )
+    out = materialize_sequences(spark, store, docs, 5)
+    pf = _partition_filters(out)
+    assert pf and all("shard" in f for f in pf), pf
+    assert out.count() > 0
