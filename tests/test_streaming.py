@@ -1310,3 +1310,99 @@ def test_ivf_stream_refresh_policy_rotates_both_stores(spark, tmp_path):
         r["vec_id"] for r in healthy.unionByName(drifted).select("vec_id").collect()
     )
     assert got_ids == want_ids
+
+
+def test_lexical_dl_store_schema_evolves_mid_stream(spark, tmp_path):
+    """r11 verdict item 6: a maintained store OTHER than the census
+    evolving its schema mid-deployment, through the STREAMING lifecycle.
+    Phase 1 streams dl rows in the original (doc_id, len, hb) schema;
+    the deployment then flips ``dl_with_uniq`` and restarts from the
+    same checkpoint — phase 2's rows carry ``n_uniq`` and land as
+    EVOLVED appends (allow_new_columns plumbed through
+    commit_store_batch). Pre-evolution rows read back null-filled, the
+    original columns' drain equality is untouched, and the new
+    statistic is exact on post-evolution docs."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.lexical_maintenance import (
+        index_rows,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        maintained_lexical_index_stream,
+    )
+
+    def _docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, " ".join(f"t{(i * j) % 7}" for j in range(i % 9 + 1)))
+             for i in range(lo, hi)],
+            ["doc_id", "text"],
+        )
+
+    src = tmp_path / "evo_src"
+    src.mkdir()
+
+    def _land(df, name):
+        staged = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(staged)
+        part = glob.glob(staged + "/part-*.parquet")[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    tf_p, dl_p = str(tmp_path / "evo_tf"), str(tmp_path / "evo_dl")
+    ckpt = str(tmp_path / "evo_ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    # phase 1: original schema
+    _land(_docs(0, 30), "a")
+    rows1 = maintained_lexical_index_stream(_stream(), tf_p, dl_p, checkpoint_dir=ckpt)
+    assert rows1
+    assert "n_uniq" not in read_current(spark, dl_p).columns
+
+    # phase 2: the deployment starts tracking n_uniq — same checkpoint,
+    # so only the NEW file is processed, as an evolved append
+    _land(_docs(30, 55), "b")
+    rows2 = maintained_lexical_index_stream(
+        _stream(), tf_p, dl_p, checkpoint_dir=ckpt, dl_with_uniq=True
+    )
+    assert rows2
+
+    dl = read_current(spark, dl_p)
+    assert "n_uniq" in dl.columns
+    # pre-evolution rows null-fill; post-evolution rows carry the stat
+    assert dl.where("doc_id < 30 AND n_uniq IS NOT NULL").count() == 0
+    assert dl.where("doc_id >= 30 AND n_uniq IS NULL").count() == 0
+
+    all_docs = _docs(0, 55)
+    _, dl_old = index_rows(all_docs)
+    got_core = sorted(
+        tuple(r) for r in dl.select("doc_id", "len", "hb").collect()
+    )
+    assert got_core == sorted(tuple(r) for r in dl_old.collect())
+    _, dl_new = index_rows(_docs(30, 55), dl_with_uniq=True)
+    got_uniq = sorted(
+        tuple(r) for r in dl.where("doc_id >= 30")
+        .select("doc_id", "len", "n_uniq", "hb").collect()
+    )
+    assert got_uniq == sorted(tuple(r) for r in dl_new.collect())
+    # the original store schema's REMOVAL would still be loud: a later
+    # batch regressing to the old builder fails the write-time contract
+    import pytest
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        append_version,
+    )
+
+    _, dl_regress = index_rows(_docs(55, 60))
+    with pytest.raises(ValueError, match="missing column"):
+        append_version(dl_regress, dl_p, partition_by=["hb"])
