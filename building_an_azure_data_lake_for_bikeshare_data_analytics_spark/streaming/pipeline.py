@@ -903,6 +903,8 @@ def maintained_ivf_store_stream(
     checkpoint_dir: str | None = None,
     refresh_factor: float | None = None,
     refresh_k: int = 8,
+    compact_max_parts: int | None = None,
+    compact_max_files: int | None = None,
 ) -> list[tuple]:
     """Streaming vector-index maintenance: each micro-batch of
     (vec_id, embedding) rows is assigned to IVF cells through the STORED
@@ -956,6 +958,8 @@ def maintained_ivf_store_stream(
             epoch_id,
             dedupe_epochs,
             partition_by=["cell"],
+            compact_max_parts=compact_max_parts,
+            compact_max_files=compact_max_files,
         )
         if v is not None:
             out.append((epoch_id, v))
@@ -982,6 +986,8 @@ def composed_ingest_stream(
     store_root: str,
     bench_store: str,
     checkpoint_dir: str | None = None,
+    compact_max_parts: int | None = None,
+    compact_max_files: int | None = None,
 ) -> list[tuple]:
     """The q252 composed shared-scan ingest in its production Structured
     Streaming shape: ONE stream of (doc_id, source, text, n_chars) docs
@@ -1010,7 +1016,14 @@ def composed_ingest_stream(
     checkpointed replay: every store consults its own ``_EPOCHS`` ledger,
     so a replayed micro-batch that died mid-fan-out re-commits ONLY the
     stores that missed it (per-store idempotence makes the multi-store
-    fan-out restartable without coordination)."""
+    fan-out restartable without coordination).
+
+    ``compact_max_parts`` / ``compact_max_files`` opt every APPEND-chain
+    store (sig, tf, dl, ledger, packed) into the compaction cadence —
+    the everything-on deployment shape tools/stress_deploy_soak.py
+    exercises; the census merge stores rewrite O(state) snapshots every
+    batch and need no cadence. Off by default (gated heads keep
+    deterministic layouts)."""
     from pyspark.sql import functions as F
 
     from ..functions.text import tokens as _tokens
@@ -1042,14 +1055,20 @@ def composed_ingest_stream(
             epoch_id,
             dedupe_epochs,
             partition_by=["band"],
+            compact_max_parts=compact_max_parts,
+            compact_max_files=compact_max_files,
         )
         tf_b, dl_b = index_rows_from_tokens(b.select("doc_id", "ts"))
         v_tf = commit_store_batch(
             tf_b, store_root + "_tf", epoch_id, dedupe_epochs,
             partition_by=["tok_bucket"],
+            compact_max_parts=compact_max_parts,
+            compact_max_files=compact_max_files,
         )
         v_dl = commit_store_batch(
-            dl_b, store_root + "_dl", epoch_id, dedupe_epochs, partition_by=["hb"]
+            dl_b, store_root + "_dl", epoch_id, dedupe_epochs, partition_by=["hb"],
+            compact_max_parts=compact_max_parts,
+            compact_max_files=compact_max_files,
         )
         stats_b, kmv_b = _census_state(
             b.select("doc_id", "source", "text", "n_chars")
@@ -1066,6 +1085,8 @@ def composed_ingest_stream(
             epoch_id,
             dedupe_epochs,
             partition_by=["benchmark"],
+            compact_max_parts=compact_max_parts,
+            compact_max_files=compact_max_files,
         )
         # packed-sequence store (q258's artifact, the sixth class): token
         # counts from the SAME shared tokenized relation; later batches
@@ -1074,7 +1095,9 @@ def composed_ingest_stream(
         # a concurrent packed writer can no longer silently double-fill
         pk_in = b.select("doc_id", F.size("ts").alias("n_toks"))
         v_pk = commit_packed_batch(
-            pk_in, store_root + "_packed", epoch_id, dedupe_epochs
+            pk_in, store_root + "_packed", epoch_id, dedupe_epochs,
+            compact_max_parts=compact_max_parts,
+            compact_max_files=compact_max_files,
         )
         out.append((epoch_id, v_sig, v_tf, v_dl, v_st, v_km, v_led, v_pk))
 
@@ -1087,7 +1110,9 @@ def composed_ingest_stream(
 
 
 def commit_packed_batch(
-    rows_in: DataFrame, store: str, epoch_id: int, dedupe_epochs: bool
+    rows_in: DataFrame, store: str, epoch_id: int, dedupe_epochs: bool,
+    compact_max_parts: int | None = None,
+    compact_max_files: int | None = None,
 ) -> int | None:
     """``commit_store_batch`` for the packed-sequence store, whose append
     rows are DERIVED from store state (each shard's cumsum continues from
@@ -1105,6 +1130,7 @@ def commit_packed_batch(
     from ..sources.versioned import (
         applied_epochs,
         current_version,
+        maybe_compact,
         record_epoch,
         write_version,
     )
@@ -1125,6 +1151,17 @@ def commit_packed_batch(
         v = packed_append(rows_in.sparkSession, store, rows_in)
     if dedupe_epochs:
         record_epoch(store, int(epoch_id), v)
+    if compact_max_parts is not None or compact_max_files is not None:
+        # compaction is physical-only: the summed (shard, seq_id) state
+        # and the stored per-shard offsets/high-water marks are unchanged,
+        # so the next derived append reads identical state
+        maybe_compact(
+            rows_in.sparkSession,
+            store,
+            max_parts=compact_max_parts,
+            max_files=compact_max_files,
+            partition_by=["shard"],
+        )
     return v
 
 
