@@ -325,8 +325,8 @@ def append_version(
     surfaces. Those callers pass ``expected_base`` (the version their
     rows were derived from): if ``_CURRENT`` moved past it,
     ``ConcurrentWriteError`` is raised and the staged part removed —
-    re-derive from the new current and retry (see
-    ``commit_store_derived``'s bounded-retry loop). If the store moved
+    re-derive from the new current and retry (see ``packed_append``'s
+    bounded-retry loop). If the store moved
     but the caller did NOT pin a base (a commuting append racing an
     evolved append), the schema contract is RE-validated against the new
     current inside the lock — without this a batch missing a just-added
