@@ -44,6 +44,11 @@ Artifact semantics (one row each, ordered by artifact):
   SHARED tokenized scan (``size(ts)``), not a re-tokenize.
 * ``signature_rows_appended`` — banded signature rows appended to the
   q245 store (batch docs with ≥1 shingle × bands).
+* ``span_rows_appended`` — loader-facing span rows appended to the q260
+  span store (one per (doc × sequence) crossing of the batch under the
+  same arrival-order pack), the SEVENTH artifact class — the composed
+  ingest maintains everything a training loader reads, down to the
+  exact token slices.
 
 The DuckDB oracle recomputes each count from scratch (including the
 full q249 N-pass screen as a subquery), so a green row certifies the
@@ -87,7 +92,24 @@ _COMPOSED_SQL = f"""WITH tk AS (
       SELECT source, h,
              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
       FROM (SELECT DISTINCT source, {H60_SQL.format(x="text")} AS h
-            FROM documents WHERE {_HASH_SQL} >= 800))
+            FROM documents WHERE {_HASH_SQL} >= 800)),
+    pk AS (
+      SELECT shard, isnew, doc_id,
+             unnest(generate_series(tok_start // {_SEQ_CAP},
+                                    (tok_start + n_toks - 1) // {_SEQ_CAP})) AS seq
+      FROM (
+        SELECT shard, isnew, doc_id, n_toks,
+               CAST(COALESCE(SUM(n_toks) OVER (
+                      PARTITION BY shard ORDER BY isnew, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS tok_start
+        FROM (
+          SELECT doc_id, {_HASH_SQL} >= 800 AS isnew,
+                 CAST(doc_id % {_NSHARDS} AS INTEGER) AS shard,
+                 CAST(COALESCE(len(string_split_regex(trim(text), '\\s+')), 0)
+                      AS BIGINT) AS n_toks
+          FROM documents
+          WHERE COALESCE(len(string_split_regex(trim(text), '\\s+')), 0) > 0)))
     SELECT 'census_kmv_batch_state' AS artifact,
            CAST(count(*) AS BIGINT) AS n FROM kmv WHERE rn <= {_CK}
     UNION ALL
@@ -107,30 +129,16 @@ _COMPOSED_SQL = f"""WITH tk AS (
     FROM (SELECT DISTINCT doc_id, tok FROM tk)
     UNION ALL
     SELECT 'packed_seqs_appended', CAST(count(*) AS BIGINT)
-    FROM (SELECT DISTINCT shard, seq FROM (
-            SELECT shard, isnew,
-                   unnest(generate_series(tok_start // {_SEQ_CAP},
-                                          (tok_start + n_toks - 1) // {_SEQ_CAP})) AS seq
-            FROM (
-              SELECT shard, isnew, n_toks,
-                     CAST(COALESCE(SUM(n_toks) OVER (
-                            PARTITION BY shard ORDER BY isnew, doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                          0) AS BIGINT) AS tok_start
-              FROM (
-                SELECT doc_id, {_HASH_SQL} >= 800 AS isnew,
-                       CAST(doc_id % {_NSHARDS} AS INTEGER) AS shard,
-                       CAST(COALESCE(len(string_split_regex(trim(text), '\\s+')), 0)
-                            AS BIGINT) AS n_toks
-                FROM documents
-                WHERE COALESCE(len(string_split_regex(trim(text), '\\s+')), 0) > 0)))
-          WHERE isnew)
+    FROM (SELECT DISTINCT shard, seq FROM pk WHERE isnew)
     UNION ALL
     SELECT 'signature_rows_appended',
            CAST({_BANDS} * count(*) AS BIGINT)
     FROM documents
     WHERE {_HASH_SQL} >= 800
       AND len(string_split_regex(trim(text), '\\s+')) >= 3
+    UNION ALL
+    SELECT 'span_rows_appended', CAST(count(*) AS BIGINT)
+    FROM pk WHERE isnew
     ORDER BY artifact"""
 
 
@@ -191,8 +199,8 @@ def q252(spark, sf):
     root = _store_root(spark)
     sig_s, tf_s, dl_s = root + "_sig", root + "_tf", root + "_dl"
     dec_s, ivf_s, cen_s = root + "_decon", root + "_ivf", root + "_cents"
-    pk_s = root + "_packed"
-    for p in (sig_s, tf_s, dl_s, dec_s, ivf_s, cen_s, pk_s):
+    pk_s, sp_s = root + "_packed", root + "_spans"
+    for p in (sig_s, tf_s, dl_s, dec_s, ivf_s, cen_s, pk_s, sp_s):
         register_cleanup(p)
 
     # THE shared scan: documents read + tokenized once, materialized;
@@ -229,6 +237,15 @@ def q252(spark, sf):
             with_doc_bounds=True,
         ),
         pk_s,
+        partition_by=["shard"],
+    )
+    # span store (q260's artifact, the SEVENTH class): same shared token
+    # counts, same arrival-order pack — the loader-facing slices
+    from .packing import packing_spans
+
+    write_version(
+        packing_spans(corpus_d.select("doc_id", F.size("ts").alias("n_toks"))),
+        sp_s,
         partition_by=["shard"],
     )
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -278,11 +295,17 @@ def q252(spark, sf):
     # (the oracle packs ORDER BY isnew, doc_id), so batch doc_ids
     # legitimately interleave the corpus's — the pack is of arrival
     # order, exactly what the oracle certifies
-    from .packed_store import packed_append
+    from .packed_store import packed_append, span_append
 
     v_pk = packed_append(
         spark,
         pk_s,
+        batch_d.select("doc_id", F.size("ts").alias("n_toks")),
+        require_monotone=False,
+    )
+    v_sp = span_append(
+        spark,
+        sp_s,
         batch_d.select("doc_id", F.size("ts").alias("n_toks")),
         require_monotone=False,
     )
@@ -291,7 +314,7 @@ def q252(spark, sf):
     # decon: the batch screened against the STORED benchmark table,
     # reading the SAME tagged shingle checkpoint
     matrix = probe_matrix(spark, tagged_b, read_current(spark, dec_s), batch_d)
-    for p in (sig_s, tf_s, dl_s, ivf_s, pk_s):
+    for p in (sig_s, tf_s, dl_s, ivf_s, pk_s, sp_s):
         vacuum(p, keep=2)
 
     # ---- the update census, read back through the stores ----
@@ -317,6 +340,9 @@ def q252(spark, sf):
         )
         .unionByName(
             tag("signature_rows_appended", _delta_n(spark, sig_s, v_sig - 1, v_sig))
+        )
+        .unionByName(
+            tag("span_rows_appended", _delta_n(spark, sp_s, v_sp - 1, v_sp))
         )
     )
     return out.orderBy("artifact")

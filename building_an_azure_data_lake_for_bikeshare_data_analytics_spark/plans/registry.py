@@ -39,7 +39,8 @@ from . import census_maintenance  # noqa: F401  (registers q250)
 from . import ingest_composed  # noqa: F401  (registers q252)
 from . import packing  # noqa: F401  (registers q253-q257)
 from . import packed_store  # noqa: F401  (registers q258, q260)
-from . import census_evolution  # noqa: F401  (registers q259; new modules import LAST — insertion order is registration order)
+from . import census_evolution  # noqa: F401  (registers q259)
+from . import loader_schedule  # noqa: F401  (registers q262-q263; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -53,8 +54,9 @@ from . import census_evolution  # noqa: F401  (registers q259; new modules impor
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
 # Round-12 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r11 history): the never-gated new-this-round head leads
-# — q261 (loader-side packed-sequence materialization) — then
+# CORRECTNESS_r1..r11 history): the never-gated new-this-round heads
+# lead in insertion order — q261 (loader-side packed-sequence
+# materialization), q262/q263 (deterministic loader schedule) — then
 # q237_t_closeness_audit (its r6 evidence would breach the 6-round
 # staleness floor after a green r12 gate otherwise) and the r7-evidence
 # staleness cohort: q24-q30 (dim
@@ -80,6 +82,8 @@ PREFIX_ROUND: int = 12
 
 _PRIORITY: tuple[str, ...] = (
     "q261_packed_loader_read",
+    "q262_loader_schedule",
+    "q263_loader_step_stats",
     "q237_t_closeness_audit",
     "q24_payment_dates_dim",
     "q25_trip_dates_dim",
@@ -127,8 +131,6 @@ _PRIORITY: tuple[str, ...] = (
     "q97_salted_flag_totals",
     "q238_url_host_dedup",
     "q239_dedup_index_maintenance",
-    "q240_domain_quota_enforce",
-    "q241_cross_source_overlap",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1001,14 +1001,20 @@ def composed_ingest_stream(
     * ``<root>_stats/_kmv`` — census merge state (q250)
     * ``<root>_ledger`` — per-doc contamination hits screened against the
       STORED q249 benchmark table (read-only input), benchmark-part.
+    * ``<root>_packed`` — packed-sequence manifest (q258), shard-part.,
+      committed through the derived path (expected_base CAS + monotone
+      guard) since its rows continue the stored per-shard offsets.
+    * ``<root>_spans`` — loader-facing span table (q260), shard-part.,
+      same derived commit — the stream maintains everything a training
+      loader reads, down to the exact token slices.
 
     The vector-side artifact keeps its own stream
     (maintained_ivf_store_stream) because its source is the embeddings
     stream, not the document stream.
 
     Returns (epoch_id, v_sig, v_tf, v_dl, v_stats, v_kmv, v_ledger,
-    v_packed) per non-empty micro-batch (None where that store had
-    nothing to commit, e.g. a clean batch appends no ledger rows).
+    v_packed, v_spans) per non-empty micro-batch (None where that store
+    had nothing to commit, e.g. a clean batch appends no ledger rows).
 
     Drain equality per store vs its batch builder is pinned in
     tests/test_streaming.py — the per-doc/mergeable-state arguments of
@@ -1099,7 +1105,14 @@ def composed_ingest_stream(
             compact_max_parts=compact_max_parts,
             compact_max_files=compact_max_files,
         )
-        out.append((epoch_id, v_sig, v_tf, v_dl, v_st, v_km, v_led, v_pk))
+        # span store (q260's artifact, the seventh class): the loader-
+        # facing token slices from the same shared counts
+        v_sp = commit_span_batch(
+            pk_in, store_root + "_spans", epoch_id, dedupe_epochs,
+            compact_max_parts=compact_max_parts,
+            compact_max_files=compact_max_files,
+        )
+        out.append((epoch_id, v_sig, v_tf, v_dl, v_st, v_km, v_led, v_pk, v_sp))
 
     writer = docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:
@@ -1155,6 +1168,48 @@ def commit_packed_batch(
         # compaction is physical-only: the summed (shard, seq_id) state
         # and the stored per-shard offsets/high-water marks are unchanged,
         # so the next derived append reads identical state
+        maybe_compact(
+            rows_in.sparkSession,
+            store,
+            max_parts=compact_max_parts,
+            max_files=compact_max_files,
+            partition_by=["shard"],
+        )
+    return v
+
+
+def commit_span_batch(
+    rows_in: DataFrame, store: str, epoch_id: int, dedupe_epochs: bool,
+    compact_max_parts: int | None = None,
+    compact_max_files: int | None = None,
+) -> int | None:
+    """``commit_packed_batch`` for the loader-facing SPAN store (q260):
+    span rows are per-doc facts whose offsets continue from the stored
+    per-shard totals, so the append is equally derived-from-state —
+    same expected_base CAS, monotone guard, and ``_EPOCHS`` ledger."""
+    from ..plans.packed_store import span_append
+    from ..plans.packing import packing_spans
+    from ..sources.versioned import (
+        applied_epochs,
+        current_version,
+        maybe_compact,
+        record_epoch,
+        write_version,
+    )
+
+    if not rows_in.take(1):
+        return None
+    if dedupe_epochs:
+        seen = applied_epochs(store)
+        if int(epoch_id) in seen:  # replayed epoch: already committed
+            return seen[int(epoch_id)]
+    if current_version(store) is None:
+        v = write_version(packing_spans(rows_in), store, partition_by=["shard"])
+    else:
+        v = span_append(rows_in.sparkSession, store, rows_in)
+    if dedupe_epochs:
+        record_epoch(store, int(epoch_id), v)
+    if compact_max_parts is not None or compact_max_files is not None:
         maybe_compact(
             rows_in.sparkSession,
             store,

@@ -1146,6 +1146,17 @@ def test_composed_ingest_stream_matches_batch_builders(spark, docs_decon_dir, tm
         tuple(r) for r in want_pack.collect()
     ]
 
+    # the seventh artifact: the span store equals the from-scratch span
+    # table — the loader-facing slices survive the streamed lifecycle
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        packing_spans,
+    )
+
+    want_spans = packing_spans(all_docs.select("doc_id", "text"))
+    # hive-partitioned read-back appends the shard column last — align
+    got_spans = read_current(spark, root + "_spans").select(*want_spans.columns)
+    assert rowset(got_spans) == rowset(want_spans)
+
 
 def test_maintained_packed_store_stream_matches_batch(spark, docs_dir, tmp_path):
     """Streaming packed-store maintenance parity (the sixth maintained

@@ -287,6 +287,14 @@ def main() -> None:
         _chk(_finalize(V.read_current(spark, root + "_packed"))),
         _chk(packing_manifest(all_docs.select("doc_id", "text"))),
     )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        packing_spans,
+    )
+
+    checks["spans"] = (
+        _chk(V.read_current(spark, root + "_spans")),
+        _chk(packing_spans(all_docs.select("doc_id", "text"))),
+    )
     for name, (got, want) in checks.items():
         status = "OK" if got == want else "MISMATCH"
         print(f"  drain-equality {name}: got {got} want {want} [{status}]")
@@ -298,7 +306,7 @@ def main() -> None:
     # reparented one commits _parts/c… + newer deltas).
     report = {}
     n_epochs = len(rows_a) + len(rows_b)
-    for suff in ("_sig", "_tf", "_dl", "_ledger", "_packed", "_ivf"):
+    for suff in ("_sig", "_tf", "_dl", "_ledger", "_packed", "_spans", "_ivf"):
         p = root + suff
         series = [len(V._parts_of(p, v)) for v in V._versions(p)]
         n_compact = sum(1 for a, b in zip(series, series[1:]) if b < a)

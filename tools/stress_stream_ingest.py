@@ -94,10 +94,12 @@ def main() -> None:
         shutil.rmtree(staged, ignore_errors=True)
         batch.repartition(n_chunks).write.parquet(staged)
         root = os.path.join(work, f"stream_ingest_{tag}_stores{n_chunks}")
-        # "_packed" too: a leftover packed store would make the re-run
-        # continue each shard's cumsum from the previous run's offsets
-        # (doubled/garbage manifests in the measured drain — r11 advice)
-        for suff in ("_sig", "_tf", "_dl", "_stats", "_kmv", "_ledger", "_packed"):
+        # "_packed"/"_spans" too: a leftover offset-continuing store would
+        # make the re-run continue each shard's cumsum from the previous
+        # run's offsets (doubled/garbage manifests in the measured drain —
+        # r11 advice; since r12 the monotone guard would raise instead)
+        for suff in ("_sig", "_tf", "_dl", "_stats", "_kmv", "_ledger",
+                     "_packed", "_spans"):
             shutil.rmtree(root + suff, ignore_errors=True)
         stream = (
             spark.readStream.schema(
