@@ -170,22 +170,39 @@ def bench_shingle_table(d, benchmarks):
     return bench
 
 
-def doc_hits(corpus, bench):
+def doc_hits(corpus, bench, with_hit_stats: bool = False):
     """Per-doc contamination hits: one (doc_id, source, benchmark) row for
     every doc whose matched-shingle fraction clears that benchmark's
     threshold (integer-exact compare). This is the MERGEABLE unit of the
     screen — disjoint doc batches union to the from-scratch hit set, which
     is what lets the streaming lifecycle append each micro-batch's hits to
     a versioned contamination ledger (streaming/pipeline.py). ``benchmark``
-    is emitted LAST: it is the ledger's hive-partition key."""
-    return (
+    is emitted LAST: it is the ledger's hive-partition key.
+
+    ``with_hit_stats``: additionally carry ``n_hits`` (distinct matched
+    shingles) and ``n_shingles`` (the doc's shingle total at the matched
+    n) — the evidence strength a release engineer needs to TIGHTEN a
+    threshold post-hoc without re-screening the corpus. A deployment
+    that starts recording them mid-lifecycle lands the columns through
+    an EVOLVED ledger append (``allow_new_columns=True``, the q259
+    posture): O(batch) IO, pre-evolution ledger rows read back
+    null-filled — no ledger rewrite."""
+    agged = (
         corpus.join(F.broadcast(bench), ["n", "sh"])
         .where(F.col("source") != F.col("bsrc"))
         .groupBy("doc_id", "source", "benchmark", "thresh_e4")
         .agg(F.count(F.lit(1)).alias("m"), F.max("tot").alias("tot"))
         .where((F.col("m") >= 1) & (F.col("m") * 10000 >= F.col("thresh_e4") * F.col("tot")))
-        .select("doc_id", "source", "benchmark")
     )
+    if with_hit_stats:
+        return agged.select(
+            "doc_id",
+            "source",
+            F.col("m").cast("bigint").alias("n_hits"),
+            F.col("tot").cast("bigint").alias("n_shingles"),
+            "benchmark",
+        )
+    return agged.select("doc_id", "source", "benchmark")
 
 
 def probe_matrix(spark, corpus, bench, src_docs):
@@ -354,3 +371,135 @@ def q249(spark, sf):
     return probe_matrix(
         spark, corpus_shingles(batch), read_current(spark, store), batch
     )
+
+
+# --------------------------------------------------------------------------
+# q265 — EMBEDDING-space decontamination screen: the paraphrase gap of
+# the n-gram sweeps above, closed with the similarity family's kernels
+# --------------------------------------------------------------------------
+
+#: benchmark membership: a fixed modulus sample CAPPED at vec_id < 4700,
+#: so the benchmark is at most 100 vectors at ANY scale factor — eval
+#: suites are fixed-size; the corpus grows, the benchmark does not. The
+#: cap is what makes the cross join's broadcast side bounded (the AUDIT
+#: boundedness argument), exactly the q244/q249 posture in vector space.
+_SEM_BENCH_MOD = 47
+_SEM_BENCH_CAP = 4700
+#: proximity flag threshold on the 4-decimal-rounded cosine
+_SEM_TAU = 0.40
+
+_SEM_DECON_SQL = f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding AS be,
+         sqrt({{dot}}) AS bnrm
+  FROM embeddings
+  WHERE vec_id % {_SEM_BENCH_MOD} = 0 AND vec_id < {_SEM_BENCH_CAP}
+),
+corpus AS (
+  SELECT vec_id, label, embedding AS ce,
+         sqrt({{cdot}}) AS cnrm
+  FROM embeddings
+  WHERE NOT (vec_id % {_SEM_BENCH_MOD} = 0 AND vec_id < {_SEM_BENCH_CAP})
+),
+per_vec AS (
+  SELECT c.vec_id, c.label,
+         max(round({{xdot}} / (c.cnrm * b.bnrm), 4)) AS max_cos
+  FROM corpus c CROSS JOIN bench b
+  WHERE c.cnrm > 0 AND b.bnrm > 0
+  GROUP BY c.vec_id, c.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_corpus,
+       CAST(sum(CASE WHEN max_cos >= {_SEM_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       max(max_cos) AS max_cos,
+       CAST(round(sum(max_cos) * 10000) AS BIGINT) AS sum_maxcos_e4
+FROM per_vec
+GROUP BY label
+ORDER BY label"""
+
+
+def _sem_decon_oracle() -> str:
+    from .extensions import _DOT
+
+    return _SEM_DECON_SQL.format(
+        dot=_DOT.format(a="embedding", b="embedding"),
+        cdot=_DOT.format(a="embedding", b="embedding"),
+        xdot=_DOT.format(a="c.ce", b="b.be"),
+    )
+
+
+def semantic_screen(emb, tau: float = _SEM_TAU):
+    """The q265 screen over an arbitrary (vec_id, embedding, label)
+    relation — split into benchmark (capped modulus sample) and corpus,
+    then per-label proximity statistics. Factored so tests can run it
+    over synthetic embeddings with planted paraphrase-near-duplicates."""
+    from ..functions.vectors import dot, norm
+
+    is_bench = (F.col("vec_id") % _SEM_BENCH_MOD == 0) & (
+        F.col("vec_id") < _SEM_BENCH_CAP
+    )
+    bench = (
+        emb.where(is_bench)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("embedding").alias("be"),
+            norm(F.col("embedding")).alias("bnrm"),
+        )
+        .where(F.col("bnrm") > 0)
+    )
+    corpus = (
+        emb.where(~is_bench)
+        .select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("cnrm"))
+        .where(F.col("cnrm") > 0)
+    )
+    cos = F.round(
+        dot(F.col("embedding"), F.col("be")) / (F.col("cnrm") * F.col("bnrm")), 4
+    )
+    per_vec = (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id", "label")
+        .agg(F.max(cos).alias("max_cos"))
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+            F.sum((F.col("max_cos") >= tau).cast("int"))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.max("max_cos").alias("max_cos"),
+            F.round(F.sum("max_cos") * 10000)
+            .cast("bigint")
+            .alias("sum_maxcos_e4"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "q265_semantic_decon_screen",
+    _sem_decon_oracle(),
+    tags=("training", "contamination", "similarity", "embedding"),
+)
+def q265(spark, sf):
+    """Embedding-space decontamination screen: the report an n-gram
+    sweep (q244/q249) cannot produce, because a paraphrased benchmark
+    item shares no 8-gram with its source. Per corpus label: how many
+    vectors sit within cosine {tau} of ANY benchmark vector, the
+    closest approach, and the (integer-exact) sum of per-vector max
+    cosines — the drift statistic a release tracks over time.
+
+    Plan shape: the benchmark side is BOUNDED BY CONSTRUCTION (modulus
+    sample capped at {cap} ids — at most 100 vectors no matter the
+    corpus scale, the fixed-eval-suite shape), so the cross join is a
+    broadcast nested-loop over a ~100-row build side: embarrassingly
+    parallel, no shuffle. The per-vector max is a map-side-combinable
+    hash-agg (|corpus| rows shuffle once, post-combine), the label
+    rollup |labels| rows. The mean statistic ships as ``sum_maxcos_e4``
+    (sum of 4-dp cosines scaled to e4 integer) so cross-engine float
+    summation order cannot wobble the hash."""
+    return semantic_screen(_t(spark, sf, "embeddings"))
+
+
+q265.__doc__ = q265.__doc__.format(tau=_SEM_TAU, cap=_SEM_BENCH_CAP)

@@ -42,7 +42,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .base import _t, query
-from .packing import _NSHARDS, _SEQ_CAP, _stage_ctes, packing_manifest
+from .extensions import _TOKS
+from .packing import (
+    _NSHARDS,
+    _SEQ_CAP,
+    _stage_ctes,
+    packing_manifest,
+    packing_spans,
+)
 
 #: sequences per global step (data-parallel world x per-worker batch)
 _STEP_B = 16
@@ -199,3 +206,140 @@ def q263(spark, sf):
         )
         .orderBy("epoch", "step")
     )
+
+
+# --------------------------------------------------------------------------
+# q264 — the composed loader FETCH: schedule -> spans -> bytes for the
+# first training steps of an epoch (the loader's actual per-step read)
+# --------------------------------------------------------------------------
+
+#: the epoch q264 fetches from (the reshuffled one, so the batch
+#: composition differs from insertion order) and how many leading steps
+_FETCH_EPOCH = 1
+_FETCH_STEPS = 4
+
+
+def fetch_steps(docs, epoch: int, nsteps: int):
+    """Materialize the training batches for the first ``nsteps`` global
+    steps of ``epoch``: the q262 schedule names (step, slot) -> (shard,
+    seq_id); the q260 span relation names each sequence's exact token
+    slices; the documents supply the bytes. One row per schedule slot:
+    (epoch, step, slot, shard, seq_id, n_parts, n_tokens, seq_md5), the
+    md5 over the doc_id-ordered concatenated token stream — q261's
+    byte-level contract, now addressed BY TRAINING STEP.
+
+    Scale shape: the step filter reduces the schedule to ``nsteps x B``
+    key rows, which BROADCAST against the span relation — the span join
+    is a broadcast-hash probe, not a shuffle — and the surviving span
+    rows (bounded by B x nsteps x docs-per-sequence) broadcast again
+    against the document scan, so text is tokenized and sliced ONLY for
+    the fetched docs. At deployment scale the span side is the
+    shard-partitioned q258/q260 STORE (the store-backed read path is
+    q261's evidence); here the from-scratch relation keeps the head's
+    oracle self-contained. Nothing in the plan is proportional to the
+    corpus except the manifest-building metadata pass the schedule
+    itself needs (no text moves in it)."""
+    from ..functions.text import tokens
+
+    man = packing_manifest(docs)
+    keys = (
+        loader_schedule(man, epoch)
+        .where(F.col("step") < nsteps)
+        .select("step", "slot", "shard", "seq_id")
+    )
+    spans = packing_spans(docs)
+    batch = spans.join(F.broadcast(keys), ["shard", "seq_id"])
+    # broadcast the (bounded) batch side against the raw document scan
+    # and tokenize AFTER the join — only fetched docs pay tokenize+slice
+    pieces = F.broadcast(batch).join(docs, "doc_id").select(
+        "step",
+        "slot",
+        "shard",
+        "seq_id",
+        "doc_id",
+        "n_span",
+        F.array_join(
+            F.slice(tokens("text"), F.col("doc_off") + F.lit(1), F.col("n_span")),
+            " ",
+        ).alias("piece"),
+    )
+    return (
+        pieces.groupBy("step", "slot", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("n_span").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("doc_id", "piece"))),
+                            lambda s: s["piece"],
+                        ),
+                        " ",
+                    ),
+                    "UTF-8",
+                )
+            ).alias("seq_md5"),
+        )
+        .select(
+            F.lit(_FETCH_EPOCH).cast("bigint").alias("epoch"),
+            "step",
+            "slot",
+            "shard",
+            "seq_id",
+            "n_parts",
+            "n_tokens",
+            "seq_md5",
+        )
+        .orderBy("step", "slot")
+    )
+
+
+_STEP_FETCH_SQL = (
+    "WITH "
+    + _MAN_CTE
+    + f""",
+sched AS ({_sched_sql_epoch(_FETCH_EPOCH)}),
+keys AS (
+  SELECT step, slot, shard, seq_id FROM sched WHERE step < {_FETCH_STEPS}),
+sp AS (
+  SELECT shard, CAST(seq AS BIGINT) AS seq_id, doc_id,
+         CAST(GREATEST(tok_start, seq * {_SEQ_CAP}) - tok_start AS BIGINT)
+             AS doc_off,
+         CAST(LEAST(tok_start + n_toks, (seq + 1) * {_SEQ_CAP})
+              - GREATEST(tok_start, seq * {_SEQ_CAP}) AS BIGINT) AS n_span
+  FROM s),
+pieces AS (
+  SELECT k.step, k.slot, sp.shard, sp.seq_id, sp.doc_id, sp.n_span,
+         array_to_string(
+             {_TOKS}[sp.doc_off + 1 : sp.doc_off + sp.n_span], ' ') AS piece
+  FROM sp
+  JOIN keys k ON sp.shard = k.shard AND sp.seq_id = k.seq_id
+  JOIN documents d ON sp.doc_id = d.doc_id)
+SELECT CAST({_FETCH_EPOCH} AS BIGINT) AS epoch, step, slot, shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(n_span) AS BIGINT) AS n_tokens,
+       md5(string_agg(piece, ' ' ORDER BY doc_id)) AS seq_md5
+FROM pieces
+GROUP BY step, slot, shard, seq_id
+ORDER BY step, slot"""
+)
+
+
+@query(
+    "q264_loader_step_fetch",
+    _STEP_FETCH_SQL,
+    tags=("training", "loader", "packing", "deterministic-shuffle"),
+)
+def q264(spark, sf):
+    """The end-to-end loader FETCH: materialized training batches for
+    the first {_FETCH_STEPS} steps of epoch {_FETCH_EPOCH}, composing
+    the q262 schedule (which sequences form each step), the q260 span
+    arithmetic (their exact token slices) and the document bytes — per
+    schedule slot, the spliced doc count, token total, and md5 of the
+    concatenated token stream. The oracle re-derives schedule AND slices
+    from scratch single-node, so a green row certifies that a worker
+    resolving (epoch, step) through the distributed plan reads exactly
+    the bytes the seeded global order names."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return fetch_steps(docs, _FETCH_EPOCH, _FETCH_STEPS)

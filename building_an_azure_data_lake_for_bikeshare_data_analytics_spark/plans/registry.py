@@ -31,7 +31,7 @@ from . import dedup_maintenance  # noqa: F401  (registers q239)
 from . import url_quota  # noqa: F401  (registers q240)
 from . import source_overlap  # noqa: F401  (registers q241)
 from . import corpus_health  # noqa: F401  (registers q242-q243)
-from . import decontamination  # noqa: F401  (registers q244, q249)
+from . import decontamination  # noqa: F401  (registers q244, q249, q265)
 from . import signature_maintenance  # noqa: F401  (registers q245)
 from . import ann_maintenance  # noqa: F401  (registers q246-q247, q251)
 from . import lexical_maintenance  # noqa: F401  (registers q248)
@@ -40,7 +40,7 @@ from . import ingest_composed  # noqa: F401  (registers q252)
 from . import packing  # noqa: F401  (registers q253-q257)
 from . import packed_store  # noqa: F401  (registers q258, q260)
 from . import census_evolution  # noqa: F401  (registers q259)
-from . import loader_schedule  # noqa: F401  (registers q262-q263; new modules import LAST — insertion order is registration order)
+from . import loader_schedule  # noqa: F401  (registers q262-q264; new modules import LAST — insertion order is registration order)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -56,7 +56,10 @@ from . import loader_schedule  # noqa: F401  (registers q262-q263; new modules i
 # Round-12 prefix (computed by evidence.build_prefix() from the committed
 # CORRECTNESS_r1..r11 history): the never-gated new-this-round heads
 # lead in insertion order — q261 (loader-side packed-sequence
-# materialization), q262/q263 (deterministic loader schedule) — then
+# materialization), q262/q263 (deterministic loader schedule), q264
+# (the composed schedule->spans->bytes step fetch), q265 (embedding-
+# space decontamination screen; leads because decontamination.py
+# registers before loader_schedule.py) — then
 # q237_t_closeness_audit (its r6 evidence would breach the 6-round
 # staleness floor after a green r12 gate otherwise) and the r7-evidence
 # staleness cohort: q24-q30 (dim
@@ -81,9 +84,11 @@ from . import loader_schedule  # noqa: F401  (registers q262-q263; new modules i
 PREFIX_ROUND: int = 12
 
 _PRIORITY: tuple[str, ...] = (
+    "q265_semantic_decon_screen",
     "q261_packed_loader_read",
     "q262_loader_schedule",
     "q263_loader_step_stats",
+    "q264_loader_step_fetch",
     "q237_t_closeness_audit",
     "q24_payment_dates_dim",
     "q25_trip_dates_dim",
@@ -129,8 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "q95_supplier_revenue_rank",
     "q96_trailing_hour_stats",
     "q97_salted_flag_totals",
-    "q238_url_host_dedup",
-    "q239_dedup_index_maintenance",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -847,6 +847,7 @@ def screened_ingest_stream(
     bench_store: str,
     ledger_store: str,
     checkpoint_dir: str | None = None,
+    hit_stats: bool = False,
 ) -> list[tuple]:
     """Streaming decontamination screening: each micro-batch of incoming
     (doc_id, source, text) docs is shingled ALONE (q244's one-Generate
@@ -866,7 +867,13 @@ def screened_ingest_stream(
     current version equals ``doc_hits`` over all streamed docs regardless
     of chunking (tests/test_streaming.py). Exactly-once under
     checkpointed replay via the ledger's ``_EPOCHS`` ledger
-    (commit_store_batch)."""
+    (commit_store_batch).
+
+    ``hit_stats``: record per-hit evidence strength (``n_hits``/
+    ``n_shingles``, see ``doc_hits``) — a deployment that flips this on
+    a LIVE ledger lands the new columns as EVOLVED appends
+    (``allow_new_columns`` plumbed through commit_store_batch, the q259
+    posture); pre-evolution ledger rows read back null-filled."""
     from ..functions.text import tokens as _tokens
     from ..plans.decontamination import corpus_shingles, doc_hits
     from ..sources.versioned import read_current
@@ -881,9 +888,15 @@ def screened_ingest_stream(
                 batch_df.select("doc_id", "source", _tokens("text").alias("ts"))
             ),
             bench,
+            with_hit_stats=hit_stats,
         )
         v = commit_store_batch(
-            hits, ledger_store, epoch_id, dedupe_epochs, partition_by=["benchmark"]
+            hits,
+            ledger_store,
+            epoch_id,
+            dedupe_epochs,
+            partition_by=["benchmark"],
+            allow_new_columns=hit_stats,
         )
         if v is not None:
             out.append((epoch_id, v))

@@ -111,3 +111,63 @@ def test_q244_single_corpus_generate(spark):
     # the probe must be a broadcast hash join on (n, sh), never a shuffle
     # of the corpus side against the benchmark union
     assert "BroadcastHashJoin [n#" in plan or "BroadcastHashJoin [n " in plan.replace("#", " ")
+
+
+def test_semantic_screen_flags_planted_paraphrase(spark):
+    """q265's core on synthetic vectors with a PLANTED near-duplicate:
+    corpus vec 95 is benchmark vec 0 plus small noise (the paraphrase
+    shape n-gram decon cannot see), everything else is near-orthogonal.
+    The screen must flag exactly the planted vector's label group, count
+    every non-benchmark vector exactly once, drop the planted zero-norm
+    row, and keep the benchmark side bounded by the vec_id cap."""
+    import numpy as np
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.decontamination import (
+        _SEM_BENCH_CAP,
+        _SEM_BENCH_MOD,
+        semantic_screen,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    rows = []
+    for vid in range(120):
+        v = rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v], int(vid % 4)))
+    # planted paraphrase: corpus 95 ~= benchmark 0 (vid 0 is bench:
+    # 0 % mod == 0 and 0 < cap); 95 % 47 != 0 so it is corpus
+    bench_vec = np.array(rows[0][1])
+    rows[95] = (95, [float(x) for x in bench_vec + 0.01 * rng.standard_normal(dim)], 3)
+    # zero-norm corpus row must be EXCLUDED, not divide-by-zero
+    rows[41] = (41, [0.0] * dim, 1)
+    # a vector past the cap at a modulus id stays CORPUS (bounded bench)
+    assert 94 % _SEM_BENCH_MOD == 0 and 94 < _SEM_BENCH_CAP  # vid 94 IS bench here
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    out = {r["label"]: r for r in semantic_screen(emb, tau=0.9).collect()}
+
+    n_bench = sum(
+        1 for vid in range(120) if vid % _SEM_BENCH_MOD == 0 and vid < _SEM_BENCH_CAP
+    )
+    assert n_bench == 3  # vids 0, 47, 94
+    # every non-benchmark, non-zero-norm vector counted exactly once
+    assert sum(r["n_corpus"] for r in out.values()) == 120 - n_bench - 1
+    # only the planted label flags at tau=0.9, and its max_cos is ~1
+    assert {lbl: r["n_flagged"] for lbl, r in out.items()} == {0: 0, 1: 0, 2: 0, 3: 1}
+    assert out[3]["max_cos"] > 0.99
+    # independent numpy recomputation of one group's statistics
+    bench_ids = [0, 47, 94]
+    B = np.array([rows[i][1] for i in bench_ids], dtype=float)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    lbl0 = [
+        r
+        for r in rows
+        if r[2] == 0 and r[0] not in bench_ids and np.linalg.norm(r[1]) > 0
+    ]
+    C = np.array([r[1] for r in lbl0], dtype=float)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    mc = np.sign(Cn @ Bn.T) * np.floor(np.abs(Cn @ Bn.T) * 1e4 + 0.5) / 1e4
+    want = mc.max(axis=1)
+    assert out[0]["n_corpus"] == len(lbl0)
+    assert abs(out[0]["max_cos"] - want.max()) < 1e-9
+    assert out[0]["sum_maxcos_e4"] == round(float(want.sum()) * 10000)

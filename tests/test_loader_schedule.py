@@ -82,3 +82,100 @@ def test_schedule_rank_window_is_hash_partitioned(spark):
     man = packing_manifest(_docs(spark))
     plan = loader_schedule(man, 0)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(b" in plan, plan
+
+
+def test_step_fetch_matches_pure_python_twin(spark):
+    """q264's composed fetch (schedule -> spans -> bytes) against a
+    pure-Python reimplementation of the whole chain — tokenizer, per-
+    shard cumsum pack, slice arithmetic, seeded schedule, md5 — so the
+    check shares NO code with the plan under test. Every returned row
+    (epoch, step, slot, shard, seq_id, n_parts, n_tokens, seq_md5) must
+    match exactly, and the fetch must cover precisely the first
+    ``nsteps`` steps of the epoch's schedule."""
+    import hashlib
+    from collections import defaultdict
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.loader_schedule import (
+        _NB,
+        _P,
+        _P1,
+        _P2,
+        _P3,
+        fetch_steps,
+    )
+
+    n, nshards, cap, epoch, nsteps = 600, 8, 256, 1, 3
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 31) % 70 + 1))) for i in range(n)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # ---- pure-Python twin -------------------------------------------------
+    toks = {d: t.strip().split() for d, t in rows}
+    shard_docs = defaultdict(list)
+    for d in sorted(toks):
+        if toks[d]:
+            shard_docs[d % nshards].append(d)
+    seqs: dict[tuple[int, int], list] = defaultdict(list)
+    for sh, ds in shard_docs.items():
+        off = 0
+        for d in ds:
+            nt = len(toks[d])
+            for seq in range(off // cap, (off + nt - 1) // cap + 1):
+                lo, hi = max(off, seq * cap), min(off + nt, (seq + 1) * cap)
+                seqs[(sh, seq)].append((d, toks[d][lo - off : hi - off]))
+            off += nt
+    # seeded schedule over the manifest keys
+    order = sorted(
+        seqs,
+        key=lambda k: (
+            (k[0] * _P1 + k[1] * _P2 + epoch * _P3) % _P % _NB,
+            (k[0] * _P1 + k[1] * _P2 + epoch * _P3) % _P,
+            k,
+        ),
+    )
+    expected = {}
+    for rank, (sh, sq) in enumerate(order):
+        step, slot = rank // _STEP_B, rank % _STEP_B
+        if step >= nsteps:
+            continue
+        parts = sorted(seqs[(sh, sq)])
+        stream = " ".join(" ".join(p) for _, p in parts)
+        expected[(epoch, step, slot)] = (
+            sh,
+            sq,
+            len(parts),
+            sum(len(p) for _, p in parts),
+            hashlib.md5(stream.encode()).hexdigest(),
+        )
+    assert len(expected) == nsteps * _STEP_B  # enough sequences to fill
+
+    # ---- the plan under test ---------------------------------------------
+    got = {
+        (r["epoch"], r["step"], r["slot"]): (
+            r["shard"],
+            r["seq_id"],
+            r["n_parts"],
+            r["n_tokens"],
+            r["seq_md5"],
+        )
+        for r in fetch_steps(docs, epoch, nsteps).collect()
+    }
+    assert got == expected
+
+
+def test_step_fetch_joins_broadcast(spark):
+    """q264's scale contract: both fetch joins are broadcast-hash — the
+    bounded key set against the span relation, and the bounded span rows
+    against the document scan. A SortMergeJoin anywhere means the fetch
+    shuffled a corpus-sized side for a B x nsteps read."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.loader_schedule import (
+        fetch_steps,
+    )
+
+    plan = (
+        fetch_steps(_docs(spark), 1, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan  # keys, offsets, docs
+    assert "SortMergeJoin" not in plan, plan

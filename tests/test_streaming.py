@@ -1417,3 +1417,151 @@ def test_lexical_dl_store_schema_evolves_mid_stream(spark, tmp_path):
     _, dl_regress = index_rows(_docs(55, 60))
     with pytest.raises(ValueError, match="missing column"):
         append_version(dl_regress, dl_p, partition_by=["hb"])
+
+
+def test_decon_ledger_schema_evolves_mid_stream(spark, tmp_path):
+    """r11 verdict item 6, third store: the contamination LEDGER evolving
+    mid-deployment through the streaming lifecycle. Phase 1 screens in
+    the original (doc_id, source, benchmark) ledger schema; the
+    deployment then flips ``hit_stats`` and restarts from the same
+    checkpoint — phase 2's hits land with ``n_hits``/``n_shingles`` as
+    EVOLVED appends. Pre-evolution ledger rows null-fill, core-column
+    drain equality is untouched, the new evidence-strength stats are
+    exact on post-evolution hits, and a regressed builder (columns
+    removed again) still fails loudly at write time."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.functions.text import (
+        tokens,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.decontamination import (
+        BENCHMARKS,
+        bench_shingle_table,
+        corpus_shingles,
+        doc_hits,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        append_version,
+        read_current,
+        write_version,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.streaming.pipeline import (
+        screened_ingest_stream,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .where("length(text) > 50")
+    )
+    # two planted verbatim src0 copies under a new source — one per
+    # phase, each a guaranteed hit against zero-threshold b_src0_5
+    plant = (
+        base.where("source = 'src0'")
+        .orderBy("doc_id")
+        .limit(2)
+        .select(
+            (F.col("doc_id") + 999000).alias("doc_id"),
+            F.lit("srcX").alias("source"),
+            "text",
+        )
+    )
+    plants = plant.collect()
+    assert len(plants) == 2
+
+    src = tmp_path / "decon_evo_src"
+    src.mkdir()
+
+    def _land(df, name):
+        staged = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(staged)
+        shutil.copy(
+            glob.glob(staged + "/part-*.parquet")[0], str(src / f"{name}.parquet")
+        )
+
+    # the maintained benchmark index, registered once from the eval sources
+    bench_p = str(tmp_path / "evo_bench")
+    ledger_p = str(tmp_path / "evo_ledger")
+    ckpt = str(tmp_path / "evo_decon_ckpt")
+    write_version(
+        bench_shingle_table(
+            base.select("doc_id", "source", tokens("text").alias("ts")), BENCHMARKS
+        ),
+        bench_p,
+        partition_by=["benchmark"],
+    )
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id bigint, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    phase1 = spark.createDataFrame([plants[0]], ["doc_id", "source", "text"])
+    phase2 = spark.createDataFrame([plants[1]], ["doc_id", "source", "text"])
+
+    # phase 1: original ledger schema
+    _land(phase1, "a")
+    rows1 = screened_ingest_stream(_stream(), bench_p, ledger_p, checkpoint_dir=ckpt)
+    assert rows1
+    assert "n_hits" not in read_current(spark, ledger_p).columns
+
+    # phase 2: the deployment starts recording evidence strength — same
+    # checkpoint, so only the new file screens, as an evolved append
+    _land(phase2, "b")
+    rows2 = screened_ingest_stream(
+        _stream(), bench_p, ledger_p, checkpoint_dir=ckpt, hit_stats=True
+    )
+    assert rows2
+
+    led = read_current(spark, ledger_p)
+    assert {"n_hits", "n_shingles"} <= set(led.columns)
+    p1_id, p2_id = plants[0]["doc_id"], plants[1]["doc_id"]
+    assert led.where(f"doc_id = {p1_id} AND n_hits IS NOT NULL").count() == 0
+    assert led.where(f"doc_id = {p2_id} AND n_hits IS NULL").count() == 0
+
+    # core-column drain equality vs the from-scratch screen of everything
+    streamed = phase1.unionByName(phase2).select(
+        "doc_id", "source", tokens("text").alias("ts")
+    )
+    bench = read_current(spark, bench_p)
+    want_core = sorted(
+        tuple(r) for r in doc_hits(corpus_shingles(streamed), bench).collect()
+    )
+    got_core = sorted(
+        tuple(r) for r in led.select("doc_id", "source", "benchmark").collect()
+    )
+    assert got_core == want_core
+
+    # the new stats are exact on the post-evolution hits
+    want_stats = sorted(
+        tuple(r)
+        for r in doc_hits(
+            corpus_shingles(
+                phase2.select("doc_id", "source", tokens("text").alias("ts"))
+            ),
+            bench,
+            with_hit_stats=True,
+        ).collect()
+    )
+    got_stats = sorted(
+        tuple(r)
+        for r in led.where(f"doc_id = {p2_id}")
+        .select("doc_id", "source", "n_hits", "n_shingles", "benchmark")
+        .collect()
+    )
+    assert got_stats == want_stats
+
+    # regression is loud: a later batch dropping the stats fails at write
+    regress = doc_hits(
+        corpus_shingles(
+            phase1.select("doc_id", "source", tokens("text").alias("ts"))
+        ),
+        bench,
+    )
+    with pytest.raises(ValueError, match="missing column"):
+        append_version(regress, ledger_p, partition_by=["benchmark"])

@@ -53,6 +53,7 @@ BNLJ_WHITELIST = {
     "q151_bm25_topk": "1-row corpus stats (N, avgdl)",
     "q248_lexical_index_maintenance": "1-row corpus stats (N, avgdl) from the maintained len table",
     "q252_composed_ingest_update": "bounded composition: q249's constant-key matrix join (#sources x #benchmarks) + 1-row store-count scalars (the per-artifact rows_added arithmetic)",
+    "q265_semantic_decon_screen": "benchmark side capped at 100 vectors by construction (vec_id < 4700 modulus sample — the fixed-eval-suite shape)",
     "q254_mixture_sampling": "1-row global weight/token totals x the |sources|-row rate table",
     "q255_repetition_mixture": "same shape as q254: 1-row global totals x the |sources|-row rate table",
     "q256_mixture_from_census": "same shape as q254 with the totals read from the census store: 1-row global totals x |sources|-row rate table",
