@@ -179,3 +179,31 @@ def test_step_fetch_joins_broadcast(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 3, plan  # keys, offsets, docs
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_schedule_from_maintained_store_matches_scratch(spark, tmp_path):
+    """The deployment path: a training run derives its epoch schedule
+    from the MAINTAINED q258 packing-manifest store — a metadata-only
+    read, zero text scans — and must get the identical (step, slot)
+    assignment the from-scratch manifest yields (the gated q262 head
+    recomputes from text only so its oracle stays self-contained)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+        write_version,
+    )
+
+    docs = _docs(spark, 400)
+    man = packing_manifest(docs)
+    store = str(tmp_path / "sched_man_store")
+    write_version(man, store, partition_by=["shard"])
+
+    scratch = sorted(
+        tuple(r) for r in loader_schedule(man, 1).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in loader_schedule(
+            read_current(spark, store).select("shard", "seq_id"), 1
+        ).collect()
+    )
+    assert stored == scratch and len(stored) > 0

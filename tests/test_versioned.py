@@ -404,3 +404,35 @@ def test_append_schema_removal_always_raises(spark, tmp_path):
             spark.createDataFrame([(2, "b", 1)], ["id", "s", "x"]), p
         )
     assert V.read_current(spark, p).count() == 1  # store untouched
+
+
+def test_compact_materializes_evolved_schema(spark, tmp_path):
+    """Evolution x compaction: compacting a chain whose later appends
+    EVOLVED the schema must produce a snapshot carrying the full evolved
+    schema with pre-evolution rows' new columns materialized as nulls —
+    the same logical contents the manifest chain read — and the
+    post-compact store must keep enforcing the contract both ways
+    (old-schema appends loud, evolved appends fine)."""
+    p = str(tmp_path / "evc")
+    V.write_version(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"]), p)
+    V.append_version(
+        spark.createDataFrame([(3, "c", 30)], ["id", "s", "x"]),
+        p,
+        allow_new_columns=True,
+    )
+    before = sorted(tuple(r) for r in V.read_current(spark, p).collect())
+
+    v = V.compact(spark, p)
+    after_df = V.read_current(spark, p)
+    assert sorted(tuple(r) for r in after_df.collect()) == before
+    assert set(after_df.columns) == {"id", "s", "x"}
+    # the compacted snapshot is ONE part: nulls are physical now
+    assert len(V._parts_of(p, v)) == 1
+
+    # contract still enforced against the compacted footers
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        V.append_version(
+            spark.createDataFrame([(4, "d", 40, 1.0)], ["id", "s", "x", "y"]), p
+        )
+    V.append_version(spark.createDataFrame([(5, "e", 50)], ["id", "s", "x"]), p)
+    assert V.read_current(spark, p).count() == 4
