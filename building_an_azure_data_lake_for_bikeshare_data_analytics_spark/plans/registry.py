@@ -41,6 +41,7 @@ from . import packing  # noqa: F401  (registers q253-q257)
 from . import packed_store  # noqa: F401  (registers q258, q260)
 from . import census_evolution  # noqa: F401  (registers q259)
 from . import loader_schedule  # noqa: F401  (registers q262-q264; new modules import LAST — insertion order is registration order)
+from . import span_corruption  # noqa: F401  (registers q266)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -59,7 +60,8 @@ from . import loader_schedule  # noqa: F401  (registers q262-q264; new modules i
 # materialization), q262/q263 (deterministic loader schedule), q264
 # (the composed schedule->spans->bytes step fetch), q265 (embedding-
 # space decontamination screen; leads because decontamination.py
-# registers before loader_schedule.py) — then
+# registers before loader_schedule.py), q266 (deterministic FIM span
+# corruption) — then
 # q237_t_closeness_audit (its r6 evidence would breach the 6-round
 # staleness floor after a green r12 gate otherwise) and the r7-evidence
 # staleness cohort: q24-q30 (dim
@@ -89,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "q262_loader_schedule",
     "q263_loader_step_stats",
     "q264_loader_step_fetch",
+    "q266_fim_transform",
     "q237_t_closeness_audit",
     "q24_payment_dates_dim",
     "q25_trip_dates_dim",
@@ -133,7 +136,6 @@ _PRIORITY: tuple[str, ...] = (
     "q94_measure_unpivot",
     "q95_supplier_revenue_rank",
     "q96_trailing_hour_stats",
-    "q97_salted_flag_totals",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

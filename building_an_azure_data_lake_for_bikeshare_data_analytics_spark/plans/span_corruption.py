@@ -1,0 +1,123 @@
+"""q266 — fill-in-the-middle (FIM) span corruption: the standard
+pretraining data TRANSFORM (Bavarian et al. 2022) that teaches a causal
+LM to infill. A hash-selected fraction of documents is rewritten from
+``prefix middle suffix`` into the PSM layout ``<PRE> prefix <SUF>
+suffix <MID> middle`` with token-level pivot points; the rest pass
+through. Everything is deterministic from doc_id — pivots, selection,
+layout — so the transform is reproducible shard-by-shard with no RNG
+state (the q262 schedule's contract, applied to a transform), and the
+DuckDB oracle replays it value-for-value including the md5 of every
+transformed token stream.
+
+Scale shape: pure per-row Column expressions over one document scan —
+no shuffle at all until the final presentation sort (which a deployment
+drops; it writes the transformed text back partition-local). Token
+slices are JVM-side ``slice``/``array_join``; no Python anywhere.
+
+Reference scope note: the reference notebook has no training-transform
+surface (SURVEY.md §2.6) — training-data-pipeline extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .base import _t, query
+from .extensions import _TOKS
+
+#: fraction of docs FIM-transformed, in 1e-6 units against the e6 doc
+#: hash (the q254 mixture-rate granularity): 500000 = half the corpus
+_FIM_RATE_E6 = 500_000
+#: deterministic doc hash on [0, 1e6) — packing's _HASH6 formulation
+_H6_SQL = "((doc_id % 99991) * 2654435761) % 1000000"
+#: pivot mixers (distinct odd constants so p1/p2 decorrelate)
+_Q1, _Q2 = 2246822519, 3266489917
+
+_FIM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS ts,
+         CAST(COALESCE(len({_TOKS}), 0) AS BIGINT) AS n_toks,
+         {_H6_SQL} < {_FIM_RATE_E6} AS fim
+  FROM documents
+  WHERE COALESCE(len({_TOKS}), 0) > 0),
+p AS (
+  SELECT doc_id, ts, n_toks, fim,
+         CAST(((doc_id * {_Q1}) % 99991) % (n_toks + 1) AS BIGINT) AS p1
+  FROM t),
+pp AS (
+  SELECT doc_id, ts, n_toks, fim, p1,
+         p1 + CAST(((doc_id * {_Q2}) % 99991) % (n_toks - p1 + 1) AS BIGINT)
+             AS p2
+  FROM p)
+SELECT doc_id, n_toks,
+       fim,
+       CASE WHEN fim THEN p1 ELSE NULL END AS p1,
+       CASE WHEN fim THEN p2 ELSE NULL END AS p2,
+       md5(CASE WHEN fim THEN
+             '<PRE> ' || COALESCE(array_to_string(ts[1:p1], ' '), '') ||
+             ' <SUF> ' || COALESCE(array_to_string(ts[p2 + 1:n_toks], ' '), '') ||
+             ' <MID> ' || COALESCE(array_to_string(ts[p1 + 1:p2], ' '), '')
+           ELSE array_to_string(ts, ' ') END) AS out_md5
+FROM pp
+ORDER BY doc_id"""
+
+
+def fim_transform(docs, rate_e6: int = _FIM_RATE_E6):
+    """The FIM transform over a (doc_id, text) relation: one row per
+    tokenized doc — (doc_id, n_toks, fim, p1, p2, out_md5), where
+    ``out_md5`` fingerprints the emitted token stream (PSM layout for
+    transformed docs, the original stream for pass-through). Pivots:
+    ``p1 = mix1(doc_id) % (n+1)``, ``p2 = p1 + mix2(doc_id) % (n-p1+1)``
+    — every split of the token range (including empty prefix/middle/
+    suffix) is reachable, and both are pure functions of doc_id."""
+    h6 = ((F.col("doc_id") % 99991) * F.lit(2654435761)) % F.lit(1_000_000)
+    t = docs.select(
+        "doc_id",
+        tokens("text").alias("ts"),
+        F.size(tokens("text")).cast("bigint").alias("n_toks"),
+        (h6 < F.lit(rate_e6)).alias("fim"),
+    ).where(F.col("n_toks") > 0)
+    p1 = ((F.col("doc_id") * F.lit(_Q1)) % 99991) % (F.col("n_toks") + 1)
+    t = t.withColumn("p1", p1.cast("bigint"))
+    p2 = F.col("p1") + ((F.col("doc_id") * F.lit(_Q2)) % 99991) % (
+        F.col("n_toks") - F.col("p1") + 1
+    )
+    t = t.withColumn("p2", p2.cast("bigint"))
+    seg = lambda a, b: F.array_join(  # noqa: E731 — tokens [a, b) 0-based
+        F.slice(F.col("ts"), a + F.lit(1), b - a), " "
+    )
+    psm = F.concat(
+        F.lit("<PRE> "),
+        seg(F.lit(0), F.col("p1")),
+        F.lit(" <SUF> "),
+        seg(F.col("p2"), F.col("n_toks")),
+        F.lit(" <MID> "),
+        seg(F.col("p1"), F.col("p2")),
+    )
+    out = F.when(F.col("fim"), psm).otherwise(F.array_join(F.col("ts"), " "))
+    return t.select(
+        "doc_id",
+        "n_toks",
+        "fim",
+        F.when(F.col("fim"), F.col("p1")).alias("p1"),
+        F.when(F.col("fim"), F.col("p2")).alias("p2"),
+        F.md5(F.encode(out, "UTF-8")).alias("out_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q266_fim_transform",
+    _FIM_SQL,
+    tags=("training", "transform", "fim", "deterministic"),
+)
+def q266(spark, sf):
+    """Deterministic fill-in-the-middle corpus transform: a hash-gated
+    half of the corpus is rewritten token-level into the PSM infilling
+    layout (``<PRE> prefix <SUF> suffix <MID> middle``) with pivots
+    that are pure functions of doc_id; the other half passes through.
+    The oracle replays pivots, selection, layout, and the md5 of every
+    emitted token stream, so a green row certifies the transform
+    byte-for-byte. Per-row expressions only — the plan's single
+    exchange is the presentation sort."""
+    return fim_transform(_t(spark, sf, "documents").select("doc_id", "text"))

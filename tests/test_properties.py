@@ -612,3 +612,91 @@ def test_q243_first_occurrence_tokens_agree_on_edge_docs(spark):
     )
     assert got == want
     assert ("", 0) in got  # empty doc's '' token: the edge the pin exists for
+
+
+_store_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.sampled_from(["a", "b", "c"])),
+    min_size=1,
+    max_size=3,
+)
+_store_op = st.one_of(
+    st.tuples(st.just("append"), _store_rows),
+    st.tuples(st.just("evolve"), _store_rows),
+    st.tuples(st.just("rewrite"), _store_rows),
+    st.tuples(st.just("compact"), st.just(None)),
+    st.tuples(st.just("vacuum"), st.just(None)),
+)
+
+
+@given(ops=st.lists(_store_op, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_versioned_store_random_op_sequences(spark, ops, tmp_path_factory):
+    """Stateful property: ANY sequence of versioned-store operations —
+    plain appends, evolved appends (add column x), full rewrites (schema
+    resets), compactions, vacuums — must keep read_current equal to a
+    pure-Python model of the row multiset and live schema, and a plain
+    append AFTER the schema evolved must raise (the write-time contract)
+    while leaving the store untouched. This is the randomized twin of
+    the hand-written chain tests in test_versioned.py."""
+    import pytest
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources import (
+        versioned as V,
+    )
+
+    p = str(tmp_path_factory.mktemp("prop_store") / "s")
+    # model: list of (id, s, x) with x None when absent; evolved flag
+    model: list[tuple] = []
+    evolved = False
+    seq = [100]
+
+    def _mk(rows, with_x):
+        nonlocal seq
+        if with_x:
+            data = [(i, s, seq[0] + j) for j, (i, s) in enumerate(rows)]
+            seq[0] += len(rows)
+            return spark.createDataFrame(data, ["id", "s", "x"]), [
+                (i, s, x) for i, s, x in data
+            ]
+        return spark.createDataFrame(rows, ["id", "s"]), [
+            (i, s, None) for i, s in rows
+        ]
+
+    V.write_version(spark.createDataFrame([(0, "z")], ["id", "s"]), p)
+    model = [(0, "z", None)]
+
+    for op, rows in ops:
+        if op == "append":
+            df, add = _mk(rows, with_x=False)
+            if evolved:
+                with pytest.raises(ValueError, match="missing column"):
+                    V.append_version(df, p)
+            else:
+                V.append_version(df, p)
+                model += add
+        elif op == "evolve":
+            df, add = _mk(rows, with_x=True)
+            V.append_version(df, p, allow_new_columns=True)
+            model += add
+            evolved = True
+        elif op == "rewrite":
+            df, add = _mk(rows, with_x=False)
+            V.write_version(df, p)
+            model = add
+            evolved = False
+        elif op == "compact":
+            V.compact(spark, p)
+        elif op == "vacuum":
+            V.vacuum(p, keep=1)
+
+        got = V.read_current(spark, p)
+        cols = sorted(got.columns)
+        want_cols = ["id", "s", "x"] if evolved else ["id", "s"]
+        assert cols == sorted(want_cols), (op, cols)
+        got_rows = sorted(
+            tuple(r[c] for c in ["id", "s", "x"] if c in cols) for r in got.collect()
+        )
+        want_rows = sorted(
+            tuple(v for v, c in zip(m, ["id", "s", "x"]) if c in cols) for m in model
+        )
+        assert got_rows == want_rows, (op, got_rows, want_rows)

@@ -1,0 +1,85 @@
+"""q266 FIM span-corruption invariants: deterministic pivots, exact PSM
+reassembly, hash-gated selection, pass-through identity."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.span_corruption import (
+    _FIM_RATE_E6,
+    _Q1,
+    _Q2,
+    fim_transform,
+)
+
+
+def _docs(spark, n=200):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range((i % 17) + 1)))
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_fim_matches_pure_python_twin(spark):
+    """Every output row — selection, pivots, and the md5 of the emitted
+    token stream (PSM layout or pass-through) — against a pure-Python
+    reimplementation sharing no code with the plan."""
+    rows, docs = _docs(spark)
+
+    expected = {}
+    for doc_id, text in rows:
+        ts = text.strip().split()
+        n = len(ts)
+        if n == 0:
+            continue
+        fim = ((doc_id % 99991) * 2654435761) % 1_000_000 < _FIM_RATE_E6
+        if fim:
+            p1 = ((doc_id * _Q1) % 99991) % (n + 1)
+            p2 = p1 + ((doc_id * _Q2) % 99991) % (n - p1 + 1)
+            out = (
+                "<PRE> " + " ".join(ts[:p1])
+                + " <SUF> " + " ".join(ts[p2:])
+                + " <MID> " + " ".join(ts[p1:p2])
+            )
+            expected[doc_id] = (n, True, p1, p2, hashlib.md5(out.encode()).hexdigest())
+        else:
+            expected[doc_id] = (
+                n, False, None, None,
+                hashlib.md5(" ".join(ts).encode()).hexdigest(),
+            )
+
+    got = {
+        r["doc_id"]: (r["n_toks"], r["fim"], r["p1"], r["p2"], r["out_md5"])
+        for r in fim_transform(docs).collect()
+    }
+    assert got == expected
+    # the gate selects a real mixed population at this size
+    n_fim = sum(1 for v in got.values() if v[1])
+    assert 0 < n_fim < len(got)
+
+
+def test_fim_pivots_cover_boundary_splits(spark):
+    """The pivot arithmetic must reach boundary layouts — empty prefix
+    (p1=0), empty middle (p1=p2), empty suffix (p2=n) — without
+    degenerating: all three occur across a modest corpus, and every
+    pivot respects 0 <= p1 <= p2 <= n."""
+    _, docs = _docs(spark, 400)
+    out = fim_transform(docs).where("fim").collect()
+    assert all(0 <= r["p1"] <= r["p2"] <= r["n_toks"] for r in out)
+    assert any(r["p1"] == 0 for r in out)
+    assert any(r["p1"] == r["p2"] for r in out)
+    assert any(r["p2"] == r["n_toks"] for r in out)
+
+
+def test_fim_plan_is_scan_side_only(spark):
+    """Scale contract: the transform is per-row Column work in the scan
+    stage — the ONLY exchange in the plan is the presentation sort (a
+    deployment drops it and writes back partition-local)."""
+    _, docs = _docs(spark)
+    plan = fim_transform(docs)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1, plan
+    assert len(re.findall(r"Exchange ", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
