@@ -570,3 +570,71 @@ def q257(spark, sf):
     fill."""
     docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
     return packing_manifest(mixture_kept(docs).select("doc_id", "text"))
+
+
+# --------------------------------------------------------------------------
+# q267 — the attention-boundary annotation of packed sequences: the last
+# metadata a trainer needs before it can consume the packed batches
+# --------------------------------------------------------------------------
+
+_BOUNDARIES_SQL = f"""WITH {_stage_ctes("documents")},
+sp AS (
+  SELECT shard, CAST(seq AS BIGINT) AS seq_id, doc_id,
+         CAST(GREATEST(tok_start, seq * {_SEQ_CAP}) - seq * {_SEQ_CAP}
+              AS BIGINT) AS seq_off,
+         CAST(LEAST(tok_start + n_toks, (seq + 1) * {_SEQ_CAP})
+              - GREATEST(tok_start, seq * {_SEQ_CAP}) AS BIGINT) AS n_span
+  FROM s)
+SELECT shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(n_span) AS BIGINT) AS fill,
+       string_agg(CAST(seq_off AS VARCHAR), ',' ORDER BY doc_id)
+           AS boundaries_csv
+FROM sp GROUP BY shard, seq_id ORDER BY shard, seq_id"""
+
+
+def packed_boundaries(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP):
+    """Per packed sequence, the ordered SEGMENT LAYOUT: the seq_off at
+    which each document piece begins, comma-joined in splice (doc_id)
+    order. Packing concatenates unrelated documents into one sequence;
+    a trainer must not attend (or compute loss) across those seams —
+    the standard mechanism is a block-diagonal attention mask derived
+    from exactly these boundary offsets. One hash-agg over the span
+    relation; the layout ships as a CSV string so the cross-engine
+    value compare is exact (no list-typed hashing)."""
+    spans = packing_spans(docs, nshards, cap_toks)
+    return (
+        spans.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("n_span").cast("bigint").alias("fill"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "seq_off"))),
+                    lambda s: s["seq_off"].cast("string"),
+                ),
+            ).alias("boundaries_csv"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+@query(
+    "q267_packed_boundaries",
+    _BOUNDARIES_SQL,
+    tags=("training", "packing", "loader", "attention-mask"),
+)
+def q267(spark, sf):
+    """The attention-boundary table of the corpus's packed sequences:
+    per (shard, seq_id), how many document pieces it splices (n_parts),
+    its token fill, and the ordered seq_off layout of the seams
+    (boundaries_csv) — the input from which a trainer builds the
+    block-diagonal attention/loss mask over packed batches. Derived
+    from the same span arithmetic the q260 store maintains (a
+    deployment computes it from the STORED spans — metadata-only, no
+    text scan); the from-scratch head keeps the oracle self-contained.
+    First boundary is always 0; consecutive-diff of the layout plus
+    the tail equals the per-piece n_span list, so fill reconciles
+    exactly — both pinned in tests."""
+    return packed_boundaries(_t(spark, sf, "documents").select("doc_id", "text"))

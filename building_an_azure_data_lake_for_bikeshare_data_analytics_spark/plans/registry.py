@@ -37,7 +37,7 @@ from . import ann_maintenance  # noqa: F401  (registers q246-q247, q251)
 from . import lexical_maintenance  # noqa: F401  (registers q248)
 from . import census_maintenance  # noqa: F401  (registers q250)
 from . import ingest_composed  # noqa: F401  (registers q252)
-from . import packing  # noqa: F401  (registers q253-q257)
+from . import packing  # noqa: F401  (registers q253-q257, q267)
 from . import packed_store  # noqa: F401  (registers q258, q260)
 from . import census_evolution  # noqa: F401  (registers q259)
 from . import loader_schedule  # noqa: F401  (registers q262-q264; new modules import LAST — insertion order is registration order)
@@ -60,8 +60,9 @@ from . import span_corruption  # noqa: F401  (registers q266)
 # materialization), q262/q263 (deterministic loader schedule), q264
 # (the composed schedule->spans->bytes step fetch), q265 (embedding-
 # space decontamination screen; leads because decontamination.py
-# registers before loader_schedule.py), q266 (deterministic FIM span
-# corruption) — then
+# registers before loader_schedule.py), q267 (packed attention
+# boundaries; in packing.py, hence before the loader modules), q266
+# (deterministic FIM span corruption) — then
 # q237_t_closeness_audit (its r6 evidence would breach the 6-round
 # staleness floor after a green r12 gate otherwise) and the r7-evidence
 # staleness cohort: q24-q30 (dim
@@ -87,6 +88,7 @@ PREFIX_ROUND: int = 12
 
 _PRIORITY: tuple[str, ...] = (
     "q265_semantic_decon_screen",
+    "q267_packed_boundaries",
     "q261_packed_loader_read",
     "q262_loader_schedule",
     "q263_loader_step_stats",
@@ -135,7 +137,6 @@ _PRIORITY: tuple[str, ...] = (
     "q93_union_by_name",
     "q94_measure_unpivot",
     "q95_supplier_revenue_rank",
-    "q96_trailing_hour_stats",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -386,3 +386,45 @@ def test_loader_read_partition_prunes_on_shard(spark, tmp_path):
     pf = _partition_filters(out)
     assert pf and all("shard" in f for f in pf), pf
     assert out.count() > 0
+
+
+def test_packed_boundaries_reconcile_with_spans_and_manifest(spark):
+    """q267 invariants: per packed sequence the boundary layout starts
+    at 0, strictly increases, and its consecutive diffs (plus the tail
+    up to fill) equal the per-piece n_span list in splice order — so
+    the layout alone reconstructs the segment lengths a block-diagonal
+    attention mask needs. n_parts/fill must agree with the q253
+    manifest row for the same sequence."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        packed_boundaries,
+        packing_manifest,
+        packing_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 31) % 70 + 1))) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["shard"], r["seq_id"]): r for r in packed_boundaries(docs).collect()
+    }
+    man = {
+        (r["shard"], r["seq_id"]): r for r in packing_manifest(docs).collect()
+    }
+    spans = {}
+    for r in packing_spans(docs).collect():
+        spans.setdefault((r["shard"], r["seq_id"]), []).append(
+            (r["doc_id"], r["seq_off"], r["n_span"])
+        )
+
+    assert set(out) == set(man) == set(spans)
+    for key, r in out.items():
+        bounds = [int(x) for x in r["boundaries_csv"].split(",")]
+        assert bounds[0] == 0
+        assert bounds == sorted(set(bounds)), (key, bounds)  # strict increase
+        # diffs + tail == n_span list in splice order
+        segs = [b - a for a, b in zip(bounds, bounds[1:])] + [r["fill"] - bounds[-1]]
+        want = [n for _, _, n in sorted(spans[key])]
+        assert segs == want, (key, segs, want)
+        assert r["n_parts"] == man[key]["n_docs"] == len(want)
+        assert r["fill"] == man[key]["fill"] == sum(want)
