@@ -602,7 +602,14 @@ def packed_boundaries(docs, nshards: int = _NSHARDS, cap_toks: int = _SEQ_CAP):
     from exactly these boundary offsets. One hash-agg over the span
     relation; the layout ships as a CSV string so the cross-engine
     value compare is exact (no list-typed hashing)."""
-    spans = packing_spans(docs, nshards, cap_toks)
+    return boundaries_from_spans(packing_spans(docs, nshards, cap_toks))
+
+
+def boundaries_from_spans(spans):
+    """The q267 aggregation over ANY span relation — the from-scratch
+    one (gated head) or the MAINTAINED q260 store's current version
+    (the deployment path: metadata-only read, no text scan; pinned
+    equal in tests/test_packing.py)."""
     return (
         spans.groupBy("shard", "seq_id")
         .agg(

@@ -428,3 +428,41 @@ def test_packed_boundaries_reconcile_with_spans_and_manifest(spark):
         assert segs == want, (key, segs, want)
         assert r["n_parts"] == man[key]["n_docs"] == len(want)
         assert r["fill"] == man[key]["fill"] == sum(want)
+
+
+def test_boundaries_from_span_store_match_scratch(spark, tmp_path):
+    """The deployment path for the attention masks: q267's aggregation
+    over the MAINTAINED q260 span store's current version — a
+    metadata-only store read, zero text scans — equals the from-scratch
+    boundary table exactly, including after a batch append continued
+    the shards' offsets."""
+    from pyspark.sql import functions as F
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packed_store import (
+        span_store_lifecycle,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.packing import (
+        boundaries_from_spans,
+        packed_boundaries,
+    )
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.sources.versioned import (
+        read_current,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 31) % 70 + 1))) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "bound_span_store")
+    span_store_lifecycle(
+        spark,
+        store,
+        docs.where(F.col("doc_id") < 240),
+        docs.where(F.col("doc_id") >= 240),
+    )
+    scratch = sorted(tuple(r) for r in packed_boundaries(docs).collect())
+    stored = sorted(
+        tuple(r)
+        for r in boundaries_from_spans(read_current(spark, store)).collect()
+    )
+    assert stored == scratch and len(stored) > 0
