@@ -700,3 +700,45 @@ def test_versioned_store_random_op_sequences(spark, ops, tmp_path_factory):
             tuple(v for v, c in zip(m, ["id", "s", "x"]) if c in cols) for m in model
         )
         assert got_rows == want_rows, (op, got_rows, want_rows)
+
+
+@given(
+    seqs=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 60)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    epoch=st.integers(0, 5),
+)
+@settings(**_SETTINGS)
+def test_loader_schedule_rank_property(spark, seqs, epoch):
+    """The distributed two-phase rank (bucketed window + broadcast
+    offsets) must equal the single-node seeded order EXACTLY for any
+    manifest and epoch: every (step, slot) assignment matches a
+    pure-Python ranking of (h % NB, h, shard, seq_id)."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.loader_schedule import (
+        _NB,
+        _P,
+        _P1,
+        _P2,
+        _P3,
+        _STEP_B,
+        loader_schedule,
+    )
+
+    man = spark.createDataFrame(seqs, ["shard", "seq_id"])
+    got = {
+        (r["shard"], r["seq_id"]): (r["step"], r["slot"])
+        for r in loader_schedule(man, epoch).collect()
+    }
+
+    def key(t):
+        h = (t[0] * _P1 + t[1] * _P2 + epoch * _P3) % _P
+        return (h % _NB, h, t[0], t[1])
+
+    want = {
+        t: (rank // _STEP_B, rank % _STEP_B)
+        for rank, t in enumerate(sorted(seqs, key=key))
+    }
+    assert got == want
