@@ -1001,6 +1001,7 @@ def composed_ingest_stream(
     checkpoint_dir: str | None = None,
     compact_max_parts: int | None = None,
     compact_max_files: int | None = None,
+    dl_with_uniq: bool = False,
 ) -> list[tuple]:
     """The q252 composed shared-scan ingest in its production Structured
     Streaming shape: ONE stream of (doc_id, source, text, n_chars) docs
@@ -1077,17 +1078,23 @@ def composed_ingest_stream(
             compact_max_parts=compact_max_parts,
             compact_max_files=compact_max_files,
         )
-        tf_b, dl_b = index_rows_from_tokens(b.select("doc_id", "ts"))
+        tf_b, dl_b = index_rows_from_tokens(
+            b.select("doc_id", "ts"), dl_with_uniq=dl_with_uniq
+        )
         v_tf = commit_store_batch(
             tf_b, store_root + "_tf", epoch_id, dedupe_epochs,
             partition_by=["tok_bucket"],
             compact_max_parts=compact_max_parts,
             compact_max_files=compact_max_files,
         )
+        # dl_with_uniq: mid-deployment schema evolution (the q259
+        # posture) — the restarted stream lands n_uniq through EVOLVED
+        # appends while older dl rows read back null-filled
         v_dl = commit_store_batch(
             dl_b, store_root + "_dl", epoch_id, dedupe_epochs, partition_by=["hb"],
             compact_max_parts=compact_max_parts,
             compact_max_files=compact_max_files,
+            allow_new_columns=dl_with_uniq,
         )
         stats_b, kmv_b = _census_state(
             b.select("doc_id", "source", "text", "n_chars")

@@ -211,11 +211,14 @@ def main() -> None:
         shutil.move(os.path.join(held, n), os.path.join(src, n))
         time.sleep(0.05)
 
-    # ---- phase B: restart from the same checkpoint ----
+    # ---- phase B: restart from the same checkpoint, WITH the dl
+    #      store's schema evolution flipped on (the q259 posture landing
+    #      mid-deployment, under the cadence and the replayed epoch) ----
     t0 = time.time()
     rows_b = composed_ingest_stream(
         _doc_stream(), root, bench_p, checkpoint_dir=ckpt,
         compact_max_parts=MAX_PARTS,
+        dl_with_uniq=True,
     )
     wall_b = time.time() - t0
     print(f"phase B: {len(rows_b)} epochs (first replayed), {wall_b:.1f}s")
@@ -268,7 +271,31 @@ def main() -> None:
     }
     tf_all, dl_all = index_rows(all_docs.select("doc_id", "text"))
     checks["tf"] = (_chk(V.read_current(spark, root + "_tf")), _chk(tf_all))
-    checks["dl"] = (_chk(V.read_current(spark, root + "_dl")), _chk(dl_all))
+    # the dl store EVOLVED mid-run: core-column drain equality must be
+    # untouched, the evolution boundary must sit exactly at the first
+    # non-replayed phase-B doc (the replayed epoch dedupe-skips, so its
+    # rows stay pre-evolution), and n_uniq must be exact post-boundary
+    dl_store = V.read_current(spark, root + "_dl")
+    checks["dl"] = (_chk(dl_store.select("doc_id", "len", "hb")), _chk(dl_all))
+    b_lo_id = ids[int(n_files * 0.6) * step]
+    assert "n_uniq" in dl_store.columns, "dl store did not evolve"
+    n_pre_filled = dl_store.where(
+        (F.col("doc_id") < b_lo_id) & F.col("n_uniq").isNotNull()
+    ).count()
+    n_post_null = dl_store.where(
+        (F.col("doc_id") >= b_lo_id) & F.col("n_uniq").isNull()
+    ).count()
+    assert n_pre_filled == 0 and n_post_null == 0, (n_pre_filled, n_post_null)
+    _, dl_evolved = index_rows(
+        all_docs.where(F.col("doc_id") >= b_lo_id).select("doc_id", "text"),
+        dl_with_uniq=True,
+    )
+    checks["dl_evolved_cols"] = (
+        _chk(dl_store.where(F.col("doc_id") >= b_lo_id)),
+        _chk(dl_evolved),
+    )
+    print(f"  dl schema evolution: boundary doc_id {b_lo_id}, "
+          f"pre-rows null-filled, post-rows exact")
     stats_all, kmv_all = _census_state(all_docs)
     checks["stats"] = (_chk(V.read_current(spark, root + "_stats")), _chk(stats_all))
     checks["kmv"] = (_chk(V.read_current(spark, root + "_kmv")), _chk(kmv_all))
