@@ -43,12 +43,13 @@ WITH t AS (
   WHERE COALESCE(len({_TOKS}), 0) > 0),
 p AS (
   SELECT doc_id, ts, n_toks, fim,
-         CAST(((doc_id * {_Q1}) % 99991) % (n_toks + 1) AS BIGINT) AS p1
+         CAST((((doc_id % 99991) * {_Q1}) % 99991) % (n_toks + 1)
+              AS BIGINT) AS p1
   FROM t),
 pp AS (
   SELECT doc_id, ts, n_toks, fim, p1,
-         p1 + CAST(((doc_id * {_Q2}) % 99991) % (n_toks - p1 + 1) AS BIGINT)
-             AS p2
+         p1 + CAST((((doc_id % 99991) * {_Q2}) % 99991)
+                   % (n_toks - p1 + 1) AS BIGINT) AS p2
   FROM p)
 SELECT doc_id, n_toks,
        fim,
@@ -68,7 +69,9 @@ def fim_transform(docs, rate_e6: int = _FIM_RATE_E6):
     tokenized doc — (doc_id, n_toks, fim, p1, p2, out_md5), where
     ``out_md5`` fingerprints the emitted token stream (PSM layout for
     transformed docs, the original stream for pass-through). Pivots:
-    ``p1 = mix1(doc_id) % (n+1)``, ``p2 = p1 + mix2(doc_id) % (n-p1+1)``
+    ``p1 = mix1(doc_id % 99991) % (n+1)``, ``p2 = p1 + mix2(doc_id %
+    99991) % (n-p1+1)`` (doc_id modded before the mixer so the product
+    never overflows int64 at corpus-scale ids)
     — every split of the token range (including empty prefix/middle/
     suffix) is reachable, and both are pure functions of doc_id."""
     h6 = ((F.col("doc_id") % 99991) * F.lit(2654435761)) % F.lit(1_000_000)
@@ -78,9 +81,14 @@ def fim_transform(docs, rate_e6: int = _FIM_RATE_E6):
         F.size(tokens("text")).cast("bigint").alias("n_toks"),
         (h6 < F.lit(rate_e6)).alias("fim"),
     ).where(F.col("n_toks") > 0)
-    p1 = ((F.col("doc_id") * F.lit(_Q1)) % 99991) % (F.col("n_toks") + 1)
+    # mod doc_id FIRST (the _HASH6 posture): a bare doc_id * mixer
+    # overflows int64 past doc_id ~4e9 — a crash under ANSI at corpus
+    # scale, silent wrap otherwise
+    p1 = (((F.col("doc_id") % 99991) * F.lit(_Q1)) % 99991) % (
+        F.col("n_toks") + 1
+    )
     t = t.withColumn("p1", p1.cast("bigint"))
-    p2 = F.col("p1") + ((F.col("doc_id") * F.lit(_Q2)) % 99991) % (
+    p2 = F.col("p1") + (((F.col("doc_id") % 99991) * F.lit(_Q2)) % 99991) % (
         F.col("n_toks") - F.col("p1") + 1
     )
     t = t.withColumn("p2", p2.cast("bigint"))

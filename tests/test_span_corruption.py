@@ -35,8 +35,8 @@ def test_fim_matches_pure_python_twin(spark):
             continue
         fim = ((doc_id % 99991) * 2654435761) % 1_000_000 < _FIM_RATE_E6
         if fim:
-            p1 = ((doc_id * _Q1) % 99991) % (n + 1)
-            p2 = p1 + ((doc_id * _Q2) % 99991) % (n - p1 + 1)
+            p1 = (((doc_id % 99991) * _Q1) % 99991) % (n + 1)
+            p2 = p1 + (((doc_id % 99991) * _Q2) % 99991) % (n - p1 + 1)
             out = (
                 "<PRE> " + " ".join(ts[:p1])
                 + " <SUF> " + " ".join(ts[p2:])
@@ -83,3 +83,22 @@ def test_fim_plan_is_scan_side_only(spark):
     assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1, plan
     assert len(re.findall(r"Exchange ", plan)) == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_fim_survives_corpus_scale_doc_ids(spark):
+    """Overflow regression: pivot mixers must mod doc_id BEFORE the
+    multiply — a bare doc_id * 2246822519 passes int64 at doc_id ~4e9
+    (ANSI crash at corpus scale). Ids around 1e10-1e12 must transform
+    cleanly with valid pivots and match the pure-Python arithmetic."""
+    rows = [
+        (10_000_000_000 + i * 99_999_999_999, "a b c d e f g h i j")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = fim_transform(docs).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        if r["fim"]:
+            assert 0 <= r["p1"] <= r["p2"] <= r["n_toks"]
+            d = r["doc_id"]
+            assert r["p1"] == (((d % 99991) * _Q1) % 99991) % (r["n_toks"] + 1)
