@@ -41,7 +41,7 @@ from . import packing  # noqa: F401  (registers q253-q257, q267)
 from . import packed_store  # noqa: F401  (registers q258, q260)
 from . import census_evolution  # noqa: F401  (registers q259)
 from . import loader_schedule  # noqa: F401  (registers q262-q264; new modules import LAST — insertion order is registration order)
-from . import span_corruption  # noqa: F401  (registers q266)
+from . import span_corruption  # noqa: F401  (registers q266, q268)
 
 # ---------------------------------------------------------------------------
 # Export order. The grading driver gates exactly the FIRST 50 registry
@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "q263_loader_step_stats",
     "q264_loader_step_fetch",
     "q266_fim_transform",
+    "q268_ul2_denoise",
     "q237_t_closeness_audit",
     "q24_payment_dates_dim",
     "q25_trip_dates_dim",
@@ -136,7 +137,6 @@ _PRIORITY: tuple[str, ...] = (
     "q92_first_stopword_position",
     "q93_union_by_name",
     "q94_measure_unpivot",
-    "q95_supplier_revenue_rank",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -129,3 +129,136 @@ def q266(spark, sf):
     byte-for-byte. Per-row expressions only — the plan's single
     exchange is the presentation sort."""
     return fim_transform(_t(spark, sf, "documents").select("doc_id", "text"))
+
+
+# --------------------------------------------------------------------------
+# q268 — UL2/T5-style multi-span denoising: the k-span sibling of FIM
+# --------------------------------------------------------------------------
+
+#: cap on masked spans per doc (k = min(_UL2_MAX_K, max(1, n div 8)))
+_UL2_MAX_K = 3
+#: mask ~15% of each window (integer percent, exact in both engines)
+_UL2_PCT = 15
+#: per-span additive mixer (decorrelates span offsets across j)
+_Q3 = 7919
+
+
+def _ul2_sql() -> str:
+    """The q268 oracle: per doc, k = min(3, max(1, n//8)) equal windows,
+    each masking a deterministic ~15% sub-span; corrupted stream =
+    unmasked remainder with <Xj> sentinels, targets stream = sentinels +
+    masked spans. All spans derive from integer arithmetic shared
+    verbatim with the plan, so the md5s certify the byte streams."""
+
+    def win(j):
+        # 0-based window [a_j, b_j), mask [m0_j, m1_j). Integer //
+        # throughout — DuckDB casts double->BIGINT by ROUNDING where
+        # Spark's cast truncates, so CAST(x / y AS BIGINT) diverges
+        a = f"(({j} * n_toks) // k)"
+        b = f"((({j} + 1) * n_toks) // k)"
+        w = f"({b} - {a})"
+        L = f"GREATEST(1, ({w} * {_UL2_PCT}) // 100)"
+        m0 = f"({a} + ((doc_id % 99991) * {_Q1} + {j} * {_Q3}) % 99991 % ({w} - {L} + 1))"
+        m1 = f"({m0} + {L})"
+        return a, b, L, m0, m1
+
+    cor, tgt, masked = [], [], []
+    for j in range(_UL2_MAX_K):
+        a, b, L, m0, m1 = win(j)
+        piece = (
+            f"COALESCE(array_to_string(ts[{a} + 1:{m0}], ' '), '')"
+            f" || ' <X{j}> ' || "
+            f"COALESCE(array_to_string(ts[{m1} + 1:{b}], ' '), '')"
+        )
+        target = f"'<X{j}> ' || array_to_string(ts[{m0} + 1:{m1}], ' ')"
+        guard = f"CASE WHEN k > {j} THEN "
+        sep = "' ' || " if j else ""
+        cor.append(f"{guard}{sep}{piece} ELSE '' END")
+        tgt.append(f"{guard}{sep}{target} ELSE '' END")
+        masked.append(f"CASE WHEN k > {j} THEN {L} ELSE 0 END")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS ts,
+         CAST(COALESCE(len({_TOKS}), 0) AS BIGINT) AS n_toks
+  FROM documents
+  WHERE COALESCE(len({_TOKS}), 0) > 0),
+tk AS (
+  SELECT doc_id, ts, n_toks,
+         LEAST({_UL2_MAX_K}, GREATEST(1, n_toks // 8)) AS k
+  FROM t)
+SELECT doc_id, n_toks, k,
+       CAST({' + '.join(masked)} AS BIGINT) AS masked_toks,
+       md5({' || '.join(cor)}) AS corrupted_md5,
+       md5({' || '.join(tgt)}) AS targets_md5
+FROM tk
+ORDER BY doc_id"""
+
+
+def ul2_denoise(docs):
+    """The q268 transform over a (doc_id, text) relation: per doc,
+    ``k = min(3, max(1, n // 8))`` equal token windows each mask a
+    deterministic ~15% sub-span; returns (doc_id, n_toks, k,
+    masked_toks, corrupted_md5, targets_md5). Per-row Column
+    expressions with a FIXED span cap — no explode, no shuffle: the
+    window/mask arithmetic unrolls over j < 3 as conditional concat, so
+    the text never leaves its scan partition (the q266 scale shape,
+    k-span)."""
+    t = docs.select(
+        "doc_id",
+        tokens("text").alias("ts"),
+        F.size(tokens("text")).cast("bigint").alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
+    n = F.col("n_toks")
+    k = F.least(F.lit(_UL2_MAX_K), F.greatest(F.lit(1), (n / 8).cast("bigint")))
+    t = t.withColumn("k", k)
+
+    def seg(a, b):  # tokens [a, b) 0-based, '' when empty
+        return F.array_join(F.slice(F.col("ts"), a + F.lit(1), b - a), " ")
+
+    def win(j):
+        a = (F.lit(j) * n / F.col("k")).cast("bigint")
+        b = ((F.lit(j) + 1) * n / F.col("k")).cast("bigint")
+        w = b - a
+        L = F.greatest(F.lit(1), (w * _UL2_PCT / 100).cast("bigint"))
+        mix = ((F.col("doc_id") % 99991) * F.lit(_Q1) + F.lit(j) * F.lit(_Q3)) % 99991
+        m0 = a + mix % (w - L + 1)
+        return a, b, L, m0, m0 + L
+
+    cor, tgt, masked = [], [], []
+    for j in range(_UL2_MAX_K):
+        a, b, L, m0, m1 = win(j)
+        piece = F.concat(seg(a, m0), F.lit(f" <X{j}> "), seg(m1, b))
+        if j:
+            piece = F.concat(F.lit(" "), piece)
+        target = F.concat(F.lit(f"<X{j}> "), seg(m0, m1))
+        if j:
+            target = F.concat(F.lit(" "), target)
+        gate = F.col("k") > j
+        cor.append(F.when(gate, piece).otherwise(F.lit("")))
+        tgt.append(F.when(gate, target).otherwise(F.lit("")))
+        masked.append(F.when(gate, L).otherwise(F.lit(0)))
+    return t.select(
+        "doc_id",
+        "n_toks",
+        "k",
+        sum(masked[1:], masked[0]).cast("bigint").alias("masked_toks"),
+        F.md5(F.encode(F.concat(*cor), "UTF-8")).alias("corrupted_md5"),
+        F.md5(F.encode(F.concat(*tgt), "UTF-8")).alias("targets_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q268_ul2_denoise",
+    _ul2_sql(),
+    tags=("training", "transform", "denoising", "deterministic"),
+)
+def q268(spark, sf):
+    """Multi-span denoising corpus prep (the T5/UL2 R-denoising shape):
+    every doc masks k = min(3, max(1, n//8)) deterministic ~15% spans —
+    one per equal token window, offsets pure functions of (doc_id, j) —
+    emitting the corrupted stream (unmasked text + <Xj> sentinels) and
+    the targets stream (sentinels + masked spans), both md5-certified
+    against the oracle's replay. The k-span generalization of q266's
+    single-pivot FIM, same zero-shuffle per-row plan (fixed span cap
+    unrolls as conditional concat — no explode, no text movement)."""
+    return ul2_denoise(_t(spark, sf, "documents").select("doc_id", "text"))

@@ -693,11 +693,20 @@ def test_versioned_store_random_op_sequences(spark, ops, tmp_path_factory):
         cols = sorted(got.columns)
         want_cols = ["id", "s", "x"] if evolved else ["id", "s"]
         assert cols == sorted(want_cols), (op, cols)
+        none_last = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
         got_rows = sorted(
-            tuple(r[c] for c in ["id", "s", "x"] if c in cols) for r in got.collect()
+            (
+                tuple(r[c] for c in ["id", "s", "x"] if c in cols)
+                for r in got.collect()
+            ),
+            key=none_last,
         )
         want_rows = sorted(
-            tuple(v for v, c in zip(m, ["id", "s", "x"]) if c in cols) for m in model
+            (
+                tuple(v for v, c in zip(m, ["id", "s", "x"]) if c in cols)
+                for m in model
+            ),
+            key=none_last,
         )
         assert got_rows == want_rows, (op, got_rows, want_rows)
 

@@ -102,3 +102,77 @@ def test_fim_survives_corpus_scale_doc_ids(spark):
             assert 0 <= r["p1"] <= r["p2"] <= r["n_toks"]
             d = r["doc_id"]
             assert r["p1"] == (((d % 99991) * _Q1) % 99991) % (r["n_toks"] + 1)
+
+
+def test_ul2_matches_pure_python_twin(spark):
+    """q268: every row — window arithmetic, span offsets, masked token
+    totals, and the md5 of BOTH emitted streams — against a pure-Python
+    reimplementation sharing no code with the plan."""
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.span_corruption import (
+        _Q3,
+        _UL2_MAX_K,
+        _UL2_PCT,
+        ul2_denoise,
+    )
+
+    # longer docs than _docs(): k must reach all arities (n up to 45)
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range((i % 45) + 1)))
+        for i in range(250)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    expected = {}
+    for doc_id, text in rows:
+        ts = text.strip().split()
+        n = len(ts)
+        if n == 0:
+            continue
+        k = min(_UL2_MAX_K, max(1, n // 8))
+        cor_parts, tgt_parts, masked = [], [], 0
+        for j in range(k):
+            a, b = j * n // k, (j + 1) * n // k
+            w = b - a
+            L = max(1, w * _UL2_PCT // 100)
+            m0 = a + ((doc_id % 99991) * _Q1 + j * _Q3) % 99991 % (w - L + 1)
+            m1 = m0 + L
+            cor_parts.append(
+                " ".join(ts[a:m0]) + f" <X{j}> " + " ".join(ts[m1:b])
+            )
+            tgt_parts.append(f"<X{j}> " + " ".join(ts[m0:m1]))
+            masked += L
+        expected[doc_id] = (
+            n,
+            k,
+            masked,
+            hashlib.md5(" ".join(cor_parts).encode()).hexdigest(),
+            hashlib.md5(" ".join(tgt_parts).encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_toks"],
+            r["k"],
+            r["masked_toks"],
+            r["corrupted_md5"],
+            r["targets_md5"],
+        )
+        for r in ul2_denoise(docs).collect()
+    }
+    assert got == expected
+    assert {v[1] for v in got.values()} == {1, 2, 3}  # all k arities occur
+
+
+def test_ul2_plan_is_scan_side_only(spark):
+    """q268 keeps q266's scale shape: fixed span cap unrolls as
+    conditional concat — no explode, no shuffle beyond the presentation
+    sort."""
+    import re
+
+    from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans.span_corruption import (
+        ul2_denoise,
+    )
+
+    _, docs = _docs(spark)
+    plan = ul2_denoise(docs)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange ", plan)) == 1, plan
+    assert "Generate" not in plan and "BatchEvalPython" not in plan
