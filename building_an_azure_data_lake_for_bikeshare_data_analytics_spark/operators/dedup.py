@@ -460,7 +460,18 @@ def prefix_filter_jaccard_pairs(
     pipeline that runs this kernel on several doc subsets (q239: corpus,
     batch) tokenize/explode ONCE and pass filtered views.
     """
-    sh = shingles if shingles is not None else shingle_sets(docs_tokens, shingle_n)
+    # two shuffle consumers below (the frequency agg and the dictionary
+    # join) — when the shingle relation is built here rather than passed
+    # in, checkpoint it so the tokenize + explode + distinct runs once,
+    # not twice (the q135-measured >=2-consumer rule; r12 profile caught
+    # the ppjoin index build paying the tokenize stage twice)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_sets(docs_tokens, shingle_n).localCheckpoint(
+            storageLevel=_CKPT_LEVEL
+        )
+    )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # the (df, shingle) dense rank is VOCABULARY-scale, so it must not run
     # as a single-partition window: distributed_row_number buckets by
@@ -721,7 +732,12 @@ def prefix_filter_containment_pairs(
     Returns (doc_a, doc_b, containment) — directed; a near-exact dup pair
     appears in both directions, a quote only as (quote, page).
     """
-    sh = shingle_sets(docs_tokens, shingle_n)
+    # two shuffle consumers (frequency agg + dictionary join): checkpoint
+    # so tokenize + explode + distinct runs once (same r12 fix as the
+    # Jaccard kernel)
+    sh = shingle_sets(docs_tokens, shingle_n).localCheckpoint(
+        storageLevel=_CKPT_LEVEL
+    )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # the (df, shingle) dense rank is VOCABULARY-scale, so it must not run
     # as a single-partition window: distributed_row_number buckets by

@@ -584,7 +584,14 @@ def assign_cells_vectorized(
                 {id_col: pdf[id_col], "cell": scores.argmax(axis=1).astype("int32")}
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(part, f"{id_col} long, cell int")
+    # spread: the kernel runs once per PARTITION, and the single-row-group
+    # testdata scans as one partition — without the fanout the matmul
+    # serialized on one core (r12 profile); identity at real scale
+    from ..functions.parallelism import spread
+
+    return spread(emb.select(id_col, vec_col)).mapInPandas(
+        part, f"{id_col} long, cell int"
+    )
 
 
 def semantic_dedup_cells(

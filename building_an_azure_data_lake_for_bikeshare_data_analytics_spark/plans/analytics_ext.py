@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..functions.agg import exact_avg, exact_sum
 from ..functions.hashing import h60
-from .base import _t, query
+from .base import _t, _ts, query
 
 _SUM = "CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
 _AVG = f"{_SUM}/count({{c}})"
@@ -59,7 +59,8 @@ def q43(spark, sf):
     sequential-fold double, threshold 0.45."""
     from ..functions.vectors import dot, norm
 
-    e = _t(spark, sf, "embeddings").select(
+    # _ts (r12): per-row norm/cosine folds — fan the scan out
+    e = _ts(spark, sf, "embeddings").select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     a = e.select(

@@ -74,3 +74,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = read_parquet_table(spark, sf_dir, name)
         _SCAN_CACHE[key] = df
     return df
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame:
+    """``_t`` + column-prune + scan-parallelism floor (r12 optimization,
+    ``functions/parallelism.spread``): the driver testdata writes each
+    table as ONE file with ONE row group — Spark's minimum split — so
+    every scan is a single task and the expensive per-row work layered on
+    it (tokenize/shingle explodes, vector folds, Arrow kernels)
+    serialized on one core. The guide's input-skew rule applies:
+    repartition immediately after the read, conditionally on the actual
+    scan partition count, so the exchange never exists at deployment
+    scale (a 100 TB table scans as thousands of row-group splits).
+
+    The prune select sits BELOW the exchange, so ``ReadSchema`` stays
+    narrow and the exchange ships only the named columns. Heavy
+    derivations (``tokens(...)`` etc.) belong ABOVE the returned frame —
+    projecting them here would compute them map-side of the exchange,
+    single-task again."""
+    from ..functions.parallelism import spread
+
+    df = _t(spark, sf_dir, name)
+    if cols:
+        df = df.select(*cols)
+    return spread(df)

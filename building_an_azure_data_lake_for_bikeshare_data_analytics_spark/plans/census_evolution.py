@@ -39,7 +39,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _TOKS
 from .training import _HASH_SQL, _doc_hash
 
@@ -72,7 +72,8 @@ def q259(spark, sf):
         write_version,
     )
 
-    docs = _t(spark, sf, "documents").select("doc_id", "source", "text", "n_chars")
+    # _ts (r12): same fanout as q250 — the state rows hash every text
+    docs = _ts(spark, sf, "documents", "doc_id", "source", "text", "n_chars")
     is_new = _doc_hash() >= 800
     store = os.path.join(
         tempfile.gettempdir(),

@@ -56,7 +56,7 @@ from pyspark.sql.window import Window
 from ..functions.hashing import H60_SQL, h60
 from ..functions.text import token_count
 from .analytics_ext import _KMV_SPACE
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _TOKS
 from .training import _HASH_SQL, _doc_hash
 
@@ -167,24 +167,36 @@ def q250(spark, sf):
         write_version,
     )
 
-    docs = _t(spark, sf, "documents").select("doc_id", "source", "text", "n_chars")
+    # _ts (r12): the census state md5-hashes every text — fan the scan out
+    docs = _ts(spark, sf, "documents", "doc_id", "source", "text", "n_chars")
     is_new = _doc_hash() >= 800
     store = _store_path(spark)
     stats_store, kmv_store = store + "_stats", store + "_kmv"
     register_cleanup(stats_store)
     register_cleanup(kmv_store)
 
-    # 1) v1: census state of the existing corpus — ONE pass
+    from ..functions.parallelism import run_parallel
+
+    # 1) v1: census state of the existing corpus — ONE pass. r12: the
+    # stats/kmv artifacts live in different stores — overlap their
+    # driver-blocking writes (guide §2.6; contents unchanged), and the
+    # same for the two per-batch merges below
     stats_v1, kmv_v1 = _census_state(docs.where(~is_new))
-    write_version(stats_v1, stats_store)
-    write_version(kmv_v1, kmv_store)
+    run_parallel(
+        lambda: write_version(stats_v1, stats_store),
+        lambda: write_version(kmv_v1, kmv_store),
+    )
 
     # 2) per-batch: state over the batch ALONE, merged algebraically
     stats_b, kmv_b = _census_state(docs.where(is_new))
-    write_version(
-        _merge_stats(read_current(spark, stats_store), stats_b), stats_store
+    run_parallel(
+        lambda: write_version(
+            _merge_stats(read_current(spark, stats_store), stats_b), stats_store
+        ),
+        lambda: write_version(
+            _merge_kmv(read_current(spark, kmv_store), kmv_b), kmv_store
+        ),
     )
-    write_version(_merge_kmv(read_current(spark, kmv_store), kmv_b), kmv_store)
     vacuum(stats_store, keep=2)
     vacuum(kmv_store, keep=2)
 

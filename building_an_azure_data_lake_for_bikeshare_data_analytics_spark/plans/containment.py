@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F  # noqa: F401  (plan-module convention)
 
 from ..functions.text import tokens
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _SHINGLES_SQL
 
 
@@ -41,5 +41,8 @@ def q204(spark, sf):
     ``|A| - ceil(t|A|) + 1`` shingles — provably losing no pair."""
     from ..operators.dedup import prefix_filter_containment_pairs
 
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     return prefix_filter_containment_pairs(docs, threshold=0.9)

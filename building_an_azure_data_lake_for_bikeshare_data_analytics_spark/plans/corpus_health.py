@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _NORM, _TOKS
 
 #: the token-set (bag-of-words) identity, shared between engines: sorted
@@ -66,7 +66,8 @@ def q242(spark, sf):
     """Per identity level: distinct fingerprints, groups with >=2 docs,
     and dup mass (docs minus fingerprints). Levels prefixed a_/b_/c_ so
     the ladder sorts in aggressiveness order in both engines."""
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): three md5 ladders per text — fan the scan out
+    d = _ts(spark, sf, "documents", "doc_id", "text").select(
         "doc_id",
         F.md5("text").alias("a_raw"),
         F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias(
@@ -129,7 +130,9 @@ def q243(spark, sf):
     over the token stream for first occurrences, two tiny decile
     histograms, a 10-row broadcast spine join (whitelisted scalar BNLJ
     for the max-doc-id bound)."""
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     mx = docs.agg(F.max("doc_id").alias("m"))
 
     def dec(col):

@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from ..functions.text import STOPWORDS, fingerprint, marker_count, tokens
 from ..functions.vectors import dot, norm
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _ivf_oracle  # q130 carries its fold twin q56's oracle
 
 # ---------------------------------------------------------------------------
@@ -199,7 +199,8 @@ def q116(spark, sf):
     pushed into the join condition, so same-label candidates never
     materialize. At 100 TB the candidate stage swaps to the LSH-bucketed
     join (q40) before the label filter; the brute-force form is the oracle."""
-    emb = _t(spark, sf, "embeddings").select(
+    # _ts (r12): per-row norm/cosine folds — fan the scan out
+    emb = _ts(spark, sf, "embeddings").select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     q = emb.where(F.col("vec_id") % 50 == 0).select(
@@ -494,7 +495,8 @@ def q118(spark, sf):
     is measured on the stress corpus in SCALE_NOTES, not here."""
     from ..operators.similarity import pq_adc_topk, pq_fit
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     books = pq_fit(emb, m=4, ksub=8, max_iter=4)
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -606,7 +608,8 @@ def q120(spark, sf):
     q118's fit-replay oracle verbatim."""
     from ..operators.similarity import pq_adc_topk_vectorized, pq_fit
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     books = pq_fit(emb, m=4, ksub=8, max_iter=4)
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -792,7 +795,8 @@ def q123(spark, sf):
     exact integer ADC, and re-ranks by the same fold cosine as q39."""
     from ..operators.similarity import pq_adc_rerank_topk, pq_fit
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     books = pq_fit(emb, m=4, ksub=8, max_iter=4)
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -962,7 +966,8 @@ def q125(spark, sf):
     stress corpus (SCALE_NOTES)."""
     from ..operators.similarity import ivf_pq_rerank_topk, kmeans_fit, pq_fit
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     cents = kmeans_fit(emb, k=8, max_iter=8)
     books = pq_fit(emb, m=4, ksub=8, max_iter=4)
     q = emb.where(F.col("vec_id") % 50 == 0).select(
@@ -992,7 +997,8 @@ def q129(spark, sf):
         pq_fit,
     )
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     cents = kmeans_fit(emb, k=8, max_iter=8)
     books = pq_fit(emb, m=4, ksub=8, max_iter=4)
     q = emb.where(F.col("vec_id") % 50 == 0).select(
@@ -1016,7 +1022,8 @@ def q130(spark, sf):
     seconds (SCALE_NOTES). Carries q56's oracle verbatim."""
     from ..operators.similarity import ivf_topk_vectorized, kmeans_fit
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     cents = kmeans_fit(emb, k=8, max_iter=8)
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")

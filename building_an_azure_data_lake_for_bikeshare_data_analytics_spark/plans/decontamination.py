@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
-from .base import _t, query
+from .base import _t, _ts, query
 from .training import _HASH_SQL
 
 #: (benchmark name, benchmark source, n-gram size, threshold in 1e-4
@@ -254,7 +254,10 @@ def q244(spark, sf):
     shares an n-shingle with B and its matched-shingle fraction clears
     B's threshold (integer-exact compare). Columns: source, benchmark,
     n_contaminated, contamination_rate."""
-    d = _t(spark, sf, "documents").select("doc_id", "source", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
+        "doc_id", "source", tokens("text").alias("ts")
+    )
     return probe_matrix(
         spark, corpus_shingles(d), bench_shingle_table(d, BENCHMARKS), d
     )
@@ -346,7 +349,8 @@ def q249(spark, sf):
         write_version,
     )
 
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
         "doc_id", "source", tokens("text").alias("ts")
     )
     store = _store_path(spark)
@@ -499,7 +503,8 @@ def q265(spark, sf):
     rollup |labels| rows. The mean statistic ships as ``sum_maxcos_e4``
     (sum of 4-dp cosines scaled to e4 integer) so cross-engine float
     summation order cannot wobble the hash."""
-    return semantic_screen(_t(spark, sf, "embeddings"))
+    # _ts (r12): the screen's Arrow kernel runs once per partition
+    return semantic_screen(_ts(spark, sf, "embeddings"))
 
 
 q265.__doc__ = q265.__doc__.format(tau=_SEM_TAU, cap=_SEM_BENCH_CAP)

@@ -41,6 +41,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
+from ..functions.parallelism import spread
 from ..functions.text import tokens
 from .base import _t
 
@@ -75,7 +76,14 @@ def clear_index_cache(spark=None) -> int:
 
 
 def _docs_tokens(spark, sf: str) -> DataFrame:
-    return _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # spread BELOW the tokenize projection: the driver testdata is one
+    # row group, so without the fanout every downstream shingle explode
+    # ran as one task (r12 profile: the ppjoin build's two tokenize
+    # stages were 1.3 s singles). Column-pruned select first, so the
+    # exchange ships only (doc_id, text) and ReadSchema stays narrow.
+    return spread(_t(spark, sf, "documents").select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("ts")
+    )
 
 
 def _memo(spark, sf: str, what: str, build) -> DataFrame:

@@ -123,7 +123,13 @@ def q239(spark, sf):
 
     from ..operators.dedup import banded_signature_table
 
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    from ..functions.parallelism import run_parallel, spread
+
+    # spread (r12): fan the one-row-group scan out below the tokenize so
+    # the shared shingle checkpoint builds wide
+    docs = spread(_t(spark, sf, "documents").select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("ts")
+    )
     is_new = _doc_hash() >= 800
     corpus, batch = docs.where(~is_new), docs.where(is_new)
     store = _store_path(spark)
@@ -144,19 +150,36 @@ def q239(spark, sf):
     # 1) v1: the existing corpus's component table, plus the corpus's
     #    banded SIGNATURE table in a sibling store (the q245 artifact —
     #    persisted with the index, paid once, so step 2 never recomputes
-    #    corpus-side signatures; r8 verdict item 2)
-    pairs_v1 = prefix_filter_jaccard_pairs(
-        corpus, threshold=0.5, shingles=sh_all.where(~sh_new)
-    )
-    comps_v1 = connected_components(
-        pairs_v1.select("doc_a", "doc_b"), "doc_a", "doc_b"
-    ).select(F.col("id").alias("doc_id"), "comp")
-    write_version(comps_v1, store)
-    write_version(
-        banded_signature_table(shingles=sh_all.where(~sh_new)),
-        sig_store,
-        partition_by=["band"],
-    )
+    #    corpus-side signatures; r8 verdict item 2).
+    #    r12 optimization (guide §2.6): the three step-1-era artifacts —
+    #    the v1 component store, the signature store, and the
+    #    batch-internal pair relation step 2 consumes — have independent
+    #    lineages off the one shared shingle checkpoint (different
+    #    stores / no store at all), so their driver-blocking actions
+    #    overlap in a thread pool instead of running serially. Store
+    #    contents, versions, and the census are unchanged.
+    def _v1_comps():
+        pairs_v1 = prefix_filter_jaccard_pairs(
+            corpus, threshold=0.5, shingles=sh_all.where(~sh_new)
+        )
+        comps_v1 = connected_components(
+            pairs_v1.select("doc_a", "doc_b"), "doc_a", "doc_b"
+        ).select(F.col("id").alias("doc_id"), "comp")
+        write_version(comps_v1, store)
+
+    def _v1_sigs():
+        write_version(
+            banded_signature_table(shingles=sh_all.where(~sh_new)),
+            sig_store,
+            partition_by=["band"],
+        )
+
+    def _within():
+        return prefix_filter_jaccard_pairs(
+            batch, threshold=0.5, shingles=sh_all.where(sh_new)
+        ).select("doc_a", "doc_b").localCheckpoint(storageLevel=_CKPT_LEVEL)
+
+    *_, within = run_parallel(_v1_comps, _v1_sigs, _within)
 
     # 2) incremental: star edges from the stored v1 + cross + within-batch;
     #    cross candidates probe the STORED signature table — the update's
@@ -169,9 +192,6 @@ def q239(spark, sf):
         threshold=0.5,
         shingles=sh_all,
         corpus_banded=read_current(spark, sig_store),
-    ).select("doc_a", "doc_b")
-    within = prefix_filter_jaccard_pairs(
-        batch, threshold=0.5, shingles=sh_all.where(sh_new)
     ).select("doc_a", "doc_b")
     comps_v2 = connected_components(
         star.unionByName(cross).unionByName(within), "doc_a", "doc_b"

@@ -34,7 +34,7 @@ from pyspark.sql.types import DecimalType
 from ..functions.rank import distributed_row_number, fractional_rank2
 from ..functions.text import tokens
 from ..functions.vectors import dot, norm
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _probe_oracle, q39, q40, q145, _BRUTE_TOPK_ORACLE, _lsh_oracle
 
 _DEC38 = DecimalType(38, 0)
@@ -261,7 +261,8 @@ def q213(spark, sf):
     the candidate relation comes from the ANN index (q40/q130) instead
     of the exact cross — the margin/mutual logic downstream of candidate
     generation is unchanged."""
-    emb = _t(spark, sf, "embeddings").select(
+    # _ts (r12): the norm fold + pair cosines are per-row heavy
+    emb = _ts(spark, sf, "embeddings").select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     a = emb.where(F.col("label") <= 1).select(
@@ -476,7 +477,8 @@ def q215(spark, sf):
     itself guarantees the long tail collapses onto few counts), never a
     single-partition window over the vocabulary; the moment reduction is
     one global aggregate."""
-    toks = _t(spark, sf, "documents").select(
+    # _ts (r12): fan the scan out below the tokenize
+    toks = _ts(spark, sf, "documents", "text").select(
         F.explode(tokens("text")).alias("tok")
     )
     v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -575,7 +577,8 @@ def q216(spark, sf):
     aggregate for the per-vector scalars; the label-keyed join of the
     two 10-row aggregates is trivially broadcast. An all-pairs
     formulation would be n²·d; this is the shape that survives 100 TB."""
-    e = _t(spark, sf, "embeddings").select(
+    # _ts (r12): the norm fold is per-row heavy — fan the scan out
+    e = _ts(spark, sf, "embeddings").select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     q = e.select(
@@ -1013,7 +1016,8 @@ def q220(spark, sf):
     relation. Pool size, not corpus size, is the only driver term."""
     import math
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): the cosine folds below are per-row heavy — fan out
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     qrow = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     rel = F.round(
         dot(F.col("qe"), F.col("embedding"))
@@ -1227,7 +1231,10 @@ def q222(spark, sf):
     (whitelisted BNLJ)."""
     import pandas as pd  # noqa: F401
 
-    toks = _t(spark, sf, "documents").select(F.explode(tokens("text")).alias("tok"))
+    # _ts (r12): fan the scan out below the tokenize
+    toks = _ts(spark, sf, "documents", "text").select(
+        F.explode(tokens("text")).alias("tok")
+    )
 
     k = _MG_K
 
@@ -1318,7 +1325,8 @@ def q223(spark, sf):
     (whitelisted BNLJ)."""
     from ..functions.text import STOPWORDS, marker_count
 
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): fan the scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
         "doc_id", "source", tokens("text").alias("ts")
     )
     s = d.select(
@@ -1411,7 +1419,10 @@ def q224(spark, sf):
     dedup family scans (q37/q163); hot grams skew only the intermediate
     agg, which partial aggregation absorbs (the q97 salting lever
     applies if a gram dominates a source)."""
-    d = _t(spark, sf, "documents").select("source", tokens("text").alias("ts"))
+    # _ts (r12): fan the scan out below the tokenize
+    d = _ts(spark, sf, "documents", "source", "text").select(
+        "source", tokens("text").alias("ts")
+    )
     branches = []
     for n in (1, 2, 3):
         if n == 1:

@@ -32,7 +32,7 @@ from ..operators.dedup import minhash_lsh_candidates, simhash64
 from ..operators.multimodal import attach_binary, extract_features
 from ..operators.similarity import hyperplanes, lsh_topk
 from ..functions.hashing import h60
-from .base import _t, query
+from .base import _t, _ts, query
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
@@ -48,7 +48,10 @@ _TOKS = r"string_split_regex(trim(text), '\s+')"
 )
 def q31(spark, sf):
     """Whitespace token counting — pure JVM split/size, no UDF."""
-    return _t(spark, sf, "documents").select("doc_id", token_count("text").alias("n_tokens"))
+    # _ts (r12): token_count tokenizes every text — fan the scan out
+    return _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
 
 
 _STOPS_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -65,7 +68,10 @@ _STOPS_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 def q32(spark, sf):
     """Quality scoring: token count, mean token length, stopword ratio —
     the standard cheap pre-filters for LLM corpus cleaning, all codegen'd."""
-    d = _t(spark, sf, "documents").select("doc_id", "text", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", "text", tokens("text").alias("ts")
+    )
     n = F.size("ts")
     return d.select(
         "doc_id",
@@ -103,7 +109,10 @@ def _marker_sql(markers: tuple[str, ...]) -> str:
 )
 def q33(spark, sf):
     """Heuristic n-gram/stopword language ID with deterministic argmax."""
-    d = _t(spark, sf, "documents").select("doc_id", "lang", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "lang", "text").select(
+        "doc_id", "lang", tokens("text").alias("ts")
+    )
     guess = lang_guess(F.col("ts"))
     return d.select(
         "doc_id", guess.alias("lang_guess"), (guess == F.col("lang")).alias("matches_label")
@@ -119,7 +128,10 @@ _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 )
 def q34(spark, sf):
     """Content fingerprint: md5 over whitespace-normalized lowercased text."""
-    return _t(spark, sf, "documents").select("doc_id", fingerprint("text").alias("fp"))
+    # _ts (r12): the fingerprint expression chain is per-row heavy
+    return _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -181,7 +193,10 @@ def exhaustive_jaccard_pairs(spark, sf):
     q98 (LSH-verified) and q163 (prefix-filtered exact, the production
     path) against; ``_JACCARD_EXACT_SQL`` remains those queries' shared
     DuckDB oracle."""
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     sh = docs.select("doc_id", F.explode(word_shingles(F.col("ts"), 3)).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -240,7 +255,10 @@ def q37(spark, sf):
     16 bands of 2 -> band-bucket equi-join). The md5 hash family is
     reproducible in DuckDB, so this gained a full value oracle in r2
     (previously rows-only under xxhash64)."""
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     return minhash_lsh_candidates(docs, num_hashes=32, bands=16)
 
 
@@ -266,7 +284,10 @@ def q128(spark, sf):
     oracle is q37's verbatim."""
     from ..operators.dedup import minhash_lsh_candidates_salted
 
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     return minhash_lsh_candidates_salted(docs, num_hashes=32, bands=16, n_salts=8)
 
 
@@ -339,7 +360,10 @@ def q153(spark, sf):
     downstream stages (operators/dedup.minhash_jaccard_estimates)."""
     from ..operators.dedup import minhash_jaccard_estimates
 
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     return minhash_jaccard_estimates(docs, num_hashes=32, bands=16)
 
 
@@ -419,7 +443,10 @@ def q38(spark, sf):
     (md5-based token hashes, deterministic across runs AND engines — the
     DuckDB oracle replays the bit votes, so even the Python escape hatch is
     value-checked; r1 had this as a rows-only row)."""
-    return _t(spark, sf, "documents").select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    # _ts (r12): the simhash pandas UDF runs once per partition
+    return _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", simhash64(F.col("text")).alias("simhash")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -470,7 +497,8 @@ def q39(spark, sf):
     Scale shape: queries broadcast (small side), corpus never shuffles for
     the join; per-query top-k is one window shuffle keyed by query_id. The
     LSH-bucketed variant (q40) is the 100 TB path."""
-    emb = _t(spark, sf, "embeddings").select(
+    # _ts (r12): per-row norm/cosine folds — fan the scan out
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     q = emb.where(F.col("vec_id") % 50 == 0).select(
@@ -541,7 +569,8 @@ def q40(spark, sf):
     The 100 TB ANN path: the corpus shuffles once by (band, bucket); no
     cross product. Deterministic planes make even this approximate operator
     oracle-checkable value-for-value."""
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     qs = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -675,7 +704,11 @@ def q53(spark, sf):
     SimHash table rotation) then verify exact Hamming on candidates. The
     md5-derived signatures are engine-reproducible, so r2 gave this a full
     value oracle (r1: rows-only)."""
-    docs = _t(spark, sf, "documents").select("doc_id", simhash64(F.col("text")).alias("sig"))
+    # _ts (r12): the simhash pandas UDF runs once per partition — spread
+    # the one-row-group scan so it parallelizes
+    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", simhash64(F.col("text")).alias("sig")
+    )
     chunks = docs.select(
         "doc_id", "sig",
         F.explode(F.array(*[
@@ -713,7 +746,8 @@ def q54(spark, sf):
     actually writes out. Self-join on the keeper set; at scale keepers are
     written once and the join is a broadcast of keep_ids per partition
     range (here: hash join on doc_id)."""
-    d = _t(spark, sf, "documents")
+    # _ts (r12): the fingerprint expression is per-row heavy — fan out
+    d = _ts(spark, sf, "documents")
     keep = (
         d.groupBy(fingerprint("text").alias("f"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -857,7 +891,8 @@ def q56(spark, sf):
     literals; the probe is an equi-join on cell id."""
     from ..operators.similarity import ivf_topk, kmeans_fit
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     cents = kmeans_fit(emb, k=8, max_iter=8)
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -877,7 +912,8 @@ def q62(spark, sf):
     """BPE-ish tokenization count: word-or-punctuation regex (the GPT-2-style
     pre-tokenizer shape) alongside the whitespace count. Both JVM regex —
     the cheap token-budget estimator for corpus planning."""
-    d = _t(spark, sf, "documents")
+    # _ts (r12): two per-row regex tokenizations — fan the scan out
+    d = _ts(spark, sf, "documents", "doc_id", "text")
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n_bpe_tokens"),
@@ -951,7 +987,9 @@ def q63(spark, sf):
     (exact int64 in both engines — r2's md5-per-position variant was the
     suite's worst bench regression), window-min via another transform."""
     k, w = _WINNOW_K, _WINNOW_W
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): the whole winnow chain is per-row expressions in the scan
+    # stage — single-task without the fanout (profiled 2.8 s)
+    d = _ts(spark, sf, "documents", "doc_id", "text").select(
         "doc_id", F.lower(F.regexp_replace("text", r"\s+", " ")).alias("s")
     )
     d2 = (
@@ -1095,7 +1133,10 @@ def q135(spark, sf):
     makes flipping a one-line change."""
     from ..functions.text import tokens
 
-    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     return _dup_spans(_gram_hashes(d))
 
 
@@ -1150,7 +1191,10 @@ def q137(spark, sf):
     from ..functions.text import tokens
 
     k = _SPAN_K
-    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     g = _gram_hashes(d)
     dup = (
         g.select("gh", "doc_id")
@@ -1244,36 +1288,28 @@ def q140(spark, sf):
     cov = (n·S_ij − S_i·S_j) / (n²·scale²) is one fixed IEEE expression
     over those exact sums, rounded to 8 — value-checkable cross-engine.
 
-    Scale shape: one generator explodes d(d+1)/2 = 2,080 product terms
-    per row; map-side partial aggregation collapses them to 2,080 groups
-    per partition before the single narrow exchange — the classic
-    one-pass covariance, no centering pre-pass (the mean is folded in
-    algebraically), no driver state beyond the 2,080-row result."""
-    from pyspark.sql.types import DecimalType
+    Scale shape (r12 optimization, guide §4.2): the exact sums now come
+    from the q142 kernel partials (``_cov_partials`` — one exact int64
+    ``X'X`` + column-sum + count per Arrow batch, 2,145 narrow partial
+    rows per BATCH instead of 2,080 exploded terms per ROW, DECIMAL(38,0)
+    cross-partition merge). Value-identical BY CONSTRUCTION — integer
+    partials sum to the SAME exact integers the Column fold computed
+    (the q142 docstring's twin contract), so the oracle is untouched.
+    The exploded-generator formulation cost 2,080 interpreted struct
+    builds per row in a single-task stage (r12 profile: 4.2 s vs the
+    kernel's 0.5 s); its measurement survives in q142's docstring. The
+    final cov expression is unchanged — one fixed IEEE expression over
+    exact sums, rounded to 8."""
+    from ..operators.similarity import QUANT_SCALE
 
-    from ..operators.similarity import QUANT_SCALE, quantize_vec
-
-    d = _COV_DIM
-    q = _t(spark, sf, "embeddings").select(quantize_vec(F.col("embedding")).alias("qv"))
-    terms = q.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(1, {d}), "
-                f"i -> transform(sequence(i, {d}), "
-                f"j -> struct(i AS i, j AS j, element_at(qv, i) * element_at(qv, j) AS p))))"
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p")
-    sij = terms.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast(DecimalType(38, 0))).alias("s2")
+    partials = _cov_partials(spark, sf)
+    sij = partials.where(F.col("j") > 0).select("i", "j", F.col("s").alias("s2"))
+    si = partials.where((F.col("j") == 0) & (F.col("i") > 0)).select(
+        "i", F.col("s").alias("s1")
     )
-    si = (
-        q.select(F.posexplode("qv").alias("pos0", "x"))
-        .select((F.col("pos0") + 1).alias("i"), "x")
-        .groupBy("i")
-        .agg(F.sum(F.col("x").cast(DecimalType(18, 0))).alias("s1"))
+    nn = partials.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("s").cast("long").alias("n")
     )
-    nn = q.agg(F.count(F.lit(1)).alias("n"))
     a = si.select(F.col("i"), F.col("s1").alias("sa"))
     b = si.select(F.col("i").alias("j"), F.col("s1").alias("sb"))
     nd = F.col("n").cast("double")
@@ -1321,9 +1357,12 @@ def _cov_partials(spark, sf):
             out_s = np.concatenate([M[iu, ju], s1, [len(X)]])
             yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
 
+    from ..functions.parallelism import spread
+
     return (
-        _t(spark, sf, "embeddings")
-        .select("embedding")
+        # spread (r12): one partition in = one X'X kernel task; fan the
+        # single-row-group scan out so the matmul parallelizes
+        spread(_t(spark, sf, "embeddings").select("embedding"))
         .mapInPandas(part, "i int, j int, s long")
         .groupBy("i", "j")
         .agg(F.sum(F.col("s").cast(DecimalType(38, 0))).alias("s"))
@@ -1475,7 +1514,10 @@ def q141(spark, sf):
     v = _pca_power_components(spark, sf, 1)[0]
     comp = F.array(*[F.lit(x) for x in v])
     proj = F.round(dot(F.col("embedding"), comp), 6)
-    return _t(spark, sf, "embeddings").select("vec_id", proj.alias("proj"))
+    # _ts (r12): the projection fold is per-row heavy — fan out
+    return _ts(spark, sf, "embeddings", "vec_id", "embedding").select(
+        "vec_id", proj.alias("proj")
+    )
 
 
 def _half_away(x: float, nd: int) -> float:
@@ -1565,7 +1607,8 @@ def q143(spark, sf):
     v1, v2 = _pca_power_components(spark, sf, 2)
     c1 = F.array(*[F.lit(x) for x in v1])
     c2 = F.array(*[F.lit(x) for x in v2])
-    return _t(spark, sf, "embeddings").select(
+    # _ts (r12): two 64-dim projection folds per row — fan out
+    return _ts(spark, sf, "embeddings", "vec_id", "embedding").select(
         "vec_id",
         F.round(dot(F.col("embedding"), c1), 6).alias("proj1"),
         F.round(dot(F.col("embedding"), c2), 6).alias("proj2"),
@@ -1671,7 +1714,10 @@ def q145(spark, sf):
     recall note)."""
     from ..operators.probe import logreg_probe_fit, logreg_probe_score, probe_features
 
-    feats = probe_features(_t(spark, sf, "embeddings")).localCheckpoint()
+    # _ts (r12): feats checkpoints with the scan's partitioning — spread
+    # first or all 8 GD aggregate iterations run single-task (the whole
+    # q211/q212/q218/q221/q225 probe family reads this checkpoint)
+    feats = probe_features(_ts(spark, sf, "embeddings")).localCheckpoint()
     w = logreg_probe_fit(feats)
     return logreg_probe_score(feats, w)
 
@@ -1742,12 +1788,22 @@ def q146(spark, sf):
     within-cell narrow-row pairs; production scales k with the corpus
     (SemDeDup uses 50k clusters for LAION) so cells stay bounded; a hot
     cell is the q128 skew class, same salting applies. See
-    operators/similarity.semantic_dedup_cells."""
+    operators/similarity.semantic_dedup_cells.
+
+    r12 optimization (guide §4): assignment now runs through the int64
+    numpy kernel (``assign_cells_vectorized``) — value-identical to the
+    Column fold BY CONSTRUCTION (exact integer dots, same argmax tie
+    rule; the q142 twin contract), so the oracle is untouched. The
+    interpreted 64-centroid x 64-dim fold cannot codegen and cost ~2 s of
+    single-task execution plus ~6 s of driver plan analysis of its
+    4096-literal expression tree per run (r12 profile); the
+    fold-vs-kernel contrast measurement is preserved in SCALE_NOTES."""
     from ..operators.similarity import kmeans_fit, semantic_dedup_cells
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     cents = kmeans_fit(emb, k=_SEMDEDUP_K, max_iter=8)
-    return semantic_dedup_cells(emb, cents, threshold=_SEMDEDUP_TAU)
+    return semantic_dedup_cells(emb, cents, threshold=_SEMDEDUP_TAU, vectorized=True)
 
 
 @query(
@@ -1768,7 +1824,8 @@ def q147(spark, sf):
     it value-for-value (not a rows-only twin)."""
     from ..operators.similarity import kmeans_fit, semantic_dedup_cells
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     cents = kmeans_fit(emb, k=_SEMDEDUP_K, max_iter=8)
     return semantic_dedup_cells(emb, cents, threshold=_SEMDEDUP_TAU, vectorized=True)
 
@@ -1811,7 +1868,8 @@ def q148(spark, sf):
     no window, no join, no driver state."""
     from pyspark.sql.types import DecimalType
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    # _ts (r12): the char explode is per-row heavy — fan the scan out
+    d = _ts(spark, sf, "documents", "doc_id", "text")
     ch = d.select("doc_id", F.explode(F.split("text", "")).alias("ch")).where(
         F.col("ch") != ""
     )
@@ -1883,7 +1941,8 @@ def q139(spark, sf):
     from ..functions.text import tokens
 
     k = _SPAN_K
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "text").select(
         "doc_id",
         (F.expr(_INC_HASH) >= 800).alias("is_new"),
         tokens("text").alias("ts"),
@@ -1961,7 +2020,8 @@ def q138(spark, sf):
     streaming ingestion scorer (operators/lm.py)."""
     from ..operators.lm import lm_fit, lm_pairs, lm_score_pairs
 
-    d = _t(spark, sf, "documents")
+    # _ts (r12): lm_pairs tokenizes every text — fan the scan out
+    d = _ts(spark, sf, "documents")
     pairs = lm_pairs(d).localCheckpoint()
     bg, ug, v = lm_fit(d, pairs=pairs)
     return lm_score_pairs(pairs, bg, ug, v)
@@ -2033,7 +2093,8 @@ def q144(spark, sf):
     SURVEY §2.6.)"""
     from ..operators.lm import lm_dsir_score_pairs, lm_fit, lm_pairs
 
-    d = _t(spark, sf, "documents")
+    # _ts (r12): lm_pairs tokenizes every text — fan the scan out
+    d = _ts(spark, sf, "documents")
     pairs = lm_pairs(d).localCheckpoint()
     raw = lm_fit(d, pairs=pairs)
     target = lm_fit(d.where(F.col("lang") == _DSIR_TARGET_LANG))
@@ -2083,7 +2144,8 @@ def q100(spark, sf):
     deterministic planes keep it value-checkable like q40."""
     from ..operators.similarity import lsh_dup_pairs
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     return lsh_dup_pairs(emb, threshold=0.45, planes=_PLANES, bands=2)
 
 
@@ -2097,7 +2159,8 @@ def q64(spark, sf):
     pre-round — corpus-verified identical at gate and stress scale."""
     from ..operators.similarity import brute_force_topk_vectorized
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     qs = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -2112,7 +2175,8 @@ def q65(spark, sf):
     (same twin contract as q39/q64)."""
     from ..operators.similarity import blocked_dup_pairs_vectorized
 
-    emb = _t(spark, sf, "embeddings")
+    # _ts (r12): fan the scan out for the per-block BLAS kernel
+    emb = _ts(spark, sf, "embeddings")
     return blocked_dup_pairs_vectorized(emb, threshold=0.45, block_col="label")
 
 
@@ -2136,7 +2200,10 @@ def q66(spark, sf):
     Pure Column expressions: token array -> arithmetic start sequence ->
     posexplode -> slice+concat per chunk; one generator, no shuffle at all
     (verified NO Exchange in the plan — chunking is map-side)."""
-    d = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     ch = d.select(
         "doc_id", "ts",
         F.posexplode(F.expr(f"sequence(1, size(ts), {_STEP})")).alias("chunk_idx", "start"),
@@ -2239,7 +2306,8 @@ def q104(spark, sf):
     tests/test_dedup_similarity.py)."""
     from ..operators.similarity import quantized_int8_topk
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     qs = emb.where(F.expr(_Q_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -2290,7 +2358,10 @@ def q107(spark, sf):
     vocab materialization is needed to MAINTAIN the sketch (the exact
     counts here exist only to report estimation error; a production run
     would probe candidates from a per-partition local top-k instead)."""
-    toks = _t(spark, sf, "documents").select(F.explode(tokens("text")).alias("tok"))
+    # _ts (r12): fan the scan out below the tokenize
+    toks = _ts(spark, sf, "documents", "text").select(
+        F.explode(tokens("text")).alias("tok")
+    )
     # sketch maintenance: one pass over occurrences, <=1024 cells out
     occ = None
     for d in range(_CMS_D):
@@ -2372,7 +2443,8 @@ def q109(spark, sf):
     rule."""
     from ..operators.similarity import quantized_int8_topk_vectorized
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     qs = emb.where(F.expr(_Q_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -2426,7 +2498,8 @@ def q157(spark, sf):
     Vocabulary selection is a TakeOrderedAndProject over the token
     doc-frequency agg; every count is an exact int and the single
     ln/division tree is identical in both engines."""
-    d = _t(spark, sf, "documents")
+    # _ts (r12): fan the scan out below the tokenize
+    d = _ts(spark, sf, "documents")
     tk = d.select("doc_id", F.explode(tokens("text")).alias("tok")).distinct()
     dfreq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
     vocab = dfreq.orderBy(F.desc("d"), F.asc("tok")).limit(_PMI_V)

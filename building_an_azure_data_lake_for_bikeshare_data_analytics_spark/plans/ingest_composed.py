@@ -73,7 +73,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import H60_SQL
 from ..functions.text import tokens
-from .base import _t, query
+from .base import _t, _ts, query
 from .census_maintenance import _CK, _census_state
 from .packing import _NSHARDS, _SEQ_CAP
 from .decontamination import _MAINT_DECON_SQL
@@ -204,110 +204,166 @@ def q252(spark, sf):
         register_cleanup(p)
 
     # THE shared scan: documents read + tokenized once, materialized;
-    # every text-side relation below derives from this checkpoint
+    # every text-side relation below derives from this checkpoint.
+    # spread (r12): fan the one-row-group scan out BELOW the tokenize so
+    # the shared tokenize pass runs wide, not as one task
+    from ..functions.parallelism import run_parallel, spread
+
     d = (
-        _t(spark, sf, "documents")
+        spread(_t(spark, sf, "documents").select("doc_id", "source", "text", "n_chars"))
         .select("doc_id", "source", "text", "n_chars", tokens("text").alias("ts"))
         .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     is_new = _doc_hash() >= 800
     corpus_d, batch_d = d.where(~is_new), d.where(is_new)
-
-    # ---- v1 builds (corpus side of the shared relation; paid once) ----
-    write_version(
-        banded_signature_table(
-            shingles=shingle_sets(corpus_d.select("doc_id", "ts"), 3)
-        ),
-        sig_s,
-        partition_by=["band"],
-    )
-    tf1, dl1 = index_rows_from_tokens(corpus_d.select("doc_id", "ts"))
-    write_version(tf1, tf_s, partition_by=["tok_bucket"])
-    write_version(dl1, dl_s, partition_by=["hb"])
-    write_version(
-        bench_shingle_table(d.select("doc_id", "source", "ts"), BENCHMARKS),
-        dec_s,
-        partition_by=["benchmark"],
-    )
-    # packed-sequence store (q258's artifact): v1 pack of the corpus side,
-    # token counts from the SHARED tokenized scan (size(ts) — no re-tokenize)
-    write_version(
-        packing_manifest(
-            corpus_d.select("doc_id", F.size("ts").alias("n_toks")),
-            with_doc_bounds=True,
-        ),
-        pk_s,
-        partition_by=["shard"],
-    )
-    # span store (q260's artifact, the SEVENTH class): same shared token
-    # counts, same arrival-order pack — the loader-facing slices
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
+    vec_new = _vec_hash() >= 800
     from .packing import packing_spans
 
-    write_version(
-        packing_spans(corpus_d.select("doc_id", F.size("ts").alias("n_toks"))),
-        sp_s,
-        partition_by=["shard"],
-    )
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    vec_new = _vec_hash() >= 800
-    cents = kmeans_fit(emb.where(~vec_new), k=8, max_iter=8)
-    write_version(assign_cells(emb.where(~vec_new), cents), ivf_s, partition_by=["cell"])
-    write_version(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<bigint>"
-        ),
-        cen_s,
+    # ---- v1 builds (corpus side of the shared relation; paid once).
+    # r12 optimization (guide §2.6): the seven v1 artifacts live in
+    # SEPARATE stores with independent lineages off the one shared
+    # checkpoint, yet each write_version is a driver-blocking action —
+    # serially, the head paid every job's planning/commit tail with 31
+    # cores idle. run_parallel overlaps them; store contents, versions,
+    # and the returned census are unchanged. The batch's tagged shingle
+    # checkpoint joins the same pool (it depends only on d).
+    tf1, dl1 = index_rows_from_tokens(corpus_d.select("doc_id", "ts"))
+
+    def _b_sig():
+        write_version(
+            banded_signature_table(
+                shingles=shingle_sets(corpus_d.select("doc_id", "ts"), 3)
+            ),
+            sig_s,
+            partition_by=["band"],
+        )
+
+    def _b_tf():
+        write_version(tf1, tf_s, partition_by=["tok_bucket"])
+
+    def _b_dl():
+        write_version(dl1, dl_s, partition_by=["hb"])
+
+    def _b_dec():
+        write_version(
+            bench_shingle_table(d.select("doc_id", "source", "ts"), BENCHMARKS),
+            dec_s,
+            partition_by=["benchmark"],
+        )
+
+    def _b_pk():
+        # packed-sequence store (q258's artifact): v1 pack of the corpus
+        # side, token counts from the SHARED tokenized scan (size(ts) —
+        # no re-tokenize)
+        write_version(
+            packing_manifest(
+                corpus_d.select("doc_id", F.size("ts").alias("n_toks")),
+                with_doc_bounds=True,
+            ),
+            pk_s,
+            partition_by=["shard"],
+        )
+
+    def _b_sp():
+        # span store (q260's artifact, the SEVENTH class): same shared
+        # token counts, same arrival-order pack — the loader-facing slices
+        write_version(
+            packing_spans(corpus_d.select("doc_id", F.size("ts").alias("n_toks"))),
+            sp_s,
+            partition_by=["shard"],
+        )
+
+    def _b_ivf():
+        cents = kmeans_fit(emb.where(~vec_new), k=8, max_iter=8)
+        write_version(
+            assign_cells(emb.where(~vec_new), cents), ivf_s, partition_by=["cell"]
+        )
+        write_version(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cell int, centroid array<bigint>",
+            ),
+            cen_s,
+        )
+
+    def _b_tagged():
+        # The batch's multi-size tagged shingle relation is ALSO shared:
+        # corpus_shingles carries every requested n-gram size, and its
+        # n=3 slice IS shingle_sets' relation (same word_shingles
+        # expression, per-doc distinct) — one shingle explode feeds both
+        # the signature append and the decontamination screen
+        return corpus_shingles(batch_d.select("doc_id", "source", "ts")).localCheckpoint(
+            storageLevel=_CKPT_LEVEL
+        )
+
+    *_, tagged_b = run_parallel(
+        _b_sig, _b_tf, _b_dl, _b_dec, _b_pk, _b_sp, _b_ivf, _b_tagged
     )
 
     # ---- the composed batch update: every append derives from the ONE
     #      shared batch-side relation (plus one embeddings-batch scan).
-    #      The batch's multi-size tagged shingle relation is ALSO shared:
-    #      corpus_shingles carries every requested n-gram size, and its
-    #      n=3 slice IS shingle_sets' relation (same word_shingles
-    #      expression, per-doc distinct) — one shingle explode feeds both
-    #      the signature append and the decontamination screen ----
-    tagged_b = corpus_shingles(
-        batch_d.select("doc_id", "source", "ts")
-    ).localCheckpoint(storageLevel=_CKPT_LEVEL)
-    v_sig = append_version(
-        banded_signature_table(
-            shingles=tagged_b.where(F.col("n") == 3).select(
-                "doc_id", F.col("sh").alias("shingle")
-            )
-        ),
-        sig_s,
-        partition_by=["band"],
-    )
+    #      The six appends hit six DIFFERENT stores — same independence
+    #      argument as the v1 pool, so they overlap too. ----
     tf_b, dl_b = index_rows_from_tokens(batch_d.select("doc_id", "ts"))
-    v_tf = append_version(tf_b, tf_s, partition_by=["tok_bucket"])
-    v_dl = append_version(dl_b, dl_s, partition_by=["hb"])
-    stored_cents = [
-        [int(x) for x in r["centroid"]]
-        for r in read_current(spark, cen_s).orderBy("cell").collect()
-    ]
-    v_ivf = append_version(
-        assign_cells(emb.where(vec_new), stored_cents), ivf_s, partition_by=["cell"]
-    )
-    # packed store: the batch's contribution rows continue each shard's
-    # cumsum from the STORED offsets through the race-safe derived append
-    # (expected_base CAS + bounded re-derive). require_monotone=False:
-    # THIS head's arrival order is corpus-then-batch by a doc HASH split
-    # (the oracle packs ORDER BY isnew, doc_id), so batch doc_ids
+
+    def _a_sig():
+        return append_version(
+            banded_signature_table(
+                shingles=tagged_b.where(F.col("n") == 3).select(
+                    "doc_id", F.col("sh").alias("shingle")
+                )
+            ),
+            sig_s,
+            partition_by=["band"],
+        )
+
+    def _a_tf():
+        return append_version(tf_b, tf_s, partition_by=["tok_bucket"])
+
+    def _a_dl():
+        return append_version(dl_b, dl_s, partition_by=["hb"])
+
+    def _a_ivf():
+        stored_cents = [
+            [int(x) for x in r["centroid"]]
+            for r in read_current(spark, cen_s).orderBy("cell").collect()
+        ]
+        return append_version(
+            assign_cells(emb.where(vec_new), stored_cents),
+            ivf_s,
+            partition_by=["cell"],
+        )
+
+    # packed/span stores: the batch's contribution rows continue each
+    # shard's cumsum from the STORED offsets through the race-safe derived
+    # append (expected_base CAS + bounded re-derive). require_monotone=
+    # False: THIS head's arrival order is corpus-then-batch by a doc HASH
+    # split (the oracle packs ORDER BY isnew, doc_id), so batch doc_ids
     # legitimately interleave the corpus's — the pack is of arrival
-    # order, exactly what the oracle certifies
+    # order, exactly what the oracle certifies. Two more independent
+    # stores — same overlap pool as the other appends.
     from .packed_store import packed_append, span_append
 
-    v_pk = packed_append(
-        spark,
-        pk_s,
-        batch_d.select("doc_id", F.size("ts").alias("n_toks")),
-        require_monotone=False,
-    )
-    v_sp = span_append(
-        spark,
-        sp_s,
-        batch_d.select("doc_id", F.size("ts").alias("n_toks")),
-        require_monotone=False,
+    def _a_pk():
+        return packed_append(
+            spark,
+            pk_s,
+            batch_d.select("doc_id", F.size("ts").alias("n_toks")),
+            require_monotone=False,
+        )
+
+    def _a_sp():
+        return span_append(
+            spark,
+            sp_s,
+            batch_d.select("doc_id", F.size("ts").alias("n_toks")),
+            require_monotone=False,
+        )
+
+    v_sig, v_tf, v_dl, v_ivf, v_pk, v_sp = run_parallel(
+        _a_sig, _a_tf, _a_dl, _a_ivf, _a_pk, _a_sp
     )
     # census state the batch contributes to the q250 merge
     stats_b, kmv_b = _census_state(batch_d.select("doc_id", "source", "text", "n_chars"))

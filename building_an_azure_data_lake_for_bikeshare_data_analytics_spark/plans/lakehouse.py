@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 from pyspark.sql.window import Window
 
-from .base import _t, query
+from .base import _t, _ts, query
 
 # --------------------------------------------------------------------------
 # q149 — CDC merge/upsert without shuffling the base table
@@ -866,7 +866,8 @@ def q199(spark, sf):
     lexr = lex100.select(
         "doc_id", F.row_number().over(wl).cast("int").alias("bm25_rank")
     )
-    emb = _t(spark, sf, "embeddings").select(
+    # _ts (r12): per-row norm folds — fan the scan out
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     qv = emb.where(F.col("vec_id") == 0).select(

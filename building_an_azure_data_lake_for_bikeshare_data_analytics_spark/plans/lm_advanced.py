@@ -19,7 +19,7 @@ from pyspark.sql.types import DecimalType
 from ..functions.rank import distributed_row_number, exact_ntile
 from ..functions.text import tokens
 from ..operators.lm import lm_fit_kn, lm_pairs, lm_score_pairs_kn
-from .base import _t, query
+from .base import _t, _ts, query
 
 #: the q206 model-fit + scoring pipeline as a DuckDB CTE prefix, shared by
 #: q206 (per-doc scores) and q209 (bucketed corpus split) so the two oracles
@@ -73,7 +73,8 @@ def q206(spark, sf):
     relation (metadata-scale); scoring joins are keyed (w1,w2)/w1/w2 and
     ``nbig`` is the one whitelisted 1-row broadcast scalar. No driver
     state, no per-group sort — the petabyte n-gram-filter shape."""
-    d = _t(spark, sf, "documents")
+    # _ts (r12): lm_pairs tokenizes every text — fan the scan out
+    d = _ts(spark, sf, "documents")
     pairs = lm_pairs(d).localCheckpoint()
     bg, fw, bw, nb = lm_fit_kn(pairs)
     return lm_score_pairs_kn(pairs, bg, fw, bw, nb)
@@ -122,7 +123,8 @@ def q209(spark, sf):
     extra vocab... doc-bounded rank (serial pass only over distinct
     coarse buckets) and a 1-row doc-count broadcast (whitelisted). No
     global sort, no all-pairs, nothing quadratic."""
-    d = _t(spark, sf, "documents")
+    # _ts (r12): same fanout as q206
+    d = _ts(spark, sf, "documents")
     pairs = lm_pairs(d).localCheckpoint()
     bg, fw, bw, nb = lm_fit_kn(pairs)
     # three consumers (rank's bucket counts, its join-back, the n scalar)
@@ -207,7 +209,8 @@ def q208(spark, sf):
     downstream is vocab-bounded; the 5-row size spine and 1-row total are
     the whitelisted broadcast scalars (fan-out x5 on the vocab relation,
     never on the corpus)."""
-    d = _t(spark, sf, "documents")
+    # _ts (r12): fan the scan out below the tokenize
+    d = _ts(spark, sf, "documents")
     toks = d.select(F.explode(tokens("text")).alias("token"))
     c = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     r = distributed_row_number(

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _TOKS
 from .packing import (
     _NSHARDS,
@@ -172,7 +172,8 @@ def q262(spark, sf):
     a green row certifies the DISTRIBUTED two-phase rank (bucketed
     window + broadcast offsets) reproduces the exact global order —
     every data-parallel worker can derive its slice independently."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    # _ts (r12): the manifest tokenizes every text — fan the scan out
+    docs = _ts(spark, sf, "documents", "doc_id", "text")
     man = packing_manifest(docs)
     out = loader_schedule(man, _EPOCHS[0])
     for e in _EPOCHS[1:]:
@@ -192,7 +193,7 @@ def q263(spark, sf):
     non-tail sequence to the cap): the numbers a loader uses to
     pre-allocate device batches. One hash-agg over the q262 relation
     joined to the manifest fills."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf, "documents", "doc_id", "text")
     man = packing_manifest(docs)
     sched = loader_schedule(man, _EPOCHS[0])
     for e in _EPOCHS[1:]:
@@ -341,5 +342,5 @@ def q264(spark, sf):
     from scratch single-node, so a green row certifies that a worker
     resolving (epoch, step) through the distributed plan reads exactly
     the bytes the seeded global order names."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf, "documents", "doc_id", "text")
     return fetch_steps(docs, _FETCH_EPOCH, _FETCH_STEPS)

@@ -68,7 +68,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _TOKS
 from .packing import (
     _NSHARDS,
@@ -202,7 +202,8 @@ def q258(spark, sf):
     subject."""
     from ..sources.versioned import register_cleanup, vacuum
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    # _ts (r12): token counts tokenize every text — fan the scan out
+    docs = _ts(spark, sf, "documents", "doc_id", "text")
     # monotone split: batch docs follow corpus docs in every shard's
     # doc_id order (arrival order in a deployment). Bounded collect: 1 row.
     thr = docs.agg((F.max("doc_id") * 4).cast("bigint")).first()[0] // 5
@@ -289,7 +290,7 @@ def q260(spark, sf):
     eager store construction as q258."""
     from ..sources.versioned import register_cleanup, vacuum
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf, "documents", "doc_id", "text")
     thr = docs.agg((F.max("doc_id") * 4).cast("bigint")).first()[0] // 5
     store = os.path.join(
         tempfile.gettempdir(),
@@ -413,7 +414,7 @@ def q261(spark, sf):
     construction as q258/q260."""
     from ..sources.versioned import register_cleanup, vacuum
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf, "documents", "doc_id", "text")
     thr = docs.agg((F.max("doc_id") * 4).cast("bigint")).first()[0] // 5
     store = os.path.join(
         tempfile.gettempdir(),

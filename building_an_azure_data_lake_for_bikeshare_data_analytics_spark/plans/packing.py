@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import token_count
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _TOKS
 
 #: tokens per packed training sequence
@@ -289,7 +289,8 @@ def q253(spark, sf):
     many docs contribute and the exact token fill. Every sequence except
     each shard's tail must fill to _SEQ_CAP — pinned in
     tests/test_packing.py; here the manifest itself is the output."""
-    return packing_manifest(_t(spark, sf, "documents").select("doc_id", "text"))
+    # _ts (r12): the manifest tokenizes every text — fan the scan out
+    return packing_manifest(_ts(spark, sf, "documents", "doc_id", "text"))
 
 
 #: the q254 rate-derivation CTEs (tok, g, rate) — shared verbatim by the
@@ -399,7 +400,7 @@ def q254(spark, sf):
     budget, plus the doc/token counts the threshold actually keeps.
     Columns: source, rate_e6, n_docs, n_tokens."""
     return mixture_summary(
-        _t(spark, sf, "documents").select("doc_id", "source", "text")
+        _ts(spark, sf, "documents", "doc_id", "source", "text")
     )
 
 
@@ -487,7 +488,7 @@ def q255(spark, sf):
     their weighted target exceeds their tokens). Columns: source,
     epochs, rem_rate_e6, n_docs_rem, n_tokens_planned."""
     return repetition_plan(
-        _t(spark, sf, "documents").select("doc_id", "source", "text")
+        _ts(spark, sf, "documents", "doc_id", "source", "text")
     )
 
 
@@ -517,7 +518,7 @@ def q256(spark, sf):
     from .census_maintenance import _census_state, _merge_stats
     from .training import _doc_hash
 
-    docs = _t(spark, sf, "documents").select("doc_id", "source", "text", "n_chars")
+    docs = _ts(spark, sf, "documents", "doc_id", "source", "text", "n_chars")
     is_new = _doc_hash() >= 800
     store = os.path.join(
         tempfile.gettempdir(),
@@ -568,7 +569,7 @@ def q257(spark, sf):
     offsets. The oracle composes the two SQL twins verbatim (rate CTEs
     -> kept CTE -> window cumsum). Columns: shard, seq_id, n_docs,
     fill."""
-    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    docs = _ts(spark, sf, "documents", "doc_id", "source", "text")
     return packing_manifest(mixture_kept(docs).select("doc_id", "text"))
 
 
@@ -644,4 +645,4 @@ def q267(spark, sf):
     First boundary is always 0; consecutive-diff of the layout plus
     the tail equals the per-piece n_span list, so fill reconciles
     exactly — both pinned in tests."""
-    return packed_boundaries(_t(spark, sf, "documents").select("doc_id", "text"))
+    return packed_boundaries(_ts(spark, sf, "documents", "doc_id", "text"))

@@ -66,7 +66,7 @@ from pyspark.sql.types import DecimalType
 from ..functions.hashing import h60
 from ..functions.text import normalized_text
 from ..sources.readers import load_star
-from .base import _t, query
+from .base import _t, _ts, query
 
 # ---------------------------------------------------------------------------
 # q169 — HyperLogLog with value-checkable registers
@@ -286,7 +286,9 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     via a single expand), then a ``stack`` unpivots the 1-row wide result
     into long format driver-free. No per-column rescans: profiling a
     100 TB table costs one pass."""
-    o = _t(spark, sf, "orders")
+    # _ts (r12): the 6x4-statistic hash-agg (countDistinct expand) is
+    # per-row heavy and ran single-task off the one-row-group scan
+    o = _ts(spark, sf, "orders")
     aggs = []
     for c, is_dec in _PROFILE_COLS:
         aggs += [
@@ -882,7 +884,8 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # _ts (r12): fan the one-row-group scan out — per-row vector math
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
     return emb.mapInPandas(kernel, "vec_id BIGINT, j INT, y BIGINT").orderBy(
         "vec_id", "j"
     )
@@ -1436,8 +1439,16 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
     map-side-combinable partial sums on (doc_a, doc_b). Narrow columns
     through the self-join (the measured q36 negative result)."""
     docs = _t(spark, sf, "documents")
+    # spread (r12 profile: the two tokenize legs ran 8.0 s / 7.5 s as
+    # single tasks off the one-row-group scan); narrow select first so
+    # the exchange ships (doc_id, text) only and ReadSchema stays pruned
+    from ..functions.parallelism import spread
+
+    docs_spread = spread(docs.select("doc_id", "text"))
     toks = (
-        docs.select("doc_id", F.split(normalized_text("text"), " ").alias("ts"))
+        docs_spread.select(
+            "doc_id", F.split(normalized_text("text"), " ").alias("ts")
+        )
         .where(F.size("ts") >= 3)
         .select(
             "doc_id",
@@ -1722,7 +1733,8 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
     (q145's own posture)."""
     from ..operators.probe import logreg_probe_fit, logreg_probe_score, probe_features
 
-    emb = _t(spark, sf, "embeddings")
+    # _ts (r12): same fanout as q145 — the GD iterations read this
+    emb = _ts(spark, sf, "embeddings")
     feats = probe_features(emb).localCheckpoint()
     w = logreg_probe_fit(feats)
     scored = logreg_probe_score(feats, w)

@@ -43,7 +43,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _SHINGLES_SQL
 from .training import _HASH_SQL, _doc_hash
 
@@ -100,7 +100,10 @@ def q245(spark, sf):
         write_version,
     )
 
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     store = _store_path(spark)
     register_cleanup(store)
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _TOKS
 
 #: fraction of docs FIM-transformed, in 1e-6 units against the e6 doc
@@ -128,7 +128,8 @@ def q266(spark, sf):
     emitted token stream, so a green row certifies the transform
     byte-for-byte. Per-row expressions only — the plan's single
     exchange is the presentation sort."""
-    return fim_transform(_t(spark, sf, "documents").select("doc_id", "text"))
+    # _ts (r12): the span corruption tokenizes + re-slices every text
+    return fim_transform(_ts(spark, sf, "documents", "doc_id", "text"))
 
 
 # --------------------------------------------------------------------------
@@ -261,4 +262,4 @@ def q268(spark, sf):
     against the oracle's replay. The k-span generalization of q266's
     single-pivot FIM, same zero-shuffle per-row plan (fixed span cap
     unrolls as conditional concat — no explode, no text movement)."""
-    return ul2_denoise(_t(spark, sf, "documents").select("doc_id", "text"))
+    return ul2_denoise(_ts(spark, sf, "documents", "doc_id", "text"))

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .base import _t, query
+from .base import _t, _ts, query
 from .curation import _bpe_fit_ctes
 from ..operators.bpe import L as _L, R as _R
 
@@ -108,10 +108,12 @@ def q235(spark, sf):
 
     d = _t(spark, sf, "documents")
     merges = bpe_fit(d.select("text"), n_merges=8, top_words=1000)
+    # _ts (r12): the per-word roundtrip_flags expressions dominated the
+    # head as one task (2.4 s single-task stage profiled) — fan out the
+    # scan below the explode
     words = (
-        d.select(
-            "source", F.explode(tokens(F.lower(F.col("text")))).alias("word")
-        )
+        _ts(spark, sf, "documents", "source", "text")
+        .select("source", F.explode(tokens(F.lower(F.col("text")))).alias("word"))
         .where(F.col("word") != "")
     )
     enc_flag, rt_ok, n_sym = roundtrip_flags(F.col("word"), merges)

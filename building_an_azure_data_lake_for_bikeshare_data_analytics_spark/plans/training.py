@@ -30,7 +30,7 @@ from ..functions.agg import exact_sum
 from ..functions.text import EMAIL_RE, PHONE_RE, redact_pii, token_count, tokens, word_shingles
 from ..operators.graph import connected_components
 from ..functions.hashing import h60
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _SHINGLES_SQL
 
 # toy multiplicative hash (Knuth 2654435761), mod-reduced first so the
@@ -178,7 +178,10 @@ def q74(spark, sf):
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = _t(spark, sf, "documents").select("doc_id", "source", token_count("text").alias("n_tok"))
+    # _ts (r12): token_count tokenizes every text — fan the scan out
+    t = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
     c = t.withColumn("cum", F.sum("n_tok").over(w))
     bin_id = F.floor((F.col("cum") - F.col("n_tok")) / 512).cast("int")
     return (
@@ -208,8 +211,9 @@ def q75(spark, sf):
     unit tests in tests/test_training.py prove the patterns fire on real
     PII shapes.)"""
     red = redact_pii("text")
+    # _ts (r12): the PII regex battery is per-row heavy — fan the scan out
     return (
-        _t(spark, sf, "documents")
+        _ts(spark, sf, "documents", "source", "text")
         .select("source", "text", red.alias("red"))
         .groupBy("source")
         .agg(
@@ -245,7 +249,10 @@ def q76(spark, sf):
     distinct shingle set is small → broadcast, so the corpus-side scan is
     a map-only probe (no shuffle of the big side) — the shape that holds
     at 100 TB with a fixed benchmark suite."""
-    d = _t(spark, sf, "documents").select("doc_id", "source", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
+        "doc_id", "source", tokens("text").alias("ts")
+    )
     sh = d.select("doc_id", "source", F.explode(word_shingles(F.col("ts"), 5)).alias("sh"))
     bench = sh.where(F.col("source") == "src0").select("sh").distinct()
     cont = (
@@ -478,7 +485,10 @@ def q83(spark, sf):
     tiny aggregates broadcast back over the term-frequency table; the
     double expression tree is identical in both engines so ordering and
     rounding agree exactly."""
-    tk = _t(spark, sf, "documents").select("doc_id", F.explode(tokens("text")).alias("tok"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    tk = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
     tf = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     dfreq = tk.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
     n = _t(spark, sf, "documents").agg(F.count(F.lit(1)).alias("nd"))
@@ -691,7 +701,10 @@ def q103(spark, sf):
     from ..operators.dedup import incremental_near_dedup
     from .dedup_index import corpus_signatures
 
-    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
+    # _ts (r12): fan the one-row-group scan out below the tokenize
+    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+        "doc_id", tokens("text").alias("ts")
+    )
     return incremental_near_dedup(
         docs,
         _doc_hash() >= 800,
@@ -857,7 +870,8 @@ def q110(spark, sf):
         .orderBy("oh", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): token_count tokenizes every text — fan the scan out
+    d = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
         "doc_id", "source", token_count("text").cast("long").alias("n_tok"), oh.alias("oh")
     )
     return (
