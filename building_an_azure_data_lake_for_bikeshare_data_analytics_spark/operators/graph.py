@@ -64,11 +64,17 @@ def connected_components(
         neighbor_labels = e.join(labels, e.a == labels.id).select(
             F.col("b").alias("id"), F.col("comp")
         )
+        # LAZY checkpoint (r12): the convergence probe's aggregate is the
+        # round's only action — running it over the lazily-checkpointed
+        # labels materializes the round state AND computes Σcomp in ONE
+        # job instead of two (eager checkpoint + separate agg), halving
+        # the per-round driver-blocking actions. Lineage truncation is
+        # unchanged: the next round's join reads the persisted blocks.
         new_labels = (
             labels.union(neighbor_labels)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(storageLevel=_ROUND_LEVEL)
+            .localCheckpoint(eager=False, storageLevel=_ROUND_LEVEL)
         )
         total = new_labels.agg(F.sum("comp")).first()[0]
         labels = new_labels
@@ -127,8 +133,15 @@ def connected_components_star(
 
     prev_sig = None
     for _ in range(max_iter):
-        e = _round(e, keep_larger=True).localCheckpoint(storageLevel=_ROUND_LEVEL)   # large-star
-        e = _round(e, keep_larger=False).localCheckpoint(storageLevel=_ROUND_LEVEL)  # small-star
+        # LAZY checkpoints (r12): the signature aggregate below is the
+        # round's only action — it materializes both star passes' state
+        # in one job instead of three (same reasoning as min-label CC)
+        e = _round(e, keep_larger=True).localCheckpoint(
+            eager=False, storageLevel=_ROUND_LEVEL
+        )  # large-star
+        e = _round(e, keep_larger=False).localCheckpoint(
+            eager=False, storageLevel=_ROUND_LEVEL
+        )  # small-star
         sig = e.agg(
             F.count(F.lit(1)).alias("n"), F.sum("a").alias("sa"), F.sum("b").alias("sb")
         ).first()
@@ -203,6 +216,12 @@ def pagerank(
             F.round(F.col("pr") / F.col("deg"), scale).cast(DecimalType(28, scale)).alias("q"),
         )
         sums = contrib.groupBy("id").agg(F.sum("q").cast("double").alias("s"))
+        # LAZY checkpoint (r12): the fixed-iteration loop needs no
+        # per-round action — each round's state persists (DISK_ONLY,
+        # lineage-truncating LogicalRDD) when the CONSUMER's single
+        # action computes through it, so n_iter driver-blocking jobs
+        # collapse into one. The plan stays bounded: every round builds
+        # on the previous round's LogicalRDD, not its expression tree.
         pr = (
             pr.select("id", "deg")
             .join(sums, "id")
@@ -211,6 +230,6 @@ def pagerank(
                 "deg",
                 F.round(F.lit(base) + F.lit(damping) * F.col("s"), scale).alias("pr"),
             )
-            .localCheckpoint(storageLevel=_ROUND_LEVEL)
+            .localCheckpoint(eager=False, storageLevel=_ROUND_LEVEL)
         )
     return pr.select("id", "pr")

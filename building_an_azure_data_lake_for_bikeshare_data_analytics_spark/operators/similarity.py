@@ -1187,6 +1187,57 @@ def ivf_pq_index(
     )
 
 
+def ivf_pq_index_vectorized(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+) -> DataFrame:
+    """``ivf_pq_index`` through the numpy int64 kernel — value-identical
+    BY CONSTRUCTION (exact integer Euclid scores 2*dot - |c|^2 with the
+    fold's lowest-code/lowest-cell tie rules; the q142/q147 twin
+    contract), so a store built from it is row-identical to the fold's.
+
+    Why (r12 optimization, guide §4): at m=4 x ksub=8 x 16-dim subspaces
+    the encode fold is a ~4,000-literal expression tree that Catalyst
+    cannot codegen — q247 paid seconds of driver plan analysis per
+    lifecycle run, twice (v1 build + batch append). The kernel's encode
+    is three integer matmuls per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(centroids, dtype=np.int64)  # (kcells, dim)
+    cnrm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    books = np.array(codebooks, dtype=np.int64)  # (m, ksub, sub)
+    m, ksub, sub = books.shape
+    nsq = (books * books).sum(axis=2)  # (m, ksub)
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X = np.floor(E * float(QUANT_SCALE)).astype(np.int64)
+            Xs = X.reshape(len(E), m, sub)
+            codes = np.empty((len(E), m), dtype=np.int32)
+            for s in range(m):
+                scores = 2 * (Xs[:, s] @ books[s].T) - nsq[s][None, :]
+                codes[:, s] = scores.argmax(axis=1)  # first max = lowest code
+            cell = ((X @ C.T).astype(np.float64) / cnrm[None, :]).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "code": list(codes),
+                    "cell": cell.astype("int32"),
+                }
+            )
+
+    from ..functions.parallelism import spread
+
+    return spread(corpus.select("vec_id", "embedding")).mapInPandas(
+        part, "vec_id long, code array<int>, cell int"
+    )
+
+
 def ivf_pq_rerank_from_index(
     index: DataFrame,
     corpus: DataFrame,
@@ -1624,6 +1675,7 @@ def pq_adc_rerank_topk(
     codebooks: list[list[list[int]]],
     k: int = 5,
     rerank_from: int = 50,
+    vectorized: bool = False,
 ) -> DataFrame:
     """The PQ deployment shape: ADC prune in the compressed domain to
     ``rerank_from`` candidates per query, exact cosine re-rank over the raw
@@ -1635,8 +1687,16 @@ def pq_adc_rerank_topk(
     Scale shape: the candidate relation (queries x rerank_from ids) is
     broadcast-size by construction; the corpus joins it broadcast, so the
     raw embeddings of non-candidates are never read past the scan filter
-    and nothing fact-sized shuffles."""
-    cand = pq_adc_topk(corpus, queries, codebooks, k=rerank_from).select(
+    and nothing fact-sized shuffles.
+
+    ``vectorized`` (r12 optimization, guide §4) routes the ADC prune
+    through ``pq_adc_topk_vectorized`` — bit-identical candidates (exact
+    int64 scores, same tie rules; asserted row-equal in tests for the
+    q104<->q109 twins), so the re-rank output is unchanged while the
+    ~4,000-literal encode fold (seconds of driver plan analysis) never
+    builds."""
+    prune = pq_adc_topk_vectorized if vectorized else pq_adc_topk
+    cand = prune(corpus, queries, codebooks, k=rerank_from).select(
         "query_id", "neighbor_id"
     )
     withq = cand.join(F.broadcast(queries.select("query_id", "qe")), "query_id")

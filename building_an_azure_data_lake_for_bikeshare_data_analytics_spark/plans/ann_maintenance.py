@@ -277,7 +277,7 @@ def q247(spark, sf):
     Equality with the recompute path (ivf_pq_rerank_topk with the same
     corpus-trained fits) is pinned in tests/test_ann_maintenance.py."""
     from ..operators.similarity import (
-        ivf_pq_index,
+        ivf_pq_index_vectorized,
         ivf_pq_rerank_from_index_vectorized,
         kmeans_fit,
         pq_fit,
@@ -313,8 +313,13 @@ def q247(spark, sf):
         lambda: pq_fit(corpus, m=4, ksub=8, max_iter=4),
     )
     run_parallel(
+        # kernel index build (r12): value-identical to the ivf_pq_index
+        # fold (exact integer scores, same tie rules) without its
+        # ~4,000-literal tree's driver plan-analysis cost
         lambda: write_version(
-            ivf_pq_index(corpus, cents, books), store, partition_by=["cell"]
+            ivf_pq_index_vectorized(corpus, cents, books),
+            store,
+            partition_by=["cell"],
         ),
         lambda: write_version(
             spark.createDataFrame(
@@ -344,7 +349,7 @@ def q247(spark, sf):
         for s in range(m)
     ]
     append_version(
-        ivf_pq_index(batch, stored_cents, stored_books), store,
+        ivf_pq_index_vectorized(batch, stored_cents, stored_books), store,
         partition_by=["cell"],
     )
     vacuum(store, keep=2)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _CHUNK, _STEP, _TOKS
 
 _CHUNK_RT_SQL = rf"""WITH ch AS (
@@ -82,7 +82,8 @@ def q236(spark, sf):
     cross-engine rather than asserted."""
     from ..functions.text import tokens
 
-    d = _t(spark, sf, "documents")
+    # _ts (r12): fan the scan out below the tokenize
+    d = _ts(spark, sf, "documents")
     base = d.select(
         "doc_id",
         "source",

@@ -133,7 +133,8 @@ def q115(spark, sf):
     — batches stay intra-salt-group and shapes are unchanged, only batch
     ids renumber. The oracle pins the canonical single-partition
     numbering."""
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): token_count tokenizes every text — fan the scan out
+    d = _ts(spark, sf, "documents", "doc_id", "text").select(
         "doc_id", F.size(tokens("text")).alias("n_tok")
     )
     b = d.select("doc_id", "n_tok", _bucket(F.col("n_tok")).alias("bucket"))
@@ -310,7 +311,8 @@ def q117(spark, sf):
     (doc, tok) partial-count → per-doc max — two shuffles both keyed by
     doc_id, with map-side combine absorbing the token fan-out; the
     per-doc scalar then joins back to the scan-side stats on doc_id."""
-    t = _t(spark, sf, "documents").select(
+    # _ts (r12): fan the scan out below the tokenize
+    t = _ts(spark, sf, "documents", "doc_id", "text").select(
         "doc_id", "text", tokens("text").alias("ts")
     )
     s = _gate_stats(t)
@@ -555,7 +557,8 @@ def q119(spark, sf):
     pipeline's shingle relation; the pinned plan has zero parquet
     re-scans). The materialized relation is |sources x vocab| counts —
     tiny relative to the corpus."""
-    tok = _t(spark, sf, "documents").select(
+    # _ts (r12): fan the scan out below the tokenize
+    tok = _ts(spark, sf, "documents", "source", "text").select(
         "source", F.explode(tokens("text")).alias("tok")
     )
     sc = (
@@ -666,7 +669,8 @@ def q121(spark, sf):
     after the gate."""
     from .training import _doc_hash
 
-    t = _t(spark, sf, "documents").select(
+    # _ts (r12): fan the scan out below the tokenize (q121 composite)
+    t = _ts(spark, sf, "documents", "doc_id", "text").select(
         "doc_id", "text", tokens("text").alias("ts")
     )
     r = _gate_rules()
@@ -792,7 +796,12 @@ def q123(spark, sf):
     runs (q118 is the pure compressed-domain ranking; this recovers exact
     ordering among the ADC survivors — 0.951 recall@5 vs 0.506 on the
     stress corpus, SCALE_NOTES). The oracle replays the fits, prunes by
-    exact integer ADC, and re-ranks by the same fold cosine as q39."""
+    exact integer ADC, and re-ranks by the same fold cosine as q39.
+
+    r12 optimization (guide §4): the ADC prune runs through the
+    bit-identical numpy kernel (vectorized=True — exact int64 scores,
+    same tie rules, the q104<->q109 twin contract), which also skips the
+    ~4,000-literal encode fold's driver plan-analysis cost."""
     from ..operators.similarity import pq_adc_rerank_topk, pq_fit
 
     # _ts (r12): fan the one-row-group scan out — per-row vector math
@@ -801,7 +810,7 @@ def q123(spark, sf):
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    return pq_adc_rerank_topk(emb, q, books, k=5, rerank_from=50)
+    return pq_adc_rerank_topk(emb, q, books, k=5, rerank_from=50, vectorized=True)
 
 
 # ---------------------------------------------------------------------------
@@ -840,7 +849,8 @@ def q124(spark, sf):
     rows, broadcast. Positions have gaps once short sources run dry, which
     is harmless: the loader orders by the value, it doesn't index by it.
     Every output is an exact int — the whole ordering is engine-exact."""
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): fan the scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
         "doc_id", "source", F.size(tokens("text")).alias("n_tok")
     )
     srcs = d.select("source").distinct()
@@ -1209,7 +1219,7 @@ def q201(spark, sf):
     from ..functions.text import token_count
 
     tc = (
-        _t(spark, sf, "documents")
+        _ts(spark, sf, "documents", "source", "text")
         .select("source", token_count("text").cast("long").alias("n_tok"))
         .groupBy("source")
         .agg(F.sum("n_tok").alias("n_tok"))

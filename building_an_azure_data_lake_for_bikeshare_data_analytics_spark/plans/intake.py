@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from .base import _t, query
+from .base import _t, _ts, query
 from .extensions import _JACCARD_EXACT_SQL
 
 # The dedup-policy threshold sweep. Literals are written identically in
@@ -142,7 +142,8 @@ def q227(spark, sf):
     the subword proxy is one ``regexp_extract_all`` size (no BPE encode
     in the hot path — q131/q132 own real BPE; this is the O(bytes)
     screening pass you can afford on all 100 TB)."""
-    d = _t(spark, sf, "documents")
+    # _ts (r12): two per-row regex tokenizations — fan the scan out
+    d = _ts(spark, sf, "documents")
     subword = F.size(
         F.regexp_extract_all("text", F.lit(_SUBWORD_PATTERN), 0)
     )

@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 from ..functions.agg import exact_sum
 from ..functions.rank import exact_ntile
 from ..functions.text import normalized_text, tokens
-from .base import _t, query
+from .base import _t, _ts, query
 
 # shared with extensions.py oracles: whitespace-collapsed lowercase text
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
@@ -149,8 +149,9 @@ def q88(spark, sf):
     is formed from the *summed* ints with one final division — order-
     independent, unlike averaging per-doc double ratios."""
     t = tokens("text")
+    # _ts (r12): two tokenizations per row — fan the scan out
     return (
-        _t(spark, sf, "documents")
+        _ts(spark, sf, "documents", "lang", "text")
         .select(
             "lang",
             F.size(t).cast("bigint").alias("nt"),
@@ -227,7 +228,8 @@ def q90(spark, sf):
     metric. Blocking keeps the join linear-ish in corpus size (only
     same-prefix docs pair) instead of the O(n²) cross join; the 40-char
     cap bounds each distance computation."""
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): normalized_text regex runs per row — fan the scan out
+    d = _ts(spark, sf, "documents", "doc_id", "lang", "text").select(
         "doc_id",
         "lang",
         F.substring(normalized_text("text"), 1, 40).alias("prefix"),
@@ -307,7 +309,8 @@ def q92(spark, sf):
     per-doc min), so the token blow-up never materializes."""
     from ..functions.text import STOPWORDS
 
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): fan the scan out below the tokenize
+    d = _ts(spark, sf, "documents", "doc_id", "text").select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
     first = (

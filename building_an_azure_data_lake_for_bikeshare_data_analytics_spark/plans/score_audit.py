@@ -23,7 +23,7 @@ from pyspark.sql.types import DecimalType
 
 from ..functions.rank import fractional_rank2
 from ..functions.text import STOPWORDS, marker_count, tokens
-from .base import _t, query
+from .base import _t, _ts, query
 
 _STOPS_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
@@ -97,7 +97,8 @@ def q210(spark, sf):
     broadcast join of the tiny rank map back onto the rows. The 1-row
     count scalar broadcasts (whitelisted BNLJ); the final reduction is
     one global aggregate. The corpus itself never shuffles."""
-    d = _t(spark, sf, "documents").select(
+    # _ts (r12): fan the scan out below the tokenize
+    d = _ts(spark, sf, "documents", "text", "n_chars").select(
         tokens("text").alias("ts"), F.col("n_chars").alias("y")
     )
     s = d.select(

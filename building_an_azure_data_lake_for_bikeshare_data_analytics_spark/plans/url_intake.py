@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.url import canonical_url, host_of, registrable_domain
-from .base import _t, query
+from .base import _t, _ts, query
 
 #: a domain holding more than this fraction of the corpus trips the
 #: over-quota flag (RefinedWeb caps per-domain contributions so one
@@ -122,7 +122,8 @@ def q238(spark, sf):
     string is evaluated verbatim by F.expr, so the messy input is
     bit-identical across engines; the canonicalization itself is the
     functions/url.py Column pipeline."""
-    docs = _t(spark, sf, "documents").select(
+    # _ts (r12): the URL synth + canonicalization chain is per-row heavy
+    docs = _ts(spark, sf, "documents", "doc_id", "source").select(
         "doc_id", F.expr(_URL_SYNTH_SQL).alias("url")
     )
     canon = docs.select(
