@@ -133,8 +133,7 @@ def q115(spark, sf):
     — batches stay intra-salt-group and shapes are unchanged, only batch
     ids renumber. The oracle pins the canonical single-partition
     numbering."""
-    # _ts (r12): token_count tokenizes every text — fan the scan out
-    d = _ts(spark, sf, "documents", "doc_id", "text").select(
+    d = _t(spark, sf, "documents").select(
         "doc_id", F.size(tokens("text")).alias("n_tok")
     )
     b = d.select("doc_id", "n_tok", _bucket(F.col("n_tok")).alias("bucket"))
@@ -311,8 +310,7 @@ def q117(spark, sf):
     (doc, tok) partial-count → per-doc max — two shuffles both keyed by
     doc_id, with map-side combine absorbing the token fan-out; the
     per-doc scalar then joins back to the scan-side stats on doc_id."""
-    # _ts (r12): fan the scan out below the tokenize
-    t = _ts(spark, sf, "documents", "doc_id", "text").select(
+    t = _t(spark, sf, "documents").select(
         "doc_id", "text", tokens("text").alias("ts")
     )
     s = _gate_stats(t)
@@ -669,8 +667,7 @@ def q121(spark, sf):
     after the gate."""
     from .training import _doc_hash
 
-    # _ts (r12): fan the scan out below the tokenize (q121 composite)
-    t = _ts(spark, sf, "documents", "doc_id", "text").select(
+    t = _t(spark, sf, "documents").select(
         "doc_id", "text", tokens("text").alias("ts")
     )
     r = _gate_rules()
@@ -1007,8 +1004,7 @@ def q129(spark, sf):
         pq_fit,
     )
 
-    # _ts (r12): fan the one-row-group scan out — per-row vector math
-    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     cents = kmeans_fit(emb, k=8, max_iter=8)
     books = pq_fit(emb, m=4, ksub=8, max_iter=4)
     q = emb.where(F.col("vec_id") % 50 == 0).select(

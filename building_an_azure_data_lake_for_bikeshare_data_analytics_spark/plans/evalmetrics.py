@@ -477,8 +477,7 @@ def q215(spark, sf):
     itself guarantees the long tail collapses onto few counts), never a
     single-partition window over the vocabulary; the moment reduction is
     one global aggregate."""
-    # _ts (r12): fan the scan out below the tokenize
-    toks = _ts(spark, sf, "documents", "text").select(
+    toks = _t(spark, sf, "documents").select(
         F.explode(tokens("text")).alias("tok")
     )
     v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -1231,10 +1230,7 @@ def q222(spark, sf):
     (whitelisted BNLJ)."""
     import pandas as pd  # noqa: F401
 
-    # _ts (r12): fan the scan out below the tokenize
-    toks = _ts(spark, sf, "documents", "text").select(
-        F.explode(tokens("text")).alias("tok")
-    )
+    toks = _t(spark, sf, "documents").select(F.explode(tokens("text")).alias("tok"))
 
     k = _MG_K
 
@@ -1419,10 +1415,7 @@ def q224(spark, sf):
     dedup family scans (q37/q163); hot grams skew only the intermediate
     agg, which partial aggregation absorbs (the q97 salting lever
     applies if a gram dominates a source)."""
-    # _ts (r12): fan the scan out below the tokenize
-    d = _ts(spark, sf, "documents", "source", "text").select(
-        "source", tokens("text").alias("ts")
-    )
+    d = _t(spark, sf, "documents").select("source", tokens("text").alias("ts"))
     branches = []
     for n in (1, 2, 3):
         if n == 1:

@@ -1357,12 +1357,12 @@ def _cov_partials(spark, sf):
             out_s = np.concatenate([M[iu, ju], s1, [len(X)]])
             yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
 
-    from ..functions.parallelism import spread
-
     return (
-        # spread (r12): one partition in = one X'X kernel task; fan the
-        # single-row-group scan out so the matmul parallelizes
-        spread(_t(spark, sf, "embeddings").select("embedding"))
+        # NO spread here (r12 measured negative): at sf-scale row counts
+        # the X'X kernel is trivial per row and the 32-task fanout cost
+        # q141/q142/q143 ~2-3 s each in exchange + task overhead
+        _t(spark, sf, "embeddings")
+        .select("embedding")
         .mapInPandas(part, "i int, j int, s long")
         .groupBy("i", "j")
         .agg(F.sum(F.col("s").cast(DecimalType(38, 0))).alias("s"))
@@ -1714,10 +1714,7 @@ def q145(spark, sf):
     recall note)."""
     from ..operators.probe import logreg_probe_fit, logreg_probe_score, probe_features
 
-    # _ts (r12): feats checkpoints with the scan's partitioning — spread
-    # first or all 8 GD aggregate iterations run single-task (the whole
-    # q211/q212/q218/q221/q225 probe family reads this checkpoint)
-    feats = probe_features(_ts(spark, sf, "embeddings")).localCheckpoint()
+    feats = probe_features(_t(spark, sf, "embeddings")).localCheckpoint()
     w = logreg_probe_fit(feats)
     return logreg_probe_score(feats, w)
 
@@ -2020,8 +2017,7 @@ def q138(spark, sf):
     streaming ingestion scorer (operators/lm.py)."""
     from ..operators.lm import lm_fit, lm_pairs, lm_score_pairs
 
-    # _ts (r12): lm_pairs tokenizes every text — fan the scan out
-    d = _ts(spark, sf, "documents")
+    d = _t(spark, sf, "documents")
     pairs = lm_pairs(d).localCheckpoint()
     bg, ug, v = lm_fit(d, pairs=pairs)
     return lm_score_pairs(pairs, bg, ug, v)
@@ -2093,8 +2089,7 @@ def q144(spark, sf):
     SURVEY §2.6.)"""
     from ..operators.lm import lm_dsir_score_pairs, lm_fit, lm_pairs
 
-    # _ts (r12): lm_pairs tokenizes every text — fan the scan out
-    d = _ts(spark, sf, "documents")
+    d = _t(spark, sf, "documents")
     pairs = lm_pairs(d).localCheckpoint()
     raw = lm_fit(d, pairs=pairs)
     target = lm_fit(d.where(F.col("lang") == _DSIR_TARGET_LANG))
@@ -2443,8 +2438,7 @@ def q109(spark, sf):
     rule."""
     from ..operators.similarity import quantized_int8_topk_vectorized
 
-    # _ts (r12): fan the one-row-group scan out — per-row vector math
-    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     qs = emb.where(F.expr(_Q_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )

@@ -73,8 +73,7 @@ def q206(spark, sf):
     relation (metadata-scale); scoring joins are keyed (w1,w2)/w1/w2 and
     ``nbig`` is the one whitelisted 1-row broadcast scalar. No driver
     state, no per-group sort — the petabyte n-gram-filter shape."""
-    # _ts (r12): lm_pairs tokenizes every text — fan the scan out
-    d = _ts(spark, sf, "documents")
+    d = _t(spark, sf, "documents")
     pairs = lm_pairs(d).localCheckpoint()
     bg, fw, bw, nb = lm_fit_kn(pairs)
     return lm_score_pairs_kn(pairs, bg, fw, bw, nb)
@@ -123,8 +122,7 @@ def q209(spark, sf):
     extra vocab... doc-bounded rank (serial pass only over distinct
     coarse buckets) and a 1-row doc-count broadcast (whitelisted). No
     global sort, no all-pairs, nothing quadratic."""
-    # _ts (r12): same fanout as q206
-    d = _ts(spark, sf, "documents")
+    d = _t(spark, sf, "documents")
     pairs = lm_pairs(d).localCheckpoint()
     bg, fw, bw, nb = lm_fit_kn(pairs)
     # three consumers (rank's bucket counts, its join-back, the n scalar)
@@ -209,8 +207,7 @@ def q208(spark, sf):
     downstream is vocab-bounded; the 5-row size spine and 1-row total are
     the whitelisted broadcast scalars (fan-out x5 on the vocab relation,
     never on the corpus)."""
-    # _ts (r12): fan the scan out below the tokenize
-    d = _ts(spark, sf, "documents")
+    d = _t(spark, sf, "documents")
     toks = d.select(F.explode(tokens("text")).alias("token"))
     c = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     r = distributed_row_number(

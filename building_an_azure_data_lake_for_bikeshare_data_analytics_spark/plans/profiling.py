@@ -1733,8 +1733,7 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
     (q145's own posture)."""
     from ..operators.probe import logreg_probe_fit, logreg_probe_score, probe_features
 
-    # _ts (r12): same fanout as q145 — the GD iterations read this
-    emb = _ts(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings")
     feats = probe_features(emb).localCheckpoint()
     w = logreg_probe_fit(feats)
     scored = logreg_probe_score(feats, w)

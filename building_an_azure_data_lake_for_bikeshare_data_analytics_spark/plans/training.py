@@ -870,8 +870,7 @@ def q110(spark, sf):
         .orderBy("oh", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # _ts (r12): token_count tokenizes every text — fan the scan out
-    d = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
+    d = _t(spark, sf, "documents").select(
         "doc_id", "source", token_count("text").cast("long").alias("n_tok"), oh.alias("oh")
     )
     return (
