@@ -413,8 +413,10 @@ def q251(spark, sf):
     size."""
     from ..operators.similarity import brute_force_topk_vectorized
 
-    # _ts (r12): fan the one-row-group scan out — per-row vector math
-    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
+    # NO scan fanout here (r12 measured negative): the BLAS kernel is one
+    # matmul per batch — at test-scale row counts the extra exchange and
+    # the 32x window fan-in cost more than the kernel saves
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     qs = emb.where((_vec_hash() >= 800) & (F.col("vec_id") % 5 == 0)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )

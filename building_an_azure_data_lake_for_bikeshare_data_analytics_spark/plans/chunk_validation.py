@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .base import _t, _ts, query
+from .base import _t, query
 from .extensions import _CHUNK, _STEP, _TOKS
 
 _CHUNK_RT_SQL = rf"""WITH ch AS (
@@ -82,8 +82,13 @@ def q236(spark, sf):
     cross-engine rather than asserted."""
     from ..functions.text import tokens
 
-    # _ts (r12): fan the scan out below the tokenize
-    d = _ts(spark, sf, "documents")
+    # spread(_t(...)) rather than _ts (r12): the scan fanout below the
+    # tokenize, routed through THIS module's ``_t`` name so the property
+    # test's table monkeypatch (tests/test_properties.py) still
+    # intercepts the read
+    from ..functions.parallelism import spread
+
+    d = spread(_t(spark, sf, "documents"))
     base = d.select(
         "doc_id",
         "source",

@@ -973,8 +973,10 @@ def q125(spark, sf):
     stress corpus (SCALE_NOTES)."""
     from ..operators.similarity import ivf_pq_rerank_topk, kmeans_fit, pq_fit
 
-    # _ts (r12): fan the one-row-group scan out — per-row vector math
-    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
+    # NO scan fanout (r12): test_plans pins this head's zero-corpus-
+    # shuffle contract (every join broadcast, 2 window exchanges only) —
+    # the conditional fanout exchange would break the pinned plan shape
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     cents = kmeans_fit(emb, k=8, max_iter=8)
     books = pq_fit(emb, m=4, ksub=8, max_iter=4)
     q = emb.where(F.col("vec_id") % 50 == 0).select(

@@ -19,7 +19,7 @@ from pyspark.sql.types import DecimalType
 from ..functions.rank import distributed_row_number, exact_ntile
 from ..functions.text import tokens
 from ..operators.lm import lm_fit_kn, lm_pairs, lm_score_pairs_kn
-from .base import _t, _ts, query
+from .base import _t, query
 
 #: the q206 model-fit + scoring pipeline as a DuckDB CTE prefix, shared by
 #: q206 (per-doc scores) and q209 (bucketed corpus split) so the two oracles

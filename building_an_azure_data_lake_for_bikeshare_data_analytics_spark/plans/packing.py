@@ -289,8 +289,10 @@ def q253(spark, sf):
     many docs contribute and the exact token fill. Every sequence except
     each shard's tail must fill to _SEQ_CAP — pinned in
     tests/test_packing.py; here the manifest itself is the output."""
-    # _ts (r12): the manifest tokenizes every text — fan the scan out
-    return packing_manifest(_ts(spark, sf, "documents", "doc_id", "text"))
+    # NO scan fanout (r12): test_plans pins q253's single-data-shuffle
+    # contract (one hashpartitioning + the output rangepartitioning) —
+    # the conditional fanout exchange would break the pinned plan shape
+    return packing_manifest(_t(spark, sf, "documents").select("doc_id", "text"))
 
 
 #: the q254 rate-derivation CTEs (tok, g, rate) — shared verbatim by the

@@ -701,10 +701,7 @@ def q103(spark, sf):
     from ..operators.dedup import incremental_near_dedup
     from .dedup_index import corpus_signatures
 
-    # _ts (r12): fan the one-row-group scan out below the tokenize
-    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
-        "doc_id", tokens("text").alias("ts")
-    )
+    docs = _t(spark, sf, "documents").select("doc_id", tokens("text").alias("ts"))
     return incremental_near_dedup(
         docs,
         _doc_hash() >= 800,

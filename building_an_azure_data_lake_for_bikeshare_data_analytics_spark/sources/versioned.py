@@ -245,6 +245,20 @@ def write_version(
     os.makedirs(path, exist_ok=True)
     base = current_version(path) if expected_base is _UNSET else expected_base
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    if partition_by:
+        # hash-distribute on the partition keys before a partitioned
+        # write (r12, the compact() discipline applied at write time —
+        # the guide's hash write-distribution-mode): without it every
+        # write task emits one file per partition key it holds, so file
+        # count scales as tasks x keys — the r12 scan fanout turned a
+        # ~4-task x 16-band signature write into 32 x 16 = 512 tiny
+        # files per version. With the hash exchange each key lands in
+        # one task => ~one file per partition directory, at the cost of
+        # one exchange of the (batch-sized) written rows. A pathological
+        # hot key serializes its own directory's write — the same skew
+        # class as a hot band; compact()/maybe_compact() already bound
+        # the long-run layout.
+        df = df.repartition(*partition_by)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -359,6 +373,10 @@ def append_version(
     # unique part name: concurrent appends must not clobber each other's
     # data directories (both would otherwise guess the same p<k+1>)
     part_rel = os.path.join(_PARTS_DIR, f"p{cur + 1}_{uuid.uuid4().hex[:8]}")
+    if partition_by:
+        # same hash write-distribution as write_version (r12): bound the
+        # delta part's file count at ~one file per partition directory
+        df = df.repartition(*partition_by)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
