@@ -54,24 +54,17 @@ from . import span_corruption  # noqa: F401  (registers q266, q268)
 # CORRECTNESS_r*.json history and fail on any drift from this tuple —
 # the policy is data + code now, not prose (r4 verdict item 2).
 #
-# Round-12 prefix (computed by evidence.build_prefix() from the committed
-# CORRECTNESS_r1..r11 history): the never-gated new-this-round heads
-# lead in insertion order — q261 (loader-side packed-sequence
-# materialization), q262/q263 (deterministic loader schedule), q264
-# (the composed schedule->spans->bytes step fetch), q265 (embedding-
-# space decontamination screen; leads because decontamination.py
-# registers before loader_schedule.py), q267 (packed attention
-# boundaries; in packing.py, hence before the loader modules), q266
-# (deterministic FIM span corruption) — then
-# q237_t_closeness_audit (its r6 evidence would breach the 6-round
-# staleness floor after a green r12 gate otherwise) and the r7-evidence
-# staleness cohort: q24-q30 (dim
-# builds, date probe, top-k, distinct, anti-join, rollup), q31-q38 +
-# q128 (text intake and near-dup batteries), q57-q58/q70-q97 (SQL entry,
-# as-of, training-prep, quality families), and q238-q242 (url intake /
-# dedup-maintenance cohort). The r11-gated heads (q257-q260 and the r6
-# cohort) rotated off on fresh evidence; they return on their staleness
-# clocks.
+# Round-13 prefix (computed by evidence.build_prefix(this_round=13) from
+# the committed CORRECTNESS_r1..r12 history): the four REVIEW_PINS lead —
+# q123/q140/q146/q247, the r12 kernel-switched queries the r12 verdict
+# flagged as never independently hashed by the driver since the switch
+# (evidence.REVIEW_PINS[13]; their own evidence is r8/r9) — then the
+# r7-evidence staleness cohort (q95-q97, q238-q243, q01/q21/q23) and the
+# r8-evidence cohort in effective-green order: the similarity/ANN
+# batteries (q153/q98/q39-q41/q154/q99), text kernels (q53/q63/q135/
+# q137-q148 families), the incremental-dedup chain (q100-q106, q110-q116)
+# up to the 50-slot cap. No never-self-green queries exist this round
+# (q261-q268 were gated green in r12).
 # Deliberately never scheduled: q46/q81 (rows-only sketch values;
 # q134/q136 carry their evidence) and fixture-tagged superseded folds
 # (q56/q118/q125).
@@ -84,59 +77,59 @@ from . import span_corruption  # noqa: F401  (registers q266, q268)
 # window while still hard-failing on genuine drift from the schedule the
 # tuple was frozen for (r5 verdict item 5).
 # ---------------------------------------------------------------------------
-PREFIX_ROUND: int = 12
+PREFIX_ROUND: int = 13
 
 _PRIORITY: tuple[str, ...] = (
-    "q265_semantic_decon_screen",
-    "q267_packed_boundaries",
-    "q261_packed_loader_read",
-    "q262_loader_schedule",
-    "q263_loader_step_stats",
-    "q264_loader_step_fetch",
-    "q266_fim_transform",
-    "q268_ul2_denoise",
-    "q237_t_closeness_audit",
-    "q24_payment_dates_dim",
-    "q25_trip_dates_dim",
-    "q26_date_range_probe",
-    "q27_top_orders_per_customer",
-    "q28_distinct_segments",
-    "q29_customers_without_events",
-    "q30_status_priority_rollup",
-    "q31_doc_token_count",
-    "q32_doc_quality",
-    "q33_lang_guess",
-    "q34_doc_fingerprint",
-    "q35_dedup_exact",
-    "q37_minhash_lsh_pairs",
-    "q128_lsh_candidates_salted",
-    "q38_simhash",
-    "q70_event_neighbors",
-    "q57_sql_cte_subquery",
-    "q58_asof_last_order",
-    "q71_hash_split",
-    "q72_stratified_sample",
-    "q73_dup_components",
-    "q74_pack_sequences",
-    "q75_pii_scan",
-    "q76_benchmark_contamination",
-    "q77_moment_stats",
-    "q78_value_range_join",
-    "q79_purchasers_clean_union",
-    "q80_activity_full_outer",
-    "q82_gap_fill_forward",
-    "q83_tfidf_top_terms",
-    "q84_value_outliers",
-    "q85_value_histogram",
-    "q86_price_deciles",
-    "q87_user_type_profile",
-    "q88_repetition_ratio",
-    "q89_status_priority_sets",
-    "q90_edit_distance_pairs",
-    "q91_top_user_by_type",
-    "q92_first_stopword_position",
-    "q93_union_by_name",
-    "q94_measure_unpivot",
+    "q123_pq_adc_rerank",
+    "q140_embedding_covariance",
+    "q146_semantic_dedup_cells",
+    "q247_ivf_pq_index_maintenance",
+    "q95_supplier_revenue_rank",
+    "q96_trailing_hour_stats",
+    "q97_salted_flag_totals",
+    "q238_url_host_dedup",
+    "q239_dedup_index_maintenance",
+    "q240_domain_quota_enforce",
+    "q241_cross_source_overlap",
+    "q242_dedup_identity_ladder",
+    "q243_vocab_growth",
+    "q01_avg_price_by_dow",
+    "q21_member_spend_rides",
+    "q23_format_orders",
+    "q153_minhash_jaccard_estimate",
+    "q98_lsh_verified_pairs",
+    "q39_embedding_topk",
+    "q40_embedding_lsh_ann",
+    "q154_ann_recall",
+    "q41_multimodal_features",
+    "q99_frame_sample",
+    "q53_simhash_near_pairs",
+    "q63_winnow_fingerprints",
+    "q135_substring_dup_spans",
+    "q137_substring_dedup_clean",
+    "q141_pca_project",
+    "q143_pca_project2",
+    "q145_logreg_probe",
+    "q148_char_entropy",
+    "q139_incremental_span_dedup",
+    "q138_doc_lm_score",
+    "q144_dsir_weights",
+    "q100_semantic_dup_lsh",
+    "q64_embedding_topk_vectorized",
+    "q107_cms_heavy_hitters",
+    "q108_weighted_sample",
+    "q163_jaccard_prefix_join",
+    "q126_event_gap_seconds",
+    "q127_order_age_years",
+    "q134_kmv_distinct_users",
+    "q101_source_quota_cap",
+    "q102_bloom_prefilter_join",
+    "q103_incremental_dedup",
+    "q105_dup_group_canonical",
+    "q106_corpus_shuffle",
+    "q110_token_budget_mix",
+    "q111_salted_revenue_join",
+    "q112_incremental_gold_refresh",
 )
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
