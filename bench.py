@@ -199,6 +199,34 @@ def main() -> None:
         "slowest5": slowest5,
     }
     print(json.dumps(payload))
+    # Compact PER-QUERY line (r12 verdict item 3): the driver's
+    # BENCH_r*.json keeps only the last ~4 KB of stdout, so the full
+    # "queries" map above (full names, ~8 KB) never fits the tail and
+    # round-over-round / cores-scaling comparison lost its per-query
+    # data (PERF_r12 n_common=0, scaling.per_query empty). This line
+    # carries every wall with SHORT keys (the qNN prefix — unique across
+    # the registry; full name kept on a collision) at 2 dp plus the cpu
+    # count, compact separators: ~3 KB for 262 entries, so the tail
+    # always contains it whole. Purely additive — the full-name map and
+    # the final summary line are unchanged.
+    short: dict[str, float] = {}
+    for k, v in per_query.items():
+        s = k.split("_", 1)[0]
+        short[k if s in short else s] = round(v, 2)
+    print(
+        json.dumps(
+            {
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                "sf": sf,
+                "queries_2dp": short,
+                "index_builds_2dp": {
+                    k.removeprefix("index_build_"): round(v, 2)
+                    for k, v in index_builds.items()
+                },
+            },
+            separators=(",", ":"),
+        )
+    )
     # Final COMPACT one-line JSON (r8 verdict item 6): the driver's
     # BENCH_r*.json keeps only the LAST ~4 KB of stdout and its parse of
     # that tail landed `parsed: null` in r7/r8 because the tail starts

@@ -1,5 +1,6 @@
-"""Parallelism primitives: scan-fanout for unsplittable inputs and
-overlapped independent Spark jobs (r12 optimization round).
+"""Parallelism primitives: cost-based scan-fanout for unsplittable inputs
+and overlapped independent Spark jobs (r12 optimization round, re-tuned in
+r13).
 
 Two distinct idle-core problems measured in the r12 profile
 (``tools/profile_stages.py``), with the two standard remedies from the
@@ -14,13 +15,37 @@ optimization playbook:
   file — repartition immediately after the read") applies: one cheap
   round-robin exchange of the NARROW scanned rows (documents = 0.6 MB
   compressed at sf0.1) buys full-width execution of the expensive
-  downstream stage. The repartition is CONDITIONAL on the actual scan
-  partition count, so it never fires at deployment scale — a 100 TB table
-  scans as thousands of row-group splits and ``spread`` is the identity
-  there; the exchange exists only in the regime where the input layout,
-  not the plan, is the parallelism bound. (It also repairs the
-  cores-scaling measurement: a single-task stage costs the same wall at
-  local[8] and local[32]; a spread stage scales with the core count.)
+  downstream stage.
+
+  r13 re-tuning (the r12 verdict's finding): the r12 form repartitioned to
+  the FULL core count whenever the scan was narrower, which at local[32]
+  multiplied 32-task scheduling overhead over ~1 MB inputs and made a
+  dozen cheap-downstream heads SLOWER (q92 0.36 -> 2.01 s, q83 0.76 ->
+  1.40 s, the index builds +8 s, and a broad per-query drag). Two fixes:
+
+  1. **Cost-based width.** The fanout target is ``ceil(est_bytes /
+     bytes_per_task)`` capped at the core count — one task per
+     ``bytes_per_task`` of compressed input, not one per core. The
+     default (16 KiB) is calibrated from the r12 profile of the
+     compute-dense heads (0.59 MB of documents cost ~8 s of tokenize
+     single-task, so 16 KiB ~ 0.2 s of downstream work per task); sites
+     whose per-byte work is lighter pass a larger ``bytes_per_task`` or
+     skip the fanout entirely (``plans/base._ts`` defaults to NO fanout —
+     a site opts in with ``fan=True`` plus measured evidence).
+  2. **No JVM round-trip.** The r12 form called
+     ``df.rdd.getNumPartitions()`` at plan-construction time — a full
+     Catalyst translation per call (~40-60 ms), ~85 call sites, a
+     measurable slice of the suite's per-query floor — and with AQE it
+     would eagerly materialize shuffle-bearing inputs during planning.
+     Scan callers now pass ``est_bytes``/``est_partitions`` derived from
+     the memoized FILE LISTING (``plans/base._table_layout``); the RDD
+     fallback remains only for opaque non-scan frames.
+
+  The repartition stays CONDITIONAL on the estimated scan split count, so
+  it never fires at deployment scale — a 100 TB table scans as thousands
+  of row-group splits and ``spread`` is the identity there; the exchange
+  exists only in the regime where the input layout, not the plan, is the
+  parallelism bound.
 
 * **run_parallel** — lifecycle heads (q239/q252/q245/...) materialize
   several INDEPENDENT store artifacts; each ``write_version`` /
@@ -44,13 +69,33 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
+#: compressed input bytes per fanout task for compute-DENSE downstream
+#: work (tokenize + shingle explode, regex batteries, Arrow kernels):
+#: calibrated from the r12 single-task profile (~13 s of downstream work
+#: per compressed MB of documents => ~0.2 s per 16 KiB task, enough to
+#: amortize task scheduling). Sites with lighter per-byte work pass a
+#: larger value or skip the fanout.
+DENSE_BYTES_PER_TASK = 16 * 1024
 
-def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition ``df`` up to the session's default
-    parallelism when its current partitioning is narrower — the
+
+def spread(
+    df: DataFrame,
+    est_bytes: int | None = None,
+    est_partitions: int | None = None,
+    bytes_per_task: int = DENSE_BYTES_PER_TASK,
+) -> DataFrame:
+    """Cost-based round-robin fanout of a narrow scan — the
     unsplittable-input fix. Identity when the scan already has enough
-    splits (every real-scale deployment), so plans at 100 TB carry no
-    extra exchange.
+    splits (every real-scale deployment: ``est_partitions`` >= cores) or
+    when the input is too small to amortize the extra tasks (the fanout
+    target is one task per ``bytes_per_task`` of input, capped at the
+    core count — never "cores because cores").
+
+    ``est_bytes``/``est_partitions`` come from the caller's file listing
+    (``plans/base._table_layout``) so the decision costs no JVM call; the
+    ``df.rdd`` fallback is kept for opaque non-scan frames only (it
+    forces Catalyst translation and, under AQE, may materialize upstream
+    stages — scan callers must pass the estimates).
 
     Round-robin (keyless) repartition is deterministic under retries
     (sort-before-repartition is on by default) and none of the engine's
@@ -58,8 +103,15 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     are unchanged — pinned by the untouched oracle hashes.
     """
     sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    cores = sc.defaultParallelism
+    cur = est_partitions if est_partitions is not None else df.rdd.getNumPartitions()
+    if cur >= cores:
+        return df
+    if est_bytes is None:
+        target = cores
+    else:
+        target = min(cores, max(1, -(-est_bytes // max(1, bytes_per_task))))
+    if target <= cur:
         return df
     return df.repartition(target)
 

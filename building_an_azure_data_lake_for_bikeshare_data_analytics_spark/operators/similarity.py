@@ -584,12 +584,14 @@ def assign_cells_vectorized(
                 {id_col: pdf[id_col], "cell": scores.argmax(axis=1).astype("int32")}
             )
 
-    # spread: the kernel runs once per PARTITION, and the single-row-group
-    # testdata scans as one partition — without the fanout the matmul
-    # serialized on one core (r12 profile); identity at real scale
-    from ..functions.parallelism import spread
-
-    return spread(emb.select(id_col, vec_col)).mapInPandas(
+    # no internal fanout (r13): the r12 spread here repartitioned the
+    # caller's frame to the core count, but the numpy matmul is sub-ms
+    # per batch — at local[32] the 32 python workers' startup +
+    # Arrow (de)serialization cost MORE than the kernel (measured on the
+    # kernel twin q147: 0.93 s -> 1.75 s with the fanout). At deployment
+    # scale the caller's scan is already wide. Callers that profile a
+    # single-task bottleneck fan their scan before passing it in.
+    return emb.select(id_col, vec_col).mapInPandas(
         part, f"{id_col} long, cell int"
     )
 
@@ -1231,9 +1233,10 @@ def ivf_pq_index_vectorized(
                 }
             )
 
-    from ..functions.parallelism import spread
-
-    return spread(corpus.select("vec_id", "embedding")).mapInPandas(
+    # no internal fanout (r13) — same rationale as assign_cells_vectorized:
+    # the integer matmuls are cheaper than 32 python workers' startup at
+    # test scale, and the caller's scan is already wide at real scale
+    return corpus.select("vec_id", "embedding").mapInPandas(
         part, "vec_id long, code array<int>, cell int"
     )
 

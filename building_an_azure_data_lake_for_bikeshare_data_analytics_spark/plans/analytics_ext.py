@@ -60,7 +60,7 @@ def q43(spark, sf):
     from ..functions.vectors import dot, norm
 
     # _ts (r12): per-row norm/cosine folds — fan the scan out
-    e = _ts(spark, sf, "embeddings").select(
+    e = _ts(spark, sf, "embeddings", fan=True).select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     a = e.select(

@@ -14,6 +14,8 @@ Determinism rules every query follows (SURVEY.md §7.4):
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -76,25 +78,94 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _ts(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame:
-    """``_t`` + column-prune + scan-parallelism floor (r12 optimization,
-    ``functions/parallelism.spread``): the driver testdata writes each
+#: memoized table file layout: (realpath(sf_dir), name) -> (total_bytes,
+#: n_files). The testdata directories are immutable, so one os.walk per
+#: table per process replaces the r12 per-call df.rdd.getNumPartitions()
+#: JVM round-trip (~40-60 ms x ~85 call sites — a measured slice of the
+#: suite's per-query driver floor).
+_TABLE_LAYOUT: dict[tuple[str, str], tuple[int, int]] = {}
+
+#: Spark's scan-packing constants (spark.sql.files.maxPartitionBytes /
+#: openCostInBytes defaults) — used only to ESTIMATE the split count for
+#: the is-the-scan-narrow decision; an over-estimate merely skips the
+#: fanout, never adds an exchange at scale.
+_MAX_SPLIT_BYTES = 128 * 1024 * 1024
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+
+def _table_layout(sf_dir: str, name: str) -> tuple[int, int]:
+    key = (os.path.realpath(sf_dir), name)
+    hit = _TABLE_LAYOUT.get(key)
+    if hit is None:
+        file_path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(file_path):
+            files = [file_path]
+        else:
+            files = []
+            for root, _dirs, names in os.walk(os.path.join(sf_dir, name)):
+                files.extend(
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(".parquet") and not n.startswith(("_", "."))
+                )
+        total = sum(os.path.getsize(f) for f in files)
+        hit = (total, max(1, len(files)))
+        _TABLE_LAYOUT[key] = hit
+    return hit
+
+
+def _est_scan_partitions(total_bytes: int, n_files: int, cores: int) -> int:
+    """Estimate of Spark's scan split count from the file listing (the
+    FileSourceScanExec packing formula with default confs): files are
+    charged openCostInBytes and bin-packed into splits of
+    min(maxPartitionBytes, max(openCost, charged_total / cores))."""
+    charged = total_bytes + n_files * _OPEN_COST_BYTES
+    max_split = min(_MAX_SPLIT_BYTES, max(_OPEN_COST_BYTES, charged // max(1, cores)))
+    return max(1, -(-charged // max_split))
+
+
+def _ts(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *cols: str,
+    fan: bool = False,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
+    """``_t`` + column-prune, plus an OPT-IN scan-parallelism floor
+    (``functions/parallelism.spread``): the driver testdata writes each
     table as ONE file with ONE row group — Spark's minimum split — so
-    every scan is a single task and the expensive per-row work layered on
-    it (tokenize/shingle explodes, vector folds, Arrow kernels)
-    serialized on one core. The guide's input-skew rule applies:
-    repartition immediately after the read, conditionally on the actual
-    scan partition count, so the exchange never exists at deployment
-    scale (a 100 TB table scans as thousands of row-group splits).
+    every scan is a single task and expensive per-row work layered on it
+    (tokenize/shingle explodes, regex batteries, Arrow kernels)
+    serializes on one core. ``fan=True`` applies the guide's input-skew
+    rule (repartition immediately after the read) with a COST-BASED
+    width — one task per ``bytes_per_task`` of compressed input, capped
+    at the core count — and only below an estimated-split threshold, so
+    the exchange never exists at deployment scale.
+
+    ``fan`` defaults to False because the r12 round measured the
+    unconditional fanout REGRESSING every head whose downstream per-row
+    work was too cheap to amortize the extra tasks (q92 +1.6 s at 32
+    cores, q83 +0.6 s, a broad per-query drag); a site opts in with
+    measured evidence (OPTIMIZATION_r13.md has the per-site table).
 
     The prune select sits BELOW the exchange, so ``ReadSchema`` stays
     narrow and the exchange ships only the named columns. Heavy
     derivations (``tokens(...)`` etc.) belong ABOVE the returned frame —
     projecting them here would compute them map-side of the exchange,
     single-task again."""
-    from ..functions.parallelism import spread
-
     df = _t(spark, sf_dir, name)
     if cols:
         df = df.select(*cols)
-    return spread(df)
+    if not fan:
+        return df
+    from ..functions.parallelism import DENSE_BYTES_PER_TASK, spread
+
+    total, n_files = _table_layout(sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    return spread(
+        df,
+        est_bytes=total,
+        est_partitions=_est_scan_partitions(total, n_files, cores),
+        bytes_per_task=bytes_per_task or DENSE_BYTES_PER_TASK,
+    )

@@ -82,13 +82,12 @@ def q236(spark, sf):
     cross-engine rather than asserted."""
     from ..functions.text import tokens
 
-    # spread(_t(...)) rather than _ts (r12): the scan fanout below the
-    # tokenize, routed through THIS module's ``_t`` name so the property
-    # test's table monkeypatch (tests/test_properties.py) still
-    # intercepts the read
-    from ..functions.parallelism import spread
-
-    d = spread(_t(spark, sf, "documents"))
+    # no scan fanout (r13): the r12 unconditional spread regressed this
+    # head at 32 cores (0.65 -> 1.12 s — the chunk/reassemble arithmetic
+    # is too cheap per row to amortize 32 tasks); routed through THIS
+    # module's ``_t`` name so the property test's table monkeypatch
+    # (tests/test_properties.py) still intercepts the read
+    d = _t(spark, sf, "documents")
     base = d.select(
         "doc_id",
         "source",

@@ -41,7 +41,6 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.parallelism import spread
 from ..functions.text import tokens
 from .base import _t
 
@@ -76,12 +75,16 @@ def clear_index_cache(spark=None) -> int:
 
 
 def _docs_tokens(spark, sf: str) -> DataFrame:
-    # spread BELOW the tokenize projection: the driver testdata is one
-    # row group, so without the fanout every downstream shingle explode
-    # ran as one task (r12 profile: the ppjoin build's two tokenize
-    # stages were 1.3 s singles). Column-pruned select first, so the
-    # exchange ships only (doc_id, text) and ReadSchema stays narrow.
-    return spread(_t(spark, sf, "documents").select("doc_id", "text")).select(
+    # cost-based fanout below the tokenize projection (r13; see
+    # plans/base._ts): the one-row-group testdata scan would otherwise
+    # run every downstream shingle explode as one task (r12 profile: the
+    # ppjoin build's two tokenize stages were 1.3 s singles), but the r12
+    # unconditional to-core-count fanout regressed both index builds at
+    # local[32] (ppjoin 11.7 -> 16.4 s) — the checkpointed 32-partition
+    # shingle relation turned every downstream stage into 32 tiny tasks.
+    from .base import _ts
+
+    return _ts(spark, sf, "documents", "doc_id", "text", fan=True).select(
         "doc_id", tokens("text").alias("ts")
     )
 

@@ -123,11 +123,12 @@ def q239(spark, sf):
 
     from ..operators.dedup import banded_signature_table
 
-    from ..functions.parallelism import run_parallel, spread
+    from ..functions.parallelism import run_parallel
+    from .base import _ts
 
-    # spread (r12): fan the one-row-group scan out below the tokenize so
+    # cost-based scan fanout below the tokenize (r12, re-tuned r13) so
     # the shared shingle checkpoint builds wide
-    docs = spread(_t(spark, sf, "documents").select("doc_id", "text")).select(
+    docs = _ts(spark, sf, "documents", "doc_id", "text", fan=True).select(
         "doc_id", tokens("text").alias("ts")
     )
     is_new = _doc_hash() >= 800

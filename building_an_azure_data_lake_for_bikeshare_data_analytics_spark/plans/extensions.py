@@ -256,7 +256,7 @@ def q37(spark, sf):
     reproducible in DuckDB, so this gained a full value oracle in r2
     (previously rows-only under xxhash64)."""
     # _ts (r12): fan the one-row-group scan out below the tokenize
-    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+    docs = _ts(spark, sf, "documents", "doc_id", "text", fan=True).select(
         "doc_id", tokens("text").alias("ts")
     )
     return minhash_lsh_candidates(docs, num_hashes=32, bands=16)
@@ -706,7 +706,7 @@ def q53(spark, sf):
     value oracle (r1: rows-only)."""
     # _ts (r12): the simhash pandas UDF runs once per partition — spread
     # the one-row-group scan so it parallelizes
-    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+    docs = _ts(spark, sf, "documents", "doc_id", "text", fan=True).select(
         "doc_id", simhash64(F.col("text")).alias("sig")
     )
     chunks = docs.select(
@@ -989,7 +989,7 @@ def q63(spark, sf):
     k, w = _WINNOW_K, _WINNOW_W
     # _ts (r12): the whole winnow chain is per-row expressions in the scan
     # stage — single-task without the fanout (profiled 2.8 s)
-    d = _ts(spark, sf, "documents", "doc_id", "text").select(
+    d = _ts(spark, sf, "documents", "doc_id", "text", fan=True).select(
         "doc_id", F.lower(F.regexp_replace("text", r"\s+", " ")).alias("s")
     )
     d2 = (

@@ -205,12 +205,13 @@ def q252(spark, sf):
 
     # THE shared scan: documents read + tokenized once, materialized;
     # every text-side relation below derives from this checkpoint.
-    # spread (r12): fan the one-row-group scan out BELOW the tokenize so
+    # Cost-based scan fanout BELOW the tokenize (r12, re-tuned r13) so
     # the shared tokenize pass runs wide, not as one task
-    from ..functions.parallelism import run_parallel, spread
+    from ..functions.parallelism import run_parallel
+    from .base import _ts
 
     d = (
-        spread(_t(spark, sf, "documents").select("doc_id", "source", "text", "n_chars"))
+        _ts(spark, sf, "documents", "doc_id", "source", "text", "n_chars", fan=True)
         .select("doc_id", "source", "text", "n_chars", tokens("text").alias("ts"))
         .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )

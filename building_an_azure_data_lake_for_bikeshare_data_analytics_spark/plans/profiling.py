@@ -288,7 +288,7 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     100 TB table costs one pass."""
     # _ts (r12): the 6x4-statistic hash-agg (countDistinct expand) is
     # per-row heavy and ran single-task off the one-row-group scan
-    o = _ts(spark, sf, "orders")
+    o = _ts(spark, sf, "orders", fan=True)
     aggs = []
     for c, is_dec in _PROFILE_COLS:
         aggs += [
@@ -1439,12 +1439,11 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
     map-side-combinable partial sums on (doc_a, doc_b). Narrow columns
     through the self-join (the measured q36 negative result)."""
     docs = _t(spark, sf, "documents")
-    # spread (r12 profile: the two tokenize legs ran 8.0 s / 7.5 s as
-    # single tasks off the one-row-group scan); narrow select first so
-    # the exchange ships (doc_id, text) only and ReadSchema stays pruned
-    from ..functions.parallelism import spread
-
-    docs_spread = spread(docs.select("doc_id", "text"))
+    # cost-based scan fanout (r12 profile: the two tokenize legs ran
+    # 8.0 s / 7.5 s as single tasks off the one-row-group scan; re-tuned
+    # r13); narrow select first so the exchange ships (doc_id, text)
+    # only and ReadSchema stays pruned
+    docs_spread = _ts(spark, sf, "documents", "doc_id", "text", fan=True)
     toks = (
         docs_spread.select(
             "doc_id", F.split(normalized_text("text"), " ").alias("ts")
@@ -1461,15 +1460,36 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(_TFIDF_DF_MIN, _TFIDF_DF_MAX))
+    )
+    # int token ids (r13, guide §2.3 "shuffle keys instead of payloads"):
+    # the dot-product self-join below is the query's dominant shuffle and
+    # it only needs the token for EQUALITY — shipping the ~20-40-byte
+    # 3-word shingle strings through both legs was most of the 27.7/43.5
+    # MB exchange the r12 profile measured. The df-pruned vocabulary gets
+    # a dense int64 id (deterministic, collision-free — same
+    # distributed_row_number machinery as the PPJoin dictionary; an
+    # order-consistent 8-char-prefix bucket keeps the rank pass
+    # vocabulary-scale with no single-partition window), the per-doc
+    # weight relation carries (doc_id, tid, w) only, and the token string
+    # never rides the checkpoint or the self-join. The id is an injective
+    # relabeling of the equi-join key, so pairs/weights — and the oracle
+    # hash — are unchanged.
+    from ..functions.rank import distributed_row_number
+
+    dic = distributed_row_number(
+        df, ["token"], F.substring("token", 1, 8), out="tid"
+    )
     nn = docs.agg(F.count(F.lit(1)).alias("n"))
     w = (
-        tf.join(df, "token")
-        .where(F.col("df").between(_TFIDF_DF_MIN, _TFIDF_DF_MAX))
+        tf.join(dic, "token")
         .crossJoin(F.broadcast(nn))
         .select(
             "doc_id",
-            "token",
+            "tid",
             (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("w"),
         )
         # three consumers (norms + both self-join legs) — materialize once,
@@ -1487,7 +1507,7 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
     dots = (
         a.join(
             b,
-            (F.col("a.token") == F.col("b.token"))
+            (F.col("a.tid") == F.col("b.tid"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

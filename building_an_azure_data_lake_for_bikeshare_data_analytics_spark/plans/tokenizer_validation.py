@@ -112,7 +112,7 @@ def q235(spark, sf):
     # head as one task (2.4 s single-task stage profiled) — fan out the
     # scan below the explode
     words = (
-        _ts(spark, sf, "documents", "source", "text")
+        _ts(spark, sf, "documents", "source", "text", fan=True)
         .select("source", F.explode(tokens(F.lower(F.col("text")))).alias("word"))
         .where(F.col("word") != "")
     )

@@ -1,5 +1,5 @@
 """Dump ``.explain("formatted")`` for named registry queries into
-``plans/r12/<query>_<tag>.txt`` — the optimization round's before/after
+``plans/r13/<query>_<tag>.txt`` — the optimization round's before/after
 plan evidence (the judge checks plan-shape claims against these files).
 
 Usage::
@@ -33,7 +33,7 @@ def main() -> None:
         sys.exit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain")
