@@ -84,6 +84,10 @@ def _docs_tokens(spark, sf: str) -> DataFrame:
     # shingle relation turned every downstream stage into 32 tiny tasks.
     from .base import _ts
 
+    # (r13 A/B: 64 KiB/task — a 10-way fanout — measured flat against the
+    # default 16 KiB width on all three builds; the builds are bounded by
+    # driver planning + the serialized small-stage chain, not the fanout,
+    # so the default stays)
     return _ts(spark, sf, "documents", "doc_id", "text", fan=True).select(
         "doc_id", tokens("text").alias("ts")
     )

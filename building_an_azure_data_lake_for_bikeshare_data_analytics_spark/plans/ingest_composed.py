@@ -210,9 +210,19 @@ def q252(spark, sf):
     from ..functions.parallelism import run_parallel
     from .base import _ts
 
+    # keyless REBALANCE between the wide tokenize and the checkpoint
+    # (r13): the fanout runs the tokenize map-side at full width, but
+    # checkpointing its 32 partitions directly pinned every downstream
+    # consumer stage at 32 tiny tasks (an ExistingRDD's partitioning is
+    # invisible to AQE — q252's profile showed six 32-task stages over
+    # the 3 MB checkpoint). The rebalance lets AQE size the checkpointed
+    # relation from its actual bytes (~3-4 partitions at sf0.1, wide at
+    # deployment scale), so the seven store builds below read it at a
+    # sane width.
     d = (
         _ts(spark, sf, "documents", "doc_id", "source", "text", "n_chars", fan=True)
         .select("doc_id", "source", "text", "n_chars", tokens("text").alias("ts"))
+        .hint("rebalance")
         .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     is_new = _doc_hash() >= 800

@@ -45,6 +45,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-coalesce the output partitioning of CACHED plans
+        # (default false): the maintained-index relations
+        # (plans/dedup_index) persist at the static shuffle-partition
+        # count, so with the default every consumer stage of a persisted
+        # ~1 MB relation ran core-count tasks — q103's profile showed 17
+        # such 32-task cache scans (r13, guide §2.2 fewer-larger
+        # partitions; measured q103 5.6->4.9 s, q226 0.77->0.58 s). Purely
+        # physical: partitioning of a cached relation, not its rows; at
+        # deployment scale caches are large and AQE keeps them wide.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -246,19 +246,23 @@ def write_version(
     base = current_version(path) if expected_base is _UNSET else expected_base
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
     if partition_by:
-        # hash-distribute on the partition keys before a partitioned
-        # write (r12, the compact() discipline applied at write time —
-        # the guide's hash write-distribution-mode): without it every
-        # write task emits one file per partition key it holds, so file
-        # count scales as tasks x keys — the r12 scan fanout turned a
-        # ~4-task x 16-band signature write into 32 x 16 = 512 tiny
-        # files per version. With the hash exchange each key lands in
-        # one task => ~one file per partition directory, at the cost of
-        # one exchange of the (batch-sized) written rows. A pathological
-        # hot key serializes its own directory's write — the same skew
-        # class as a hot band; compact()/maybe_compact() already bound
-        # the long-run layout.
-        df = df.repartition(*partition_by)
+        # REBALANCE on the partition keys before a partitioned write
+        # (r12 hash-distribute, upgraded r13 to the AQE rebalance — the
+        # guide §6 "REBALANCE hint before the write"): without any
+        # distribution every write task emits one file per partition key
+        # it holds, so file count scales as tasks x keys — the r12 scan
+        # fanout turned a ~4-task x 16-band signature write into
+        # 32 x 16 = 512 tiny files per version. The r12 plain
+        # ``repartition(*keys)`` fixed the file count but pinned the
+        # write at the static shuffle-partition count (32 near-empty
+        # write tasks per store version at local[32] — q252's profile);
+        # REBALANCE keys the same exchange but lets AQE size the write
+        # stage from the actual bytes: batch-sized appends coalesce to a
+        # task or two, and at deployment scale a skewed partition key is
+        # SPLIT across tasks instead of serializing its whole directory
+        # into one (splits only add files per directory, never move rows
+        # across directories, so partition pruning is unchanged).
+        df = df.hint("rebalance", *partition_by)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -374,9 +378,9 @@ def append_version(
     # data directories (both would otherwise guess the same p<k+1>)
     part_rel = os.path.join(_PARTS_DIR, f"p{cur + 1}_{uuid.uuid4().hex[:8]}")
     if partition_by:
-        # same hash write-distribution as write_version (r12): bound the
-        # delta part's file count at ~one file per partition directory
-        df = df.repartition(*partition_by)
+        # same keyed REBALANCE as write_version (r13): bound the delta
+        # part's file count while letting AQE size the write stage
+        df = df.hint("rebalance", *partition_by)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -652,7 +656,10 @@ def compact(
         raise FileNotFoundError(f"no committed version at {path}")
     df = read_version(spark, path, cur)
     if partition_by:
-        df = df.repartition(*partition_by)
+        # keyed REBALANCE (r13, same as write_version): ~one file per
+        # partition directory from AQE-sized write tasks; a skewed key
+        # splits across tasks instead of serializing its directory
+        df = df.hint("rebalance", *partition_by)
     else:
         import math
 
