@@ -42,7 +42,7 @@ def q204(spark, sf):
     from ..operators.dedup import prefix_filter_containment_pairs
 
     # _ts (r12): fan the one-row-group scan out below the tokenize
-    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+    docs = _ts(spark, sf, "documents", "doc_id", "text", fan=True).select(
         "doc_id", tokens("text").alias("ts")
     )
     return prefix_filter_containment_pairs(docs, threshold=0.9)

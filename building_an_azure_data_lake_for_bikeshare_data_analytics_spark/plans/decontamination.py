@@ -255,7 +255,7 @@ def q244(spark, sf):
     B's threshold (integer-exact compare). Columns: source, benchmark,
     n_contaminated, contamination_rate."""
     # _ts (r12): fan the one-row-group scan out below the tokenize
-    d = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
+    d = _ts(spark, sf, "documents", "doc_id", "source", "text", fan=True).select(
         "doc_id", "source", tokens("text").alias("ts")
     )
     return probe_matrix(
@@ -350,7 +350,7 @@ def q249(spark, sf):
     )
 
     # _ts (r12): fan the one-row-group scan out below the tokenize
-    d = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
+    d = _ts(spark, sf, "documents", "doc_id", "source", "text", fan=True).select(
         "doc_id", "source", tokens("text").alias("ts")
     )
     store = _store_path(spark)

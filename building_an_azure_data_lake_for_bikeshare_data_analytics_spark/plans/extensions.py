@@ -361,7 +361,7 @@ def q153(spark, sf):
     from ..operators.dedup import minhash_jaccard_estimates
 
     # _ts (r12): fan the one-row-group scan out below the tokenize
-    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+    docs = _ts(spark, sf, "documents", "doc_id", "text", fan=True).select(
         "doc_id", tokens("text").alias("ts")
     )
     return minhash_jaccard_estimates(docs, num_hashes=32, bands=16)
@@ -2140,7 +2140,7 @@ def q100(spark, sf):
     from ..operators.similarity import lsh_dup_pairs
 
     # _ts (r12): fan the one-row-group scan out — per-row vector math
-    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding")
+    emb = _ts(spark, sf, "embeddings", "vec_id", "embedding", fan=True)
     return lsh_dup_pairs(emb, threshold=0.45, planes=_PLANES, bands=2)
 
 

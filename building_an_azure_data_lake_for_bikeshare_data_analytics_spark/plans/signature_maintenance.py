@@ -101,7 +101,7 @@ def q245(spark, sf):
     )
 
     # _ts (r12): fan the one-row-group scan out below the tokenize
-    docs = _ts(spark, sf, "documents", "doc_id", "text").select(
+    docs = _ts(spark, sf, "documents", "doc_id", "text", fan=True).select(
         "doc_id", tokens("text").alias("ts")
     )
     store = _store_path(spark)

@@ -830,8 +830,18 @@ def vacuum(path: str, keep: int = 2, grace_seconds: float = 300.0) -> list[int]:
     # version numbers are never reused (``_next_version`` allocates past
     # orphans), and a new commit only references parts of the version it
     # reparents onto — nothing can re-reference a doomed path.
-    for d in doomed:
-        shutil.rmtree(d, ignore_errors=True)
+    # threaded (r13): version trees delete independently, and rmtree wall
+    # is filesystem-latency-bound, so overlapping them cuts the lifecycle
+    # heads' per-call vacuum tail (every maintenance head vacuums 1-2
+    # stores per run)
+    if len(doomed) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(doomed))) as pool:
+            list(pool.map(lambda d: shutil.rmtree(d, ignore_errors=True), doomed))
+    else:
+        for d in doomed:
+            shutil.rmtree(d, ignore_errors=True)
     return removed
 
 
