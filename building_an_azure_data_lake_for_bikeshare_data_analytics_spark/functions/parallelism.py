@@ -120,14 +120,60 @@ def run_parallel(*thunks: Callable[[], Any], max_workers: int = 6) -> list[Any]:
     """Run independent driver-blocking actions as overlapping Spark jobs.
 
     Each thunk must be independent of the others (different stores /
-    different lineages); results return in thunk order. The first raising
-    thunk's exception propagates after the pool drains, so a failure is
-    never swallowed into a half-materialized state. Job submission from
-    plain threads is supported by Spark (job descriptions are
+    different lineages); results return in thunk order. Job submission
+    from plain threads is supported by Spark (job descriptions are
     thread-local; the engine does not set them outside the bench).
+
+    Failure semantics (r13, the r12 advice item): the first failure
+    CANCELS every not-yet-started sibling, so a lifecycle head stops
+    committing further stores once one artifact has failed — the same
+    stop-at-first-failure window the serial code had (an already-RUNNING
+    sibling cannot be interrupted and still completes; each store's own
+    commit stays atomic behind its writer lock either way). Every root
+    cause that did occur is surfaced: one exception re-raises as itself,
+    several raise as an ExceptionGroup.
     """
     if len(thunks) == 1:
         return [thunks[0]()]
+    import threading
+    from concurrent.futures import as_completed
+
+    stop = threading.Event()
+
+    class _Skipped(Exception):
+        pass
+
+    def _guard(t: Callable[[], Any]) -> Callable[[], Any]:
+        def run():
+            # the failing worker sets `stop` BEFORE its thread frees, so
+            # a thunk the pool dequeues after a sibling failure is
+            # deterministically skipped (no further store commits start)
+            if stop.is_set():
+                raise _Skipped()
+            try:
+                return t()
+            except BaseException:
+                stop.set()
+                raise
+
+        return run
+
     with ThreadPoolExecutor(max_workers=min(max_workers, len(thunks))) as pool:
-        futures = [pool.submit(t) for t in thunks]
+        futures = [pool.submit(_guard(t)) for t in thunks]
+        errors: list[BaseException] = []
+        for f in as_completed(futures):
+            if f.cancelled():
+                continue
+            exc = f.exception()
+            if exc is not None and not isinstance(exc, _Skipped):
+                errors.append(exc)
+                for g in futures:
+                    g.cancel()
+        if errors:
+            if len(errors) == 1:
+                raise errors[0]
+            raise ExceptionGroup(
+                "run_parallel: multiple thunks failed",
+                [e if isinstance(e, Exception) else Exception(repr(e)) for e in errors],
+            )
         return [f.result() for f in futures]
