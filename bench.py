@@ -123,6 +123,7 @@ def main() -> None:
     # iteration alone.
     from building_an_azure_data_lake_for_bikeshare_data_analytics_spark.plans import (
         dedup_index,
+        extensions,
     )
 
     for bname, build in (
@@ -133,6 +134,11 @@ def main() -> None:
         # the r9 default cross-candidate source) — forced here so q103
         # measures the warm read path a deployment pays per batch
         ("index_build_sigs", dedup_index.corpus_signatures),
+        # the maintained probe-score artifact (r13): the q145 fit+score
+        # relation seven evaluation heads read — forced here for the same
+        # first-consumer-absorbs-the-build reason as the dedup indexes
+        # (r7 verdict item 4); entries only ever ADDED, never renamed
+        ("index_build_probe_scores", extensions.probe_scored),
     ):
         t0 = time.time()
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()
