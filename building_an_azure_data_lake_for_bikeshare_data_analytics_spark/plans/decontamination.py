@@ -350,7 +350,7 @@ def q249(spark, sf):
     )
 
     # _ts (r12): fan the one-row-group scan out below the tokenize
-    d = _ts(spark, sf, "documents", "doc_id", "source", "text", fan=True).select(
+    d = _ts(spark, sf, "documents", "doc_id", "source", "text").select(
         "doc_id", "source", tokens("text").alias("ts")
     )
     store = _store_path(spark)
